@@ -1,0 +1,139 @@
+"""Redistribution: softmax weighting + scatter-add aggregation (SURVEY §2.6).
+
+The reference computes softmax(-distance) weights per probe with scipy and
+scatter-adds shares onto the consent frame with a pandas ``.loc +=`` loop —
+its hot spot, O(probes × k) row-wise updates
+(reference: nearest_consented_customers.py:376-467). Here both collapse into
+relational form over the matched-pairs DataFrame:
+
+- weights are a numerically stable windowed softmax (explicit max
+  subtraction, matching scipy.special.softmax's internal shift);
+- the scatter-add is a hash aggregation ``groupBy(consent_id).agg(...)``
+  followed by a left join back onto the consent rows — Catalyst runs it as
+  partial/final aggregation (map-side combine), strictly better than the
+  reference loop and linear-scalable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity_join import DISTANCE
+
+WEIGHT = "weight"
+WEIGHTED_VALUE = "weighted_conversion_value"
+
+
+def softmax_weights(
+    pairs: DataFrame,
+    *,
+    probe_id: str = "probe_id",
+    conversion_column: str = "conversion_value",
+    distance_col: str = DISTANCE,
+) -> DataFrame:
+    """Per probe: ``w = softmax(−distance)``; ``weighted = conversion · w``.
+
+    Weights sum to 1 per probe ⇒ each non-consenting conversion is
+    distributed exactly (conservation invariant,
+    reference: nearest_consented_customers_test.py:116-126). Stability: shift
+    by the per-probe max of −distance before exp, exactly as
+    scipy.special.softmax does (reference:
+    nearest_consented_customers.py:404-406) — without it, large distances
+    underflow ``exp`` to an all-zero denominator.
+    """
+    w = Window.partitionBy(probe_id)
+    neg = -F.col(distance_col)
+    shifted = F.exp(neg - F.max(neg).over(w))
+    weight = shifted / F.sum(shifted).over(w)
+    return pairs.withColumn(WEIGHT, weight).withColumn(
+        WEIGHTED_VALUE, F.col(conversion_column) * F.col(WEIGHT)
+    )
+
+
+def scatter_add(
+    consent: DataFrame,
+    weighted_pairs: DataFrame,
+    *,
+    build_id: str = "build_id",
+    consent_id: str = "consent_id",
+    conversion_column: str = "conversion_value",
+    total_matched_value: float | None = None,
+    n_consent: int | None = None,
+) -> DataFrame:
+    """Distribute weighted shares onto consent rows + bookkeeping columns.
+
+    Output columns mirror the reference exactly
+    (nearest_consented_customers.py:446-466):
+
+    - ``adjusted_conversion``      — Σ weighted shares received (0 if none;
+      NOTE: the reference initialises at 0 and never adds the row's own
+      conversion — kept faithful)
+    - ``average_distance``         — mean distance to matched probes (null
+      for unmatched rows: Spark null ≈ pandas NaN 0/0, FIXTURES.md F5)
+    - ``n_added_conversions``      — number of matched probes
+    - ``sum_distribution_weights`` — Σ softmax weights received
+    - ``naive_adjusted_conversion``— conversion + (Σ matched probe values /
+      n_consent): the uniform-smear baseline (W3)
+    """
+    aggs = weighted_pairs.groupBy(F.col(build_id).alias(consent_id)).agg(
+        F.sum(WEIGHTED_VALUE).alias("adjusted_conversion"),
+        F.sum(DISTANCE).alias("__sum_distance"),
+        F.count(F.lit(1)).alias("n_added_conversions"),
+        F.sum(WEIGHT).alias("sum_distribution_weights"),
+    )
+    out = consent.join(aggs, on=consent_id, how="left")
+    out = out.fillna(
+        {
+            "adjusted_conversion": 0.0,
+            "n_added_conversions": 0,
+            "sum_distribution_weights": 0.0,
+        }
+    )
+    out = out.withColumn(
+        "average_distance",
+        F.when(
+            F.col("n_added_conversions") > 0,
+            F.col("__sum_distance") / F.col("n_added_conversions"),
+        ),
+    ).drop("__sum_distance")
+    if total_matched_value is not None and n_consent is not None:
+        naive = total_matched_value / n_consent
+        out = out.withColumn(
+            "naive_adjusted_conversion",
+            F.col(conversion_column) + F.lit(float(naive)),
+        )
+    return out
+
+
+def distribute_conversions(
+    consent: DataFrame,
+    pairs: DataFrame,
+    *,
+    probe_id: str = "probe_id",
+    build_id: str = "build_id",
+    consent_id: str = "consent_id",
+    conversion_column: str = "conversion_value",
+) -> DataFrame:
+    """softmax_weights + scatter_add in one call, computing the naive-baseline
+    scalars from the matched pairs (W1 + W2 + W3)."""
+    weighted = softmax_weights(
+        pairs, probe_id=probe_id, conversion_column=conversion_column
+    )
+    totals = (
+        weighted.select(probe_id, conversion_column)
+        .dropDuplicates([probe_id])
+        .agg(F.sum(conversion_column).alias("total"))
+        .first()
+    )
+    total_matched = float(totals["total"] or 0.0)
+    n_consent = consent.count()
+    return scatter_add(
+        consent,
+        weighted,
+        build_id=build_id,
+        consent_id=consent_id,
+        conversion_column=conversion_column,
+        total_matched_value=total_matched,
+        n_consent=n_consent,
+    )

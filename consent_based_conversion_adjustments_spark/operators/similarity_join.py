@@ -1,0 +1,379 @@
+"""The similarity join — kNN / radius / percentile matching (SURVEY.md §2.5).
+
+The reference builds a sklearn ``NearestNeighbors`` index over the consenting
+("build") side and probes it with every non-consenting row
+(reference: nearest_consented_customers.py:46-264). Spark has no kNN join, so
+this module provides two physical strategies with identical semantics:
+
+``impl="sql"`` — pure DataFrame composition: broadcast cross join →
+    Catalyst distance expression → ``row_number`` top-k (kNN) or theta
+    predicate (radius). Fully declarative, DuckDB-oracle-checkable, and the
+    plan Catalyst produces is BroadcastNestedLoopJoin → Window. The only
+    shuffle is the hash exchange for the per-probe window.
+
+``impl="numpy"`` — the scale path: the build side's (id, features) matrix is
+    broadcast to executors once, and ``mapInPandas`` computes vectorized
+    chunked top-k per probe partition with numpy. ZERO shuffle: output is
+    probe-partitioned (probe_id, build_id, distance) pairs directly. This is
+    the strategy that survives a 100 TB probe side — per-partition cost is
+    O(rows × n_build × width) flops with no m×n row materialization, and it
+    replaces the reference's single-node sklearn query
+    (nearest_consented_customers.py:184-221) with an embarrassingly parallel
+    scan.
+
+Both strategies break distance ties deterministically by ``build_id``.
+
+The matched-pairs long format ``(probe cols…, build_id, distance)`` is the
+engine's core IR — weighting, scatter-add, and all summaries are windows and
+groupBys over it (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import AdjustmentConfig
+from ..functions.distance import metric_distance
+
+BUILD_FEATURES = "__build_features"
+DISTANCE = "distance"
+
+
+def _build_side(build: DataFrame, build_id: str, features: str) -> DataFrame:
+    return build.select(
+        F.col(build_id).alias(build_id), F.col(features).alias(BUILD_FEATURES)
+    )
+
+
+def _pairs_with_distance(
+    probe: DataFrame,
+    build: DataFrame,
+    metric: str,
+    build_id: str,
+    features: str,
+) -> DataFrame:
+    """Broadcast cross join + distance column; features pruned afterwards."""
+    pairs = probe.crossJoin(F.broadcast(_build_side(build, build_id, features)))
+    pairs = pairs.withColumn(
+        DISTANCE, metric_distance(metric, F.col(features), F.col(BUILD_FEATURES))
+    )
+    return pairs.drop(features, BUILD_FEATURES)
+
+
+def resolve_k(number_nearest_neighbors: float, n_build: int) -> int:
+    """``k < 1`` is a proportion of the build side
+    (reference: nearest_consented_customers.py:145-147, 208-211)."""
+    if number_nearest_neighbors < 1:
+        k = int(number_nearest_neighbors * n_build)
+    else:
+        k = int(number_nearest_neighbors)
+    if k < 1:
+        raise ValueError(
+            f"resolved k={k} from number_nearest_neighbors="
+            f"{number_nearest_neighbors} with {n_build} build rows"
+        )
+    if k > n_build:
+        # sklearn raises when k > n_fit (reference behavior, SURVEY.md §2.5 J2)
+        raise ValueError(f"k={k} exceeds build-side row count {n_build}")
+    return k
+
+
+def knn_join(
+    probe: DataFrame,
+    build: DataFrame,
+    k: int,
+    *,
+    metric: str = "manhattan",
+    probe_id: str = "probe_id",
+    build_id: str = "build_id",
+    features: str = "features",
+    impl: str = "sql",
+) -> DataFrame:
+    """Top-k-per-probe similarity join.
+
+    Returns all probe columns (features dropped) + (build_id, distance),
+    exactly k rows per probe. reference: nearest_consented_customers.py:184-221.
+    """
+    if impl == "numpy":
+        return _knn_join_numpy(
+            probe, build, k, metric=metric, build_id=build_id, features=features
+        )
+    pairs = _pairs_with_distance(probe, build, metric, build_id, features)
+    w = Window.partitionBy(probe_id).orderBy(F.col(DISTANCE).asc(), F.col(build_id).asc())
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def radius_join(
+    probe: DataFrame,
+    build: DataFrame,
+    radius: float,
+    *,
+    metric: str = "manhattan",
+    build_id: str = "build_id",
+    features: str = "features",
+    impl: str = "sql",
+) -> DataFrame:
+    """All build rows within ``radius`` of each probe (range theta-join).
+
+    Probes with zero matches simply produce no rows — the matched/unmatched
+    split (reference: nearest_consented_customers.py:153-182, 362-364) is an
+    anti-join against this output's probe ids.
+    """
+    if impl == "numpy":
+        return _radius_join_numpy(
+            probe, build, radius, metric=metric, build_id=build_id, features=features
+        )
+    pairs = _pairs_with_distance(probe, build, metric, build_id, features)
+    return pairs.filter(F.col(DISTANCE) <= radius)
+
+
+def min_distance_per_probe(
+    probe: DataFrame,
+    build: DataFrame,
+    *,
+    metric: str = "manhattan",
+    probe_id: str = "probe_id",
+    build_id: str = "build_id",
+    features: str = "features",
+    impl: str = "sql",
+) -> DataFrame:
+    """Per-probe distance to the nearest build row (J5 pass 1 / J6).
+
+    The reference runs a full kNN(k=1) pass for this
+    (nearest_consented_customers.py:518-523); relationally it collapses to a
+    min-aggregation over the distance join — Catalyst executes it as a
+    partial/final min with no pair materialization beyond the scan.
+    """
+    if impl == "numpy":
+        pairs = _knn_join_numpy(
+            probe.select(probe_id, features), build, 1, metric=metric,
+            build_id=build_id, features=features,
+        )
+        return pairs.select(
+            probe_id, F.col(DISTANCE).alias("distance_to_nearest_neighbor")
+        )
+    pairs = _pairs_with_distance(
+        probe.select(probe_id, features), build, metric, build_id, features
+    )
+    return pairs.groupBy(probe_id).agg(
+        F.min(DISTANCE).alias("distance_to_nearest_neighbor")
+    )
+
+
+def percentile_radius(
+    probe: DataFrame,
+    build: DataFrame,
+    percentile: float,
+    *,
+    metric: str = "manhattan",
+    probe_id: str = "probe_id",
+    build_id: str = "build_id",
+    features: str = "features",
+    impl: str = "sql",
+) -> float:
+    """Auto-radius: the ``percentile`` quantile of nearest-neighbor distances.
+
+    Guarantees ≥ percentile·100% of probes match in the subsequent radius
+    join (reference: min_radius_by_percentile,
+    nearest_consented_customers.py:140-143; README.md:45-48). Uses Spark's
+    exact ``percentile`` (linear interpolation — same as pandas
+    ``quantile``).
+    """
+    nearest = min_distance_per_probe(
+        probe, build, metric=metric, probe_id=probe_id, build_id=build_id,
+        features=features, impl=impl,
+    )
+    row = nearest.select(
+        F.expr(
+            f"percentile(distance_to_nearest_neighbor, {percentile!r})"
+        ).alias("radius")
+    ).first()
+    return float(row["radius"])
+
+
+def similarity_join(
+    probe: DataFrame,
+    build: DataFrame,
+    config: AdjustmentConfig,
+    *,
+    probe_id: str = "probe_id",
+    build_id: str = "build_id",
+    features: str = "features",
+    impl: str = "sql",
+    n_build: int | None = None,
+) -> DataFrame:
+    """Mode dispatch (J4): exactly one of k / radius / percentile.
+
+    reference: nearest_consented_customers.py:223-264, 470-524. Dispatch is
+    on ``is not None`` — deliberately fixing the reference's truthiness bug
+    (line 513) so ``radius=0.0`` is a valid empty-match join (FIXTURES.md F5).
+    """
+    if config.number_nearest_neighbors is not None:
+        if n_build is None:
+            n_build = build.count()
+        k = resolve_k(config.number_nearest_neighbors, n_build)
+        return knn_join(
+            probe, build, k, metric=config.metric, probe_id=probe_id,
+            build_id=build_id, features=features, impl=impl,
+        )
+    if config.radius is not None:
+        return radius_join(
+            probe, build, config.radius, metric=config.metric,
+            build_id=build_id, features=features, impl=impl,
+        )
+    radius = percentile_radius(
+        probe, build, config.percentile, metric=config.metric,
+        probe_id=probe_id, build_id=build_id, features=features, impl=impl,
+    )
+    return radius_join(
+        probe, build, radius, metric=config.metric,
+        build_id=build_id, features=features, impl=impl,
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy scale path
+# ---------------------------------------------------------------------------
+
+
+def _collect_build_matrix(
+    build: DataFrame, build_id: str, features: str
+) -> tuple[np.ndarray, np.ndarray]:
+    rows = build.select(build_id, features).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
+
+
+def _chunk_distances(
+    X: np.ndarray, B: np.ndarray, metric: str
+) -> np.ndarray:
+    if metric == "manhattan":
+        return np.abs(X[:, None, :] - B[None, :, :]).sum(axis=2)
+    if metric == "euclidean":
+        # ||x-b||² = ||x||² + ||b||² − 2 x·b  (BLAS-backed)
+        sq = (X * X).sum(1)[:, None] + (B * B).sum(1)[None, :] - 2.0 * X @ B.T
+        np.maximum(sq, 0.0, out=sq)
+        return np.sqrt(sq)
+    raise ValueError(f"unsupported metric: {metric!r}")
+
+
+def _knn_join_numpy(
+    probe: DataFrame,
+    build: DataFrame,
+    k: int,
+    *,
+    metric: str,
+    build_id: str,
+    features: str,
+    chunk: int = 512,
+) -> DataFrame:
+    """Broadcast-build vectorized kNN via mapInPandas — no shuffle.
+
+    Build ids arrive pre-sorted so ``argpartition`` + stable sort on
+    (distance, position) reproduces the SQL path's (distance, build_id)
+    tie-break exactly.
+    """
+    spark = probe.sparkSession
+    ids, mat = _collect_build_matrix(build, build_id, features)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    pass_cols = [c for c in probe.columns if c != features]
+    id_dtype = (
+        T.LongType()
+        if np.issubdtype(ids.dtype, np.integer)
+        else T.StringType()
+    )
+    out_schema = T.StructType(
+        [probe.schema[c] for c in pass_cols]
+        + [
+            T.StructField(build_id, id_dtype, False),
+            T.StructField(DISTANCE, T.DoubleType(), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, B = bc.value
+        n = B.shape[0]
+        kk = min(k, n)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[features].tolist(), dtype=np.float64)
+            for lo in range(0, len(pdf), chunk):
+                hi = min(lo + chunk, len(pdf))
+                D = _chunk_distances(X[lo:hi], B, metric)
+                # stable argsort = lexicographic (distance, position); B rows
+                # are pre-sorted by build_id, so ties at the k-th distance
+                # resolve to the smallest build_id exactly like the SQL
+                # path's row_number ORDER BY (distance, build_id). (An
+                # argpartition pre-pass would be faster for huge n but picks
+                # arbitrary candidates among boundary ties — wrong.)
+                idx_final = np.argsort(D, axis=1, kind="stable")[:, :kk]
+                dist_final = np.take_along_axis(D, idx_final, axis=1)
+                rep = pdf.iloc[lo:hi][pass_cols].loc[
+                    pdf.index[lo:hi].repeat(kk)
+                ].reset_index(drop=True)
+                rep[build_id] = b_ids[idx_final].ravel()
+                rep[DISTANCE] = dist_final.ravel()
+                yield rep
+
+    return probe.mapInPandas(compute, schema=out_schema)
+
+
+def _radius_join_numpy(
+    probe: DataFrame,
+    build: DataFrame,
+    radius: float,
+    *,
+    metric: str,
+    build_id: str,
+    features: str,
+    chunk: int = 512,
+) -> DataFrame:
+    spark = probe.sparkSession
+    ids, mat = _collect_build_matrix(build, build_id, features)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    pass_cols = [c for c in probe.columns if c != features]
+    id_dtype = (
+        T.LongType()
+        if np.issubdtype(ids.dtype, np.integer)
+        else T.StringType()
+    )
+    out_schema = T.StructType(
+        [probe.schema[c] for c in pass_cols]
+        + [
+            T.StructField(build_id, id_dtype, False),
+            T.StructField(DISTANCE, T.DoubleType(), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, B = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[features].tolist(), dtype=np.float64)
+            for lo in range(0, len(pdf), chunk):
+                hi = min(lo + chunk, len(pdf))
+                D = _chunk_distances(X[lo:hi], B, metric)
+                rows, cols = np.nonzero(D <= radius)
+                if len(rows) == 0:
+                    continue
+                rep = pdf.iloc[lo:hi][pass_cols].iloc[rows].reset_index(drop=True)
+                rep[build_id] = b_ids[cols]
+                rep[DISTANCE] = D[rows, cols]
+                yield rep
+
+    return probe.mapInPandas(compute, schema=out_schema)

@@ -1,0 +1,131 @@
+"""End-to-end conversion-adjustment pipeline (SURVEY.md §3.2).
+
+The per-date analytic query of the engine:
+
+    scan consent / scan noconsent
+      → clean → union-encode-split (shared one-hot feature space)
+      → similarity join (kNN | radius | percentile auto-radius)
+      → softmax weighting → scatter-add aggregation (+ naive baseline)
+      → data_adjusted + 1-row summary  → per-date CSV sink
+
+reference: pipeline.py:200-239 (ConversionAdjustments.process) →
+preprocess.py:108-148 → nearest_consented_customers.py:470-524.
+
+Parallelism is inverted vs the reference (SURVEY.md §2.9 O2): the reference
+schedules one date per Beam worker and runs single-node pandas inside; here
+each date is a fully distributed Spark job (probe side partitioned across
+executors, build side broadcast), and the date loop is driver-side — the
+right trade at 100 TB where one date's data alone exceeds a node.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import AdjustmentConfig
+from .operators.adjust import distribute_conversions
+from .operators.preprocess import union_encode_split
+from .operators.similarity_join import similarity_join
+from .operators.summary import summary_statistics
+from .sources.io import scan_between_dates, write_adjustments_csv
+
+PROBE_ID = "__probe_row_id"
+CONSENT_ID = "__consent_row_id"
+
+
+@dataclass
+class AdjustmentResult:
+    data_adjusted: DataFrame
+    summary: DataFrame
+    matched_pairs: DataFrame
+
+
+def _row_id(df: DataFrame, id_columns: list[str], name: str) -> DataFrame:
+    """Stable per-row key from the configured id columns.
+
+    The reference keys the scatter-add on the pandas row index
+    (nearest_consented_customers.py:317-319, J7); Spark has no positional
+    index, so the id columns themselves are the key — this is exactly the
+    index→id resolution step J7 dissolving into the join.
+    """
+    if len(id_columns) == 1:
+        return df.withColumn(name, F.col(id_columns[0]))
+    return df.withColumn(name, F.concat_ws("§", *[F.col(c).cast("string") for c in id_columns]))
+
+
+def run_adjustment(
+    consent: DataFrame,
+    noconsent: DataFrame,
+    config: AdjustmentConfig,
+    *,
+    impl: str = "sql",
+    feature_engineering=None,
+) -> AdjustmentResult:
+    """The full per-date adjustment query. Returns lazy DataFrames."""
+    consent_p, noconsent_p, _ = union_encode_split(
+        consent, noconsent, config, feature_engineering=feature_engineering
+    )
+    keep = config.id_columns + [config.conversion_column]
+    probe = _row_id(noconsent_p, config.id_columns, PROBE_ID).select(
+        PROBE_ID, *keep, "features"
+    )
+    build = _row_id(consent_p, config.id_columns, CONSENT_ID).select(
+        CONSENT_ID, *keep, "features"
+    )
+    pairs = similarity_join(
+        probe,
+        build,
+        config,
+        probe_id=PROBE_ID,
+        build_id=CONSENT_ID,
+        features="features",
+        impl=impl,
+    )
+    consent_keyed = build.drop("features")
+    data_adjusted = distribute_conversions(
+        consent_keyed,
+        pairs,
+        probe_id=PROBE_ID,
+        build_id=CONSENT_ID,
+        consent_id=CONSENT_ID,
+        conversion_column=config.conversion_column,
+    )
+    data_adjusted = data_adjusted.drop(CONSENT_ID)
+    summary = summary_statistics(
+        _row_id(noconsent_p, config.id_columns, PROBE_ID),
+        pairs.select(PROBE_ID),
+        probe_id=PROBE_ID,
+        conversion_column=config.conversion_column,
+    )
+    return AdjustmentResult(
+        data_adjusted=data_adjusted, summary=summary, matched_pairs=pairs
+    )
+
+
+def run_dates(
+    spark: SparkSession,
+    consent: DataFrame,
+    noconsent: DataFrame,
+    config: AdjustmentConfig,
+    dates: list[str],
+    output_path: str,
+    *,
+    impl: str = "sql",
+) -> None:
+    """O1-O3 driver loop: one distributed job per date, date filters pushed
+    down to the scans (reference: pipeline.py:318-360)."""
+    if config.date_column is None:
+        raise ValueError("run_dates requires config.date_column")
+    for date in dates:
+        end = (
+            spark.sql(f"select date_add(date'{date}', 1)").first()[0].isoformat()
+        )
+        c = scan_between_dates(consent, config.date_column, date, end)
+        nc = scan_between_dates(noconsent, config.date_column, date, end)
+        result = run_adjustment(c, nc, config, impl=impl)
+        write_adjustments_csv(
+            result.data_adjusted, result.summary, output_path, date
+        )

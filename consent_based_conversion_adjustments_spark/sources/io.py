@@ -1,0 +1,106 @@
+"""Scans and sinks (SURVEY.md §2.1, S1-S5 + A7-A8).
+
+The reference reads BigQuery with hand-written date predicates and writes
+per-date CSVs to GCS (reference: pipeline.py:143-153, 265-295). Here every
+scan is a Parquet (or text/CSV) DataFrame read whose filters Catalyst pushes
+into the scan — ``.explain`` shows ``PushedFilters: [GreaterThanOrEqual(...)]``
+— and partition pruning is free when the data is laid out
+``partitionBy(date)``.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_dates_text(spark: SparkSession, path: str) -> DataFrame:
+    """S1 + P1: newline-separated ISO dates → DateType column ``date``.
+
+    reference: pipeline.py:331-333 (ReadFromText → Map(fromisoformat)).
+    """
+    return spark.read.text(path).select(F.to_date("value").alias("date"))
+
+
+def scan_between_dates(
+    df: DataFrame,
+    date_column: str,
+    start: str | datetime.date,
+    end: str | datetime.date,
+) -> DataFrame:
+    """S2: ``WHERE date >= start AND date < end`` — pushed to the scan.
+
+    The reference's ``ORDER BY date`` (pipeline.py:148-152) is dropped: kNN
+    matching is order-insensitive (SURVEY.md §2.1 S2).
+    """
+    c = F.col(date_column)
+    return df.filter((c >= F.lit(str(start))) & (c < F.lit(str(end))))
+
+
+def max_date(df: DataFrame, date_column: str) -> str:
+    """S3/A7: formatted MAX(date) — drives the trigger window.
+
+    reference: cloud_function/main.py:124-134.
+    """
+    row = df.agg(
+        F.date_format(F.max(F.col(date_column)), "yyyy-MM-dd").alias("max_date")
+    ).first()
+    return row["max_date"]
+
+
+def date_sequence(
+    spark: SparkSession, end_date: str, lookback_days: int
+) -> DataFrame:
+    """A8: the trigger's lookback window of dates, as a DataFrame.
+
+    reference: cloud_function/main.py:103-121.
+    """
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.date_sub(F.to_date(F.lit(end_date)), lookback_days - 1),
+                F.to_date(F.lit(end_date)),
+            )
+        ).alias("date")
+    )
+
+
+def write_adjustments_csv(
+    data_adjusted: DataFrame,
+    summary: DataFrame,
+    base_path: str,
+    date: str,
+    single_file: bool = True,
+) -> None:
+    """S4: per-date two-file layout ``<base>/<date>/adjustments_{data,summary}``.
+
+    reference: pipeline.py:265-295. ``single_file`` reproduces the
+    reference's one-CSV-per-date blob via ``coalesce(1)`` — at cluster scale
+    leave it False and let each partition write its own part file.
+    """
+    data_out = data_adjusted.coalesce(1) if single_file else data_adjusted
+    data_out.write.mode("overwrite").option("header", True).csv(
+        f"{base_path}/{date}/adjustments_data"
+    )
+    summary.coalesce(1).write.mode("overwrite").option("header", True).csv(
+        f"{base_path}/{date}/adjustments_summary"
+    )
