@@ -1,0 +1,126 @@
+"""Similarity-join semantics (reference: nearest_consented_customers_test.py)."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+    knn_join,
+    min_distance_per_probe,
+    percentile_radius,
+    radius_join,
+    resolve_k,
+)
+
+
+def _frames(spark, n_probe=7, n_build=11, width=5, seed=3):
+    rng = np.random.RandomState(seed)
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": range(n_probe),
+                "features": [
+                    [float(v) for v in rng.randint(0, 3, width)]
+                    for _ in range(n_probe)
+                ],
+            }
+        )
+    )
+    build = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "bid": range(n_build),
+                "features": [
+                    [float(v) for v in rng.randint(0, 3, width)]
+                    for _ in range(n_build)
+                ],
+            }
+        )
+    )
+    return probe, build
+
+
+@pytest.mark.parametrize("impl", ["sql", "numpy"])
+def test_knn_returns_exactly_k_per_probe(spark, impl):
+    """reference: nearest_consented_customers_test.py:53-60 (invariant 7)."""
+    probe, build = _frames(spark)
+    out = knn_join(probe, build, 4, probe_id="pid", build_id="bid", impl=impl)
+    counts = out.groupBy("pid").count().collect()
+    assert len(counts) == 7
+    assert all(r["count"] == 4 for r in counts)
+
+
+@pytest.mark.parametrize("metric", ["manhattan", "euclidean"])
+def test_impls_agree(spark, metric):
+    probe, build = _frames(spark, n_probe=23, n_build=17, width=6)
+    a = (
+        knn_join(probe, build, 5, metric=metric, probe_id="pid", build_id="bid", impl="sql")
+        .orderBy("pid", "distance", "bid")
+        .toPandas()
+    )
+    b = (
+        knn_join(probe, build, 5, metric=metric, probe_id="pid", build_id="bid", impl="numpy")
+        .orderBy("pid", "distance", "bid")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_knn_matches_bruteforce_numpy_oracle(spark):
+    probe, build = _frames(spark, n_probe=9, n_build=13, width=4, seed=11)
+    P = np.array([r["features"] for r in probe.orderBy("pid").collect()])
+    B = np.array([r["features"] for r in build.orderBy("bid").collect()])
+    D = np.abs(P[:, None, :] - B[None, :, :]).sum(2)
+    out = (
+        knn_join(probe, build, 3, probe_id="pid", build_id="bid")
+        .orderBy("pid", "distance", "bid")
+        .toPandas()
+    )
+    for pid, grp in out.groupby("pid"):
+        expected = np.argsort(D[pid], kind="stable")[:3]
+        assert list(grp["bid"]) == sorted(
+            expected, key=lambda j: (D[pid][j], j)
+        )
+        assert list(grp["distance"]) == sorted(D[pid][expected].tolist())
+
+
+@pytest.mark.parametrize("impl", ["sql", "numpy"])
+def test_radius_join_bounds_and_drops_unmatched(spark, impl):
+    """reference: nearest_consented_customers.py:153-182 (J3)."""
+    probe, build = _frames(spark, seed=5)
+    out = radius_join(probe, build, 3.0, build_id="bid", impl=impl)
+    assert out.filter(F.col("distance") > 3.0).count() == 0
+    # radius 0 keeps only exact matches; radius huge keeps all pairs
+    all_pairs = radius_join(probe, build, 1e9, build_id="bid", impl=impl)
+    assert all_pairs.count() == 7 * 11
+
+
+def test_resolve_k_proportional_and_errors():
+    """reference: nearest_consented_customers.py:145-147, 208-211."""
+    assert resolve_k(0.5, 30) == 15
+    assert resolve_k(3, 30) == 3
+    with pytest.raises(ValueError, match="exceeds build-side"):
+        resolve_k(31, 30)
+    with pytest.raises(ValueError, match="resolved k"):
+        resolve_k(0.001, 30)
+
+
+def test_min_distance_and_percentile_radius(spark):
+    probe, build = _frames(spark, seed=7)
+    nearest = min_distance_per_probe(probe, build, probe_id="pid", build_id="bid")
+    nd = {r["pid"]: r["distance_to_nearest_neighbor"] for r in nearest.collect()}
+    # every probe has a nearest distance >= 0
+    assert len(nd) == 7 and all(v >= 0 for v in nd.values())
+    r95 = percentile_radius(probe, build, 0.95, probe_id="pid", build_id="bid")
+    # pandas-compatible linear interpolation quantile
+    expected = float(np.quantile(sorted(nd.values()), 0.95))
+    assert abs(r95 - expected) < 1e-9
+    # percentile coverage invariant (invariant 8, real claim — the reference
+    # test compares % to fraction and is vacuous; with linear interpolation
+    # the tight guarantee is coverage ≥ p − 1/n):
+    matched = radius_join(probe, build, r95, build_id="bid")
+    frac = matched.select("pid").distinct().count() / 7
+    assert frac >= 0.95 - 1.0 / 7 - 1e-9
