@@ -1,0 +1,341 @@
+"""Driver-testdata castings of every CoCoA operator, with DuckDB oracles.
+
+FIXTURES.md F4: the customer table split ~80/20 on ``c_custkey % 5`` plays
+the consent/no-consent roles; features are the one-hot of c_mktsegment +
+c_nationkey-as-categorical; conversion value is c_acctbal.
+
+The oracle SQL re-derives the one-hot L1 distance in closed form: for pure
+categorical one-hot blocks, Σ|a_i − b_i| = 2 · #(differing columns) — which
+keeps the DuckDB twin free of the pivot machinery while checking the exact
+same semantics (including ties, softmax weights, and scatter-add totals).
+All distances are integer-valued, so top-k selection and tie-breaks are
+float-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import AdjustmentConfig
+from ..functions.rounding import sql_round, stable_round
+from ..operators.preprocess import CONSENT_FLAG, add_consent_flag, clean_data
+from ..operators.similarity_join import percentile_radius
+from ..pipeline import PROBE_ID, CONSENT_ID, run_adjustment
+from ..sources.io import date_sequence, max_date, read_table
+
+FLAGSHIP_K = 5
+RADIUS = 2.0
+PERCENTILE = 0.9
+
+
+def consent_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+        F.col("c_nationkey").cast("string").alias("c_nation_cat"),
+    )
+    consent = customer.filter(F.col("c_custkey") % 5 != 0)
+    noconsent = customer.filter(F.col("c_custkey") % 5 == 0)
+    return consent, noconsent
+
+
+def _config(**mode) -> AdjustmentConfig:
+    return AdjustmentConfig(
+        conversion_column="c_acctbal", id_columns=["c_custkey"], **mode
+    )
+
+
+def _round_adjusted(df: DataFrame) -> DataFrame:
+    return df.select(
+        "c_custkey",
+        stable_round("c_acctbal", 3).alias("c_acctbal"),
+        stable_round("adjusted_conversion", 3).alias("adjusted_conversion"),
+        stable_round("average_distance", 3).alias("average_distance"),
+        F.col("n_added_conversions").cast("long").alias("n_added_conversions"),
+        stable_round("sum_distribution_weights", 3).alias("sum_distribution_weights"),
+        stable_round("naive_adjusted_conversion", 3).alias("naive_adjusted_conversion"),
+    )
+
+
+def _round_summary(df: DataFrame) -> DataFrame:
+    return df.select(
+        stable_round("percentage_matched_conversion_value", 4).alias(
+            "percentage_matched_conversion_value"
+        ),
+        stable_round("percentage_matched_conversions", 4).alias(
+            "percentage_matched_conversions"
+        ),
+        "number_matched_conversions",
+        stable_round("total_matched_conversion_value", 3).alias(
+            "total_matched_conversion_value"
+        ),
+    )
+
+
+def _pairs(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col(PROBE_ID).alias("probe_id"),
+        F.col(CONSENT_ID).alias("consent_id"),
+        F.col("distance"),
+    )
+
+
+# --- query callables ---------------------------------------------------------
+
+
+def knn_adjust(spark: SparkSession, sf_dir: str, impl: str = "sql") -> DataFrame:
+    consent, noconsent = consent_split(spark, sf_dir)
+    result = run_adjustment(
+        consent, noconsent, _config(number_nearest_neighbors=FLAGSHIP_K), impl=impl
+    )
+    return _round_adjusted(result.data_adjusted)
+
+
+def knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    consent, noconsent = consent_split(spark, sf_dir)
+    result = run_adjustment(
+        consent, noconsent, _config(number_nearest_neighbors=3)
+    )
+    return _pairs(result.matched_pairs)
+
+
+def knn_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k < 1 ⇒ proportional to the build side (J2 proportional-k)."""
+    consent, noconsent = consent_split(spark, sf_dir)
+    result = run_adjustment(
+        consent, noconsent, _config(number_nearest_neighbors=0.01)
+    )
+    return _pairs(result.matched_pairs)
+
+
+def radius_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    consent, noconsent = consent_split(spark, sf_dir)
+    result = run_adjustment(consent, noconsent, _config(radius=RADIUS))
+    return _round_adjusted(result.data_adjusted)
+
+
+def radius_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    consent, noconsent = consent_split(spark, sf_dir)
+    result = run_adjustment(consent, noconsent, _config(radius=RADIUS))
+    return _round_summary(result.summary)
+
+
+def percentile_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    consent, noconsent = consent_split(spark, sf_dir)
+    result = run_adjustment(consent, noconsent, _config(percentile=PERCENTILE))
+    return _round_adjusted(result.data_adjusted)
+
+
+def nearest_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: per-probe distance to nearest consenting customer."""
+    consent, noconsent = consent_split(spark, sf_dir)
+    cfg = _config(number_nearest_neighbors=1)
+    result = run_adjustment(consent, noconsent, cfg)
+    return result.matched_pairs.select(
+        F.col(PROBE_ID).alias("probe_id"),
+        F.col("distance").alias("distance_to_nearest_neighbor"),
+    )
+
+
+def clean_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3 cleaning + P4 flag + U1 union as one checkable output."""
+    consent, noconsent = consent_split(spark, sf_dir)
+    unioned = add_consent_flag(noconsent, 0).unionByName(
+        add_consent_flag(consent, 1)
+    )
+    return clean_data(unioned, "c_acctbal").select(
+        "c_custkey", stable_round("c_acctbal", 3).alias("c_acctbal"), CONSENT_FLAG
+    )
+
+
+def max_event_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/A7: formatted MAX(date) scalar."""
+    events = read_table(spark, sf_dir, "events")
+    return spark.createDataFrame([(max_date(events, "ts"),)], ["max_date"])
+
+
+def lookback_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: the trigger's lookback window (fixed anchor for determinism)."""
+    return date_sequence(spark, "2024-01-30", 7).select(
+        F.col("date").cast("string").alias("date")
+    )
+
+
+# --- oracle SQL --------------------------------------------------------------
+
+_PRELUDE = """
+WITH base AS (
+    SELECT c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           c_mktsegment,
+           CAST(c_nationkey AS VARCHAR) AS nat,
+           (c_custkey % 5 <> 0) AS consent
+    FROM customer
+    WHERE c_acctbal IS NOT NULL AND c_acctbal > 0
+),
+probe AS (SELECT * FROM base WHERE NOT consent),
+build AS (SELECT * FROM base WHERE consent),
+pairs AS (
+    SELECT p.c_custkey AS probe_id,
+           b.c_custkey AS consent_id,
+           p.c_acctbal AS probe_value,
+           (CASE WHEN p.c_mktsegment <> b.c_mktsegment THEN 2.0 ELSE 0.0 END
+            + CASE WHEN p.nat <> b.nat THEN 2.0 ELSE 0.0 END) AS distance
+    FROM probe p CROSS JOIN build b
+)
+"""
+
+
+def _matched_sql(matched: str) -> str:
+    """Adjustment + summary tail over a CTE named ``matched`` with columns
+    (probe_id, consent_id, probe_value, distance)."""
+    return """
+, expd AS (
+    SELECT *, exp(-distance - max(-distance) OVER (PARTITION BY probe_id)) AS e
+    FROM {matched}
+),
+wts AS (
+    SELECT probe_id, consent_id, distance, probe_value,
+           e / sum(e) OVER (PARTITION BY probe_id) AS weight
+    FROM expd
+),
+aggs AS (
+    SELECT consent_id,
+           sum(probe_value * weight) AS adjusted_conversion,
+           sum(distance) AS sum_distance,
+           count(*) AS n_added_conversions,
+           sum(weight) AS sum_distribution_weights
+    FROM wts GROUP BY consent_id
+),
+naive AS (
+    SELECT sum(c_acctbal) / (SELECT count(*) FROM build) AS smear
+    FROM probe WHERE c_custkey IN (SELECT DISTINCT probe_id FROM {matched})
+)
+SELECT b.c_custkey,
+       {r_acctbal} AS c_acctbal,
+       {r_adj} AS adjusted_conversion,
+       {r_avgd} AS average_distance,
+       coalesce(a.n_added_conversions, 0) AS n_added_conversions,
+       {r_wts} AS sum_distribution_weights,
+       {r_naive} AS naive_adjusted_conversion
+FROM build b LEFT JOIN aggs a ON b.c_custkey = a.consent_id
+""".format(
+        matched=matched,
+        r_acctbal=sql_round("b.c_acctbal", 3),
+        r_adj=sql_round("coalesce(a.adjusted_conversion, 0.0)", 3),
+        r_avgd=sql_round("a.sum_distance / a.n_added_conversions", 3),
+        r_wts=sql_round("coalesce(a.sum_distribution_weights, 0.0)", 3),
+        r_naive=sql_round("b.c_acctbal + (SELECT smear FROM naive)", 3),
+    )
+
+
+def _topk_cte(k: int) -> str:
+    return f"""
+, topk AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY distance, consent_id) AS rn
+        FROM pairs) WHERE rn <= {k}
+)"""
+
+
+KNN_ADJUST_SQL = _PRELUDE + _topk_cte(FLAGSHIP_K) + _matched_sql("topk")
+
+KNN_PAIRS_SQL = (
+    _PRELUDE
+    + _topk_cte(3)
+    + "\nSELECT probe_id, consent_id, distance FROM topk"
+)
+
+KNN_PROPORTIONAL_SQL = (
+    _PRELUDE
+    + """
+, topk AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY distance, consent_id) AS rn
+        FROM pairs)
+    WHERE rn <= (SELECT CAST(floor(0.01 * count(*)) AS INT) FROM build)
+)
+SELECT probe_id, consent_id, distance FROM topk"""
+)
+
+RADIUS_ADJUST_SQL = (
+    _PRELUDE
+    + f", matched AS (SELECT * FROM pairs WHERE distance <= {RADIUS})"
+    + _matched_sql("matched")
+)
+
+RADIUS_SUMMARY_SQL = (
+    _PRELUDE
+    + """
+, matched_ids AS (
+    SELECT DISTINCT probe_id FROM pairs WHERE distance <= {radius})
+SELECT {r_pct_val}
+           AS percentage_matched_conversion_value,
+       {r_pct_cnt} AS percentage_matched_conversions,
+       sum(CASE WHEN m.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS number_matched_conversions,
+       {r_total}
+           AS total_matched_conversion_value
+FROM probe p LEFT JOIN matched_ids m ON p.c_custkey = m.probe_id
+""".format(
+        radius=RADIUS,
+        r_pct_val=sql_round(
+            "sum(CASE WHEN m.probe_id IS NOT NULL THEN p.c_acctbal ELSE 0 END)"
+            " / sum(p.c_acctbal) * 100", 4),
+        r_pct_cnt=sql_round(
+            "sum(CASE WHEN m.probe_id IS NOT NULL THEN 1 ELSE 0 END)"
+            " * 100.0 / count(*)", 4),
+        r_total=sql_round(
+            "sum(CASE WHEN m.probe_id IS NOT NULL THEN p.c_acctbal ELSE 0 END)", 3),
+    )
+)
+
+PERCENTILE_ADJUST_SQL = (
+    _PRELUDE
+    + f"""
+, nearest AS (
+    SELECT probe_id, min(distance) AS d FROM pairs GROUP BY probe_id),
+rad AS (SELECT quantile_cont(d, {PERCENTILE}) AS r FROM nearest),
+matched AS (SELECT * FROM pairs WHERE distance <= (SELECT r FROM rad))
+"""
+    + _matched_sql("matched")
+)
+
+NEAREST_DISTANCES_SQL = (
+    _PRELUDE
+    + """
+SELECT probe_id, min(distance) AS distance_to_nearest_neighbor
+FROM pairs GROUP BY probe_id"""
+)
+
+CLEAN_SQL = """
+SELECT c_custkey, {r} AS c_acctbal,
+       CASE WHEN c_custkey % 5 <> 0 THEN 1 ELSE 0 END AS consent
+FROM customer
+WHERE c_acctbal IS NOT NULL AND c_acctbal > 0
+""".format(r=sql_round("CAST(c_acctbal AS DOUBLE)", 3))
+
+MAX_EVENT_DATE_SQL = "SELECT strftime(max(ts), '%Y-%m-%d') AS max_date FROM events"
+
+LOOKBACK_DATES_SQL = """
+SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS date
+FROM generate_series(DATE '2024-01-24', DATE '2024-01-30', INTERVAL 1 DAY) t(d)
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "cocoa_knn_adjust": (knn_adjust, KNN_ADJUST_SQL),
+    "cocoa_knn_pairs": (knn_pairs, KNN_PAIRS_SQL),
+    "cocoa_knn_proportional": (knn_proportional, KNN_PROPORTIONAL_SQL),
+    "cocoa_radius_adjust": (radius_adjust, RADIUS_ADJUST_SQL),
+    "cocoa_radius_summary": (radius_summary, RADIUS_SUMMARY_SQL),
+    "cocoa_percentile_adjust": (percentile_adjust, PERCENTILE_ADJUST_SQL),
+    "cocoa_nearest_distances": (nearest_distances, NEAREST_DISTANCES_SQL),
+    "cocoa_clean_union": (clean_customers, CLEAN_SQL),
+    "cocoa_max_event_date": (max_event_date, MAX_EVENT_DATE_SQL),
+    "cocoa_lookback_dates": (lookback_dates, LOOKBACK_DATES_SQL),
+}

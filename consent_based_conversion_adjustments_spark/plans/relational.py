@@ -1,0 +1,375 @@
+"""General relational query layer over the TPC-H-ish driver fixtures.
+
+SURVEY.md §2.10 / §7 step 7: the north-star extension beyond the reference's
+own operator set — filtered scans, equi/broadcast joins, hash aggregations,
+rollup, window ranking / running totals, semi/anti joins, set ops, distinct,
+pivot. Every query is a thin composition of built-in DataFrame primitives
+(Catalyst handles pushdown/pruning/join strategy; `F.broadcast` hints mark
+the dimension sides) and ships with a DuckDB oracle twin.
+
+Float outputs are rounded identically on both sides so the driver's value
+hash matches despite summation-order ulps (see tools/check_oracle.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import read_table
+
+
+# --- Q1-style pricing summary (scan + pushed filter + hash agg) -------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style top-k join (3-way join + agg + deterministic top-k) -----------
+
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- Q5-style multi-join revenue by nation ----------------------------------
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --- rollup (grouping sets) --------------------------------------------------
+
+
+def rollup_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.rollup("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("c_nationkey").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT c_mktsegment, c_nationkey,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+"""
+
+
+# --- window functions: ranking top-k and running totals ----------------------
+
+
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rank_in_cust",
+        )
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank_in_cust
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_cust
+    FROM orders)
+WHERE rank_in_cust <= 3
+"""
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+# --- semi / anti joins -------------------------------------------------------
+
+
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    urgent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT p_partkey, p_brand
+FROM part
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_partkey = p_partkey AND l_quantity > 45)
+"""
+
+
+# --- set operations ----------------------------------------------------------
+
+
+def brand_size_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    a = part.filter(F.col("p_brand") == "Brand#1").select("p_size")
+    b = part.filter(F.col("p_brand") == "Brand#2").select("p_size")
+    # subtract = EXCEPT DISTINCT (set semantics, matching the SQL oracle)
+    return a.subtract(b)
+
+
+BRAND_EXCEPT_SQL = """
+SELECT p_size FROM part WHERE p_brand = 'Brand#1'
+EXCEPT
+SELECT p_size FROM part WHERE p_brand = 'Brand#2'
+"""
+
+
+# --- distinct aggregation ----------------------------------------------------
+
+
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- pivot (the relational face of one-hot encoding, E1) ---------------------
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def pivot_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .pivot("c_mktsegment", SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("c_nationkey")
+    )
+
+
+PIVOT_SQL = """
+SELECT c_nationkey,
+       coalesce(count(*) FILTER (c_mktsegment = 'AUTOMOBILE'), 0) AS "AUTOMOBILE",
+       coalesce(count(*) FILTER (c_mktsegment = 'BUILDING'), 0) AS "BUILDING",
+       coalesce(count(*) FILTER (c_mktsegment = 'FURNITURE'), 0) AS "FURNITURE",
+       coalesce(count(*) FILTER (c_mktsegment = 'HOUSEHOLD'), 0) AS "HOUSEHOLD",
+       coalesce(count(*) FILTER (c_mktsegment = 'MACHINERY'), 0) AS "MACHINERY"
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "rollup_customer_segments": (rollup_customer_segments, ROLLUP_SQL),
+    "window_topk_orders": (window_topk_orders, WINDOW_TOPK_SQL),
+    "window_running_total": (window_running_total, WINDOW_RUNNING_SQL),
+    "customers_without_urgent_orders": (customers_without_urgent_orders, ANTI_JOIN_SQL),
+    "parts_with_lineitems": (parts_with_lineitems, SEMI_JOIN_SQL),
+    "brand_size_except": (brand_size_except, BRAND_EXCEPT_SQL),
+    "distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_SQL),
+    "pivot_nation_segments": (pivot_nation_segments, PIVOT_SQL),
+}
