@@ -14,11 +14,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from consent_based_conversion_adjustments_spark.plans import cocoa_queries, relational
+from consent_based_conversion_adjustments_spark.plans import (
+    cocoa_queries,
+    data_queries,
+    relational,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
-_REGISTRIES = (cocoa_queries.QUERIES, relational.QUERIES)
+_REGISTRIES = (cocoa_queries.QUERIES, relational.QUERIES, data_queries.QUERIES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,81 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end through the noop sink (full column
+evaluation, no driver collect). The flagship similarity join is benched in
+both physical strategies (sql = crossJoin+window, numpy = broadcast-matrix
+mapInPandas) — the headline uses the engine default.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from consent_based_conversion_adjustments_spark.plans import (  # noqa: E402
+    cocoa_queries,
+    data_queries,
+    relational,
+)
+from consent_based_conversion_adjustments_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    ("cocoa_knn_adjust", lambda s, d: cocoa_queries.knn_adjust(s, d, impl="numpy")),
+    ("cocoa_radius_adjust", lambda s, d: cocoa_queries.radius_adjust(s, d, impl="numpy")),
+    ("cocoa_percentile_adjust", lambda s, d: cocoa_queries.percentile_adjust(s, d, impl="numpy")),
+    ("q1_pricing_summary", relational.q1_pricing_summary),
+    ("q3_top_unshipped", relational.q3_top_unshipped),
+    ("q5_nation_revenue", relational.q5_nation_revenue),
+    ("window_topk_orders", relational.window_topk_orders),
+    ("rollup_customer_segments", relational.rollup_customer_segments),
+    ("text_stats", data_queries.text_stats),
+    ("dedup_minhash", data_queries.dedup_minhash),
+    ("dedup_fingerprint", data_queries.dedup_fingerprint),
+    ("ann_cosine_topk", data_queries.ann_cosine_topk),
+    ("ann_lsh_topk", data_queries.ann_lsh_topk),
+    ("events_sessions", data_queries.events_sessions),
+    ("events_tumbling", data_queries.events_tumbling),
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    sf = None
+    for part in SF_DIR.rstrip("/").split("/"):
+        if part.startswith("sf"):
+            sf = float(part[2:])
+    timings: dict[str, float] = {}
+    for name, fn in HEADLINE:
+        t0 = time.time()
+        force(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

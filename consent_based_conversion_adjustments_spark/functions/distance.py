@@ -47,9 +47,34 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom != 0.0, dot_product(a, b) / denom)
 
 
-def metric_distance(metric: str, a: Column, b: Column) -> Column:
+def _unrolled_sum(a: Column, b: Column, width: int, term) -> Column:
+    total = None
+    for i in range(width):
+        t = term(F.element_at(a, i + 1), F.element_at(b, i + 1))
+        total = t if total is None else total + t
+    return total
+
+
+def l1_distance_unrolled(a: Column, b: Column, width: int) -> Column:
+    """Manhattan distance as a statically unrolled arithmetic expression.
+
+    ``zip_with`` materializes an intermediate array per evaluated pair —
+    ruinous inside a broadcast nested-loop join evaluating O(m·n) pairs.
+    When the feature width is known (the encoder always knows it), an
+    unrolled Σ|a_i−b_i| stays in whole-stage codegen registers with zero
+    allocation."""
+    return _unrolled_sum(a, b, width, lambda x, y: F.abs(x - y))
+
+
+def l2_distance_unrolled(a: Column, b: Column, width: int) -> Column:
+    return F.sqrt(_unrolled_sum(a, b, width, lambda x, y: (x - y) * (x - y)))
+
+
+def metric_distance(
+    metric: str, a: Column, b: Column, width: int | None = None
+) -> Column:
     if metric == "manhattan":
-        return l1_distance(a, b)
+        return l1_distance_unrolled(a, b, width) if width else l1_distance(a, b)
     if metric == "euclidean":
-        return l2_distance(a, b)
+        return l2_distance_unrolled(a, b, width) if width else l2_distance(a, b)
     raise ValueError(f"unsupported metric: {metric!r}")

@@ -115,25 +115,54 @@ def distribute_conversions(
     consent_id: str = "consent_id",
     conversion_column: str = "conversion_value",
 ) -> DataFrame:
-    """softmax_weights + scatter_add in one call, computing the naive-baseline
-    scalars from the matched pairs (W1 + W2 + W3)."""
+    """softmax_weights + scatter_add in one call (W1 + W2 + W3).
+
+    Fully lazy: the naive-baseline scalars (Σ matched probe values,
+    |consent|) are 1-row aggregates attached via broadcast cross joins, so
+    the whole adjustment stays one Spark job — no driver-side ``first()`` /
+    ``count()`` round-trips (which would re-trigger the similarity join
+    once per scalar)."""
     weighted = softmax_weights(
         pairs, probe_id=probe_id, conversion_column=conversion_column
     )
-    totals = (
+    aggs = weighted.groupBy(F.col(build_id).alias(consent_id)).agg(
+        F.sum(WEIGHTED_VALUE).alias("adjusted_conversion"),
+        F.sum(DISTANCE).alias("__sum_distance"),
+        F.count(F.lit(1)).alias("n_added_conversions"),
+        F.sum(WEIGHT).alias("sum_distribution_weights"),
+    )
+    total_matched = (
         weighted.select(probe_id, conversion_column)
         .dropDuplicates([probe_id])
-        .agg(F.sum(conversion_column).alias("total"))
-        .first()
+        .agg(
+            F.coalesce(F.sum(conversion_column), F.lit(0.0)).alias(
+                "__total_matched"
+            )
+        )
     )
-    total_matched = float(totals["total"] or 0.0)
-    n_consent = consent.count()
-    return scatter_add(
-        consent,
-        weighted,
-        build_id=build_id,
-        consent_id=consent_id,
-        conversion_column=conversion_column,
-        total_matched_value=total_matched,
-        n_consent=n_consent,
+    n_consent = consent.agg(F.count(F.lit(1)).alias("__n_consent"))
+    out = consent.join(aggs, on=consent_id, how="left")
+    out = out.fillna(
+        {
+            "adjusted_conversion": 0.0,
+            "n_added_conversions": 0,
+            "sum_distribution_weights": 0.0,
+        }
+    )
+    out = out.withColumn(
+        "average_distance",
+        F.when(
+            F.col("n_added_conversions") > 0,
+            F.col("__sum_distance") / F.col("n_added_conversions"),
+        ),
+    ).drop("__sum_distance")
+    return (
+        out.crossJoin(F.broadcast(total_matched))
+        .crossJoin(F.broadcast(n_consent))
+        .withColumn(
+            "naive_adjusted_conversion",
+            F.col(conversion_column)
+            + F.col("__total_matched") / F.col("__n_consent"),
+        )
+        .drop("__total_matched", "__n_consent")
     )

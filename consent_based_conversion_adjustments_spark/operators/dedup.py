@@ -1,0 +1,209 @@
+"""Deduplication operators: exact, token-fingerprint, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Each returns a DataFrame and is built from built-in expressions + joins so
+Catalyst handles distribution:
+
+- exact/fingerprint dedup → one hash-groupBy (map-side partial agg);
+- MinHash → explode(distinct tokens) → 16-way min-agg → band-key equi-join
+  (the LSH trick turns the quadratic candidate step into an equi-join,
+  which is the only formulation that survives 100 TB);
+- SimHash → 32 conditional sums → bit-packed signature → hamming join;
+- n-gram Jaccard → exact pairwise verify (used standalone at small n, or as
+  the re-rank stage after MinHash banding at scale).
+
+All hashing uses the cross-engine polynomial hash from operators.text so
+every stage has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_MOD, string_hash, tokens
+
+N_PERMUTATIONS = 16
+BAND_SIZE = 4
+SIMHASH_BITS = 32
+
+
+def perm_params(i: int) -> tuple[int, int]:
+    """Deterministic MinHash permutation coefficients (odd a, spread b)."""
+    return 2 * i + 1, 97 * i + 13
+
+
+def distinct_tokens(col: Column | str) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: canonical (min) id + copy count per text."""
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
+def token_fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on the sorted-distinct-token fingerprint (catches
+    reorderings / repeated words that byte-exact dedup misses)."""
+    fp = string_hash(F.array_join(F.array_sort(distinct_tokens(text_col)), " "))
+    return (
+        df.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("fingerprint", "canonical_id", "n_copies")
+    )
+
+
+def _token_set(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), distinct_tokens(text_col).alias("toks")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.6
+) -> DataFrame:
+    """All-pairs distinct-token Jaccard ≥ threshold (doc_a < doc_b).
+
+    Quadratic — correct at any n but intended as (a) the standalone operator
+    at small n and (b) the verify stage after `minhash_candidates` at scale.
+    """
+    a = _token_set(df, text_col, id_col)
+    b = (
+        a.withColumnRenamed("doc_id", "doc_id_b")
+        .withColumnRenamed("toks", "toks_b")
+    )
+    pairs = a.crossJoin(b).filter(F.col("doc_id") < F.col("doc_id_b"))
+    inter = F.size(F.array_intersect("toks", "toks_b"))
+    union = F.size(F.array_union("toks", "toks_b"))
+    jac = inter / union
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_perm: int = N_PERMUTATIONS
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = min over tokens of
+    (a_i·h(token) + b_i) mod p. One explode + one groupBy with n_perm
+    min-aggregates (map-side combinable)."""
+    toks = _token_set(df, text_col, id_col)
+    exploded = toks.select(
+        "doc_id", F.explode("toks").alias("tok")
+    ).withColumn("h0", string_hash("tok"))
+    aggs = []
+    for i in range(n_perm):
+        a, b = perm_params(i)
+        aggs.append(
+            F.min((F.col("h0") * a + b) % HASH_MOD).alias(f"sig_{i}")
+        )
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidates(
+    sigs: DataFrame, n_perm: int = N_PERMUTATIONS, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become candidate
+    pairs (doc_a < doc_b, distinct). Implemented as an equi-join per band
+    stacked with unionByName — each join is a plain shuffle/broadcast hash
+    join on the band key."""
+    n_bands = n_perm // band_size
+    out = None
+    for band in range(n_bands):
+        cols = [f"sig_{i}" for i in range(band * band_size, (band + 1) * band_size)]
+        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+        left = sigs.select(F.col("doc_id").alias("doc_a"), key.alias("band_key"))
+        right = sigs.select(F.col("doc_id").alias("doc_b"), key.alias("band_key"))
+        pairs = left.join(right, "band_key").filter(
+            F.col("doc_a") < F.col("doc_b")
+        ).select("doc_a", "doc_b")
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
+
+
+def minhash_neardup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash near-dup pipeline: signatures → banded candidates →
+    exact Jaccard verify ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col)
+    cands = minhash_candidates(sigs)
+    toks = _token_set(df, text_col, id_col)
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    verified = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            / F.size(F.array_union("toks_a", "toks_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash: bit j of the signature is set iff the sum over
+    tokens of ±1 (sign of bit j of the token hash) is positive."""
+    toks = _token_set(df, text_col, id_col)
+    exploded = toks.select("doc_id", F.explode("toks").alias("tok")).withColumn(
+        "h0", string_hash("tok")
+    )
+    sums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h0"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s_{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    sigs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within hamming distance ≤ max_hamming of the 32-bit SimHash.
+
+    Pairwise formulation (fine up to ~10⁵ docs); at larger scale block on
+    signature bytes first (any pair within hamming d shares one of d+1
+    disjoint bit-blocks — the same equi-join trick as MinHash banding)."""
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -58,11 +58,19 @@ def _pairs_with_distance(
     metric: str,
     build_id: str,
     features: str,
+    feature_width: int | None = None,
 ) -> DataFrame:
-    """Broadcast cross join + distance column; features pruned afterwards."""
+    """Broadcast cross join + distance column; features pruned afterwards.
+
+    ``feature_width`` (known from the encoder) switches the distance to the
+    allocation-free unrolled form — essential when this evaluates O(m·n)
+    pairs inside the broadcast nested-loop join."""
     pairs = probe.crossJoin(F.broadcast(_build_side(build, build_id, features)))
     pairs = pairs.withColumn(
-        DISTANCE, metric_distance(metric, F.col(features), F.col(BUILD_FEATURES))
+        DISTANCE,
+        metric_distance(
+            metric, F.col(features), F.col(BUILD_FEATURES), width=feature_width
+        ),
     )
     return pairs.drop(features, BUILD_FEATURES)
 
@@ -95,6 +103,7 @@ def knn_join(
     build_id: str = "build_id",
     features: str = "features",
     impl: str = "sql",
+    feature_width: int | None = None,
 ) -> DataFrame:
     """Top-k-per-probe similarity join.
 
@@ -105,7 +114,9 @@ def knn_join(
         return _knn_join_numpy(
             probe, build, k, metric=metric, build_id=build_id, features=features
         )
-    pairs = _pairs_with_distance(probe, build, metric, build_id, features)
+    pairs = _pairs_with_distance(
+        probe, build, metric, build_id, features, feature_width
+    )
     w = Window.partitionBy(probe_id).orderBy(F.col(DISTANCE).asc(), F.col(build_id).asc())
     return (
         pairs.withColumn("__rn", F.row_number().over(w))
@@ -123,6 +134,7 @@ def radius_join(
     build_id: str = "build_id",
     features: str = "features",
     impl: str = "sql",
+    feature_width: int | None = None,
 ) -> DataFrame:
     """All build rows within ``radius`` of each probe (range theta-join).
 
@@ -134,7 +146,9 @@ def radius_join(
         return _radius_join_numpy(
             probe, build, radius, metric=metric, build_id=build_id, features=features
         )
-    pairs = _pairs_with_distance(probe, build, metric, build_id, features)
+    pairs = _pairs_with_distance(
+        probe, build, metric, build_id, features, feature_width
+    )
     return pairs.filter(F.col(DISTANCE) <= radius)
 
 
@@ -147,6 +161,7 @@ def min_distance_per_probe(
     build_id: str = "build_id",
     features: str = "features",
     impl: str = "sql",
+    feature_width: int | None = None,
 ) -> DataFrame:
     """Per-probe distance to the nearest build row (J5 pass 1 / J6).
 
@@ -164,7 +179,8 @@ def min_distance_per_probe(
             probe_id, F.col(DISTANCE).alias("distance_to_nearest_neighbor")
         )
     pairs = _pairs_with_distance(
-        probe.select(probe_id, features), build, metric, build_id, features
+        probe.select(probe_id, features), build, metric, build_id, features,
+        feature_width,
     )
     return pairs.groupBy(probe_id).agg(
         F.min(DISTANCE).alias("distance_to_nearest_neighbor")
@@ -181,6 +197,7 @@ def percentile_radius(
     build_id: str = "build_id",
     features: str = "features",
     impl: str = "sql",
+    feature_width: int | None = None,
 ) -> float:
     """Auto-radius: the ``percentile`` quantile of nearest-neighbor distances.
 
@@ -192,7 +209,7 @@ def percentile_radius(
     """
     nearest = min_distance_per_probe(
         probe, build, metric=metric, probe_id=probe_id, build_id=build_id,
-        features=features, impl=impl,
+        features=features, impl=impl, feature_width=feature_width,
     )
     row = nearest.select(
         F.expr(
@@ -212,6 +229,7 @@ def similarity_join(
     features: str = "features",
     impl: str = "sql",
     n_build: int | None = None,
+    feature_width: int | None = None,
 ) -> DataFrame:
     """Mode dispatch (J4): exactly one of k / radius / percentile.
 
@@ -226,19 +244,23 @@ def similarity_join(
         return knn_join(
             probe, build, k, metric=config.metric, probe_id=probe_id,
             build_id=build_id, features=features, impl=impl,
+            feature_width=feature_width,
         )
     if config.radius is not None:
         return radius_join(
             probe, build, config.radius, metric=config.metric,
             build_id=build_id, features=features, impl=impl,
+            feature_width=feature_width,
         )
     radius = percentile_radius(
         probe, build, config.percentile, metric=config.metric,
         probe_id=probe_id, build_id=build_id, features=features, impl=impl,
+        feature_width=feature_width,
     )
     return radius_join(
         probe, build, radius, metric=config.metric,
         build_id=build_id, features=features, impl=impl,
+        feature_width=feature_width,
     )
 
 
@@ -257,10 +279,22 @@ def _collect_build_matrix(
     return ids[order], mat[order]
 
 
+def _is_binary(M: np.ndarray) -> bool:
+    sample = M[: min(len(M), 64)]
+    return bool(((sample == 0.0) | (sample == 1.0)).all())
+
+
 def _chunk_distances(
-    X: np.ndarray, B: np.ndarray, metric: str
+    X: np.ndarray, B: np.ndarray, metric: str, binary: bool = False
 ) -> np.ndarray:
     if metric == "manhattan":
+        if binary:
+            # on 0/1 vectors |x−b|₁ = |x|₁ + |b|₁ − 2 x·b → one BLAS matmul
+            # instead of a chunk×n×w broadcast (pure one-hot feature spaces
+            # always hit this path)
+            D = X.sum(1)[:, None] + B.sum(1)[None, :] - 2.0 * (X @ B.T)
+            np.maximum(D, 0.0, out=D)
+            return D
         return np.abs(X[:, None, :] - B[None, :, :]).sum(axis=2)
     if metric == "euclidean":
         # ||x-b||² = ||x||² + ||b||² − 2 x·b  (BLAS-backed)
@@ -268,6 +302,13 @@ def _chunk_distances(
         np.maximum(sq, 0.0, out=sq)
         return np.sqrt(sq)
     raise ValueError(f"unsupported metric: {metric!r}")
+
+
+def _auto_chunk(n_build: int, width: int, budget_bytes: int = 128 << 20) -> int:
+    """Probe-chunk size keeping the chunk×n×w manhattan broadcast (worst
+    case) inside a fixed per-task memory budget."""
+    per_row = max(1, n_build * max(width, 1) * 8)
+    return max(16, min(1024, budget_bytes // per_row))
 
 
 def _knn_join_numpy(
@@ -278,7 +319,7 @@ def _knn_join_numpy(
     metric: str,
     build_id: str,
     features: str,
-    chunk: int = 512,
+    chunk: int | None = None,
 ) -> DataFrame:
     """Broadcast-build vectorized kNN via mapInPandas — no shuffle.
 
@@ -307,13 +348,17 @@ def _knn_join_numpy(
         b_ids, B = bc.value
         n = B.shape[0]
         kk = min(k, n)
+        binary = metric == "manhattan" and _is_binary(B)
+        step = chunk or _auto_chunk(n, B.shape[1])
         for pdf in batches:
             if pdf.empty:
                 continue
             X = np.array(pdf[features].tolist(), dtype=np.float64)
-            for lo in range(0, len(pdf), chunk):
-                hi = min(lo + chunk, len(pdf))
-                D = _chunk_distances(X[lo:hi], B, metric)
+            if binary and not _is_binary(X):
+                binary = False
+            for lo in range(0, len(pdf), step):
+                hi = min(lo + step, len(pdf))
+                D = _chunk_distances(X[lo:hi], B, metric, binary)
                 # stable argsort = lexicographic (distance, position); B rows
                 # are pre-sorted by build_id, so ties at the k-th distance
                 # resolve to the smallest build_id exactly like the SQL
@@ -340,7 +385,7 @@ def _radius_join_numpy(
     metric: str,
     build_id: str,
     features: str,
-    chunk: int = 512,
+    chunk: int | None = None,
 ) -> DataFrame:
     spark = probe.sparkSession
     ids, mat = _collect_build_matrix(build, build_id, features)
@@ -361,13 +406,17 @@ def _radius_join_numpy(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, B = bc.value
+        binary = metric == "manhattan" and _is_binary(B)
+        step = chunk or _auto_chunk(B.shape[0], B.shape[1])
         for pdf in batches:
             if pdf.empty:
                 continue
             X = np.array(pdf[features].tolist(), dtype=np.float64)
-            for lo in range(0, len(pdf), chunk):
-                hi = min(lo + chunk, len(pdf))
-                D = _chunk_distances(X[lo:hi], B, metric)
+            if binary and not _is_binary(X):
+                binary = False
+            for lo in range(0, len(pdf), step):
+                hi = min(lo + step, len(pdf))
+                D = _chunk_distances(X[lo:hi], B, metric, binary)
                 rows, cols = np.nonzero(D <= radius)
                 if len(rows) == 0:
                     continue

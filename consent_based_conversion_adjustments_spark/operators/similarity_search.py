@@ -1,0 +1,223 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: exact brute-force top-k — broadcast crossJoin + windowed
+  row_number, distances as Catalyst fold expressions (the baseline, and the
+  re-rank stage of the approximate paths).
+- ``hyperplane_signatures`` / ``lsh_topk``: random-hyperplane LSH — sign
+  patterns from deterministic ±1 hyperplanes bucket the vectors; candidates
+  share a bucket (equi-join, no quadratic step); exact cosine re-ranks.
+  This is the 100 TB path: signature build is a stateless map; the join is
+  a hash join on the signature key.
+- ``ivf_topk``: IVF-style coarse quantization — assign each vector to the
+  nearest of n_cells sampled centroids (one broadcast argmin map), probe
+  only the query's nearest cells, exact re-rank inside.
+
+Cosine ties break by candidate id — same determinism contract as the kNN
+similarity join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import cosine_similarity
+
+N_PLANES = 5
+N_TABLES = 8
+
+
+def _cast_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity (descending), excluding self-pairs."""
+    q = queries.select(
+        F.col(query_id), _cast_double(vec_col).alias("__qv")
+    )
+    c = candidates.select(
+        F.col(cand_id), _cast_double(vec_col).alias("__cv")
+    )
+    pairs = q.crossJoin(F.broadcast(c)).filter(
+        F.col(query_id) != F.col(cand_id)
+    )
+    pairs = pairs.withColumn(
+        "cosine", cosine_similarity(F.col("__qv"), F.col("__cv"))
+    ).drop("__qv", "__cv")
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(cand_id).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def plane_sign(dim: int, plane: int) -> int:
+    """Deterministic ±1 hyperplane entries (Knuth-style integer mix)."""
+    v = (dim * 2654435761 + plane * 40503 + 12345) & 0xFFFFFFFF
+    return 1 if ((v >> 7) & 1) == 1 else -1
+
+
+def _plane_matrix(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    return np.array(
+        [
+            [plane_sign(d, p) for p in range(n_planes * n_tables)]
+            for d in range(dim)
+        ],
+        dtype=np.float64,
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """One row per (vector, table): ``table_id`` + the table's n_planes-bit
+    sign signature (bit p = [Σ_d v_d · s(d, table·n_planes + p) > 0]).
+
+    Multi-table OR-amplification: a true neighbor pair is a candidate if it
+    collides in ANY table — P(candidate) = 1 − (1 − p_match^planes)^tables,
+    the standard recall knob when per-plane match probability is modest.
+
+    All tables' projections are one BLAS matmul per Arrow batch inside a
+    pandas UDF (a 2560-term Catalyst expression tree spends more time in
+    codegen than the data takes to scan); output explodes to
+    (row, table_id, lsh_sig)."""
+    planes = _plane_matrix(dim, n_planes, n_tables)
+    weights = (2 ** np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def signatures(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (V @ planes) > 0
+        sigs = bits.reshape(len(V), -1, len(weights)) @ weights
+        return pd.Series(list(sigs.astype(np.int64)))
+
+    tables = F.posexplode(signatures(F.col(vec_col)))
+    return df.select("*", tables).withColumnRenamed(
+        "pos", "table_id"
+    ).withColumnRenamed("col", "lsh_sig")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Approximate top-k: union of same-bucket candidates over all hash
+    tables, dedup, exact cosine re-rank. The candidate step is a plain
+    equi-join on (table_id, signature) — no quadratic pass anywhere."""
+    q = hyperplane_signatures(
+        queries, id_col=query_id, vec_col=vec_col, dim=dim,
+        n_planes=n_planes, n_tables=n_tables,
+    ).select(query_id, "table_id", "lsh_sig", _cast_double(vec_col).alias("__qv"))
+    c = hyperplane_signatures(
+        candidates, id_col=cand_id, vec_col=vec_col, dim=dim,
+        n_planes=n_planes, n_tables=n_tables,
+    ).select(cand_id, "table_id", "lsh_sig", _cast_double(vec_col).alias("__cv"))
+    pairs = (
+        q.join(c, ["table_id", "lsh_sig"])
+        .filter(F.col(query_id) != F.col(cand_id))
+        .dropDuplicates([query_id, cand_id])
+    )
+    pairs = pairs.withColumn(
+        "cosine", cosine_similarity(F.col("__qv"), F.col("__cv"))
+    ).drop("__qv", "__cv", "lsh_sig", "table_id")
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(cand_id).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize candidates to n_cells deterministic
+    centroids (first n_cells candidate vectors by id — a stand-in for a
+    k-means fit), probe the query's n_probe nearest cells, exact re-rank."""
+    cents = candidates.orderBy(F.col(cand_id).asc()).limit(n_cells).select(
+        F.col(cand_id).alias("cell_id"), _cast_double(vec_col).alias("__cent")
+    )
+
+    def assign(df: DataFrame, id_name: str, n_keep: int) -> DataFrame:
+        vecs = df.select(F.col(id_name), _cast_double(vec_col).alias("__v"))
+        pairs = vecs.crossJoin(F.broadcast(cents)).withColumn(
+            "cell_sim", cosine_similarity(F.col("__v"), F.col("__cent"))
+        )
+        w = Window.partitionBy(id_name).orderBy(
+            F.col("cell_sim").desc(), F.col("cell_id").asc()
+        )
+        return (
+            pairs.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_keep)
+            .select(id_name, "cell_id", "__v")
+        )
+
+    q = assign(queries, query_id, n_probe).withColumnRenamed("__v", "__qv")
+    c = assign(candidates, cand_id, 1).withColumnRenamed("__v", "__cv")
+    pairs = q.join(c, "cell_id").filter(F.col(query_id) != F.col(cand_id))
+    pairs = pairs.withColumn(
+        "cosine", cosine_similarity(F.col("__qv"), F.col("__cv"))
+    ).select(query_id, cand_id, "cosine").dropDuplicates([query_id, cand_id])
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(cand_id).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b."""
+    a = df.select(F.col(id_col).alias("id_a"), _cast_double(vec_col).alias("__a"))
+    b = df.select(F.col(id_col).alias("id_b"), _cast_double(vec_col).alias("__b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("__a"), F.col("__b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,175 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punctuation
+/ stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (polynomial rolling hash + winnowing). All are pure
+Catalyst column expressions — no Python in the row path, fully codegen'd,
+and each has an exact DuckDB-SQL twin (verified cross-engine: Spark
+``ascii``/``split``/``aggregate`` ≡ DuckDB ``unicode``/``string_split``/
+``list_reduce``).
+
+Scale: every operator here is a stateless map over one row — embarrassingly
+parallel, no shuffle, safe at any input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000_007
+HASH_BASE = 31
+
+# small deterministic stopword sets for the language heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+    "es": ("el", "los", "las", "y", "es", "una", "en"),
+}
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (empty-string-safe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish lexical units: letter runs, digit runs, single
+    punctuation marks — a cheap proxy for subword token counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are punctuation (length-diff trick —
+    identical semantics in any regex dialect)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    stripped = F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+    return F.when(n > 0, (n - stripped) / n).otherwise(0.0)
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    toks = tokens(col)
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*words))
+    )
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    n = token_count(col)
+    return F.when(n > 0, stopword_hits(col, lang) / n).otherwise(0.0)
+
+
+def language_id(col: Column | str) -> Column:
+    """Argmax over per-language stopword hit counts; ties and zero hits
+    resolve to 'und' (undetermined). Deterministic: languages are compared
+    in sorted order and a strictly greater count is required to take over."""
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(STOPWORDS):
+        hits = stopword_hits(col, lang)
+        take = hits > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best_lang
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length saturation (40%), low
+    punctuation (30%), stopword presence (30%)."""
+    n = token_count(col)
+    length_part = F.least(n / F.lit(50.0), F.lit(1.0))
+    punct_part = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    stop_part = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return 0.4 * length_part + 0.3 * punct_part + 0.3 * stop_part
+
+
+def string_hash(col: Column | str, mod: int = HASH_MOD, base: int = HASH_BASE) -> Column:
+    """Polynomial rolling hash over unicode codepoints:
+    ``acc = (acc·base + code) mod m``. Bit-identical in DuckDB via
+    ``list_reduce(list_prepend(0, list_transform(string_split(s,''),
+    c -> unicode(c))), (acc,x) -> (acc*31+x) % m)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * base + x) % mod
+    )
+
+
+def kgram_hashes(col: Column | str, k: int = 8) -> Column:
+    """Array of polynomial hashes of every k-character gram (the rolling-
+    hash family used by winnowing fingerprinters)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        starts,
+        lambda i: F.aggregate(
+            F.transform(
+                F.split(F.substr(c, i, F.lit(k)), ""),
+                lambda ch: F.ascii(ch).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+        ),
+    )
+
+
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Array of polynomial hashes of every n-word shingle — the cheap
+    rolling-hash family for near-dup fingerprinting (O(tokens) work vs the
+    O(chars·k) char-gram variant below)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    cnt = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    return F.transform(
+        starts,
+        lambda i: F.aggregate(
+            F.transform(
+                F.split(F.array_join(F.slice(toks, i, n), " "), ""),
+                lambda ch: F.ascii(ch).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+        ),
+    )
+
+
+def winnow_shingle_fingerprints(
+    col: Column | str, n: int = 3, window: int = 4
+) -> Column:
+    """Winnowing over word-shingle hashes: distinct minima of each
+    ``window`` of consecutive shingle hashes (Schleimer et al. SIGMOD'03,
+    word-level)."""
+    hashes = shingle_hashes(col, n)
+    cnt = F.size(hashes)
+    win_starts = F.sequence(F.lit(0), F.greatest(cnt - window, F.lit(0)))
+    mins = F.transform(
+        win_starts, lambda i: F.array_min(F.slice(hashes, i + 1, window))
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprints(col: Column | str, k: int = 8, window: int = 4) -> Column:
+    """Winnowing document fingerprint: distinct minima of each ``window``
+    of consecutive k-gram hashes (Schleimer et al., SIGMOD'03 scheme)."""
+    hashes = kgram_hashes(col, k)
+    n = F.size(hashes)
+    win_starts = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    mins = F.transform(
+        win_starts,
+        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))

@@ -24,6 +24,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .config import AdjustmentConfig
 from .operators.adjust import distribute_conversions
@@ -65,7 +66,7 @@ def run_adjustment(
     feature_engineering=None,
 ) -> AdjustmentResult:
     """The full per-date adjustment query. Returns lazy DataFrames."""
-    consent_p, noconsent_p, _ = union_encode_split(
+    consent_p, noconsent_p, encoder = union_encode_split(
         consent, noconsent, config, feature_engineering=feature_engineering
     )
     keep = config.id_columns + [config.conversion_column]
@@ -83,7 +84,11 @@ def run_adjustment(
         build_id=CONSENT_ID,
         features="features",
         impl=impl,
+        feature_width=encoder.width,
     )
+    # the pairs feed three consumers (scatter-add aggs, naive-baseline
+    # scalar, summary) — persist so the join runs once; m·k rows, spillable
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     consent_keyed = build.drop("features")
     data_adjusted = distribute_conversions(
         consent_keyed,

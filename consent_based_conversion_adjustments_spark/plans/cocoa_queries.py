@@ -110,9 +110,9 @@ def knn_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(result.matched_pairs)
 
 
-def radius_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+def radius_adjust(spark: SparkSession, sf_dir: str, impl: str = "sql") -> DataFrame:
     consent, noconsent = consent_split(spark, sf_dir)
-    result = run_adjustment(consent, noconsent, _config(radius=RADIUS))
+    result = run_adjustment(consent, noconsent, _config(radius=RADIUS), impl=impl)
     return _round_adjusted(result.data_adjusted)
 
 
@@ -122,9 +122,11 @@ def radius_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_summary(result.summary)
 
 
-def percentile_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+def percentile_adjust(spark: SparkSession, sf_dir: str, impl: str = "sql") -> DataFrame:
     consent, noconsent = consent_split(spark, sf_dir)
-    result = run_adjustment(consent, noconsent, _config(percentile=PERCENTILE))
+    result = run_adjustment(
+        consent, noconsent, _config(percentile=PERCENTILE), impl=impl
+    )
     return _round_adjusted(result.data_adjusted)
 
 

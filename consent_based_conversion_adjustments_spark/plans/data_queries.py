@@ -1,0 +1,474 @@
+"""Checkable queries for the training-data operators (text analysis, dedup,
+similarity search, event-time windows, multimodal plumbing) + DuckDB oracles.
+
+The hashing/text oracles replicate the engine's polynomial hash exactly in
+SQL (verified cross-engine: Spark ``ascii``/``aggregate`` ≡ DuckDB
+``unicode``/``list_reduce``), so even MinHash signatures and banded
+candidate pairs hash-match. Approximate operators whose physics are
+Spark-specific (hyperplane LSH buckets, IVF probing) are registered
+rows-only and verified in pytest against the exact baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import sql_round, stable_round
+from ..operators import dedup as D
+from ..operators import text as X
+from ..operators.multimodal import binary_metadata
+from ..operators.similarity_search import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from ..sources.io import read_table
+from ..streaming.events import session_stats, sliding_counts, tumbling_counts
+
+JACCARD_THRESHOLD = 0.8
+ANN_K = 5
+NEARDUP_COSINE = 0.45
+
+# SQL fragments mirroring operators.text primitives ---------------------------
+
+_TOKS = "regexp_split_to_array(trim({c}), '\\s+')"
+_DTOKS = f"list_distinct({_TOKS})"
+
+
+def _sql_hash(expr: str) -> str:
+    """DuckDB twin of text.string_hash (polynomial over codepoints)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        "c -> CAST(unicode(c) AS BIGINT))), "
+        "(acc, x) -> (acc * 31 + x) % 1000000007)"
+    )
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+        stable_round(X.punct_ratio("text"), 4).alias("punct_ratio"),
+        stable_round(X.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        stable_round(X.quality_score("text"), 4).alias("quality"),
+        X.language_id("text").alias("lang_pred"),
+    )
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in X.STOPWORDS[lang])
+    return (
+        f"len(list_filter({_TOKS.format(c='text')}, "
+        f"t -> lower(t) IN ({words})))"
+    )
+
+
+TEXT_STATS_SQL = """
+WITH s AS (
+    SELECT doc_id,
+           len({toks}) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_bpe_tokens,
+           length(text) AS n_chars,
+           CASE WHEN length(text) > 0 THEN
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                    AS DOUBLE) / length(text) ELSE 0.0 END AS praw,
+           CASE WHEN len({toks}) > 0 THEN
+               CAST({en_hits} AS DOUBLE) / len({toks}) ELSE 0.0 END AS sraw,
+           {de_hits} AS de_hits, {en_hits} AS en_hits,
+           {es_hits} AS es_hits, {fr_hits} AS fr_hits
+    FROM documents
+)
+SELECT doc_id, n_tokens, n_bpe_tokens, n_chars,
+       {r_punct} AS punct_ratio,
+       {r_stop} AS stopword_ratio,
+       {r_quality} AS quality,
+       CASE
+         WHEN fr_hits > greatest(es_hits, en_hits, de_hits, 0) THEN 'fr'
+         WHEN es_hits > greatest(en_hits, de_hits, 0) THEN 'es'
+         WHEN en_hits > greatest(de_hits, 0) THEN 'en'
+         WHEN de_hits > 0 THEN 'de'
+         ELSE 'und'
+       END AS lang_pred
+FROM s
+""".format(
+    toks=_TOKS.format(c="text"),
+    en_hits=_sql_stop_hits("en"),
+    de_hits=_sql_stop_hits("de"),
+    fr_hits=_sql_stop_hits("fr"),
+    es_hits=_sql_stop_hits("es"),
+    r_punct=sql_round("praw", 4),
+    r_stop=sql_round("sraw", 4),
+    r_quality=sql_round(
+        "0.4 * least(n_tokens / 50.0, 1.0)"
+        " + 0.3 * (1.0 - least(praw * 5.0, 1.0))"
+        " + 0.3 * least(sraw * 5.0, 1.0)",
+        4,
+    ),
+)
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    fps = X.winnow_shingle_fingerprints("text", n=3, window=4)
+    return docs.select(
+        "doc_id",
+        X.string_hash("text").alias("text_hash"),
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fingerprint"),
+        F.array_max(fps).alias("max_fingerprint"),
+    )
+
+
+DOC_FINGERPRINTS_SQL = """
+WITH grams AS (
+    SELECT doc_id, {text_hash} AS text_hash,
+           list_transform(
+               range(1, greatest(len({toks}) - 2, 1) + 1),
+               i -> {gram_hash}) AS kh
+    FROM documents
+), winnowed AS (
+    SELECT doc_id, text_hash,
+           list_sort(list_distinct(list_transform(
+               range(0, greatest(len(kh) - 4, 0) + 1),
+               i -> list_min(kh[i + 1 : i + 4])))) AS fps
+    FROM grams
+)
+SELECT doc_id, text_hash,
+       len(fps) AS n_fingerprints,
+       list_min(fps) AS min_fingerprint,
+       list_max(fps) AS max_fingerprint
+FROM winnowed
+""".format(
+    text_hash=_sql_hash("text"),
+    toks=_TOKS.format(c="text"),
+    gram_hash=_sql_hash(
+        "array_to_string(" + _TOKS.format(c="text") + "[i : i + 2], ' ')"
+    ),
+)
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.token_fingerprint_dedup(docs, "text", "doc_id")
+
+
+DEDUP_FINGERPRINT_SQL = """
+SELECT {fp} AS fingerprint,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""".format(
+    fp=_sql_hash(f"array_to_string(list_sort({_DTOKS.format(c='text')}), ' ')")
+)
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "text", "doc_id", threshold=JACCARD_THRESHOLD)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id, {_DTOKS.format(c='text')} AS toks FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+FROM t a CROSS JOIN t b
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_neardup(docs, "text", "doc_id", threshold=JACCARD_THRESHOLD)
+
+
+def _minhash_sql() -> str:
+    sig_exprs = ",\n           ".join(
+        f"min((h0 * {D.perm_params(i)[0]} + {D.perm_params(i)[1]}) % 1000000007)"
+        f" AS sig_{i}"
+        for i in range(D.N_PERMUTATIONS)
+    )
+    n_bands = D.N_PERMUTATIONS // D.BAND_SIZE
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band_no, concat_ws('_', {cols}) AS band_key"
+        " FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(sig_{i} AS VARCHAR)"
+                for i in range(b * D.BAND_SIZE, (b + 1) * D.BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_DTOKS.format(c='text')}) AS tok FROM documents
+), hashed AS (
+    SELECT doc_id, {_sql_hash('tok')} AS h0 FROM toks
+), sigs AS (
+    SELECT doc_id,
+           {sig_exprs}
+    FROM hashed GROUP BY doc_id
+), bands AS (
+{band_selects}
+), cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+), t AS (SELECT doc_id, {_DTOKS.format(c='text')} AS toks FROM documents)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+           / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
+FROM cands c
+JOIN t ta ON ta.doc_id = c.doc_a
+JOIN t tb ON tb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(ta.toks, tb.toks))) >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = D.simhash_signatures(docs, "text", "doc_id")
+    return D.simhash_neardup_pairs(sigs, max_hamming=3)
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(((h0 >> {j}) & 1) * 2 - 1) AS s_{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_DTOKS.format(c='text')}) AS tok FROM documents
+), hashed AS (
+    SELECT doc_id, {_sql_hash('tok')} AS h0 FROM toks
+), sums AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM hashed GROUP BY doc_id
+), sigs AS (
+    SELECT doc_id, {sig} AS simhash FROM sums
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigs a CROSS JOIN sigs b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# --- similarity search -------------------------------------------------------
+
+
+def _query_candidates(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    candidates = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
+    return queries, candidates
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries, candidates = _query_candidates(spark, sf_dir)
+    out = cosine_topk(queries, candidates, ANN_K)
+    return out.select(
+        "query_id", "cand_id", stable_round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+ANN_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id % 100 = 0
+), c AS (
+    SELECT vec_id AS cand_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings
+), pairs AS (
+    SELECT query_id, cand_id,
+           list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cosine
+    FROM q CROSS JOIN c WHERE query_id <> cand_id
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+    FROM pairs
+)
+SELECT query_id, cand_id, {r} AS cosine, rank
+FROM ranked WHERE rank <= {k}
+""".format(r=sql_round("cosine", 6), k=ANN_K)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (hyperplane LSH buckets) — rows-only; recall vs the
+    exact baseline is asserted in tests/test_search.py."""
+    queries, candidates = _query_candidates(spark, sf_dir)
+    out = lsh_topk(queries, candidates, ANN_K)
+    return out.select(
+        "query_id", "cand_id", stable_round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (IVF coarse quantization) — rows-only; recall vs the
+    exact baseline is asserted in tests/test_search.py."""
+    queries, candidates = _query_candidates(spark, sf_dir)
+    out = ivf_topk(queries, candidates, ANN_K)
+    return out.select(
+        "query_id", "cand_id", stable_round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = cosine_neardup_pairs(emb, NEARDUP_COSINE)
+    return out.select(
+        "id_a", "id_b", stable_round("cosine", 6).alias("cosine")
+    )
+
+
+EMBEDDING_NEARDUP_SQL = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.dv, b.dv)
+               / (sqrt(list_dot_product(a.dv, a.dv))
+                  * sqrt(list_dot_product(b.dv, b.dv))) AS cosine
+    FROM v a CROSS JOIN v b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {r} AS cosine
+FROM pairs WHERE cosine >= {t}
+""".format(r=sql_round("cosine", 6), t=NEARDUP_COSINE)
+
+
+# --- event-time windows ------------------------------------------------------
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(read_table(spark, sf_dir, "events"))
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {r} AS sum_value
+FROM events
+GROUP BY 1, 2
+""".format(r=sql_round("sum(value)", 3))
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(read_table(spark, sf_dir, "events"))
+
+
+EVENTS_SLIDING_SQL = """
+WITH offsets AS (SELECT unnest([0, 3]) AS off_hours)
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts - off_hours * INTERVAL '1 hour')
+                + off_hours * INTERVAL '1 hour',
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events
+FROM events CROSS JOIN offsets
+GROUP BY 1
+"""
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(read_table(spark, sf_dir, "events"))
+
+
+EVENTS_SESSIONS_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 3600
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       {r} AS duration_secs
+FROM numbered
+GROUP BY user_id, session_no
+""".format(r=sql_round("epoch(max(ts)) - epoch(min(ts))", 3))
+
+
+# --- multimodal plumbing -----------------------------------------------------
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return binary_metadata(docs, "text", "doc_id")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_fingerprint": (dedup_fingerprint, DEDUP_FINGERPRINT_SQL),
+    "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_minhash": (dedup_minhash, _minhash_sql()),
+    "dedup_simhash": (dedup_simhash, _simhash_sql()),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, None),
+    "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
+    "events_tumbling": (events_tumbling, EVENTS_TUMBLING_SQL),
+    "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
+    "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
+}

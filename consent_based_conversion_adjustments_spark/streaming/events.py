@@ -1,0 +1,142 @@
+"""Event-time windowing over the events table — batch + Structured Streaming.
+
+The reference has no true streaming (its "stream" is batch re-triggered by
+Pub/Sub, SURVEY.md §2.10); this module supplies the event-time operator
+family a training-data pipeline needs: tumbling / sliding / session windows
+with watermarked streaming variants.
+
+Batch and streaming share the same window expressions — ``tumbling_counts``
+etc. accept either a static or a streaming DataFrame (Structured Streaming's
+unified model). ``stream_events_from_parquet`` + availableNow lets tests
+replay the fixture as a stream and assert stream ≡ batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import stable_round
+
+
+def tumbling_counts(
+    events: DataFrame, duration: str = "6 hours", ts_col: str = "ts"
+) -> DataFrame:
+    """Tumbling event-time windows per event_type."""
+    return (
+        events.groupBy(F.window(ts_col, duration).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    duration: str = "6 hours",
+    slide: str = "3 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding windows (each event lands in duration/slide windows)."""
+    return (
+        events.groupBy(F.window(ts_col, duration, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame, gap: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-user session windows (gap-based). A new session starts when the
+    inter-event gap is ≥ ``gap`` — matching ``F.session_window``'s
+    half-open [start, last+gap) semantics, and expressed relationally
+    (lag + running sum of session-break flags) so the exact same
+    gaps-and-islands SQL runs on DuckDB as the oracle."""
+    gap_secs = _parse_gap_seconds(gap)
+    w_user = Window.partitionBy("user_id").orderBy(F.col(ts_col).asc())
+    flagged = events.withColumn(
+        "__new_session",
+        F.when(
+            F.col(ts_col).cast("double")
+            - F.lag(F.col(ts_col)).over(w_user).cast("double")
+            >= gap_secs,
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__session_no",
+        F.sum("__new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "__session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            stable_round(
+                F.max(F.col(ts_col).cast("double"))
+                - F.min(F.col(ts_col).cast("double")),
+                3,
+            ).alias("duration_secs"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_secs")
+    )
+
+
+def session_window_stats(
+    events: DataFrame, gap: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """The same sessionization via the built-in ``session_window`` operator
+    (the streaming-capable formulation; state-store-backed under
+    writeStream)."""
+    return (
+        events.groupBy("user_id", F.session_window(ts_col, gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def _parse_gap_seconds(gap: str) -> float:
+    qty, unit = gap.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    return float(qty) * mult
+
+
+def stream_events_from_parquet(
+    spark: SparkSession, sf_dir: str, ts_col: str = "ts"
+) -> DataFrame:
+    """Replay the events fixture as a file-source stream (for tests /
+    availableNow batch-equivalence runs), watermarked for state cleanup."""
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        # file-stream source wants a directory; select only the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get(ts_col) == "bigint":
+        stream = stream.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    return stream.withWatermark(ts_col, "1 day")

@@ -1,0 +1,136 @@
+"""Dedup + text operators vs pure-Python oracles."""
+
+import hashlib
+
+import pytest
+import pyspark.sql.functions as F
+
+from consent_based_conversion_adjustments_spark.operators import dedup as D
+from consent_based_conversion_adjustments_spark.operators import text as X
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "dog lazy the over jumps fox brown quick the"),  # reorder of 1
+    (4, "a completely different document about spark engines"),
+    (5, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (6, "der hund ist nicht die katze und das ist gut"),  # German stopwords
+]
+
+
+def py_hash(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % 1_000_000_007
+    return acc
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_string_hash_matches_python(spark, docs_df):
+    rows = docs_df.select("doc_id", X.string_hash("text").alias("h")).collect()
+    for r in rows:
+        expected = py_hash(dict(DOCS)[r["doc_id"]])
+        assert r["h"] == expected
+
+
+def test_exact_dedup_groups(docs_df):
+    out = {r["canonical_id"]: r["n_copies"]
+           for r in D.exact_dedup(docs_df, "text", "doc_id").collect()}
+    assert out[1] == 2  # docs 1+2 collapse
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_fingerprint_dedup_catches_reorderings(docs_df):
+    out = D.token_fingerprint_dedup(docs_df, "text", "doc_id").collect()
+    groups = {r["canonical_id"]: r["n_copies"] for r in out}
+    # 1, 2 (exact) and 3 (reordered) share the sorted-distinct-token set
+    assert groups[1] == 3
+
+
+def test_jaccard_pairs_vs_python(docs_df):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs_df, "text", "doc_id", 0.5).collect()
+    }
+
+    def jac(a, b):
+        sa, sb = set(a.split()), set(b.split())
+        return len(sa & sb) / len(sa | sb)
+
+    d = dict(DOCS)
+    for (a, b), j in out.items():
+        assert j == pytest.approx(jac(d[a], d[b]))
+    assert (1, 2) in out and out[(1, 2)] == 1.0
+    assert (1, 3) in out and out[(1, 3)] == 1.0
+    assert (1, 5) in out  # near-dup
+    assert not any(4 in p for p in out)
+
+
+def test_minhash_finds_what_jaccard_finds(docs_df):
+    """Banded MinHash + verify must return a subset of the exact pairs, and
+    catch the high-similarity ones (16 perms, bands of 4 ⇒ collision prob
+    at j=0.8 is 1-(1-0.8⁴)⁴ ≈ 0.88 per band set — on these fixtures all
+    exact-dup/reorder pairs must surface)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(docs_df, "text", "doc_id", 0.6).collect()
+    }
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_neardup(docs_df, "text", "doc_id", 0.6).collect()
+    }
+    assert mh <= exact
+    assert (1, 2) in mh and (1, 3) in mh
+
+
+def test_simhash_identical_and_near_docs(docs_df):
+    sigs = D.simhash_signatures(docs_df, "text", "doc_id")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_neardup_pairs(sigs, max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text → identical signature
+    assert pairs[(1, 3)] == 0  # same token multiset
+    assert (1, 5) in pairs  # near-dup within hamming 8
+
+
+def test_language_id_and_quality(docs_df):
+    rows = {
+        r["doc_id"]: r
+        for r in docs_df.select(
+            "doc_id",
+            X.language_id("text").alias("lang"),
+            X.token_count("text").alias("n"),
+            X.quality_score("text").alias("q"),
+        ).collect()
+    }
+    assert rows[1]["lang"] == "en"
+    assert rows[6]["lang"] == "de"
+    assert rows[1]["n"] == 9
+    assert 0.0 <= rows[4]["q"] <= 1.0
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("hello, world! x2",)], ["text"])
+    # hello , world ! x 2 → 6
+    assert df.select(X.bpe_ish_token_count("text").alias("n")).first()["n"] == 6
+
+
+def test_winnow_shingle_fingerprints_detect_overlap(spark, docs_df):
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in docs_df.select(
+            "doc_id",
+            X.winnow_shingle_fingerprints("text").alias("fp"),
+        ).collect()
+    }
+    assert fps[1] == fps[2]  # identical docs, identical fingerprints
+    # near-dup shares most fingerprints; unrelated shares none
+    overlap_15 = len(fps[1] & fps[5]) / len(fps[1] | fps[5])
+    assert overlap_15 > 0.3
+    assert not (fps[1] & fps[4])

@@ -1,0 +1,100 @@
+"""Similarity search (exact / LSH / IVF) + multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+from consent_based_conversion_adjustments_spark.operators.multimodal import (
+    attach_payloads,
+    decode_image,
+    extract_features,
+)
+from consent_based_conversion_adjustments_spark.operators.similarity_search import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _qc(emb):
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
+    return q, c
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    q, c = _qc(emb)
+    out = cosine_topk(q, c, 5).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_query.items():
+        assert len(rows) == 5
+        qv = vecs[qid]
+        sims = {
+            cid: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for cid, v in vecs.items() if cid != qid
+        }
+        expected = sorted(sims, key=lambda cid: (-sims[cid], cid))[:5]
+        got = [r["cand_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert got == expected
+        for r in rows:
+            assert r["cosine"] == pytest.approx(sims[r["cand_id"]], rel=1e-9)
+
+
+@pytest.mark.parametrize("approx", [lsh_topk, ivf_topk])
+def test_approx_ann_recall(spark, emb, approx):
+    """Approximate paths must reach ≥40% recall@5 vs exact on this fixture
+    (single-probe LSH / 4-probe IVF; both trade recall for candidate-set
+    size — the scale knobs are n_planes / n_probe)."""
+    q, c = _qc(emb)
+    exact = cosine_topk(q, c, 5).select("query_id", "cand_id").collect()
+    got = approx(q, c, 5).select("query_id", "cand_id").collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    got_set = {(r["query_id"], r["cand_id"]) for r in got}
+    recall = len(exact_set & got_set) / len(exact_set)
+    assert recall >= 0.4
+    # approximate results are real candidates, ranked by true cosine
+    assert got_set <= {
+        (r["query_id"], r["cand_id"])
+        for r in cosine_topk(q, c, 500).collect()
+    }
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes")
+    w, h, feat = decode_image(b"bytes", fake=True)
+    assert 16 <= w < 80 and 16 <= h < 80
+    assert len(feat) == 8 and all(0 <= f <= 1 for f in feat)
+    assert decode_image(b"bytes", fake=True) == (w, h, feat)  # deterministic
+
+
+def test_multimodal_pipeline_plumbing(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    media = attach_payloads(docs, "text", "doc_id")
+    feats = extract_features(media, fake_decode=True)
+    rows = feats.limit(10).collect()
+    assert len(rows) == 10
+    import hashlib
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(0).collect()} or {
+        r["doc_id"]: r["text"] for r in docs.collect()
+    }
+    for r in rows:
+        payload = texts[r["media_id"]].encode()
+        assert r["n_bytes"] == len(payload)
+        assert r["content_sha"] == hashlib.sha256(payload).hexdigest()
+        assert len(r["feature"]) == 8
+    assert feats.count() == docs.count()
