@@ -11,7 +11,7 @@ rows-only and verified in pytest against the exact baselines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import sql_round, stable_round
@@ -439,6 +439,52 @@ GROUP BY user_id, session_no
 """.format(r=sql_round("epoch(max(ts)) - epoch(min(ts))", 3))
 
 
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent click by the same
+    user at-or-before its timestamp. Spark has no ASOF JOIN; the idiomatic
+    composition is a sorted union + ``last(..., ignorenulls)`` running
+    window — one shuffle on user_id, no range explosion (vs the naive
+    inequality join, which is quadratic per user)."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.withColumn(
+        "__ord", F.when(F.col("event_type") == "click", 0).otherwise(1)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("__ord").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_click = tagged.withColumn(
+        "__click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        with_click.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("__click_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_click_ts"
+            ),
+        )
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 # --- multimodal plumbing -----------------------------------------------------
 
 
@@ -470,5 +516,6 @@ QUERIES: dict[str, tuple] = {
     "events_tumbling": (events_tumbling, EVENTS_TUMBLING_SQL),
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "events_asof_attribution": (events_asof_attribution, EVENTS_ASOF_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
 }

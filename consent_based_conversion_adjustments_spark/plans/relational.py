@@ -192,6 +192,46 @@ ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
 """
 
 
+def cube_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimation — engine-specific sketch, so
+    rows-only in the driver check; tests assert <5% error vs exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+
 # --- window functions: ranking top-k and running totals ----------------------
 
 
@@ -365,6 +405,8 @@ QUERIES: dict[str, tuple] = {
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
     "rollup_customer_segments": (rollup_customer_segments, ROLLUP_SQL),
+    "cube_order_priorities": (cube_order_priorities, CUBE_SQL),
+    "approx_distinct_parts": (approx_distinct_parts, None),
     "window_topk_orders": (window_topk_orders, WINDOW_TOPK_SQL),
     "window_running_total": (window_running_total, WINDOW_RUNNING_SQL),
     "customers_without_urgent_orders": (customers_without_urgent_orders, ANTI_JOIN_SQL),

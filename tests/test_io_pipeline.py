@@ -1,0 +1,129 @@
+"""Sources/sinks, the per-date driver loop, and the notebook-scale workload."""
+
+import glob
+import os
+import tempfile
+
+import pytest
+import pyspark.sql.functions as F
+
+from consent_based_conversion_adjustments_spark.config import AdjustmentConfig
+from consent_based_conversion_adjustments_spark.operators.preprocess import (
+    split_adgroup_levels,
+)
+from consent_based_conversion_adjustments_spark.operators.similarity_search import (
+    cosine_topk,
+)
+from consent_based_conversion_adjustments_spark.pipeline import run_adjustment, run_dates
+from consent_based_conversion_adjustments_spark.plans.relational import (
+    approx_distinct_parts,
+)
+from consent_based_conversion_adjustments_spark.sources.io import (
+    date_sequence,
+    max_date,
+    read_dates_text,
+    scan_between_dates,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_read_dates_text(spark, tmp_path):
+    path = tmp_path / "dates.txt"
+    path.write_text("2021-11-20\n2021-11-21\n")
+    out = read_dates_text(spark, str(path)).collect()
+    assert sorted(str(r["date"]) for r in out) == ["2021-11-20", "2021-11-21"]
+
+
+def test_scan_between_dates_pushes_filter(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    scanned = scan_between_dates(orders, "o_orderdate", "1995-01-01", "1996-01-01")
+    plan = scanned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    assert scanned.filter(F.col("o_orderdate") >= "1996-01-01").count() == 0
+
+
+def test_max_date_and_sequence(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    # events ts is nanos-as-long in raw read; go through the engine reader
+    from consent_based_conversion_adjustments_spark.sources.io import read_table
+
+    events = read_table(spark, SF, "events")
+    md = max_date(events, "ts")
+    assert md.startswith("2024-01-")
+    seq = date_sequence(spark, md, 7).collect()
+    assert len(seq) == 7
+    assert str(seq[-1]["date"]) == md
+
+
+def test_run_dates_writes_per_date_csvs(spark, tmp_path):
+    """O1-O3 + S4: the two-file-per-date layout (pipeline.py:265-295)."""
+    rows = []
+    for d, day in [("2021-11-20", 1), ("2021-11-21", 2)]:
+        for i in range(4):
+            rows.append((f"g{day}{i}", d, 10.0 * (i + 1), "dress", i % 2 == 0))
+    df = spark.createDataFrame(
+        rows, ["gclid", "conversion_date", "conversion_value", "item", "consented"]
+    )
+    consent = df.filter("consented").drop("consented")
+    noconsent = df.filter("not consented").drop("consented")
+    cfg = AdjustmentConfig(
+        conversion_column="conversion_value",
+        id_columns=["gclid"],
+        date_column="conversion_date",
+        number_nearest_neighbors=1,
+    )
+    out = str(tmp_path / "adjustments")
+    run_dates(
+        spark, consent, noconsent, cfg, ["2021-11-20", "2021-11-21"], out
+    )
+    for d in ["2021-11-20", "2021-11-21"]:
+        data_files = glob.glob(f"{out}/{d}/adjustments_data/*.csv")
+        summary_files = glob.glob(f"{out}/{d}/adjustments_summary/*.csv")
+        assert len(data_files) == 1  # coalesce(1) single-file layout
+        assert len(summary_files) == 1
+        header = open(data_files[0]).readline().strip().split(",")
+        assert "adjusted_conversion" in header
+        summary = open(summary_files[0]).read()
+        assert "percentage_matched_conversion_value" in summary
+
+
+def test_notebook_scale_workload_conservation(spark):
+    """FIXTURES.md F3: adgroup 'X_Y_Z' feature engineering + kNN at scale;
+    the conservation invariant must hold on lognormal conversion values."""
+    import numpy as np
+
+    rng = np.random.RandomState(123)
+    from itertools import combinations
+
+    adgroups = ["_".join(c) for c in combinations("ABCDEFG", 3)]
+    n_consent, n_noconsent = 800, 200
+    rows = [
+        (i, adgroups[rng.randint(len(adgroups))], float(rng.lognormal(1)), i < n_consent)
+        for i in range(n_consent + n_noconsent)
+    ]
+    df = spark.createDataFrame(rows, ["idx", "adgroup", "conversion_value", "c"])
+    consent = df.filter("c").drop("c")
+    noconsent = df.filter("not c").drop("c")
+    cfg = AdjustmentConfig(
+        conversion_column="conversion_value",
+        id_columns=["idx"],
+        number_nearest_neighbors=50,
+    )
+    result = run_adjustment(
+        consent, noconsent, cfg,
+        feature_engineering=lambda d: split_adgroup_levels(d, "adgroup"),
+    )
+    totals = result.data_adjusted.agg(
+        F.sum("adjusted_conversion").alias("added"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    expected = noconsent.agg(F.sum("conversion_value")).first()[0]
+    assert totals["n"] == n_consent
+    assert totals["added"] == pytest.approx(expected, rel=1e-9)
+
+
+def test_approx_distinct_within_tolerance(spark):
+    rows = approx_distinct_parts(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert r["approx_parts"] == pytest.approx(r["exact_parts"], rel=0.05)
