@@ -107,6 +107,6 @@ def binary_metadata(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     media = attach_payloads(df, text_col, id_col)
     return media.select(
         "media_id",
-        F.octet_length("payload").alias("n_bytes"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("content_md5"),
     )

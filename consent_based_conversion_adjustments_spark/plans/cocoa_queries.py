@@ -278,7 +278,7 @@ RADIUS_SUMMARY_SQL = (
 SELECT {r_pct_val}
            AS percentage_matched_conversion_value,
        {r_pct_cnt} AS percentage_matched_conversions,
-       sum(CASE WHEN m.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN m.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS number_matched_conversions,
        {r_total}
            AS total_matched_conversion_value

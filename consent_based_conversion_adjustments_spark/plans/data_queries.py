@@ -54,9 +54,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        X.token_count("text").alias("n_tokens"),
-        X.bpe_ish_token_count("text").alias("n_bpe_tokens"),
-        F.length("text").alias("n_chars"),
+        X.token_count("text").cast("long").alias("n_tokens"),
+        X.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
         stable_round(X.punct_ratio("text"), 4).alias("punct_ratio"),
         stable_round(X.stopword_ratio("text"), 4).alias("stopword_ratio"),
         stable_round(X.quality_score("text"), 4).alias("quality"),
@@ -123,7 +123,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         X.string_hash("text").alias("text_hash"),
-        F.size(fps).alias("n_fingerprints"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
         F.array_min(fps).alias("min_fingerprint"),
         F.array_max(fps).alias("max_fingerprint"),
     )
@@ -258,7 +258,8 @@ WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     sigs = D.simhash_signatures(docs, "text", "doc_id")
-    return D.simhash_neardup_pairs(sigs, max_hamming=3)
+    out = D.simhash_neardup_pairs(sigs, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def _simhash_sql() -> str:
@@ -283,7 +284,7 @@ WITH toks AS (
     SELECT doc_id, {sig} AS simhash FROM sums
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sigs a CROSS JOIN sigs b
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= 3
@@ -306,7 +307,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, candidates = _query_candidates(spark, sf_dir)
     out = cosine_topk(queries, candidates, ANN_K)
     return out.select(
-        "query_id", "cand_id", stable_round("cosine", 6).alias("cosine"), "rank"
+        "query_id", "cand_id", stable_round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -341,7 +343,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, candidates = _query_candidates(spark, sf_dir)
     out = lsh_topk(queries, candidates, ANN_K)
     return out.select(
-        "query_id", "cand_id", stable_round("cosine", 6).alias("cosine"), "rank"
+        "query_id", "cand_id", stable_round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -351,7 +354,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, candidates = _query_candidates(spark, sf_dir)
     out = ivf_topk(queries, candidates, ANN_K)
     return out.select(
-        "query_id", "cand_id", stable_round("cosine", 6).alias("cosine"), "rank"
+        "query_id", "cand_id", stable_round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

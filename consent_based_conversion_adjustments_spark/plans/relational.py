@@ -247,7 +247,7 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.round("o_totalprice", 2).alias("o_totalprice"),
-            "rank_in_cust",
+            F.col("rank_in_cust").cast("long").alias("rank_in_cust"),
         )
     )
 

@@ -41,6 +41,13 @@ def compare(name, spark_df, con, sql) -> tuple[bool, str]:
     s_cols, d_cols = sorted(sdf.columns), sorted(ddf.columns)
     if s_cols != d_cols:
         return False, f"schema mismatch: spark={s_cols} duckdb={d_cols}"
+    dtype_notes = []
+    for c in s_cols:
+        st, dt = str(sdf[c].dtype), str(ddf[c].dtype)
+        if st != dt:
+            dtype_notes.append(f"{c}: spark={st} duckdb={dt}")
+    if dtype_notes:
+        print(f"    [dtype] {name}: {'; '.join(dtype_notes)}")
     if len(sdf) != len(ddf):
         return False, f"rowcount mismatch: spark={len(sdf)} duckdb={len(ddf)}"
     s_rows = sorted(
