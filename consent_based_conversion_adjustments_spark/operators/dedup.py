@@ -70,6 +70,23 @@ def _token_set(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _token_hash_set(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct polynomial token hashes per doc (``array<long>``).
+
+    The int form feeds both the MinHash signature explode and the exact
+    Jaccard verify — int-set intersection is far cheaper than string sets at
+    millions of candidate pairs, and the DuckDB oracle hashes identically so
+    the (negligible, shared) collision behavior is bit-equal."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(distinct_tokens(text_col), lambda t: string_hash(t))
+            )
+        ).alias("tok_hashes"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.6
 ) -> DataFrame:
@@ -104,10 +121,9 @@ def minhash_signatures(
     """Per-doc MinHash signature: sig_i = min over tokens of
     (a_i·h(token) + b_i) mod p. One explode + one groupBy with n_perm
     min-aggregates (map-side combinable)."""
-    toks = _token_set(df, text_col, id_col)
-    exploded = toks.select(
-        "doc_id", F.explode("toks").alias("tok")
-    ).withColumn("h0", string_hash("tok"))
+    exploded = _token_hash_set(df, text_col, id_col).select(
+        "doc_id", F.explode("tok_hashes").alias("h0")
+    )
     aggs = []
     for i in range(n_perm):
         a, b = perm_params(i)
@@ -148,12 +164,18 @@ def minhash_neardup(
     exact Jaccard verify ≥ threshold."""
     sigs = minhash_signatures(df, text_col, id_col)
     cands = minhash_candidates(sigs)
-    toks = _token_set(df, text_col, id_col)
-    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    hashes = _token_hash_set(df, text_col, id_col)
+    a = hashes.select(
+        F.col("doc_id").alias("doc_a"), F.col("tok_hashes").alias("toks_a")
+    )
+    b = hashes.select(
+        F.col("doc_id").alias("doc_b"), F.col("tok_hashes").alias("toks_b")
+    )
+    # token tables are |docs| rows — broadcast so the (potentially huge)
+    # candidate-pair side never shuffles
     verified = (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
+        cands.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("toks_a", "toks_b"))

@@ -57,42 +57,55 @@ def punct_ratio(col: Column | str) -> Column:
     return F.when(n > 0, (n - stripped) / n).otherwise(0.0)
 
 
-def stopword_hits(col: Column | str, lang: str) -> Column:
-    """Number of tokens that are stopwords of ``lang``."""
-    toks = tokens(col)
+def stopword_hits_in(toks: Column, lang: str) -> Column:
+    """Number of tokens (precomputed array) that are stopwords of ``lang``."""
     words = STOPWORDS[lang]
-    return F.size(
-        F.filter(toks, lambda t: F.lower(t).isin(*words))
-    )
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    return stopword_hits_in(tokens(col), lang)
+
+
+def stopword_ratio_in(toks: Column, lang: str = "en") -> Column:
+    n = F.size(toks)
+    return F.when(n > 0, stopword_hits_in(toks, lang) / n).otherwise(0.0)
 
 
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
-    n = token_count(col)
-    return F.when(n > 0, stopword_hits(col, lang) / n).otherwise(0.0)
+    return stopword_ratio_in(tokens(col), lang)
 
 
-def language_id(col: Column | str) -> Column:
+def language_id_in(toks: Column) -> Column:
     """Argmax over per-language stopword hit counts; ties and zero hits
     resolve to 'und' (undetermined). Deterministic: languages are compared
     in sorted order and a strictly greater count is required to take over."""
     best_lang = F.lit("und")
     best_hits = F.lit(0)
     for lang in sorted(STOPWORDS):
-        hits = stopword_hits(col, lang)
+        hits = stopword_hits_in(toks, lang)
         take = hits > best_hits
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(take, hits).otherwise(best_hits)
     return best_lang
 
 
-def quality_score(col: Column | str) -> Column:
-    """Composite [0,1] quality heuristic: length saturation (40%), low
-    punctuation (30%), stopword presence (30%)."""
-    n = token_count(col)
-    length_part = F.least(n / F.lit(50.0), F.lit(1.0))
-    punct_part = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
-    stop_part = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+def language_id(col: Column | str) -> Column:
+    return language_id_in(tokens(col))
+
+
+def quality_score_in(toks: Column, praw: Column, sraw: Column) -> Column:
+    """Composite [0,1] quality heuristic over precomputed parts: length
+    saturation (40%), low punctuation (30%), stopword presence (30%)."""
+    length_part = F.least(F.size(toks) / F.lit(50.0), F.lit(1.0))
+    punct_part = F.lit(1.0) - F.least(praw * 5.0, F.lit(1.0))
+    stop_part = F.least(sraw * 5.0, F.lit(1.0))
     return 0.4 * length_part + 0.3 * punct_part + 0.3 * stop_part
+
+
+def quality_score(col: Column | str) -> Column:
+    toks = tokens(col)
+    return quality_score_in(toks, punct_ratio(col), stopword_ratio_in(toks))
 
 
 def string_hash(col: Column | str, mod: int = HASH_MOD, base: int = HASH_BASE) -> Column:

@@ -52,15 +52,25 @@ def _sql_hash(expr: str) -> str:
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
+    # tokenize once per row; every downstream stat reuses the array
+    with_parts = docs.select(
         "doc_id",
-        X.token_count("text").cast("long").alias("n_tokens"),
+        "text",
+        X.tokens("text").alias("__toks"),
+        X.punct_ratio("text").alias("__praw"),
+    ).withColumn("__sraw", X.stopword_ratio_in(F.col("__toks")))
+    return with_parts.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
         X.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
-        stable_round(X.punct_ratio("text"), 4).alias("punct_ratio"),
-        stable_round(X.stopword_ratio("text"), 4).alias("stopword_ratio"),
-        stable_round(X.quality_score("text"), 4).alias("quality"),
-        X.language_id("text").alias("lang_pred"),
+        stable_round("__praw", 4).alias("punct_ratio"),
+        stable_round("__sraw", 4).alias("stopword_ratio"),
+        stable_round(
+            X.quality_score_in(F.col("__toks"), F.col("__praw"), F.col("__sraw")),
+            4,
+        ).alias("quality"),
+        X.language_id_in(F.col("__toks")).alias("lang_pred"),
     )
 
 
@@ -228,10 +238,13 @@ def _minhash_sql() -> str:
         for b in range(n_bands)
     )
     return f"""
-WITH toks AS (
-    SELECT doc_id, unnest({_DTOKS.format(c='text')}) AS tok FROM documents
+WITH t AS (
+    SELECT doc_id,
+           list_distinct(list_transform({_DTOKS.format(c='text')},
+               tk -> {_sql_hash('tk')})) AS toks
+    FROM documents
 ), hashed AS (
-    SELECT doc_id, {_sql_hash('tok')} AS h0 FROM toks
+    SELECT doc_id, unnest(toks) AS h0 FROM t
 ), sigs AS (
     SELECT doc_id,
            {sig_exprs}
@@ -243,7 +256,7 @@ WITH toks AS (
     FROM bands a JOIN bands b
       ON a.band_no = b.band_no AND a.band_key = b.band_key
     WHERE a.doc_id < b.doc_id
-), t AS (SELECT doc_id, {_DTOKS.format(c='text')} AS toks FROM documents)
+)
 SELECT c.doc_a, c.doc_b,
        CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
            / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
