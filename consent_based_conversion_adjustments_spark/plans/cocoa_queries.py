@@ -165,6 +165,27 @@ def lookback_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: describe()-style statistics of ``average_distance`` over the
+    kNN-adjusted output (reference: distance_statistics property,
+    nearest_consented_customers.py:116-123)."""
+    consent, noconsent = consent_split(spark, sf_dir)
+    result = run_adjustment(
+        consent, noconsent, _config(number_nearest_neighbors=FLAGSHIP_K)
+    )
+    d = F.col("average_distance")
+    return result.data_adjusted.agg(
+        F.count(d).alias("n"),
+        stable_round(F.avg(d), 4).alias("mean"),
+        stable_round(F.stddev_samp(d), 4).alias("stddev"),
+        stable_round(F.min(d), 3).alias("min"),
+        stable_round(F.expr("percentile(average_distance, 0.25)"), 3).alias("p25"),
+        stable_round(F.expr("percentile(average_distance, 0.5)"), 3).alias("p50"),
+        stable_round(F.expr("percentile(average_distance, 0.75)"), 3).alias("p75"),
+        stable_round(F.max(d), 3).alias("max"),
+    )
+
+
 # --- oracle SQL --------------------------------------------------------------
 
 _PRELUDE = """
@@ -329,8 +350,43 @@ FROM generate_series(DATE '2024-01-24', DATE '2024-01-30', INTERVAL 1 DAY) t(d)
 """
 
 
+DISTANCE_STATS_SQL = (
+    _PRELUDE
+    + _topk_cte(FLAGSHIP_K)
+    + """
+, aggs AS (
+    SELECT consent_id,
+           sum(distance) AS sum_distance,
+           count(*) AS n_added
+    FROM topk GROUP BY consent_id
+), per_row AS (
+    SELECT b.c_custkey, a.sum_distance / a.n_added AS avg_d
+    FROM build b LEFT JOIN aggs a ON b.c_custkey = a.consent_id
+)
+SELECT count(avg_d) AS n,
+       {r_mean} AS mean,
+       {r_std} AS stddev,
+       {r_min} AS min,
+       {r_p25} AS p25,
+       {r_p50} AS p50,
+       {r_p75} AS p75,
+       {r_max} AS max
+FROM per_row
+""".format(
+        r_mean=sql_round("avg(avg_d)", 4),
+        r_std=sql_round("stddev_samp(avg_d)", 4),
+        r_min=sql_round("min(avg_d)", 3),
+        r_p25=sql_round("quantile_cont(avg_d, 0.25)", 3),
+        r_p50=sql_round("quantile_cont(avg_d, 0.5)", 3),
+        r_p75=sql_round("quantile_cont(avg_d, 0.75)", 3),
+        r_max=sql_round("max(avg_d)", 3),
+    )
+)
+
+
 QUERIES: dict[str, tuple] = {
     "cocoa_knn_adjust": (knn_adjust, KNN_ADJUST_SQL),
+    "cocoa_distance_stats": (distance_stats, DISTANCE_STATS_SQL),
     "cocoa_knn_pairs": (knn_pairs, KNN_PAIRS_SQL),
     "cocoa_knn_proportional": (knn_proportional, KNN_PROPORTIONAL_SQL),
     "cocoa_radius_adjust": (radius_adjust, RADIUS_ADJUST_SQL),

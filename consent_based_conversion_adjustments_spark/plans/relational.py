@@ -217,6 +217,72 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + scalar agg — the pushdown showcase."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def salted_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation; output must equal the plain
+    GROUP BY exactly (sums are associative) — the oracle asserts that."""
+    from ..operators.skew import salted_agg
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "n_rows": ("count", "l_quantity"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n_rows",
+        F.round("max_price", 2).alias("max_price"),
+    ).orderBy("l_returnflag")
+
+
+SALTED_SQL = """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimation — engine-specific sketch, so
     rows-only in the driver check; tests assert <5% error vs exact."""
@@ -406,6 +472,8 @@ QUERIES: dict[str, tuple] = {
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
     "rollup_customer_segments": (rollup_customer_segments, ROLLUP_SQL),
     "cube_order_priorities": (cube_order_priorities, CUBE_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "salted_revenue_by_flag": (salted_revenue_by_flag, SALTED_SQL),
     "approx_distinct_parts": (approx_distinct_parts, None),
     "window_topk_orders": (window_topk_orders, WINDOW_TOPK_SQL),
     "window_running_total": (window_running_total, WINDOW_RUNNING_SQL),

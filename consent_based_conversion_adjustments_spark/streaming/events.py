@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.rounding import stable_round
 
@@ -112,6 +113,50 @@ def session_window_stats(
             ),
             "n_events",
         )
+    )
+
+
+def streaming_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals via
+    ``applyInPandasWithState`` (the escape hatch for operators Structured
+    Streaming lacks — arbitrary per-key state, Arrow-batched).
+
+    State = (n_events, total_value) per user, updated each micro-batch and
+    emitted in ``update`` mode. Works on a static frame too (degenerates to
+    a plain groupBy, which the batch-equivalence test exploits)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("total_value", T.DoubleType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("total", T.DoubleType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": total}]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
