@@ -134,3 +134,36 @@ def run_dates(
         write_adjustments_csv(
             result.data_adjusted, result.summary, output_path, date
         )
+        result.matched_pairs.unpersist()
+
+
+def run_dates_partitioned(
+    spark: SparkSession,
+    consent: DataFrame,
+    noconsent: DataFrame,
+    config: AdjustmentConfig,
+    dates: list[str],
+    output_path: str,
+    *,
+    impl: str = "sql",
+) -> None:
+    """Scale variant of the O3 sink: the per-date loop still runs one
+    distributed adjustment per date (dates are independent model fits — the
+    encoder and matches must not mix days), but results accumulate into a
+    single ``partitionBy(date)`` dataset so downstream consumers get
+    partition pruning instead of a directory-per-date convention."""
+    if config.date_column is None:
+        raise ValueError("run_dates_partitioned requires config.date_column")
+    out = None
+    for date in dates:
+        end = (
+            spark.sql(f"select date_add(date'{date}', 1)").first()[0].isoformat()
+        )
+        c = scan_between_dates(consent, config.date_column, date, end)
+        nc = scan_between_dates(noconsent, config.date_column, date, end)
+        result = run_adjustment(c, nc, config, impl=impl)
+        dated = result.data_adjusted.withColumn("date", F.lit(date))
+        out = dated if out is None else out.unionByName(dated)
+    out.write.mode("overwrite").partitionBy("date").option(
+        "header", True
+    ).csv(f"{output_path}/adjustments_data_partitioned")

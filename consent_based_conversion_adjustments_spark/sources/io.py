@@ -89,6 +89,27 @@ def date_sequence(
     )
 
 
+def read_csv(
+    spark: SparkSession, path: str, schema=None, header: bool = True
+) -> DataFrame:
+    """CSV source (round-trips the engine's own S4 sink output). Explicit
+    schema preferred at scale — inference triggers an extra pass."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source; same schema guidance as CSV."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def write_adjustments_csv(
     data_adjusted: DataFrame,
     summary: DataFrame,

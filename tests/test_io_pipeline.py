@@ -88,6 +88,62 @@ def test_run_dates_writes_per_date_csvs(spark, tmp_path):
         assert "percentage_matched_conversion_value" in summary
 
 
+def test_run_dates_partitioned_layout(spark, tmp_path):
+    from consent_based_conversion_adjustments_spark.pipeline import (
+        run_dates_partitioned,
+    )
+    from consent_based_conversion_adjustments_spark.sources.io import read_csv
+
+    rows = []
+    for d, day in [("2021-11-20", 1), ("2021-11-21", 2)]:
+        for i in range(4):
+            rows.append((f"g{day}{i}", d, 10.0 * (i + 1), i % 2 == 0))
+    df = spark.createDataFrame(
+        rows, ["gclid", "conversion_date", "conversion_value", "consented"]
+    )
+    cfg = AdjustmentConfig(
+        conversion_column="conversion_value",
+        id_columns=["gclid"],
+        date_column="conversion_date",
+        number_nearest_neighbors=1,
+    )
+    out = str(tmp_path / "p")
+    run_dates_partitioned(
+        spark,
+        df.filter("consented").drop("consented"),
+        df.filter("not consented").drop("consented"),
+        cfg,
+        ["2021-11-20", "2021-11-21"],
+        out,
+    )
+    back = read_csv(spark, f"{out}/adjustments_data_partitioned")
+    assert sorted(
+        str(r["date"]) for r in back.select("date").distinct().collect()
+    ) == ["2021-11-20", "2021-11-21"]
+    # partition pruning reaches the scan
+    pruned = back.filter(F.col("date") == "2021-11-20")
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_csv_json_round_trip(spark, tmp_path):
+    from consent_based_conversion_adjustments_spark.sources.io import (
+        read_csv,
+        read_json,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], ["id", "name", "score"]
+    )
+    df.coalesce(1).write.option("header", True).csv(str(tmp_path / "c"))
+    df.coalesce(1).write.json(str(tmp_path / "j"))
+    c = read_csv(spark, str(tmp_path / "c"))
+    j = read_json(spark, str(tmp_path / "j"), schema=df.schema)
+    assert sorted(map(tuple, c.collect())) == sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, df.collect()))
+
+
 def test_notebook_scale_workload_conservation(spark):
     """FIXTURES.md F3: adgroup 'X_Y_Z' feature engineering + kNN at scale;
     the conservation invariant must hold on lognormal conversion values."""

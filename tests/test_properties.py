@@ -1,0 +1,96 @@
+"""Property-style invariants: conservation under random k / radius / data.
+
+SURVEY.md §5 rebuild plan item 4 — hypothesis drives seeded synthetic
+consent/noconsent tables through the full adjustment; the conservation and
+row-preservation invariants must hold for every draw.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+import pyspark.sql.functions as F
+
+from consent_based_conversion_adjustments_spark.config import AdjustmentConfig
+from consent_based_conversion_adjustments_spark.pipeline import run_adjustment
+
+
+def _make_tables(spark, seed, n_consent, n_noconsent, n_cats):
+    rng = np.random.RandomState(seed)
+    cats = [f"cat_{i}" for i in range(n_cats)]
+    rows = [
+        (
+            i,
+            cats[rng.randint(n_cats)],
+            int(rng.randint(0, 3)),
+            float(np.round(rng.lognormal(1) + 0.01, 2)),
+            i < n_consent,
+        )
+        for i in range(n_consent + n_noconsent)
+    ]
+    df = spark.createDataFrame(
+        rows, ["rid", "segment", "tier", "conversion_value", "is_consent"]
+    )
+    return (
+        df.filter("is_consent").drop("is_consent"),
+        df.filter("not is_consent").drop("is_consent"),
+    )
+
+
+CFG = dict(conversion_column="conversion_value", id_columns=["rid"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    k=st.integers(1, 8),
+)
+def test_knn_conservation_random(spark, seed, k):
+    consent, noconsent = _make_tables(spark, seed, 40, 15, 4)
+    cfg = AdjustmentConfig(**CFG, number_nearest_neighbors=k)
+    adjusted = run_adjustment(consent, noconsent, cfg).data_adjusted
+    got = adjusted.agg(
+        F.sum("adjusted_conversion").alias("added"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    expected = noconsent.agg(F.sum("conversion_value")).first()[0]
+    assert got["n"] == consent.count()
+    # kNN matches every probe → exact conservation
+    assert got["added"] == pytest.approx(expected, rel=1e-9)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    radius=st.sampled_from([0.0, 2.0, 4.0, 100.0]),
+)
+def test_radius_upper_bound_random(spark, seed, radius):
+    consent, noconsent = _make_tables(spark, seed, 30, 12, 3)
+    cfg = AdjustmentConfig(**CFG, radius=radius)
+    result = run_adjustment(consent, noconsent, cfg)
+    added = result.data_adjusted.agg(F.sum("adjusted_conversion")).first()[0]
+    total = noconsent.agg(F.sum("conversion_value")).first()[0]
+    # invariant 2: scattered value never exceeds the probe-side total; with
+    # a huge radius every probe matches and it is exact
+    assert added <= total + 1e-9
+    if radius >= 100.0:
+        assert added == pytest.approx(total, rel=1e-9)
+    # matched-pair weights per probe always sum to ~1
+    from consent_based_conversion_adjustments_spark.operators.adjust import (
+        softmax_weights,
+    )
+
+    pairs = result.matched_pairs
+    if pairs.count() > 0:
+        sums = (
+            softmax_weights(
+                pairs,
+                probe_id="__probe_row_id",
+                conversion_column="conversion_value",
+            )
+            .groupBy("__probe_row_id")
+            .agg(F.sum("weight").alias("w"))
+            .collect()
+        )
+        for r in sums:
+            assert r["w"] == pytest.approx(1.0, rel=1e-12)
