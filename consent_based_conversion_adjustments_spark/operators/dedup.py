@@ -159,11 +159,39 @@ def minhash_neardup(
     text_col: str,
     id_col: str,
     threshold: float = 0.6,
+    est_prefilter: float | None = None,
 ) -> DataFrame:
     """Full MinHash near-dup pipeline: signatures → banded candidates →
-    exact Jaccard verify ≥ threshold."""
+    exact Jaccard verify ≥ threshold.
+
+    ``est_prefilter``: optionally drop candidates whose signature-agreement
+    fraction (the MinHash Jaccard estimate) falls below this value before
+    the exact verify — the standard cascade when verification dominates.
+    Trades a small recall loss (P[Binom(16, j) < 16·est] at true similarity
+    j) for roughly candidate-ratio speedup; None keeps the exact semantics
+    the DuckDB oracle checks."""
     sigs = minhash_signatures(df, text_col, id_col)
     cands = minhash_candidates(sigs)
+    if est_prefilter is not None:
+        sig_cols = [c for c in sigs.columns if c.startswith("sig_")]
+        a = sigs.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(c).alias(f"a_{c}") for c in sig_cols],
+        )
+        b = sigs.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(c).alias(f"b_{c}") for c in sig_cols],
+        )
+        est = sum(
+            F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+            for c in sig_cols
+        ) / F.lit(float(len(sig_cols)))
+        cands = (
+            cands.join(F.broadcast(a), "doc_a")
+            .join(F.broadcast(b), "doc_b")
+            .filter(est >= est_prefilter)
+            .select("doc_a", "doc_b")
+        )
     hashes = _token_hash_set(df, text_col, id_col)
     a = hashes.select(
         F.col("doc_id").alias("doc_a"), F.col("tok_hashes").alias("toks_a")

@@ -238,6 +238,13 @@ def similarity_join(
     (line 513) so ``radius=0.0`` is a valid empty-match join (FIXTURES.md F5).
     """
     if config.number_nearest_neighbors is not None:
+        if impl == "numpy":
+            # the numpy kernel collects the build side anyway — resolve and
+            # validate k there instead of paying a separate count() job
+            return _knn_join_numpy(
+                probe, build, config.number_nearest_neighbors,
+                metric=config.metric, build_id=build_id, features=features,
+            )
         if n_build is None:
             n_build = build.count()
         k = resolve_k(config.number_nearest_neighbors, n_build)
@@ -314,7 +321,7 @@ def _auto_chunk(n_build: int, width: int, budget_bytes: int = 128 << 20) -> int:
 def _knn_join_numpy(
     probe: DataFrame,
     build: DataFrame,
-    k: int,
+    k: float,
     *,
     metric: str,
     build_id: str,
@@ -323,12 +330,14 @@ def _knn_join_numpy(
 ) -> DataFrame:
     """Broadcast-build vectorized kNN via mapInPandas — no shuffle.
 
-    Build ids arrive pre-sorted so ``argpartition`` + stable sort on
-    (distance, position) reproduces the SQL path's (distance, build_id)
-    tie-break exactly.
+    Build ids arrive pre-sorted so the stable argsort on (distance,
+    position) reproduces the SQL path's (distance, build_id) tie-break
+    exactly. ``k`` may be fractional (proportional-k) — resolved against
+    the collected build side, sparing the driver a count() job.
     """
     spark = probe.sparkSession
     ids, mat = _collect_build_matrix(build, build_id, features)
+    k = resolve_k(k, len(ids))
     bc = spark.sparkContext.broadcast((ids, mat))
     pass_cols = [c for c in probe.columns if c != features]
     id_dtype = (

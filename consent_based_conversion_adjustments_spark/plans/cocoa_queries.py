@@ -165,6 +165,29 @@ def lookback_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nearest_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 second half: percentiles [.25,.5,.75,.9,.95,.99] of the per-probe
+    nearest-neighbor distance (reference:
+    nearest_distances_statistics_nonconsenting,
+    nearest_consented_customers.py:121-123)."""
+    consent, noconsent = consent_split(spark, sf_dir)
+    cfg = _config(number_nearest_neighbors=1)
+    result = run_adjustment(consent, noconsent, cfg)
+    nearest = result.matched_pairs.select(
+        F.col("distance").alias("d")
+    )
+    return nearest.agg(
+        F.count("d").alias("n"),
+        stable_round(F.avg("d"), 4).alias("mean"),
+        *[
+            stable_round(F.expr(f"percentile(d, {p})"), 3).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in (0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+        ],
+    )
+
+
 def distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: describe()-style statistics of ``average_distance`` over the
     kNN-adjusted output (reference: distance_statistics property,
@@ -384,9 +407,33 @@ FROM per_row
 )
 
 
+NEAREST_DISTANCE_STATS_SQL = (
+    _PRELUDE
+    + """
+, nearest AS (
+    SELECT probe_id, min(distance) AS d FROM pairs GROUP BY probe_id)
+SELECT count(d) AS n,
+       {r_mean} AS mean,
+       {p25} AS p25, {p50} AS p50, {p75} AS p75,
+       {p90} AS p90, {p95} AS p95, {p99} AS p99
+FROM nearest
+""".format(
+        r_mean=sql_round("avg(d)", 4),
+        **{
+            f"p{int(p * 100)}": sql_round(f"quantile_cont(d, {p})", 3)
+            for p in (0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+        },
+    )
+)
+
+
 QUERIES: dict[str, tuple] = {
     "cocoa_knn_adjust": (knn_adjust, KNN_ADJUST_SQL),
     "cocoa_distance_stats": (distance_stats, DISTANCE_STATS_SQL),
+    "cocoa_nearest_distance_stats": (
+        nearest_distance_stats,
+        NEAREST_DISTANCE_STATS_SQL,
+    ),
     "cocoa_knn_pairs": (knn_pairs, KNN_PAIRS_SQL),
     "cocoa_knn_proportional": (knn_proportional, KNN_PROPORTIONAL_SQL),
     "cocoa_radius_adjust": (radius_adjust, RADIUS_ADJUST_SQL),
