@@ -11,7 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
-VALID_METRICS = ("manhattan", "euclidean")
+VALID_METRICS = ("manhattan", "euclidean", "cosine", "hamming")
 
 
 @dataclass(frozen=True)

@@ -70,6 +70,19 @@ def l2_distance_unrolled(a: Column, b: Column, width: int) -> Column:
     return F.sqrt(_unrolled_sum(a, b, width, lambda x, y: (x - y) * (x - y)))
 
 
+def cosine_distance(a: Column, b: Column) -> Column:
+    """1 − cosine similarity; zero vectors are maximally distant (1.0),
+    matching sklearn's convention for degenerate inputs."""
+    return F.lit(1.0) - F.coalesce(cosine_similarity(a, b), F.lit(0.0))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Number of differing positions."""
+    return _fold_sum(
+        F.zip_with(a, b, lambda x, y: F.when(x == y, 0.0).otherwise(1.0))
+    )
+
+
 def metric_distance(
     metric: str, a: Column, b: Column, width: int | None = None
 ) -> Column:
@@ -77,4 +90,13 @@ def metric_distance(
         return l1_distance_unrolled(a, b, width) if width else l1_distance(a, b)
     if metric == "euclidean":
         return l2_distance_unrolled(a, b, width) if width else l2_distance(a, b)
+    if metric == "cosine":
+        return cosine_distance(a, b)
+    if metric == "hamming":
+        if width:
+            return _unrolled_sum(
+                a, b, width,
+                lambda x, y: F.when(x == y, 0.0).otherwise(1.0),
+            )
+        return hamming_distance(a, b)
     raise ValueError(f"unsupported metric: {metric!r}")

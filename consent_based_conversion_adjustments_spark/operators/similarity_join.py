@@ -30,7 +30,6 @@ groupBys over it (SURVEY.md §3.2).
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 import numpy as np
@@ -308,6 +307,15 @@ def _chunk_distances(
         sq = (X * X).sum(1)[:, None] + (B * B).sum(1)[None, :] - 2.0 * X @ B.T
         np.maximum(sq, 0.0, out=sq)
         return np.sqrt(sq)
+    if metric == "cosine":
+        xn = np.sqrt((X * X).sum(1))[:, None]
+        bn = np.sqrt((B * B).sum(1))[None, :]
+        denom = xn * bn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(denom != 0.0, (X @ B.T) / denom, 0.0)
+        return 1.0 - sim
+    if metric == "hamming":
+        return (X[:, None, :] != B[None, :, :]).sum(axis=2).astype(np.float64)
     raise ValueError(f"unsupported metric: {metric!r}")
 
 

@@ -137,6 +137,31 @@ def run_dates(
         result.matched_pairs.unpersist()
 
 
+def prepare_pipeline_input(
+    spark: SparkSession,
+    noconsent: DataFrame,
+    date_column: str,
+    lookback_days: int,
+    output_path: str,
+) -> list[str]:
+    """Trigger-path parity: derive the lookback window from MAX(date) in the
+    no-consent table and write the dates.txt the batch pipeline consumes.
+
+    reference: cloud_function/main.py:86-142 (_prepare_pipeline_input —
+    MAX-date query, date-window expansion, text blob upload).
+    """
+    from .sources.io import date_sequence, max_date
+
+    latest = max_date(noconsent, date_column)
+    dates = [
+        str(r["date"])
+        for r in date_sequence(spark, latest, lookback_days).collect()
+    ]
+    df = spark.createDataFrame([(d,) for d in dates], ["value"])
+    df.coalesce(1).write.mode("overwrite").text(f"{output_path}/dates")
+    return dates
+
+
 def run_dates_partitioned(
     spark: SparkSession,
     consent: DataFrame,

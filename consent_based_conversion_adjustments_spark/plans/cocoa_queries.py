@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from ..config import AdjustmentConfig
 from ..functions.rounding import sql_round, stable_round
 from ..operators.preprocess import CONSENT_FLAG, add_consent_flag, clean_data
-from ..operators.similarity_join import percentile_radius
 from ..pipeline import PROBE_ID, CONSENT_ID, run_adjustment
 from ..sources.io import date_sequence, max_date, read_table
 

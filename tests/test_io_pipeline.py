@@ -1,8 +1,6 @@
 """Sources/sinks, the per-date driver loop, and the notebook-scale workload."""
 
 import glob
-import os
-import tempfile
 
 import pytest
 import pyspark.sql.functions as F
@@ -125,6 +123,27 @@ def test_run_dates_partitioned_layout(spark, tmp_path):
     assert pruned.count() == 2
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_prepare_pipeline_input_trigger_parity(spark, tmp_path):
+    """cloud_function trigger path: MAX(date) -> lookback window -> dates.txt."""
+    from consent_based_conversion_adjustments_spark.pipeline import (
+        prepare_pipeline_input,
+    )
+    from consent_based_conversion_adjustments_spark.sources.io import (
+        read_dates_text,
+        read_table,
+    )
+
+    events = read_table(spark, SF, "events").withColumn(
+        "d", F.to_date("ts")
+    )
+    dates = prepare_pipeline_input(spark, events, "d", 5, str(tmp_path))
+    assert len(dates) == 5
+    back = sorted(
+        str(r["date"]) for r in read_dates_text(spark, str(tmp_path / "dates")).collect()
+    )
+    assert back == sorted(dates)
 
 
 def test_csv_json_round_trip(spark, tmp_path):

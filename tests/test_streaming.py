@@ -1,7 +1,6 @@
 """Structured Streaming: windowed aggregations over a replayed event stream
 must equal the batch computation (the unified-model contract)."""
 
-import tempfile
 
 import pytest
 import pyspark.sql.functions as F
