@@ -36,6 +36,10 @@ def get_spark(
         # the driver's events.parquet stores TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long and convert in sources.io
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/cocoa-spark-warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
