@@ -11,13 +11,33 @@ Layout
 ------
 - ``config``      — engine configuration mirroring pipeline.py:44-140's surface
 - ``session``     — SparkSession builder tuned for local[32] and cluster use
-- ``sources``     — scans and sinks (S1-S5 in SURVEY.md §2.1)
-- ``functions``   — distance / hashing / text scalar-expression builders
+- ``sources``     — scans and sinks (S1-S5 in SURVEY.md §2.1), bucketing
+- ``functions``   — distance / rounding scalar-expression builders
 - ``operators``   — preprocess, similarity join, adjust, summary, dedup,
-                    similarity search, text analysis, multimodal plumbing
+                    similarity search, text analysis, multimodal, skew
 - ``plans``       — relational query layer over the TPC-H-ish fixtures
 - ``streaming``   — event-time windowing (batch + Structured Streaming)
 - ``pipeline``    — the per-date driver loop (O1-O3)
 """
 
+from .config import AdjustmentConfig
+from .pipeline import (
+    AdjustmentResult,
+    prepare_pipeline_input,
+    run_adjustment,
+    run_dates,
+    run_dates_partitioned,
+)
+from .session import get_spark
+
 __version__ = "0.1.0"
+
+__all__ = [
+    "AdjustmentConfig",
+    "AdjustmentResult",
+    "get_spark",
+    "prepare_pipeline_input",
+    "run_adjustment",
+    "run_dates",
+    "run_dates_partitioned",
+]

@@ -115,6 +115,36 @@ def jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    n: int = 3,
+) -> DataFrame:
+    """All-pairs Jaccard over n-word-shingle hash sets (order-sensitive
+    near-dup, vs the order-blind token-set variant): catches documents that
+    share phrasing, not just vocabulary."""
+    from .text import shingle_hashes
+
+    sets = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingle_hashes(text_col, n)).alias("grams"),
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    jac = F.size(F.array_intersect("ga", "gb")) / F.size(
+        F.array_union("ga", "gb")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_perm: int = N_PERMUTATIONS
 ) -> DataFrame:

@@ -123,6 +123,44 @@ def fit_encoder(
     )
 
 
+@dataclass(frozen=True)
+class HashedFeatureEncoder:
+    """Feature hashing for high-cardinality categoricals (the fallback when
+    a column blows past ``max_categories``): each (column, value) pair
+    increments bucket ``hash(col || '=' || value) mod n_features``. No fit
+    pass at all — fully stateless, identical on both table sides by
+    construction, the standard trick when the distinct-value set itself is
+    too large to broadcast. Collisions fold dimensions together (slightly
+    blurring distances) but never break side-alignment."""
+
+    categorical_cols: tuple
+    numeric_cols: tuple
+    n_features: int = 64
+
+    @property
+    def width(self) -> int:
+        return len(self.numeric_cols) + self.n_features
+
+    def transform(self, df: DataFrame, output_col: str = "features") -> DataFrame:
+        buckets = [
+            F.pmod(
+                F.xxhash64(F.concat_ws("=", F.lit(c), F.col(c).cast("string"))),
+                F.lit(self.n_features),
+            )
+            for c in self.categorical_cols
+        ]
+        exprs: list[Column] = [
+            F.col(c).cast("double") for c in sorted(self.numeric_cols)
+        ]
+        for j in range(self.n_features):
+            total = None
+            for bucket in buckets:
+                term = F.when(bucket == j, 1.0).otherwise(0.0)
+                total = term if total is None else total + term
+            exprs.append(total if total is not None else F.lit(0.0))
+        return df.withColumn(output_col, F.array(*exprs))
+
+
 def infer_feature_columns(
     df: DataFrame, config: AdjustmentConfig
 ) -> tuple[list[str], list[str]]:

@@ -214,6 +214,34 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, n=3)
+
+
+DEDUP_NGRAM_SQL = """
+WITH g AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len({toks}) - 2, 1) + 1),
+               i -> {gram_hash})) AS grams
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+FROM g a CROSS JOIN g b
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+""".format(
+    toks=_TOKS.format(c="text"),
+    gram_hash=_sql_hash(
+        "array_to_string(" + _TOKS.format(c="text") + "[i : i + 2], ' ')"
+    ),
+)
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return D.minhash_neardup(docs, "text", "doc_id", threshold=JACCARD_THRESHOLD)
@@ -524,6 +552,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_fingerprint": (dedup_fingerprint, DEDUP_FINGERPRINT_SQL),
     "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash": (dedup_minhash, _minhash_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),

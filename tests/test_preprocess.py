@@ -123,3 +123,30 @@ def test_high_cardinality_guardrail(spark):
     df = spark.createDataFrame([(str(i),) for i in range(50)], ["cat"])
     with pytest.raises(ValueError, match="max_categories"):
         fit_encoder(df, ["cat"], [], max_categories=10)
+
+
+def test_hashed_encoder_fallback(spark):
+    """The stateless hashed-feature path for high-cardinality columns:
+    identical rows map to identical features, different values spread over
+    buckets, and both table sides align with no fit pass."""
+    from consent_based_conversion_adjustments_spark.operators.preprocess import (
+        HashedFeatureEncoder,
+    )
+
+    enc = HashedFeatureEncoder(
+        categorical_cols=("cat",), numeric_cols=("x",), n_features=16
+    )
+    df = spark.createDataFrame(
+        [(f"v{i}", float(i)) for i in range(40)] + [("v0", 0.0)], ["cat", "x"]
+    )
+    out = enc.transform(df).collect()
+    assert all(len(r["features"]) == enc.width == 17 for r in out)
+    by_cat = {}
+    for r in out:
+        by_cat.setdefault(r["cat"], []).append(tuple(r["features"][1:]))
+    # identical value → identical hashed block
+    assert by_cat["v0"][0] == by_cat["v0"][1]
+    # each row sets exactly one bucket per categorical column
+    assert all(sum(f) == 1.0 for feats in by_cat.values() for f in feats)
+    # values spread over multiple buckets
+    assert len(set(f for feats in by_cat.values() for f in feats)) > 4
