@@ -74,6 +74,59 @@ def test_stateful_streaming_user_totals(spark):
     assert got == batch
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a 30-min watermark: an event arriving
+    in a later file but event-timed before the advanced watermark is
+    dropped; on-time windows are finalized and emitted."""
+    import time as _time
+    import datetime as dt
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        df.coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)  # distinct modification times → stable file order
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    write_file("f1", [(1, t, 1.0), (1, t + dt.timedelta(minutes=50), 2.0)])
+    # late: event-time 09:00, far behind watermark max(11:50)−30min
+    write_file("f2", [(1, t - dt.timedelta(hours=1), 100.0)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = stream.groupBy(F.window("ts", "15 minutes").alias("win")).agg(
+        F.sum("value").alias("total")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        str(r["win"]["start"]): r["total"]
+        for r in spark.sql("select * from late_test").collect()
+    }
+    # append mode emits a window only once the watermark passes its end:
+    # the 10:00-10:15 window (end 10:15 < watermark 10:20) is finalized...
+    assert rows.get("2024-01-01 10:00:00") == 1.0
+    # ...while the 10:45 window (end 11:00 > watermark) is withheld as
+    # still-open state. (Dropping data later than the watermark is NOT
+    # guaranteed by Spark — only that data within the delay is kept — so
+    # this test asserts the finalization side of the contract.)
+    assert "2024-01-01 10:45:00" not in rows
+    wm = [p["eventTime"].get("watermark") for p in q.recentProgress]
+    assert "2024-01-01T10:20:00.000Z" in wm
+
+
 def test_session_formulations_agree(spark):
     """The relational gaps-and-islands sessionization must produce the same
     sessions as the built-in session_window operator."""
