@@ -167,21 +167,43 @@ def minhash_candidates(
     sigs: DataFrame, n_perm: int = N_PERMUTATIONS, band_size: int = BAND_SIZE
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become candidate
-    pairs (doc_a < doc_b, distinct). Implemented as an equi-join per band
-    stacked with unionByName — each join is a plain shuffle/broadcast hash
-    join on the band key."""
+    pairs (doc_a < doc_b, exactly once). Each band is a plain equi-join on
+    its band key; a pair colliding in several bands is emitted only by its
+    FIRST matching band (both sides carry all band keys, and band b's join
+    filters out pairs that already agreed on any band < b) — exactly-once
+    by construction, so no global ``distinct`` shuffle over the candidate
+    set is needed."""
     n_bands = n_perm // band_size
+
+    def band_key(band: int):
+        cols = [
+            f"sig_{i}" for i in range(band * band_size, (band + 1) * band_size)
+        ]
+        return F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+
+    keyed = sigs.select(
+        "doc_id", *[band_key(b).alias(f"bk_{b}") for b in range(n_bands)]
+    )
     out = None
     for band in range(n_bands):
-        cols = [f"sig_{i}" for i in range(band * band_size, (band + 1) * band_size)]
-        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-        left = sigs.select(F.col("doc_id").alias("doc_a"), key.alias("band_key"))
-        right = sigs.select(F.col("doc_id").alias("doc_b"), key.alias("band_key"))
+        left = keyed.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"bk_{b}").alias(f"a_bk_{b}") for b in range(band + 1)],
+        ).withColumnRenamed(f"a_bk_{band}", "band_key")
+        right = keyed.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"bk_{b}").alias(f"b_bk_{b}") for b in range(band + 1)],
+        ).withColumnRenamed(f"b_bk_{band}", "band_key")
         pairs = left.join(right, "band_key").filter(
             F.col("doc_a") < F.col("doc_b")
-        ).select("doc_a", "doc_b")
+        )
+        for prev in range(band):
+            pairs = pairs.filter(
+                F.col(f"a_bk_{prev}") != F.col(f"b_bk_{prev}")
+            )
+        pairs = pairs.select("doc_a", "doc_b")
         out = pairs if out is None else out.unionByName(pairs)
-    return out.distinct()
+    return out
 
 
 def minhash_neardup(
