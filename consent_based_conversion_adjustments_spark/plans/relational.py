@@ -283,6 +283,77 @@ ORDER BY l_returnflag
 """
 
 
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: groupBy + HAVING feeding a join back to the facts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM (
+    SELECT l_orderkey, sum(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: join facts against a per-group average (the
+    correlated-scalar-subquery pattern, decorrelated into a join)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (
+    SELECT l_partkey AS ak, avg(l_quantity) * 0.5 AS half_avg
+    FROM lineitem GROUP BY l_partkey) a ON l_partkey = ak
+WHERE p_brand = 'Brand#1' AND l_quantity < half_avg
+"""
+
+
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimation — engine-specific sketch, so
     rows-only in the driver check; tests assert <5% error vs exact."""
@@ -473,6 +544,8 @@ QUERIES: dict[str, tuple] = {
     "rollup_customer_segments": (rollup_customer_segments, ROLLUP_SQL),
     "cube_order_priorities": (cube_order_priorities, CUBE_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
     "salted_revenue_by_flag": (salted_revenue_by_flag, SALTED_SQL),
     "approx_distinct_parts": (approx_distinct_parts, None),
     "window_topk_orders": (window_topk_orders, WINDOW_TOPK_SQL),
