@@ -270,6 +270,60 @@ def similarity_join(
     )
 
 
+def knn_join_lsh(
+    probe: DataFrame,
+    build: DataFrame,
+    k: int,
+    feature_width: int,
+    *,
+    metric: str = "manhattan",
+    probe_id: str = "probe_id",
+    build_id: str = "build_id",
+    features: str = "features",
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate kNN join for build sides too large to broadcast.
+
+    Neither side is collected: both are signed by deterministic random
+    hyperplanes (multi-table OR-amplification, one BLAS matmul per Arrow
+    batch), candidates come from an equi-join on (table, signature) — a
+    plain shuffle hash join that scales like any relational join — and the
+    exact distance re-ranks candidates per probe. Returns ≤ k rows per
+    probe (recall governed by n_planes/n_tables). On one-hot features
+    Euclidean-style hyperplane buckets align with Manhattan ranking
+    (L2² = L1 on binary vectors, SURVEY.md §4).
+    """
+    from .similarity_search import hyperplane_signatures
+
+    q = hyperplane_signatures(
+        probe, id_col=probe_id, vec_col=features, dim=feature_width,
+        n_planes=n_planes, n_tables=n_tables,
+    ).withColumnRenamed(features, "__qf")
+    c = hyperplane_signatures(
+        build.select(build_id, features), id_col=build_id, vec_col=features,
+        dim=feature_width, n_planes=n_planes, n_tables=n_tables,
+    ).select(
+        build_id, "table_id", "lsh_sig", F.col(features).alias("__cf")
+    )
+    pairs = (
+        q.join(c, ["table_id", "lsh_sig"])
+        .dropDuplicates([probe_id, build_id])
+        .withColumn(
+            DISTANCE, metric_distance(metric, F.col("__qf"), F.col("__cf"))
+        )
+        .drop("__qf", "__cf", "table_id", "lsh_sig")
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col(DISTANCE).asc(), F.col(build_id).asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # numpy scale path
 # ---------------------------------------------------------------------------

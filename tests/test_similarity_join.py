@@ -108,6 +108,38 @@ def test_resolve_k_proportional_and_errors():
         resolve_k(0.001, 30)
 
 
+def test_knn_join_lsh_recall(spark):
+    """Bucketed approximate kNN (no broadcast of either side): returned
+    pairs carry exact distances, and recall@k vs the exact join is
+    reasonable on this fixture."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        knn_join_lsh,
+    )
+
+    probe, build = _frames(spark, n_probe=30, n_build=40, width=8, seed=9)
+    exact = {
+        (r["pid"], r["bid"]): r["distance"]
+        for r in knn_join(probe, build, 3, probe_id="pid", build_id="bid").collect()
+    }
+    approx = {
+        (r["pid"], r["bid"]): r["distance"]
+        for r in knn_join_lsh(
+            probe, build, 3, 8, probe_id="pid", build_id="bid"
+        ).collect()
+    }
+    # distances on returned pairs are the true L1 distances
+    for pair, d in approx.items():
+        if pair in exact:
+            assert d == exact[pair]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.4
+    # never more than k per probe
+    from collections import Counter
+
+    per_probe = Counter(p for p, _ in approx)
+    assert max(per_probe.values()) <= 3
+
+
 def test_min_distance_and_percentile_radius(spark):
     probe, build = _frames(spark, seed=7)
     nearest = min_distance_per_probe(probe, build, probe_id="pid", build_id="bid")
