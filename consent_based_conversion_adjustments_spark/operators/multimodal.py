@@ -66,6 +66,102 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, list[flo
     return width, height, feature
 
 
+def resize_image(
+    payload: bytes, width: int, height: int, fake: bool = False
+) -> bytes:
+    """Resize an image payload to (width, height).
+
+    STUB: real resizing needs a codec library; the deterministic fake
+    re-encodes the payload hash tagged with the target dimensions, so
+    downstream plumbing (bytes in → bytes out, metadata update) is real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resizing requires a codec library (e.g. Pillow); "
+            "re-run with fake=True for the deterministic stand-in"
+        )
+    digest = hashlib.sha256(payload).digest()
+    return b"RESZ" + width.to_bytes(2, "big") + height.to_bytes(2, "big") + digest
+
+
+def sample_frames(
+    payload: bytes, n_frames: int, fake: bool = False
+) -> list[bytes]:
+    """Sample n_frames frames from a video payload.
+
+    STUB: the deterministic fake derives each frame from the payload hash +
+    frame index; the Spark-side explode plumbing is real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video decoding requires a codec library (e.g. PyAV); "
+            "re-run with fake=True for the deterministic stand-in"
+        )
+    return [
+        hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
+        for i in range(n_frames)
+    ]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake_decode: bool = True
+) -> DataFrame:
+    """mapInPandas resize over binary payloads (stateless map, no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                out = resize_image(
+                    bytes(r["payload"] or b""), width, height, fake=fake_decode
+                )
+                rows.append(
+                    {"media_id": r["media_id"], "payload": out, "n_bytes": len(out)}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, n_frames: int, fake_decode: bool = True
+) -> DataFrame:
+    """mapInPandas frame sampling: one output row per (media, frame) — the
+    fan-out shape a video pipeline feeds into per-frame feature extraction."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames = sample_frames(
+                    bytes(r["payload"] or b""), n_frames, fake=fake_decode
+                )
+                for i, fr in enumerate(frames):
+                    rows.append(
+                        {"media_id": r["media_id"], "frame_no": i, "frame": fr}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def attach_payloads(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build a media table from the documents fixture: payload = UTF-8 bytes
     of the text (a deterministic opaque blob standing in for image bytes)."""

@@ -82,6 +82,70 @@ def test_decode_stub_contract():
     assert decode_image(b"bytes", fake=True) == (w, h, feat)  # deterministic
 
 
+def test_resize_and_frame_sample_plumbing(spark):
+    from consent_based_conversion_adjustments_spark.operators.multimodal import (
+        resize_image,
+        resize_images,
+        sample_frames,
+        sample_video_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"x", 8, 8)
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"x", 2)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    media = attach_payloads(docs, "text", "doc_id")
+    resized = resize_images(media, 32, 32).collect()
+    assert len(resized) == 20
+    assert all(r["payload"][:4] == bytearray(b"RESZ") for r in resized)
+    assert all(r["n_bytes"] == len(r["payload"]) for r in resized)
+    frames = sample_video_frames(media, 3)
+    assert frames.count() == 60
+    per = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 3 for r in per)
+    # deterministic: same payload → same frame bytes
+    f0 = {(r["media_id"], r["frame_no"]): bytes(r["frame"]) for r in frames.collect()}
+    f1 = {
+        (r["media_id"], r["frame_no"]): bytes(r["frame"])
+        for r in sample_video_frames(media, 3).collect()
+    }
+    assert f0 == f1
+
+
+def test_cli_arg_surface(tmp_path, spark):
+    """The CLI mirrors the reference pipeline's runtime surface end-to-end."""
+    from consent_based_conversion_adjustments_spark.__main__ import main
+
+    rows = [
+        (f"g{i}", "2021-11-20", 10.0 * (i + 1), i % 2 == 0) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, ["gclid", "conversion_date", "conversion_value", "consented"]
+    )
+    cpath, npath = str(tmp_path / "c"), str(tmp_path / "nc")
+    df.filter("consented").drop("consented").write.parquet(cpath)
+    df.filter("not consented").drop("consented").write.parquet(npath)
+    out = str(tmp_path / "out")
+    main(
+        [
+            "--consent-path", cpath,
+            "--noconsent-path", npath,
+            "--output-path", out,
+            "--conversion-column", "conversion_value",
+            "--id-columns", "gclid",
+            "--date-column", "conversion_date",
+            "--dates", "2021-11-20",
+            "--number-nearest-neighbors", "1",
+            "--impl", "sql",
+        ]
+    )
+    import glob
+
+    assert glob.glob(f"{out}/2021-11-20/adjustments_data/*.csv")
+    assert glob.glob(f"{out}/2021-11-20/adjustments_summary/*.csv")
+
+
 def test_multimodal_pipeline_plumbing(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     media = attach_payloads(docs, "text", "doc_id")
