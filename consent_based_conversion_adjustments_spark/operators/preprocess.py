@@ -222,6 +222,55 @@ def union_encode_split(
     return consent_out, noconsent_out, encoder
 
 
+def fit_ml_encoder(
+    df: DataFrame, categorical_cols: list[str], numeric_cols: list[str]
+):
+    """SURVEY.md §2.4 E1 option (b): the pyspark.ml encoding path —
+    StringIndexer → OneHotEncoder → VectorAssembler producing a
+    ``SparseVector`` features column. Better than the relational encoder at
+    very high cardinality (sparse storage, no literal explosion); fit it
+    over the union exactly like ``fit_encoder`` so both sides share
+    dimensions. Returns a fitted PipelineModel whose ``transform`` adds
+    ``ml_features``.
+
+    ``dropLast=False`` keeps one indicator per distinct value — the same
+    dimensions as pd.get_dummies / FeatureEncoder, so L1/L2 distances agree
+    between the two paths (up to feature order, which distances ignore).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
+
+    stages = []
+    vec_inputs = [f"{c}" for c in sorted(numeric_cols)]
+    if categorical_cols:
+        idx_cols = [f"__idx_{c}" for c in categorical_cols]
+        ohe_cols = [f"__ohe_{c}" for c in categorical_cols]
+        stages.append(
+            StringIndexer(
+                inputCols=list(categorical_cols),
+                outputCols=idx_cols,
+                stringOrderType="alphabetAsc",
+                handleInvalid="keep",
+            )
+        )
+        stages.append(
+            OneHotEncoder(inputCols=idx_cols, outputCols=ohe_cols, dropLast=False)
+        )
+        vec_inputs = vec_inputs + ohe_cols
+    stages.append(
+        VectorAssembler(inputCols=vec_inputs, outputCol="ml_features")
+    )
+    return Pipeline(stages=stages).fit(df)
+
+
+def ml_features_to_array(df: DataFrame, output_col: str = "features") -> DataFrame:
+    """Bridge the SparseVector column into the engine's ``array<double>``
+    feature layout so the same distance expressions / kernels apply."""
+    from pyspark.ml.functions import vector_to_array
+
+    return df.withColumn(output_col, vector_to_array(F.col("ml_features")))
+
+
 def split_adgroup_levels(
     df: DataFrame, adgroup_col: str = "adgroup", n_levels: int = 3, sep: str = "_"
 ) -> DataFrame:

@@ -125,6 +125,38 @@ def test_high_cardinality_guardrail(spark):
         fit_encoder(df, ["cat"], [], max_categories=10)
 
 
+def test_ml_encoder_distances_match_relational_encoder(spark, tiled_fixture):
+    """E1 option (b): the pyspark.ml pipeline encodes into the same feature
+    space (up to column order) — pairwise L1 distances must match the
+    relational encoder exactly."""
+    import itertools
+
+    import numpy as np
+
+    from consent_based_conversion_adjustments_spark.operators.preprocess import (
+        fit_encoder,
+        fit_ml_encoder,
+        ml_features_to_array,
+    )
+
+    consent, _ = tiled_fixture
+    df = consent.limit(10)
+    rel = fit_encoder(df, ["product_level"], ["a", "b"]).transform(df)
+    ml = ml_features_to_array(
+        fit_ml_encoder(df, ["product_level"], ["a", "b"]).transform(df)
+    )
+    rel_rows = {
+        r["id_column"]: np.array(r["features"]) for r in rel.collect()
+    }
+    ml_rows = {r["id_column"]: np.array(r["features"]) for r in ml.collect()}
+    assert set(rel_rows) == set(ml_rows)
+    ids = sorted(rel_rows)
+    for i, j in itertools.combinations(ids, 2):
+        d_rel = np.abs(rel_rows[i] - rel_rows[j]).sum()
+        d_ml = np.abs(ml_rows[i] - ml_rows[j]).sum()
+        assert d_rel == pytest.approx(d_ml)
+
+
 def test_hashed_encoder_fallback(spark):
     """The stateless hashed-feature path for high-cardinality columns:
     identical rows map to identical features, different values spread over
