@@ -486,6 +486,77 @@ SELECT p_size FROM part WHERE p_brand = 'Brand#2'
 # --- distinct aggregation ----------------------------------------------------
 
 
+def brand_size_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    a = part.filter(F.col("p_brand") == "Brand#1").select("p_size")
+    b = part.filter(F.col("p_brand") == "Brand#2").select("p_size")
+    # intersect = INTERSECT DISTINCT (set semantics)
+    return a.intersect(b)
+
+
+BRAND_INTERSECT_SQL = """
+SELECT p_size FROM part WHERE p_brand = 'Brand#1'
+INTERSECT
+SELECT p_size FROM part WHERE p_brand = 'Brand#2'
+"""
+
+
+def window_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, revenue in the trailing 7 days of
+    each order (event-time range frame, not row count)."""
+    orders = read_table(spark, sf_dir, "orders")
+    # NTZ timestamp → epoch seconds (session tz is UTC, matching DuckDB's
+    # naive epoch())
+    epoch = F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_7d_revenue"),
+    )
+
+
+WINDOW_ROLLING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY epoch(o_orderdate)
+           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2)
+           AS rolling_7d_revenue
+FROM orders
+"""
+
+
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: days since the customer's previous order."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", prev).alias("days_since_prev"),
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).alias(
+            "days_to_next"
+        ),
+    )
+
+
+ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+       date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev,
+       date_diff('day', o_orderdate, lead(o_orderdate) OVER w) AS days_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return (
@@ -553,6 +624,9 @@ QUERIES: dict[str, tuple] = {
     "customers_without_urgent_orders": (customers_without_urgent_orders, ANTI_JOIN_SQL),
     "parts_with_lineitems": (parts_with_lineitems, SEMI_JOIN_SQL),
     "brand_size_except": (brand_size_except, BRAND_EXCEPT_SQL),
+    "brand_size_intersect": (brand_size_intersect, BRAND_INTERSECT_SQL),
+    "window_rolling_7d_revenue": (window_rolling_7d_revenue, WINDOW_ROLLING_SQL),
+    "order_gaps": (order_gaps, ORDER_GAPS_SQL),
     "distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_SQL),
     "pivot_nation_segments": (pivot_nation_segments, PIVOT_SQL),
 }

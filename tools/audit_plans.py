@@ -1,0 +1,79 @@
+"""Plan-quality regression guard.
+
+Asserts the physical-plan properties the engine is designed around:
+filters pushed to parquet scans, pruned read schemas, broadcast joins on
+dimension sides, no shuffle in bucketed co-located joins. Run:
+
+    python tools/audit_plans.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    from consent_based_conversion_adjustments_spark.plans import (
+        cocoa_queries,
+        relational,
+    )
+    from consent_based_conversion_adjustments_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    failures: list[str] = []
+
+    def check(name: str, ok: bool, detail: str = "") -> None:
+        print(f"  [{'OK ' if ok else 'FAIL'}] {name}" + (f" — {detail}" if detail else ""))
+        if not ok:
+            failures.append(name)
+
+    p = plan_of(relational.q1_pricing_summary(spark, SF))
+    check("q1 pushes the shipdate filter", "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p)
+    check("q1 prunes unused columns", "l_comment" not in p and "ReadSchema" in p)
+    check("q1 partial aggregation", p.count("HashAggregate") >= 2)
+
+    p = plan_of(relational.q3_top_unshipped(spark, SF))
+    check("q3 broadcasts dimension sides", p.count("BroadcastHashJoin") == 2)
+
+    p = plan_of(relational.q5_nation_revenue(spark, SF))
+    check("q5 all joins broadcast at this SF", p.count("BroadcastHashJoin") == 5)
+    check("q5 no sort-merge join", "SortMergeJoin" not in p)
+
+    p = plan_of(cocoa_queries.knn_adjust(spark, SF, impl="sql"))
+    check(
+        "flagship build side broadcast (nested-loop)",
+        "BroadcastNestedLoopJoin" in p,
+    )
+
+    p = plan_of(cocoa_queries.knn_adjust(spark, SF, impl="numpy"))
+    # the only nested-loop joins allowed are the 1-row scalar attaches for
+    # the naive baseline (broadcast of a single aggregate row)
+    check("flagship numpy path has no cartesian product", "CartesianProduct" not in p)
+    check(
+        "flagship numpy path: pair generation is the Arrow kernel, not a join",
+        ("MapInPandas" in p or "ArrowEvalPython" in p)
+        and p.count("BroadcastNestedLoopJoin") <= 2,
+    )
+
+    from consent_based_conversion_adjustments_spark.plans.data_queries import (
+        dedup_minhash,
+    )
+
+    p = plan_of(dedup_minhash(spark, SF))
+    check("minhash verify broadcasts token tables", "BroadcastHashJoin" in p)
+    check("minhash has no cartesian product", "CartesianProduct" not in p)
+
+    print("ALL OK" if not failures else f"FAILED: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
