@@ -484,6 +484,35 @@ GROUP BY user_id, session_no
 """.format(r=sql_round("epoch(max(ts)) - epoch(min(ts))", 3))
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column functions: extract a typed field from the semi-structured
+    props payload and aggregate it."""
+    events = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            stable_round(F.avg(k), 4).alias("avg_k"),
+            F.count(F.when(k.isNull(), 1)).alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       {r} AS avg_k,
+       CAST(count(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                       THEN 1 END) AS BIGINT) AS n_missing
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""".format(r=sql_round("avg(CAST(json_extract_string(props, '$.k') AS BIGINT))", 4))
+
+
 def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the most recent click by the same
     user at-or-before its timestamp. Spark has no ASOF JOIN; the idiomatic
@@ -563,5 +592,6 @@ QUERIES: dict[str, tuple] = {
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_asof_attribution": (events_asof_attribution, EVENTS_ASOF_SQL),
+    "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
 }
