@@ -332,6 +332,79 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 terms by document frequency (explode →
+    count distinct docs → deterministic rank)."""
+    docs = read_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(X.tokens("text")).alias("term")
+    )
+    counts = exploded.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("term_freq"),
+    )
+    return (
+        counts.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+VOCAB_TOP_SQL = """
+SELECT term,
+       count(DISTINCT doc_id) AS doc_freq,
+       count(*) AS term_freq
+FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents)
+GROUP BY term
+ORDER BY doc_freq DESC, term
+LIMIT 20
+"""
+
+
+def corpus_clean_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed cleaning pipeline: quality-filter → token-fingerprint dedup
+    → canonical doc ids (the shape of a real pretraining-corpus pass)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    praw = X.punct_ratio("text")
+    quality = X.quality_score_in(toks, praw, X.stopword_ratio_in(toks))
+    good = docs.select("doc_id", "text").withColumn("q", quality).filter(
+        F.col("q") >= 0.5
+    )
+    return (
+        D.token_fingerprint_dedup(good, "text", "doc_id")
+        .select("canonical_id", "n_copies")
+        .orderBy("canonical_id")
+    )
+
+
+CORPUS_CLEAN_SQL = """
+WITH scored AS (
+    SELECT doc_id, text,
+           0.4 * least(len({toks}) / 50.0, 1.0)
+           + 0.3 * (1.0 - least(
+               CASE WHEN length(text) > 0 THEN
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                        AS DOUBLE) / length(text) ELSE 0.0 END * 5.0, 1.0))
+           + 0.3 * least(
+               CASE WHEN len({toks}) > 0 THEN
+                   CAST({en_hits} AS DOUBLE) / len({toks}) ELSE 0.0 END * 5.0,
+               1.0) AS q
+    FROM documents
+)
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM scored
+WHERE q >= 0.5
+GROUP BY {fp}
+ORDER BY canonical_id
+""".format(
+    toks=_TOKS.format(c="text"),
+    en_hits=_sql_stop_hits("en"),
+    fp=_sql_hash(f"array_to_string(list_sort({_DTOKS.format(c='text')}), ' ')"),
+)
+
+
 # --- similarity search -------------------------------------------------------
 
 
@@ -579,6 +652,8 @@ QUERIES: dict[str, tuple] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "vocab_top_terms": (vocab_top_terms, VOCAB_TOP_SQL),
+    "corpus_clean_ids": (corpus_clean_ids, CORPUS_CLEAN_SQL),
     "dedup_fingerprint": (dedup_fingerprint, DEDUP_FINGERPRINT_SQL),
     "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
