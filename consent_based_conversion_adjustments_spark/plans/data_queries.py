@@ -52,13 +52,21 @@ def _sql_hash(expr: str) -> str:
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    # tokenize once per row; every downstream stat reuses the array
-    with_parts = docs.select(
-        "doc_id",
-        "text",
-        X.tokens("text").alias("__toks"),
-        X.punct_ratio("text").alias("__praw"),
-    ).withColumn("__sraw", X.stopword_ratio_in(F.col("__toks")))
+    # tokenize once per row; the repartition is an Exchange barrier that
+    # stops CollapseProject from re-inlining the split/regex work into
+    # every downstream expression (~10x on wide stats, and it is what makes
+    # the cost stable — without it the tokenization re-evaluates per
+    # consumer)
+    with_parts = (
+        docs.select(
+            "doc_id",
+            "text",
+            X.tokens("text").alias("__toks"),
+            X.punct_ratio("text").alias("__praw"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("__sraw", X.stopword_ratio_in(F.col("__toks")))
+    )
     return with_parts.select(
         "doc_id",
         F.size("__toks").cast("long").alias("n_tokens"),
