@@ -101,9 +101,9 @@ def jaccard_pairs(
         .withColumnRenamed("toks", "toks_b")
     )
     pairs = a.crossJoin(b).filter(F.col("doc_id") < F.col("doc_id_b"))
+    # arrays are distinct ⇒ |union| = |a| + |b| − |∩|: one set op per pair
     inter = F.size(F.array_intersect("toks", "toks_b"))
-    union = F.size(F.array_union("toks", "toks_b"))
-    jac = inter / union
+    jac = inter / (F.size("toks") + F.size("toks_b") - inter)
     return (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
@@ -133,9 +133,8 @@ def ngram_jaccard_pairs(
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
-    jac = F.size(F.array_intersect("ga", "gb")) / F.size(
-        F.array_union("ga", "gb")
-    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    jac = inter / (F.size("ga") + F.size("gb") - inter)
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -253,13 +252,14 @@ def minhash_neardup(
     )
     # token tables are |docs| rows — broadcast so the (potentially huge)
     # candidate-pair side never shuffles
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
     verified = (
         cands.join(F.broadcast(a), "doc_a")
         .join(F.broadcast(b), "doc_b")
         .withColumn(
+            # distinct arrays ⇒ |union| = |a| + |b| − |∩| (one set op)
             "jaccard",
-            F.size(F.array_intersect("toks_a", "toks_b"))
-            / F.size(F.array_union("toks_a", "toks_b")),
+            inter / (F.size("toks_a") + F.size("toks_b") - inter),
         )
         .filter(F.col("jaccard") >= threshold)
     )

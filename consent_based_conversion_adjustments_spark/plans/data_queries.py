@@ -237,11 +237,13 @@ WITH g AS (
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-           / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+           / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+           AS jaccard
 FROM g a CROSS JOIN g b
 WHERE a.doc_id < b.doc_id
   AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+      >= 0.5
 """.format(
     toks=_TOKS.format(c="text"),
     gram_hash=_sql_hash(
