@@ -30,6 +30,12 @@ TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which vanilla Spark rejects
+        # at schema resolution (PARQUET_TYPE_ILLEGAL). The conf is
+        # runtime-settable, so set it here instead of relying on the session
+        # builder — read_table must work under any caller-provided session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong → truncate to micros
