@@ -293,17 +293,58 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def simhash_neardup_pairs(
     sigs: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
-    """Pairs within hamming distance ≤ max_hamming of the 32-bit SimHash.
+    """Pairs within hamming distance ≤ max_hamming of the 32-bit SimHash,
+    via bit-block banding (multi-index hashing).
 
-    Pairwise formulation (fine up to ~10⁵ docs); at larger scale block on
-    signature bytes first (any pair within hamming d shares one of d+1
-    disjoint bit-blocks — the same equi-join trick as MinHash banding)."""
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    Pigeonhole: a pair with hamming ≤ d agrees EXACTLY on at least one of
+    d+1 disjoint bit-blocks of the signature, so the candidate step is
+    d+1 plain equi-joins on the block values — no quadratic pass. A pair
+    agreeing on several blocks is emitted only by its FIRST agreeing block
+    (band b's join filters pairs that already agreed on any block < b), so
+    emission is exactly-once by construction and no global ``distinct``
+    shuffle is needed — the same trick as `minhash_candidates`.
+
+    Exact (recall 1.0), not approximate: banding only prunes pairs that
+    differ in every block, which a hamming-≤ d pair cannot. At 32 bits the
+    blocks are 8-bit keys; for corpora beyond ~10⁷ docs raise SIMHASH_BITS
+    to 64 so each block carries 16 bits of selectivity."""
+    n_blocks = max_hamming + 1
+    block_bits = SIMHASH_BITS // n_blocks
+    mask = (1 << block_bits) - 1
+
+    def block_val(b: int) -> Column:
+        return F.shiftright(F.col("simhash"), b * block_bits).bitwiseAND(
+            F.lit(mask)
+        )
+
+    keyed = sigs.select(
+        "doc_id",
+        "simhash",
+        *[block_val(b).alias(f"blk_{b}") for b in range(n_blocks)],
+    )
+    out = None
+    for block in range(n_blocks):
+        left = keyed.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("simhash").alias("sig_a"),
+            *[F.col(f"blk_{b}").alias(f"a_blk_{b}") for b in range(block + 1)],
+        ).withColumnRenamed(f"a_blk_{block}", "block_key")
+        right = keyed.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("sig_b"),
+            *[F.col(f"blk_{b}").alias(f"b_blk_{b}") for b in range(block + 1)],
+        ).withColumnRenamed(f"b_blk_{block}", "block_key")
+        pairs = left.join(right, "block_key").filter(
+            F.col("doc_a") < F.col("doc_b")
+        )
+        for prev in range(block):
+            pairs = pairs.filter(
+                F.col(f"a_blk_{prev}") != F.col(f"b_blk_{prev}")
+            )
+        pairs = pairs.select("doc_a", "doc_b", "sig_a", "sig_b")
+        out = pairs if out is None else out.unionByName(pairs)
     return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
+        out.withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -71,6 +71,16 @@ def main() -> int:
     check("minhash verify broadcasts token tables", "BroadcastHashJoin" in p)
     check("minhash has no cartesian product", "CartesianProduct" not in p)
 
+    from consent_based_conversion_adjustments_spark.plans.data_queries import (
+        dedup_simhash,
+    )
+
+    p = plan_of(dedup_simhash(spark, SF))
+    check(
+        "simhash pair step is bit-block equi-joins, not all-pairs",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
