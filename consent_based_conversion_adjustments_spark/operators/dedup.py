@@ -18,7 +18,7 @@ every stage has an exact DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import HASH_MOD, string_hash, tokens
@@ -142,6 +142,115 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def prefix_filter_candidates(
+    sets: DataFrame, threshold: float, items_col: str = "items"
+) -> DataFrame:
+    """Exact candidate pairs for a Jaccard-≥ threshold self-join via prefix
+    filtering (AllPairs, Bayardo et al. WWW'07) — the scale-safe EXACT
+    alternative to the quadratic all-pairs step.
+
+    Under any single global item order, a pair with J(a,b) ≥ t must share at
+    least one item inside both docs' prefixes of length
+    ``|x| − ⌈t·|x|⌉ + 1``; ordering items by ascending document frequency
+    puts the rarest items in the prefix, so the candidate equi-join on the
+    prefix item touches small groups. A size-compatibility filter
+    (J ≤ min/max sizes) prunes further. Recall is exactly 1.0 — every
+    qualifying pair survives — so the exact verify stage reproduces the
+    all-pairs result with no quadratic step anywhere.
+
+    Input: ``(doc_id, <items_col>)`` with distinct-item arrays. Output:
+    distinct ``(doc_a, doc_b)`` with doc_a < doc_b, a superset of the pairs
+    with J ≥ threshold.
+    """
+    sized = sets.select(
+        "doc_id", F.size(items_col).alias("n"), F.col(items_col).alias("items")
+    )
+    ex = sized.select("doc_id", "n", F.explode("items").alias("item"))
+    dfreq = ex.groupBy("item").agg(F.count(F.lit(1)).alias("dfreq"))
+    ranked = ex.join(dfreq, "item")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("dfreq").asc(), F.col("item").asc()
+    )
+    # ε guards float round-up at exact multiples (0.6·5 → 3.0000…04): it can
+    # only LENGTHEN the prefix, which keeps recall at 1.0
+    pref_len = F.col("n") - F.ceil(F.col("n") * threshold - 1e-9) + 1
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= pref_len)
+        .select("doc_id", "n", "item")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "item"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "item"
+    )
+    return (
+        a.join(b, "item")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("n_a", "n_b")
+            >= F.greatest("n_a", "n_b") * threshold - 1e-9
+        )
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _verify_jaccard(
+    cands: DataFrame, sets: DataFrame, threshold: float, items_col: str
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold over candidate pairs; the per-doc item
+    table is broadcast so the candidate side never shuffles."""
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col(items_col).alias("__ia")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col(items_col).alias("__ib")
+    )
+    inter = F.size(F.array_intersect("__ia", "__ib"))
+    return (
+        cands.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .withColumn(
+            "jaccard", inter / (F.size("__ia") + F.size("__ib") - inter)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_pairs_scalable(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.6
+) -> DataFrame:
+    """Distinct-token Jaccard ≥ threshold with the same output as
+    `jaccard_pairs` (the oracle semantics are unchanged) but no quadratic
+    step: prefix-filter equi-join candidates → exact verify."""
+    sets = _token_set(df, text_col, id_col)
+    cands = prefix_filter_candidates(sets, threshold, items_col="toks")
+    return _verify_jaccard(cands, sets, threshold, items_col="toks")
+
+
+def ngram_jaccard_pairs_scalable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    n: int = 3,
+) -> DataFrame:
+    """n-gram-shingle Jaccard ≥ threshold, same output as
+    `ngram_jaccard_pairs`, candidates via prefix filtering on shingle
+    hashes."""
+    from .text import shingle_hashes
+
+    sets = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingle_hashes(text_col, n)).alias("grams"),
+    )
+    cands = prefix_filter_candidates(sets, threshold, items_col="grams")
+    return _verify_jaccard(cands, sets, threshold, items_col="grams")
 
 
 def minhash_signatures(

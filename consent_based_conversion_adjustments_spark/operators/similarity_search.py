@@ -66,9 +66,18 @@ def cosine_topk(
 
 
 def plane_sign(dim: int, plane: int) -> int:
-    """Deterministic ±1 hyperplane entries (Knuth-style integer mix)."""
-    v = (dim * 2654435761 + plane * 40503 + 12345) & 0xFFFFFFFF
-    return 1 if ((v >> 7) & 1) == 1 else -1
+    """Deterministic ±1 hyperplane entries via a splitmix64 avalanche mix.
+
+    A full-avalanche mix matters here: a weaker LCG-style mix (the round-1
+    version) produced visibly correlated planes, and the measured per-pair
+    miss rate was ~100× the independence model's prediction — recall
+    guarantees derived from 1−(1−p^planes)^tables are only valid when the
+    sign matrix behaves like i.i.d. Rademacher entries."""
+    x = (dim * 1000003 + plane + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x = x ^ (x >> 31)
+    return 1 if (x & 1) == 1 else -1
 
 
 def _plane_matrix(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
@@ -101,6 +110,23 @@ def hyperplane_signatures(
     pandas UDF (a 2560-term Catalyst expression tree spends more time in
     codegen than the data takes to scan); output explodes to
     (row, table_id, lsh_sig)."""
+    tables = F.posexplode(
+        _signature_array(vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables)
+    )
+    return df.select("*", tables).withColumnRenamed(
+        "pos", "table_id"
+    ).withColumnRenamed("col", "lsh_sig")
+
+
+def _signature_array(
+    vec_col: str,
+    *,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+) -> Column:
+    """``array<long>`` of all tables' sign signatures for one vector — one
+    BLAS matmul per Arrow batch."""
     planes = _plane_matrix(dim, n_planes, n_tables)
     weights = (2 ** np.arange(n_planes, dtype=np.int64))
 
@@ -111,10 +137,7 @@ def hyperplane_signatures(
         sigs = bits.reshape(len(V), -1, len(weights)) @ weights
         return pd.Series(list(sigs.astype(np.int64)))
 
-    tables = F.posexplode(signatures(F.col(vec_col)))
-    return df.select("*", tables).withColumnRenamed(
-        "pos", "table_id"
-    ).withColumnRenamed("col", "lsh_sig")
+    return signatures(F.col(vec_col))
 
 
 def lsh_topk(
@@ -211,12 +234,74 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b."""
+    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+
+    All-pairs form — the exact baseline and the verify-stage helper; the
+    registered/scale path is `cosine_neardup_lsh`."""
     a = df.select(F.col(id_col).alias("id_a"), _cast_double(vec_col).alias("__a"))
     b = df.select(F.col(id_col).alias("id_b"), _cast_double(vec_col).alias("__b"))
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("__a"), F.col("__b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_neardup_lsh(
+    df: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 3,
+    n_tables: int = 24,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via hyperplane-LSH candidates + exact
+    cosine verify — no quadratic step; the candidate stage is an equi-join
+    on (table_id, signature).
+
+    Exactly-once emission without a `distinct` shuffle: each side carries
+    the full per-table signature array, and a pair is kept only at its
+    FIRST agreeing table (``array_position`` of the elementwise-equality
+    zip) — the same trick as MinHash/SimHash banding.
+
+    Recall model (per qualifying pair): miss = (1 − p^planes)^tables with
+    p = 1 − θ/π. The defaults (3, 24) give miss ≈ 5·10⁻⁴ at cosine 0.45 —
+    chosen because the synthetic corpus' near-dups sit just above that
+    adversarially low threshold, where ANY angular LSH has weak
+    selectivity (p_match 0.65 vs p_random 0.5). At real near-dup
+    thresholds (cosine ≥ 0.9, p ≥ 0.86) the same operator prunes sharply
+    with fewer tables. Signatures are deterministic, so a verified match
+    against the exact oracle is stable run-to-run."""
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        _cast_double(vec_col).alias("__v"),
+        _signature_array(
+            vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables
+        ).alias("__sigs"),
+    )
+    a = sigs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__a"),
+        F.col("__sigs").alias("__sa"),
+        F.posexplode("__sigs").alias("table_id", "lsh_sig"),
+    )
+    b = sigs.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__b"),
+        F.col("__sigs").alias("__sb"),
+        F.posexplode("__sigs").alias("table_id", "lsh_sig"),
+    )
+    first_match = F.array_position(
+        F.zip_with("__sa", "__sb", lambda x, y: x == y), True
+    )
+    return (
+        a.join(b, ["table_id", "lsh_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("table_id") + 1 == first_match)
         .withColumn("cosine", cosine_similarity(F.col("__a"), F.col("__b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

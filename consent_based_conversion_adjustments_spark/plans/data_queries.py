@@ -19,7 +19,7 @@ from ..operators import dedup as D
 from ..operators import text as X
 from ..operators.multimodal import binary_metadata
 from ..operators.similarity_search import (
-    cosine_neardup_pairs,
+    cosine_neardup_lsh,
     cosine_topk,
     ivf_topk,
     lsh_topk,
@@ -206,8 +206,13 @@ GROUP BY 1
 
 
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard self-join, scale-safe route: prefix-filter
+    candidates (recall 1.0) + exact verify — the oracle below is the plain
+    all-pairs SQL, unchanged, because the output is identical."""
     docs = read_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, "text", "doc_id", threshold=JACCARD_THRESHOLD)
+    return D.jaccard_pairs_scalable(
+        docs, "text", "doc_id", threshold=JACCARD_THRESHOLD
+    )
 
 
 DEDUP_JACCARD_SQL = f"""
@@ -223,8 +228,12 @@ WHERE a.doc_id < b.doc_id
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle Jaccard self-join via prefix-filter candidates +
+    exact verify (no quadratic step; output identical to all-pairs)."""
     docs = read_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, n=3)
+    return D.ngram_jaccard_pairs_scalable(
+        docs, "text", "doc_id", threshold=0.5, n=3
+    )
 
 
 DEDUP_NGRAM_SQL = """
@@ -484,8 +493,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact cosine verify; the oracle below stays the
+    exact all-pairs SQL — parity at this corpus/threshold is asserted by
+    the driver gate and tests/test_search.py (see cosine_neardup_lsh's
+    recall model)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    out = cosine_neardup_pairs(emb, NEARDUP_COSINE)
+    out = cosine_neardup_lsh(emb, NEARDUP_COSINE)
     return out.select(
         "id_a", "id_b", stable_round("cosine", 6).alias("cosine")
     )

@@ -134,3 +134,57 @@ def test_winnow_shingle_fingerprints_detect_overlap(spark, docs_df):
     overlap_15 = len(fps[1] & fps[5]) / len(fps[1] | fps[5])
     assert overlap_15 > 0.3
     assert not (fps[1] & fps[4])
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_prefix_filter_matches_all_pairs(spark, threshold):
+    """The prefix-filter route (equi-join candidates + verify) must emit
+    exactly the all-pairs result at every threshold — recall is 1.0 by the
+    AllPairs prefix theorem, not probabilistic."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, "text", "doc_id", threshold).collect()
+    }
+    fast = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_pairs_scalable(
+            docs, "text", "doc_id", threshold
+        ).collect()
+    }
+    assert fast == exact
+
+
+def test_ngram_prefix_filter_matches_all_pairs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", 0.5, 3).collect()
+    }
+    fast = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs_scalable(
+            docs, "text", "doc_id", 0.5, 3
+        ).collect()
+    }
+    assert fast == exact
+
+
+def test_simhash_banding_matches_all_pairs(spark):
+    """Bit-block banding is exact by pigeonhole: compare against a direct
+    pairwise hamming computation in Python."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in D.simhash_signatures(docs, "text", "doc_id").collect()}
+    expected = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_neardup_pairs(
+            D.simhash_signatures(docs, "text", "doc_id"), 3
+        ).collect()
+    }
+    assert got == expected

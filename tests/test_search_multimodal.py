@@ -162,3 +162,23 @@ def test_multimodal_pipeline_plumbing(spark):
         assert r["content_sha"] == hashlib.sha256(payload).hexdigest()
         assert len(r["feature"]) == 8
     assert feats.count() == docs.count()
+
+
+def test_lsh_neardup_matches_exact(spark, emb):
+    """The registered LSH near-dup route must reproduce the exact all-pairs
+    result on this corpus (deterministic planes; recall model in the
+    operator docstring)."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_search import (
+        cosine_neardup_lsh,
+        cosine_neardup_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in cosine_neardup_pairs(emb, 0.45).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in cosine_neardup_lsh(emb, 0.45).collect()
+    }
+    assert got == exact

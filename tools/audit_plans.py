@@ -81,6 +81,24 @@ def main() -> int:
         "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
     )
 
+    from consent_based_conversion_adjustments_spark.plans.data_queries import (
+        dedup_jaccard,
+        dedup_ngram_jaccard,
+        embedding_neardup,
+    )
+
+    for name, fn in [
+        ("jaccard prefix-filter", dedup_jaccard),
+        ("ngram-jaccard prefix-filter", dedup_ngram_jaccard),
+        ("embedding neardup LSH", embedding_neardup),
+    ]:
+        p = plan_of(fn(spark, SF))
+        check(
+            f"{name} has no quadratic join",
+            "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
