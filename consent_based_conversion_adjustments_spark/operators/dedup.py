@@ -314,6 +314,41 @@ def minhash_candidates(
     return out
 
 
+BITMAP_VOCAB_MAX = 64
+
+
+def _bitmap_masks(hashes: DataFrame) -> DataFrame | None:
+    """Dictionary-encoded bitmap form of the per-doc token-hash sets.
+
+    When the corpus' distinct token-hash vocabulary fits in 64 dense ids
+    (one cheap distinct-aggregate probe — the same exploded-token pass the
+    signature stage already makes), each doc's set becomes a single LONG
+    bitmask and set intersection in the verify stage collapses to
+    ``bit_count(a & b)`` — pure whole-stage-codegen integer ops, no array
+    materialization through the joins. This is the classic bitmap-index
+    trick for dictionary-encodable set columns; corpora with larger
+    vocabularies return None and take the sorted-array intersect path.
+
+    Returns ``(doc_id, mask, n)`` or None.
+    """
+    distinct_h = hashes.select(F.explode("tok_hashes").alias("h")).distinct()
+    vocab = [r["h"] for r in distinct_h.limit(BITMAP_VOCAB_MAX + 1).collect()]
+    if not vocab or len(vocab) > BITMAP_VOCAB_MAX:
+        return None
+    pairs = []
+    for i, h in enumerate(sorted(vocab)):
+        pairs.extend([F.lit(h), F.lit(1 << i).cast("long")])
+    bit_of = F.create_map(*pairs)
+    mask = F.aggregate(
+        "tok_hashes",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(F.element_at(bit_of, x)),
+    )
+    return hashes.select(
+        "doc_id", mask.alias("mask"), F.size("tok_hashes").alias("n")
+    )
+
+
 def minhash_neardup(
     df: DataFrame,
     text_col: str,
@@ -353,14 +388,39 @@ def minhash_neardup(
             .select("doc_a", "doc_b")
         )
     hashes = _token_hash_set(df, text_col, id_col)
+    # token tables are |docs| rows — broadcast so the (potentially huge)
+    # candidate-pair side never shuffles
+    bitmaps = _bitmap_masks(hashes)
+    if bitmaps is not None:
+        # dictionary-encodable vocabulary: verify is bit_count(a & b) —
+        # identical jaccard values (the dense-id map is injective on the
+        # token hashes the oracle intersects), no arrays in the hot path
+        a = bitmaps.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("mask").alias("__ma"),
+            F.col("n").alias("__na"),
+        )
+        b = bitmaps.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("mask").alias("__mb"),
+            F.col("n").alias("__nb"),
+        )
+        inter = F.bit_count(F.col("__ma").bitwiseAND(F.col("__mb")))
+        verified = (
+            cands.join(F.broadcast(a), "doc_a")
+            .join(F.broadcast(b), "doc_b")
+            .withColumn(
+                "jaccard", inter / (F.col("__na") + F.col("__nb") - inter)
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return verified.select("doc_a", "doc_b", "jaccard")
     a = hashes.select(
         F.col("doc_id").alias("doc_a"), F.col("tok_hashes").alias("toks_a")
     )
     b = hashes.select(
         F.col("doc_id").alias("doc_b"), F.col("tok_hashes").alias("toks_b")
     )
-    # token tables are |docs| rows — broadcast so the (potentially huge)
-    # candidate-pair side never shuffles
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     verified = (
         cands.join(F.broadcast(a), "doc_a")

@@ -188,3 +188,59 @@ def test_simhash_banding_matches_all_pairs(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_minhash_bitmap_and_array_verify_agree(spark):
+    """minhash_neardup's bitmap fast path (vocab ≤ 64 dense ids) and the
+    general sorted-array verify must emit identical pairs. Build one corpus
+    under each regime from the same near-dup structure."""
+    import random
+
+    rng = random.Random(7)
+    small_vocab = [f"w{i}" for i in range(40)]
+    big_vocab = [f"w{i}" for i in range(200)]
+
+    def corpus(vocab):
+        rows = []
+        for d in range(60):
+            base = rng.sample(vocab, 12)
+            rows.append((2 * d, " ".join(base)))
+            near = base[:10] + rng.sample(vocab, 2)  # likely-near-dup twin
+            rows.append((2 * d + 1, " ".join(near)))
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for vocab in (small_vocab, big_vocab):
+        df = corpus(vocab)
+        hashes = D._token_hash_set(df, "text", "doc_id")
+        bm = D._bitmap_masks(hashes)
+        if vocab is small_vocab:
+            assert bm is not None  # fast path engaged
+        else:
+            assert bm is None  # falls back to array intersect
+        got = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in D.minhash_neardup(df, "text", "doc_id", 0.6).collect()
+        }
+        # oracle: replicate signatures→banding→verify in python
+        sigs = {
+            r["doc_id"]: [r[f"sig_{i}"] for i in range(D.N_PERMUTATIONS)]
+            for r in D.minhash_signatures(df, "text", "doc_id").collect()
+        }
+        toks = {r["doc_id"]: set(r["tok_hashes"]) for r in hashes.collect()}
+        n_bands = D.N_PERMUTATIONS // D.BAND_SIZE
+        expected = {}
+        for a in sigs:
+            for b in sigs:
+                if a >= b:
+                    continue
+                shares_band = any(
+                    sigs[a][k * D.BAND_SIZE:(k + 1) * D.BAND_SIZE]
+                    == sigs[b][k * D.BAND_SIZE:(k + 1) * D.BAND_SIZE]
+                    for k in range(n_bands)
+                )
+                if not shares_band:
+                    continue
+                j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+                if j >= 0.6:
+                    expected[(a, b)] = round(j, 9)
+        assert got == expected
