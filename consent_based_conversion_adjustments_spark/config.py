@@ -11,7 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
-VALID_METRICS = ("manhattan", "euclidean", "cosine", "hamming")
+VALID_METRICS = ("manhattan", "euclidean", "cosine", "hamming", "chebyshev")
 
 
 @dataclass(frozen=True)
@@ -36,9 +36,14 @@ class AdjustmentConfig:
     percentile: float | None = None
 
     def __post_init__(self) -> None:
-        if self.metric not in VALID_METRICS:
+        from .functions.distance import parse_minkowski
+
+        # sklearn-style parametrized L_p: "minkowski:<p>" (the reference
+        # forwards any sklearn metric, nearest_consented_customers.py:50)
+        if self.metric not in VALID_METRICS and parse_minkowski(self.metric) is None:
             raise ValueError(
-                f"metric must be one of {VALID_METRICS}, got {self.metric!r}"
+                f"metric must be one of {VALID_METRICS} or 'minkowski:<p>', "
+                f"got {self.metric!r}"
             )
         modes = [
             self.number_nearest_neighbors is not None,

@@ -70,6 +70,38 @@ def l2_distance_unrolled(a: Column, b: Column, width: int) -> Column:
     return F.sqrt(_unrolled_sum(a, b, width, lambda x, y: (x - y) * (x - y)))
 
 
+def chebyshev_distance(a: Column, b: Column) -> Column:
+    """L∞ distance  max|a_i − b_i| (sklearn metric='chebyshev')."""
+    return F.array_max(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
+
+
+def chebyshev_distance_unrolled(a: Column, b: Column, width: int) -> Column:
+    terms = [
+        F.abs(F.element_at(a, i + 1) - F.element_at(b, i + 1))
+        for i in range(width)
+    ]
+    return F.greatest(*terms) if len(terms) > 1 else terms[0]
+
+
+def minkowski_distance(a: Column, b: Column, p: float) -> Column:
+    """L_p distance  (Σ|a_i − b_i|^p)^(1/p) (sklearn metric='minkowski')."""
+    return F.pow(
+        _fold_sum(F.zip_with(a, b, lambda x, y: F.pow(F.abs(x - y), F.lit(p)))),
+        F.lit(1.0 / p),
+    )
+
+
+def minkowski_distance_unrolled(
+    a: Column, b: Column, width: int, p: float
+) -> Column:
+    return F.pow(
+        _unrolled_sum(
+            a, b, width, lambda x, y: F.pow(F.abs(x - y), F.lit(p))
+        ),
+        F.lit(1.0 / p),
+    )
+
+
 def cosine_distance(a: Column, b: Column) -> Column:
     """1 − cosine similarity; zero vectors are maximally distant (1.0),
     matching sklearn's convention for degenerate inputs."""
@@ -83,9 +115,34 @@ def hamming_distance(a: Column, b: Column) -> Column:
     )
 
 
+def parse_minkowski(metric: str) -> float | None:
+    """``"minkowski:<p>"`` → p (sklearn-style parametrized metric; the
+    reference forwards ``metric`` + params straight to sklearn,
+    nearest_consented_customers.py:50). Returns None for other metrics."""
+    if not metric.startswith("minkowski:"):
+        return None
+    p = float(metric.split(":", 1)[1])
+    if not p >= 1.0:
+        raise ValueError(f"minkowski p must be >= 1, got {p}")
+    return p
+
+
 def metric_distance(
     metric: str, a: Column, b: Column, width: int | None = None
 ) -> Column:
+    p = parse_minkowski(metric)
+    if p is not None:
+        return (
+            minkowski_distance_unrolled(a, b, width, p)
+            if width
+            else minkowski_distance(a, b, p)
+        )
+    if metric == "chebyshev":
+        return (
+            chebyshev_distance_unrolled(a, b, width)
+            if width
+            else chebyshev_distance(a, b)
+        )
     if metric == "manhattan":
         return l1_distance_unrolled(a, b, width) if width else l1_distance(a, b)
     if metric == "euclidean":

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import AdjustmentConfig
-from ..functions.distance import metric_distance
+from ..functions.distance import metric_distance, parse_minkowski
 
 BUILD_FEATURES = "__build_features"
 DISTANCE = "distance"
@@ -370,6 +370,13 @@ def _chunk_distances(
         return 1.0 - sim
     if metric == "hamming":
         return (X[:, None, :] != B[None, :, :]).sum(axis=2).astype(np.float64)
+    if metric == "chebyshev":
+        return np.abs(X[:, None, :] - B[None, :, :]).max(axis=2)
+    p = parse_minkowski(metric)
+    if p is not None:
+        return (np.abs(X[:, None, :] - B[None, :, :]) ** p).sum(axis=2) ** (
+            1.0 / p
+        )
     raise ValueError(f"unsupported metric: {metric!r}")
 
 

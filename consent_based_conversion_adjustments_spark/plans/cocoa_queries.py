@@ -100,6 +100,22 @@ def knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(result.matched_pairs)
 
 
+def knn_minkowski(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN pairs under the parametrized minkowski:3 metric — exercises the
+    sklearn-style metric pass-through (reference forwards any sklearn
+    metric string, nearest_consented_customers.py:50); on one-hot features
+    the closed form is (2·#differing-blocks)^(1/3)."""
+    consent, noconsent = consent_split(spark, sf_dir)
+    result = run_adjustment(
+        consent,
+        noconsent,
+        _config(number_nearest_neighbors=3, metric="minkowski:3"),
+    )
+    return _pairs(result.matched_pairs).select(
+        "probe_id", "consent_id", stable_round("distance", 6).alias("distance")
+    )
+
+
 def knn_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k < 1 ⇒ proportional to the build side (J2 proportional-k)."""
     consent, noconsent = consent_split(spark, sf_dir)
@@ -294,6 +310,26 @@ KNN_PAIRS_SQL = (
     + "\nSELECT probe_id, consent_id, distance FROM topk"
 )
 
+KNN_MINKOWSKI_SQL = (
+    _PRELUDE
+    + """
+, mink AS (
+    -- one-hot closed form: Σ|a−b|³ equals the L1 sum (all terms 0/1), so
+    -- minkowski:3 distance = pow(L1, 1/3)
+    SELECT probe_id, consent_id, probe_value,
+           pow(distance, 1.0/3) AS distance
+    FROM pairs
+),
+topk AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY distance, consent_id) AS rn
+        FROM mink) WHERE rn <= 3
+)
+SELECT probe_id, consent_id, {r} AS distance FROM topk
+""".format(r=sql_round("distance", 6))
+)
+
 KNN_PROPORTIONAL_SQL = (
     _PRELUDE
     + """
@@ -434,6 +470,7 @@ QUERIES: dict[str, tuple] = {
         NEAREST_DISTANCE_STATS_SQL,
     ),
     "cocoa_knn_pairs": (knn_pairs, KNN_PAIRS_SQL),
+    "cocoa_knn_minkowski": (knn_minkowski, KNN_MINKOWSKI_SQL),
     "cocoa_knn_proportional": (knn_proportional, KNN_PROPORTIONAL_SQL),
     "cocoa_radius_adjust": (radius_adjust, RADIUS_ADJUST_SQL),
     "cocoa_radius_summary": (radius_summary, RADIUS_SUMMARY_SQL),

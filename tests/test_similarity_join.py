@@ -51,7 +51,10 @@ def test_knn_returns_exactly_k_per_probe(spark, impl):
     assert all(r["count"] == 4 for r in counts)
 
 
-@pytest.mark.parametrize("metric", ["manhattan", "euclidean", "cosine", "hamming"])
+@pytest.mark.parametrize(
+    "metric",
+    ["manhattan", "euclidean", "cosine", "hamming", "chebyshev", "minkowski:3"],
+)
 def test_impls_agree(spark, metric):
     probe, build = _frames(spark, n_probe=23, n_build=17, width=6)
     a = (
