@@ -20,6 +20,8 @@ right trade at 100 TB where one date's data alone exceeds a node.
 
 from __future__ import annotations
 
+import datetime
+import logging
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,12 +38,20 @@ from .sources.io import scan_between_dates, write_adjustments_csv
 PROBE_ID = "__probe_row_id"
 CONSENT_ID = "__consent_row_id"
 
+logger = logging.getLogger(__name__)
+
 
 @dataclass
 class AdjustmentResult:
     data_adjusted: DataFrame
     summary: DataFrame
     matched_pairs: DataFrame
+    #: probes that found no neighbor (non-empty only in radius / percentile
+    #: mode, or when the build side is empty) — the distributed form of the
+    #: reference's per-customer "No matching customers within radius_value"
+    #: warning (nearest_consented_customers.py:178-179). Lazy anti-join;
+    #: count it to surface the diagnostic.
+    unmatched_probes: DataFrame | None = None
 
 
 def _row_id(df: DataFrame, id_columns: list[str], name: str) -> DataFrame:
@@ -51,6 +61,14 @@ def _row_id(df: DataFrame, id_columns: list[str], name: str) -> DataFrame:
     (nearest_consented_customers.py:317-319, J7); Spark has no positional
     index, so the id columns themselves are the key — this is exactly the
     index→id resolution step J7 dissolving into the join.
+
+    REQUIREMENT: the id-column tuple must be unique per row on each side.
+    The reference tolerates duplicate ids because its key is positional;
+    here a duplicated consent id would receive the full aggregated share
+    once per copy (double-counting) and duplicated probe ids would merge
+    distinct probes into one softmax window. ``run_adjustment(...,
+    check_id_uniqueness=True)`` asserts this cheaply (count vs
+    countDistinct) before running.
     """
     if len(id_columns) == 1:
         return df.withColumn(name, F.col(id_columns[0]))
@@ -64,8 +82,14 @@ def run_adjustment(
     *,
     impl: str = "sql",
     feature_engineering=None,
+    check_id_uniqueness: bool = False,
 ) -> AdjustmentResult:
-    """The full per-date adjustment query. Returns lazy DataFrames."""
+    """The full per-date adjustment query. Returns lazy DataFrames.
+
+    ``check_id_uniqueness`` runs one eager count-vs-countDistinct pass per
+    side and raises if the configured id columns do not key rows uniquely
+    (see ``_row_id`` for why duplicates would silently double-count).
+    """
     consent_p, noconsent_p, encoder = union_encode_split(
         consent, noconsent, config, feature_engineering=feature_engineering
     )
@@ -76,6 +100,18 @@ def run_adjustment(
     build = _row_id(consent_p, config.id_columns, CONSENT_ID).select(
         CONSENT_ID, *keep, "features"
     )
+    if check_id_uniqueness:
+        for side, df, key in (("probe", probe, PROBE_ID), ("build", build, CONSENT_ID)):
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(F.col(key)).alias("d"),
+            ).first()
+            if row["n"] != row["d"]:
+                raise ValueError(
+                    f"id columns {config.id_columns} are not unique on the "
+                    f"{side} side ({row['n']} rows, {row['d']} distinct keys) "
+                    "— duplicates would double-count in the scatter-add"
+                )
     pairs = similarity_join(
         probe,
         build,
@@ -105,8 +141,14 @@ def run_adjustment(
         probe_id=PROBE_ID,
         conversion_column=config.conversion_column,
     )
+    unmatched = probe.drop("features").join(
+        pairs.select(PROBE_ID), on=PROBE_ID, how="left_anti"
+    )
     return AdjustmentResult(
-        data_adjusted=data_adjusted, summary=summary, matched_pairs=pairs
+        data_adjusted=data_adjusted,
+        summary=summary,
+        matched_pairs=pairs,
+        unmatched_probes=unmatched,
     )
 
 
@@ -125,16 +167,34 @@ def run_dates(
     if config.date_column is None:
         raise ValueError("run_dates requires config.date_column")
     for date in dates:
-        end = (
-            spark.sql(f"select date_add(date'{date}', 1)").first()[0].isoformat()
-        )
+        end = _next_day(date)
         c = scan_between_dates(consent, config.date_column, date, end)
         nc = scan_between_dates(noconsent, config.date_column, date, end)
         result = run_adjustment(c, nc, config, impl=impl)
         write_adjustments_csv(
             result.data_adjusted, result.summary, output_path, date
         )
+        if config.radius is not None or config.percentile is not None:
+            # reference logs "No matching customers within radius_value ..."
+            # per probe (nearest_consented_customers.py:178-179); here one
+            # count over the persisted pairs' anti-join per date
+            n_unmatched = result.unmatched_probes.count()
+            if n_unmatched:
+                logger.warning(
+                    "%s: %d probes found no consented customer within the "
+                    "configured radius — their conversions were not "
+                    "redistributed",
+                    date,
+                    n_unmatched,
+                )
         result.matched_pairs.unpersist()
+
+
+def _next_day(date: str) -> str:
+    """``date + 1 day`` on the driver — no Spark job for date arithmetic."""
+    return (
+        datetime.date.fromisoformat(date) + datetime.timedelta(days=1)
+    ).isoformat()
 
 
 def prepare_pipeline_input(
@@ -181,9 +241,7 @@ def run_dates_partitioned(
         raise ValueError("run_dates_partitioned requires config.date_column")
     out = None
     for date in dates:
-        end = (
-            spark.sql(f"select date_add(date'{date}', 1)").first()[0].isoformat()
-        )
+        end = _next_day(date)
         c = scan_between_dates(consent, config.date_column, date, end)
         nc = scan_between_dates(noconsent, config.date_column, date, end)
         result = run_adjustment(c, nc, config, impl=impl)

@@ -159,3 +159,45 @@ def test_naive_adjustment_uniform_smear(spark, tiled_fixture):
     smear = (6.0 * 5 + 9.0 * 5 + 12.0 * 5) / 30
     expected = adjusted["conversion_column"] + smear
     assert (adjusted["naive_adjusted_conversion"] - expected).abs().max() < 1e-9
+
+
+def test_unmatched_probe_diagnostics(spark, tiled_fixture):
+    """Radius-join no-match surface (reference logs 'No matching customers
+    within radius_value', nearest_consented_customers.py:178-179): probes
+    outside the radius appear in unmatched_probes, matched ones do not,
+    and the counts partition the probe side."""
+    consent, noconsent = tiled_fixture
+    cfg = AdjustmentConfig(
+        conversion_column="conversion_column",
+        id_columns=["id_column"],
+        radius=2.0,
+    )
+    result = run_adjustment(consent, noconsent, cfg)
+    n_probe = noconsent.count()
+    matched = {
+        r["__probe_row_id"]
+        for r in result.matched_pairs.select("__probe_row_id").distinct().collect()
+    }
+    unmatched = {
+        r["__probe_row_id"] for r in result.unmatched_probes.collect()
+    }
+    assert matched.isdisjoint(unmatched)
+    assert len(matched) + len(unmatched) == n_probe
+    assert len(unmatched) > 0  # the tiled fixture has out-of-radius probes
+    # kNN mode matches every probe → empty diagnostic
+    knn = run_adjustment(consent, noconsent, CFG_K1)
+    assert knn.unmatched_probes.count() == 0
+
+
+def test_duplicate_id_check(spark, tiled_fixture):
+    consent, noconsent = tiled_fixture
+    dup_consent = consent.union(consent.limit(1))
+    cfg = AdjustmentConfig(
+        conversion_column="conversion_column",
+        id_columns=["id_column"],
+        number_nearest_neighbors=1,
+    )
+    with pytest.raises(ValueError, match="not unique on the build side"):
+        run_adjustment(dup_consent, noconsent, cfg, check_id_uniqueness=True)
+    # clean ids pass the check
+    run_adjustment(consent, noconsent, cfg, check_id_uniqueness=True)
