@@ -2,27 +2,42 @@
 
 Image/audio/video payloads are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched Pandas UDFs over ``mapInPandas``. The decode step itself is
-STUBBED (no codec libraries in this container — ``decode_image`` raises
-``NotImplementedError`` unless the deterministic fake is requested); the
-Spark-side plumbing — schema, batch iteration, partitioning, UDF signature
-— is real and tested.
+Arrow-batched Pandas UDFs over ``mapInPandas``. Codec resolution is layered:
+
+- ``fake=True`` → a deterministic stand-in (dimensions/features derived
+  from the payload hash) so the distributed plumbing is exercisable in any
+  environment;
+- otherwise, if Pillow imports, images decode/resize for real;
+- otherwise ``NotImplementedError`` — an honest environment limitation,
+  not a silent wrong answer. Video frame sampling stays stubbed (needs
+  PyAV, not present here) behind the same contract.
 
 Scale: payload columns stay opaque bytes end-to-end (no driver collect);
 ``mapInPandas`` streams Arrow batches, so per-executor memory is bounded by
-``spark.sql.execution.arrow.maxRecordsPerBatch`` × payload size, and the
-operator is a stateless map — no shuffle.
+``spark.sql.execution.arrow.maxRecordsPerBatch`` × payload size, and every
+operator is a stateless map — no shuffle. Per-item codec work is inherently
+per-payload Python; the batch bookkeeping around it is vectorized (no
+``iterrows``).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional codec — absent in this container, used when available
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover - environment dependent
+    _PILImage = None
+    _HAS_PIL = False
 
 
 MEDIA_SCHEMA = T.StructType(
@@ -49,21 +64,28 @@ FEATURE_SCHEMA = T.StructType(
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, list[float]]:
     """Decode an image payload → (width, height, 8-dim feature).
 
-    Real decoding requires an image codec library not present in this
-    container; ``fake=True`` selects a deterministic stand-in (dimensions
-    and features derived from the payload hash) so the distributed plumbing
-    is fully exercisable in tests.
+    ``fake=True`` selects the deterministic stand-in; otherwise Pillow is
+    used when importable (feature = mean intensity of a 2×4 grayscale
+    grid), else NotImplementedError.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires a codec library (e.g. Pillow); "
-            "re-run with fake=True for the deterministic stand-in"
-        )
-    digest = hashlib.sha256(payload).digest()
-    width = 16 + digest[0] % 64
-    height = 16 + digest[1] % 64
-    feature = [digest[2 + i] / 255.0 for i in range(8)]
-    return width, height, feature
+    if fake:
+        digest = hashlib.sha256(payload).digest()
+        width = 16 + digest[0] % 64
+        height = 16 + digest[1] % 64
+        feature = [digest[2 + i] / 255.0 for i in range(8)]
+        return width, height, feature
+    if _HAS_PIL:
+        img = _PILImage.open(io.BytesIO(payload)).convert("L")
+        width, height = img.size
+        # 2 rows × 4 cols of mean intensities — a deterministic, library-
+        # stable 8-dim descriptor
+        small = img.resize((4, 2))
+        feature = [px / 255.0 for px in small.getdata()]
+        return width, height, feature
+    raise NotImplementedError(
+        "image decoding requires a codec library (e.g. Pillow); "
+        "re-run with fake=True for the deterministic stand-in"
+    )
 
 
 def resize_image(
@@ -71,17 +93,23 @@ def resize_image(
 ) -> bytes:
     """Resize an image payload to (width, height).
 
-    STUB: real resizing needs a codec library; the deterministic fake
-    re-encodes the payload hash tagged with the target dimensions, so
-    downstream plumbing (bytes in → bytes out, metadata update) is real.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image resizing requires a codec library (e.g. Pillow); "
-            "re-run with fake=True for the deterministic stand-in"
+    ``fake=True`` re-encodes the payload hash tagged with the target
+    dimensions (bytes in → bytes out plumbing stays real); otherwise
+    Pillow resizes and re-encodes as PNG when importable."""
+    if fake:
+        digest = hashlib.sha256(payload).digest()
+        return (
+            b"RESZ" + width.to_bytes(2, "big") + height.to_bytes(2, "big") + digest
         )
-    digest = hashlib.sha256(payload).digest()
-    return b"RESZ" + width.to_bytes(2, "big") + height.to_bytes(2, "big") + digest
+    if _HAS_PIL:
+        img = _PILImage.open(io.BytesIO(payload)).resize((width, height))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+    raise NotImplementedError(
+        "image resizing requires a codec library (e.g. Pillow); "
+        "re-run with fake=True for the deterministic stand-in"
+    )
 
 
 def sample_frames(
@@ -89,9 +117,9 @@ def sample_frames(
 ) -> list[bytes]:
     """Sample n_frames frames from a video payload.
 
-    STUB: the deterministic fake derives each frame from the payload hash +
-    frame index; the Spark-side explode plumbing is real.
-    """
+    STUB: real video decode needs PyAV (absent here); the deterministic
+    fake derives each frame from the payload hash + frame index, keeping
+    the Spark-side explode plumbing real."""
     if not fake:
         raise NotImplementedError(
             "video decoding requires a codec library (e.g. PyAV); "
@@ -120,6 +148,10 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _payload_bytes(s: pd.Series) -> list[bytes]:
+    return [bytes(p) if p is not None else b"" for p in s.tolist()]
+
+
 def resize_images(
     media: DataFrame, width: int, height: int, fake_decode: bool = True
 ) -> DataFrame:
@@ -127,15 +159,17 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                out = resize_image(
-                    bytes(r["payload"] or b""), width, height, fake=fake_decode
-                )
-                rows.append(
-                    {"media_id": r["media_id"], "payload": out, "n_bytes": len(out)}
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+            outs = [
+                resize_image(p, width, height, fake=fake_decode)
+                for p in _payload_bytes(pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "payload": outs,
+                    "n_bytes": [len(o) for o in outs],
+                }
+            )
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
 
@@ -148,16 +182,18 @@ def sample_video_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                frames = sample_frames(
-                    bytes(r["payload"] or b""), n_frames, fake=fake_decode
-                )
-                for i, fr in enumerate(frames):
-                    rows.append(
-                        {"media_id": r["media_id"], "frame_no": i, "frame": fr}
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+            ids = pdf["media_id"].to_numpy()
+            all_frames = [
+                sample_frames(p, n_frames, fake=fake_decode)
+                for p in _payload_bytes(pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.repeat(n_frames),
+                    "frame_no": list(range(n_frames)) * len(ids),
+                    "frame": [fr for frames in all_frames for fr in frames],
+                }
+            )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
@@ -177,22 +213,21 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                width, height, feature = decode_image(payload, fake=fake_decode)
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "media_type": r["media_type"],
-                        "n_bytes": len(payload),
-                        "content_sha": hashlib.sha256(payload).hexdigest(),
-                        "width": width,
-                        "height": height,
-                        "feature": feature,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            payloads = _payload_bytes(pdf["payload"])
+            decoded = [decode_image(p, fake=fake_decode) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "n_bytes": [len(p) for p in payloads],
+                    "content_sha": [
+                        hashlib.sha256(p).hexdigest() for p in payloads
+                    ],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
