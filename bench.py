@@ -32,6 +32,7 @@ HEADLINE = [
     ("cocoa_knn_adjust", lambda s, d: cocoa_queries.knn_adjust(s, d, impl="numpy")),
     ("cocoa_radius_adjust", lambda s, d: cocoa_queries.radius_adjust(s, d, impl="numpy")),
     ("cocoa_percentile_adjust", lambda s, d: cocoa_queries.percentile_adjust(s, d, impl="numpy")),
+    ("cocoa_knn_lsh_pairs", cocoa_queries.knn_lsh_pairs),
     ("q1_pricing_summary", relational.q1_pricing_summary),
     ("q3_top_unshipped", relational.q3_top_unshipped),
     ("q5_nation_revenue", relational.q5_nation_revenue),

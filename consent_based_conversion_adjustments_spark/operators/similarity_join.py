@@ -294,25 +294,43 @@ def knn_join_lsh(
     Euclidean-style hyperplane buckets align with Manhattan ranking
     (L2² = L1 on binary vectors, SURVEY.md §4).
     """
-    from .similarity_search import hyperplane_signatures
+    from .similarity_search import _signature_array
 
-    q = hyperplane_signatures(
-        probe, id_col=probe_id, vec_col=features, dim=feature_width,
-        n_planes=n_planes, n_tables=n_tables,
-    ).withColumnRenamed(features, "__qf")
-    c = hyperplane_signatures(
-        build.select(build_id, features), id_col=build_id, vec_col=features,
-        dim=feature_width, n_planes=n_planes, n_tables=n_tables,
+    sig = _signature_array(
+        features, dim=feature_width, n_planes=n_planes, n_tables=n_tables
+    )
+    q = probe.select(
+        probe_id,
+        F.col(features).alias("__qf"),
+        sig.alias("__qsigs"),
     ).select(
-        build_id, "table_id", "lsh_sig", F.col(features).alias("__cf")
+        probe_id, "__qf", "__qsigs",
+        F.posexplode("__qsigs").alias("table_id", "lsh_sig"),
+    )
+    c = build.select(
+        build_id,
+        F.col(features).alias("__cf"),
+        sig.alias("__csigs"),
+    ).select(
+        build_id, "__cf", "__csigs",
+        F.posexplode("__csigs").alias("table_id", "lsh_sig"),
+    )
+    # exactly-once per (probe, candidate): keep only the FIRST agreeing
+    # table (array_position over the elementwise signature equality) — no
+    # dropDuplicates shuffle of the joined feature arrays
+    first_match = F.array_position(
+        F.zip_with("__qsigs", "__csigs", lambda x, y: x == y), True
     )
     pairs = (
         q.join(c, ["table_id", "lsh_sig"])
-        .dropDuplicates([probe_id, build_id])
+        .filter(F.col("table_id") + 1 == first_match)
         .withColumn(
-            DISTANCE, metric_distance(metric, F.col("__qf"), F.col("__cf"))
+            DISTANCE,
+            metric_distance(
+                metric, F.col("__qf"), F.col("__cf"), width=feature_width
+            ),
         )
-        .drop("__qf", "__cf", "table_id", "lsh_sig")
+        .select(probe_id, build_id, DISTANCE)
     )
     w = Window.partitionBy(probe_id).orderBy(
         F.col(DISTANCE).asc(), F.col(build_id).asc()

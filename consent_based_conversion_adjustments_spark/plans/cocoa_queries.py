@@ -116,6 +116,37 @@ def knn_minkowski(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-broadcast kNN join (J1 scale ceiling): neither side collected —
+    hyperplane-LSH bucket candidates (equi-join on (table, signature)) +
+    exact re-rank. Exercised on the 64-dim embeddings table, the operator's
+    intended regime: high-cardinality continuous features, where buckets
+    are selective. (On the cocoa one-hot space — ~125 distinct points —
+    identical vectors always share every bucket, so LSH degenerates toward
+    all-pairs; the broadcast numpy kernel is the right plan there, and this
+    operator is the relief valve for when the BUILD side outgrows a
+    broadcast.) Rows-only: approximate by design; recall vs the exact join
+    is asserted in tests/test_similarity_join.py."""
+    from ..operators.similarity_join import knn_join_lsh
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probe = emb.select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+    )
+    build = emb.select(
+        F.col("vec_id").alias("consent_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+    )
+    out = knn_join_lsh(
+        probe, build, FLAGSHIP_K, 64,
+        metric="euclidean", probe_id="probe_id", build_id="consent_id",
+    )
+    return out.filter(F.col("probe_id") != F.col("consent_id")).select(
+        "probe_id", "consent_id", "distance"
+    )
+
+
 def knn_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k < 1 ⇒ proportional to the build side (J2 proportional-k)."""
     consent, noconsent = consent_split(spark, sf_dir)
@@ -471,6 +502,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "cocoa_knn_pairs": (knn_pairs, KNN_PAIRS_SQL),
     "cocoa_knn_minkowski": (knn_minkowski, KNN_MINKOWSKI_SQL),
+    "cocoa_knn_lsh_pairs": (knn_lsh_pairs, None),
     "cocoa_knn_proportional": (knn_proportional, KNN_PROPORTIONAL_SQL),
     "cocoa_radius_adjust": (radius_adjust, RADIUS_ADJUST_SQL),
     "cocoa_radius_summary": (radius_summary, RADIUS_SUMMARY_SQL),
