@@ -142,10 +142,20 @@ class HashedFeatureEncoder:
         return len(self.numeric_cols) + self.n_features
 
     def transform(self, df: DataFrame, output_col: str = "features") -> DataFrame:
+        # NULL categoricals contribute to no bucket (all-zeros), matching
+        # FeatureEncoder's one-hot null semantics — without the guard,
+        # concat_ws would skip the null and hash the bare column name into
+        # a phantom category, so the two encoder paths would disagree on
+        # distances for rows with missing values
         buckets = [
-            F.pmod(
-                F.xxhash64(F.concat_ws("=", F.lit(c), F.col(c).cast("string"))),
-                F.lit(self.n_features),
+            (
+                F.col(c).isNotNull(),
+                F.pmod(
+                    F.xxhash64(
+                        F.concat_ws("=", F.lit(c), F.col(c).cast("string"))
+                    ),
+                    F.lit(self.n_features),
+                ),
             )
             for c in self.categorical_cols
         ]
@@ -154,8 +164,8 @@ class HashedFeatureEncoder:
         ]
         for j in range(self.n_features):
             total = None
-            for bucket in buckets:
-                term = F.when(bucket == j, 1.0).otherwise(0.0)
+            for not_null, bucket in buckets:
+                term = F.when(not_null & (bucket == j), 1.0).otherwise(0.0)
                 total = term if total is None else total + term
             exprs.append(total if total is not None else F.lit(0.0))
         return df.withColumn(output_col, F.array(*exprs))
@@ -170,6 +180,13 @@ def infer_feature_columns(
     is not an id/drop/non-dummy/date column is dummy-coded
     (reference: preprocess.py:99-100); numeric columns (minus conversion,
     ids, flags) pass through as numeric features.
+
+    Documented deviation (FIXTURES.md F5): the reference leaves the consent
+    flag and non_dummy_columns IN the feature matrix
+    (nearest_consented_customers.py:68-75 drops only id + conversion), so
+    all its probe-build distances carry a constant +1. Excluding them keeps
+    rankings and softmax weights identical (shift-invariance) but means a
+    radius tuned on the reference must be reduced by that constant.
     """
     excluded = set(
         config.id_columns

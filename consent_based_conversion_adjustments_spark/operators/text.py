@@ -32,9 +32,14 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization (empty-string-safe)."""
+    """Whitespace tokenization, empty-string-safe: ``split`` on an empty or
+    all-whitespace input yields [""], which would count as one token and
+    feed the empty token (string_hash 0) into fingerprints / MinHash /
+    stopword ratios — so empty tokens are filtered out and blank documents
+    tokenize to []. The DuckDB twin carries the same filter
+    (data_queries._TOKS)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
 def token_count(col: Column | str) -> Column:

@@ -33,7 +33,8 @@ NEARDUP_COSINE = 0.45
 
 # SQL fragments mirroring operators.text primitives ---------------------------
 
-_TOKS = "regexp_split_to_array(trim({c}), '\\s+')"
+# mirrors text.tokens incl. the empty-token filter (blank docs → [])
+_TOKS = "list_filter(regexp_split_to_array(trim({c}), '\\s+'), t -> t <> '')"
 _DTOKS = f"list_distinct({_TOKS})"
 
 
@@ -373,12 +374,12 @@ SELECT term,
        count(DISTINCT doc_id) AS doc_freq,
        count(*) AS term_freq
 FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    SELECT doc_id, unnest({toks}) AS term
     FROM documents)
 GROUP BY term
 ORDER BY doc_freq DESC, term
 LIMIT 20
-"""
+""".format(toks=_TOKS.format(c="text"))
 
 
 def corpus_clean_ids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -182,3 +182,20 @@ def test_hashed_encoder_fallback(spark):
     assert all(sum(f) == 1.0 for feats in by_cat.values() for f in feats)
     # values spread over multiple buckets
     assert len(set(f for feats in by_cat.values() for f in feats)) > 4
+
+
+def test_hashed_encoder_null_matches_onehot_semantics(spark):
+    """NULL categoricals contribute to no bucket — all-zeros, the same
+    semantics as FeatureEncoder's one-hot null handling; without the guard
+    a null hashed the bare column name into a phantom category."""
+    from consent_based_conversion_adjustments_spark.operators.preprocess import (
+        HashedFeatureEncoder,
+    )
+
+    enc = HashedFeatureEncoder(
+        categorical_cols=("cat",), numeric_cols=(), n_features=8
+    )
+    df = spark.createDataFrame([("x",), (None,)], ["cat"])
+    rows = enc.transform(df).orderBy(F.col("cat").asc_nulls_last()).collect()
+    assert sum(rows[0]["features"]) == 1.0
+    assert rows[1]["features"] == [0.0] * 8
