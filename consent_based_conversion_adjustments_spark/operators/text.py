@@ -81,18 +81,28 @@ def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     return stopword_ratio_in(tokens(col), lang)
 
 
+def language_id_from_hits(hits: dict[str, Column]) -> Column:
+    """Argmax over precomputed per-language stopword hit counts; ties and
+    zero hits resolve to 'und'. Tie-break: first language in sorted order at
+    the max (identical to a strictly-greater takeover scan). Built as
+    ``greatest`` + one ``when`` per language so each hits expression appears
+    exactly twice — a fold of nested CASE accumulators duplicates every
+    count subtree 2^n times, which blows up both plan build and interpreted
+    eval when the counts are higher-order ``filter()`` calls."""
+    langs = sorted(hits)
+    m = F.greatest(*[hits[lg] for lg in langs])
+    out = F.when(m <= 0, F.lit("und"))
+    for lg in langs:
+        out = out.when(hits[lg] == m, F.lit(lg))
+    return out.otherwise(F.lit("und"))
+
+
 def language_id_in(toks: Column) -> Column:
     """Argmax over per-language stopword hit counts; ties and zero hits
-    resolve to 'und' (undetermined). Deterministic: languages are compared
-    in sorted order and a strictly greater count is required to take over."""
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in sorted(STOPWORDS):
-        hits = stopword_hits_in(toks, lang)
-        take = hits > best_hits
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(take, hits).otherwise(best_hits)
-    return best_lang
+    resolve to 'und' (undetermined)."""
+    return language_id_from_hits(
+        {lang: stopword_hits_in(toks, lang) for lang in sorted(STOPWORDS)}
+    )
 
 
 def language_id(col: Column | str) -> Column:

@@ -30,6 +30,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # shuffle/broadcast/blockmgr scratch on tmpfs: the local disk in
+        # virtualized CI hosts intermittently stalls writes for tens of
+        # seconds (observed as whole-stage idle-CPU hangs); RAM-backed local
+        # dirs remove that variance. On a real cluster this is the usual
+        # "local dirs on fast local storage" deployment setting.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/cocoa-spark-local"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
