@@ -166,3 +166,57 @@ def distribute_conversions(
         )
         .drop("__total_matched", "__n_consent")
     )
+
+
+def distribute_from_partials(
+    consent: DataFrame,
+    partials: DataFrame,
+    *,
+    consent_id: str = "consent_id",
+    conversion_column: str = "conversion_value",
+) -> DataFrame:
+    """Assemble the adjusted frame from fused-kernel partial aggregates
+    (``similarity_join.adjust_partials_numpy``): W1+W2 already ran map-side
+    inside the kernel, so the only remaining work is a final hash
+    aggregation over ≤ partitions·n_build partial rows plus the left join
+    back onto the consent side — no pair set, no per-probe window shuffle.
+    Output schema and semantics identical to ``distribute_conversions``.
+    """
+    real = partials.filter(F.col(consent_id).isNotNull())
+    aggs = real.groupBy(consent_id).agg(
+        F.sum("adjusted_partial").alias("adjusted_conversion"),
+        F.sum("sum_distance_partial").alias("__sum_distance"),
+        F.sum("n_partial").alias("n_added_conversions"),
+        F.sum("weight_partial").alias("sum_distribution_weights"),
+    )
+    total_matched = partials.agg(
+        F.coalesce(F.sum("matched_value_partial"), F.lit(0.0)).alias(
+            "__total_matched"
+        )
+    )
+    n_consent = consent.agg(F.count(F.lit(1)).alias("__n_consent"))
+    out = consent.join(aggs, on=consent_id, how="left")
+    out = out.fillna(
+        {
+            "adjusted_conversion": 0.0,
+            "n_added_conversions": 0,
+            "sum_distribution_weights": 0.0,
+        }
+    )
+    out = out.withColumn(
+        "average_distance",
+        F.when(
+            F.col("n_added_conversions") > 0,
+            F.col("__sum_distance") / F.col("n_added_conversions"),
+        ),
+    ).drop("__sum_distance")
+    return (
+        out.crossJoin(F.broadcast(total_matched))
+        .crossJoin(F.broadcast(n_consent))
+        .withColumn(
+            "naive_adjusted_conversion",
+            F.col(conversion_column)
+            + F.col("__total_matched") / F.col("__n_consent"),
+        )
+        .drop("__total_matched", "__n_consent")
+    )

