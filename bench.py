@@ -52,8 +52,49 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def warmup(spark) -> None:
+    """Untimed steady-state warmup: first use of whole-stage codegen, the
+    Arrow/pandas worker pool, and the parquet reader each pay a multi-second
+    one-time JVM/process cost that would otherwise land on whichever query
+    happens to run first — noise, not throughput. One tiny pass over each
+    machinery kind amortizes it outside the timed loop."""
+    import pandas as _pd
+
+    def ident(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(1000).mapInPandas(ident, schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # one window + broadcast join + hash aggregate warms Janino/JIT for the
+    # operator kinds every headline query compiles
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    a = spark.range(1000).withColumn("g", F.col("id") % 7)
+    b = spark.range(7).withColumnRenamed("id", "g")
+    (
+        a.join(F.broadcast(b), "g")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("g").orderBy("id")),
+        )
+        .groupBy("g")
+        .agg(F.sum("rn").alias("s"), F.avg("id").alias("m"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    for t in ("customer", "documents", "embeddings", "events", "lineitem"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(1).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+
 def main() -> None:
     spark = get_spark("bench")
+    warmup(spark)
     sf = None
     for part in SF_DIR.rstrip("/").split("/"):
         if part.startswith("sf"):

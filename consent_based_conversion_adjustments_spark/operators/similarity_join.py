@@ -296,12 +296,17 @@ def knn_join_lsh(
 
     Neither side is collected: both are signed by deterministic random
     hyperplanes (multi-table OR-amplification, one BLAS matmul per Arrow
-    batch), candidates come from an equi-join on (table, signature) — a
-    plain shuffle hash join that scales like any relational join — and the
-    exact distance re-ranks candidates per probe. Returns ≤ k rows per
-    probe (recall governed by n_planes/n_tables). On one-hot features
+    batch), then co-grouped by (table, signature) — a plain shuffle of the
+    exploded signature rows, scaling like any relational aggregation — and
+    each bucket re-ranks its candidates with a vectorized BLAS distance
+    matrix, emitting only its LOCAL top-k per probe. The global top-k over
+    per-bucket top-ks is exactly the top-k over the full candidate union,
+    so the O(|bucket|²) pair set is never materialized as rows: the
+    post-bucket merge sees ≤ n_tables·k rows per probe. Returns ≤ k rows
+    per probe (recall governed by n_planes/n_tables). On one-hot features
     Euclidean-style hyperplane buckets align with Manhattan ranking
-    (L2² = L1 on binary vectors, SURVEY.md §4).
+    (L2² = L1 on binary vectors, SURVEY.md §4). Bucket skew at scale is
+    controlled by ``n_planes`` (bucket count per table is 2^n_planes).
     """
     from .similarity_search import _signature_array
 
@@ -309,43 +314,64 @@ def knn_join_lsh(
         features, dim=feature_width, n_planes=n_planes, n_tables=n_tables
     )
     q = probe.select(
-        probe_id,
-        F.col(features).alias("__qf"),
-        sig.alias("__qsigs"),
-    ).select(
-        probe_id, "__qf", "__qsigs",
-        F.posexplode("__qsigs").alias("table_id", "lsh_sig"),
+        F.col(probe_id).alias("__pid"),
+        F.col(features).alias("__f"),
+        F.posexplode(sig).alias("table_id", "lsh_sig"),
     )
     c = build.select(
-        build_id,
-        F.col(features).alias("__cf"),
-        sig.alias("__csigs"),
-    ).select(
-        build_id, "__cf", "__csigs",
-        F.posexplode("__csigs").alias("table_id", "lsh_sig"),
+        F.col(build_id).alias("__bid"),
+        F.col(features).alias("__f"),
+        F.posexplode(sig).alias("table_id", "lsh_sig"),
     )
-    # exactly-once per (probe, candidate): keep only the FIRST agreeing
-    # table (array_position over the elementwise signature equality) — no
-    # dropDuplicates shuffle of the joined feature arrays
-    first_match = F.array_position(
-        F.zip_with("__qsigs", "__csigs", lambda x, y: x == y), True
-    )
-    pairs = (
-        q.join(c, ["table_id", "lsh_sig"])
-        .filter(F.col("table_id") + 1 == first_match)
-        .withColumn(
-            DISTANCE,
-            metric_distance(
-                metric, F.col("__qf"), F.col("__cf"), width=feature_width
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                probe_id, probe.schema[probe_id].dataType, True
             ),
+            T.StructField(build_id, build.schema[build_id].dataType, True),
+            T.StructField(DISTANCE, T.DoubleType(), False),
+        ]
+    )
+
+    def bucket_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {probe_id: [], build_id: [], DISTANCE: []}
+            )
+        # sort candidates by id so the stable argsort tie-break is
+        # (distance, build_id), matching the exact join
+        right = right.sort_values("__bid", kind="stable")
+        Q = np.array(left["__f"].tolist(), dtype=np.float64)
+        C = np.array(right["__f"].tolist(), dtype=np.float64)
+        D = _chunk_distances(Q, C, metric, _is_binary(C) and _is_binary(Q))
+        kk = min(k, D.shape[1])
+        idx = np.argsort(D, axis=1, kind="stable")[:, :kk]
+        dist = np.take_along_axis(D, idx, axis=1)
+        bids = right["__bid"].to_numpy()
+        return pd.DataFrame(
+            {
+                probe_id: left["__pid"].to_numpy().repeat(kk),
+                build_id: bids[idx].ravel(),
+                DISTANCE: dist.ravel(),
+            }
         )
-        .select(probe_id, build_id, DISTANCE)
+
+    local = (
+        q.groupBy("table_id", "lsh_sig")
+        .cogroup(c.groupBy("table_id", "lsh_sig"))
+        .applyInPandas(bucket_topk, schema=out_schema)
+    )
+    # a pair surfaces once per agreeing table with an identical distance —
+    # collapse before the global top-k (narrow rows only; the feature
+    # arrays never left their buckets)
+    deduped = local.groupBy(probe_id, build_id).agg(
+        F.min(DISTANCE).alias(DISTANCE)
     )
     w = Window.partitionBy(probe_id).orderBy(
         F.col(DISTANCE).asc(), F.col(build_id).asc()
     )
     return (
-        pairs.withColumn("__rn", F.row_number().over(w))
+        deduped.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

@@ -130,10 +130,11 @@ def test_knn_join_lsh_recall(spark):
             probe, build, 3, 8, probe_id="pid", build_id="bid"
         ).collect()
     }
-    # distances on returned pairs are the true L1 distances
+    # distances on returned pairs are the true L1 distances (BLAS bucket
+    # kernel vs Catalyst sequential sum — identical up to reassociation)
     for pair, d in approx.items():
         if pair in exact:
-            assert d == exact[pair]
+            assert d == pytest.approx(exact[pair], abs=1e-9)
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.4
     # never more than k per probe
