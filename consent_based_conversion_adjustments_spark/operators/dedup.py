@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .text import HASH_MOD, string_hash, tokens
 
@@ -365,7 +366,13 @@ def minhash_neardup(
     Trades a small recall loss (P[Binom(16, j) < 16·est] at true similarity
     j) for roughly candidate-ratio speedup; None keeps the exact semantics
     the DuckDB oracle checks."""
-    sigs = minhash_signatures(df, text_col, id_col)
+    # the banded candidate step references the signature table twice per
+    # band (left/right of each equi-join) and the est_prefilter once more —
+    # persist so tokenize + explode + 16 min-aggs run exactly once
+    # (|docs| × n_perm longs, spillable)
+    sigs = minhash_signatures(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = minhash_candidates(sigs)
     if est_prefilter is not None:
         sig_cols = [c for c in sigs.columns if c.startswith("sig_")]
@@ -387,9 +394,12 @@ def minhash_neardup(
             .filter(est >= est_prefilter)
             .select("doc_a", "doc_b")
         )
-    hashes = _token_hash_set(df, text_col, id_col)
     # token tables are |docs| rows — broadcast so the (potentially huge)
-    # candidate-pair side never shuffles
+    # candidate-pair side never shuffles; persisted because the verify
+    # stage builds two broadcasts (doc_a / doc_b side) from it
+    hashes = _token_hash_set(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bitmaps = _bitmap_masks(hashes)
     if bitmaps is not None:
         # dictionary-encodable vocabulary: verify is bit_count(a & b) —
