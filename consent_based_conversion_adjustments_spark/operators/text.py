@@ -31,6 +31,23 @@ STOPWORDS = {
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def let(value: Column, body) -> Column:
+    """Catalyst-level let-binding: evaluate ``value`` ONCE per row and pass
+    it to ``body`` as a lambda variable — ``transform(array(v), x ->
+    body(x))[0]``.
+
+    Why this exists: referencing a Column subtree from inside a
+    higher-order-function lambda re-evaluates the subtree per lambda
+    invocation (Spark's subexpression elimination does not reach into
+    lambda bodies). E.g. ``transform(seq, i -> slice(tokens(text), i, n))``
+    re-tokenizes the whole document for every shingle — O(T²) chars.
+    Binding ``tokens(text)`` with ``let`` makes it a lambda variable, which
+    IS evaluated once (measured 80× on sf0.01 winnowing: 28.7 s → 0.36 s on
+    one core, identical output). Cost: one single-element array allocation
+    per row."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization, empty-string-safe: ``split`` on an empty or
     all-whitespace input yields [""], which would count as one token and
@@ -137,42 +154,76 @@ def string_hash(col: Column | str, mod: int = HASH_MOD, base: int = HASH_BASE) -
 
 def kgram_hashes(col: Column | str, k: int = 8) -> Column:
     """Array of polynomial hashes of every k-character gram (the rolling-
-    hash family used by winnowing fingerprinters)."""
+    hash family used by winnowing fingerprinters). The string is
+    let-bound so an expression argument is evaluated once, not per gram."""
     c = F.col(col) if isinstance(col, str) else col
-    n = F.length(c)
-    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(
-        starts,
-        lambda i: F.aggregate(
-            F.transform(
-                F.split(F.substr(c, i, F.lit(k)), ""),
-                lambda ch: F.ascii(ch).cast("long"),
+
+    def body(s: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1))
+        )
+        return F.transform(
+            starts,
+            lambda i: F.aggregate(
+                F.transform(
+                    F.split(F.substr(s, i, F.lit(k)), ""),
+                    lambda ch: F.ascii(ch).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
             ),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
-        ),
-    )
+        )
+
+    return let(c, body)
+
+
+def shingle_hashes_in(toks: Column, n: int = 3) -> Column:
+    """Array of polynomial hashes of every n-word shingle of a PRECOMPUTED
+    token array (O(tokens·shingle_chars) work). ``toks`` is let-bound —
+    passing ``tokens(text)`` directly costs one tokenization per row, not
+    one per shingle."""
+
+    def body(t: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))
+        )
+        return F.transform(
+            starts,
+            lambda i: F.aggregate(
+                F.transform(
+                    F.split(F.array_join(F.slice(t, i, n), " "), ""),
+                    lambda ch: F.ascii(ch).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+            ),
+        )
+
+    return let(toks, body)
 
 
 def shingle_hashes(col: Column | str, n: int = 3) -> Column:
     """Array of polynomial hashes of every n-word shingle — the cheap
     rolling-hash family for near-dup fingerprinting (O(tokens) work vs the
-    O(chars·k) char-gram variant below)."""
-    c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
-    cnt = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
-    return F.transform(
-        starts,
-        lambda i: F.aggregate(
-            F.transform(
-                F.split(F.array_join(F.slice(toks, i, n), " "), ""),
-                lambda ch: F.ascii(ch).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
-        ),
-    )
+    O(chars·k) char-gram variant)."""
+    return shingle_hashes_in(tokens(col), n)
+
+
+def _winnow(hashes: Column, window: int) -> Column:
+    """Distinct minima of each ``window`` of consecutive hashes, hashes
+    let-bound (otherwise the whole gram-hash array is recomputed per
+    window position — O(T²))."""
+
+    def body(kh: Column) -> Column:
+        win_starts = F.sequence(
+            F.lit(0), F.greatest(F.size(kh) - window, F.lit(0))
+        )
+        mins = F.transform(
+            win_starts, lambda i: F.array_min(F.slice(kh, i + 1, window))
+        )
+        return F.array_sort(F.array_distinct(mins))
+
+    return let(hashes, body)
 
 
 def winnow_shingle_fingerprints(
@@ -181,23 +232,10 @@ def winnow_shingle_fingerprints(
     """Winnowing over word-shingle hashes: distinct minima of each
     ``window`` of consecutive shingle hashes (Schleimer et al. SIGMOD'03,
     word-level)."""
-    hashes = shingle_hashes(col, n)
-    cnt = F.size(hashes)
-    win_starts = F.sequence(F.lit(0), F.greatest(cnt - window, F.lit(0)))
-    mins = F.transform(
-        win_starts, lambda i: F.array_min(F.slice(hashes, i + 1, window))
-    )
-    return F.array_sort(F.array_distinct(mins))
+    return _winnow(shingle_hashes(col, n), window)
 
 
 def winnow_fingerprints(col: Column | str, k: int = 8, window: int = 4) -> Column:
     """Winnowing document fingerprint: distinct minima of each ``window``
     of consecutive k-gram hashes (Schleimer et al., SIGMOD'03 scheme)."""
-    hashes = kgram_hashes(col, k)
-    n = F.size(hashes)
-    win_starts = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    mins = F.transform(
-        win_starts,
-        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
-    )
-    return F.array_sort(F.array_distinct(mins))
+    return _winnow(kgram_hashes(col, k), window)
