@@ -180,6 +180,44 @@ def lsh_topk(
     )
 
 
+def _kmeans_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    train_size: int = 4096,
+    n_iter: int = 10,
+) -> np.ndarray:
+    """Spherical k-means fit on a bounded deterministic sample.
+
+    Sample = first ``train_size`` rows in ``hash(id)`` order (stable across
+    runs and partitionings — no RNG, no sample() nondeterminism); init =
+    first n_cells sampled vectors; Lloyd updates re-normalize centroids so
+    argmax-dot is argmax-cosine. All numpy on the driver: the collect is
+    capped at train_size rows no matter the table size."""
+    rows = (
+        df.orderBy(F.hash(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(train_size)
+        .select(_cast_double(vec_col).alias("__v"))
+        .toPandas()
+    )
+    x = np.array(rows["__v"].tolist(), dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    k = min(n_cells, len(xn))
+    cents = xn[:k].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(xn @ cents.T, axis=1)
+        for j in range(k):
+            members = xn[assign == j]
+            if len(members):
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cents[j] = v / norm
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -191,11 +229,23 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize candidates to n_cells deterministic
-    centroids (first n_cells candidate vectors by id — a stand-in for a
-    k-means fit), probe the query's n_probe nearest cells, exact re-rank."""
-    cents = candidates.orderBy(F.col(cand_id).asc()).limit(n_cells).select(
-        F.col(cand_id).alias("cell_id"), _cast_double(vec_col).alias("__cent")
+    """IVF-style ANN: coarse-quantize candidates to n_cells spherical
+    k-means centroids, probe the query's n_probe nearest cells, exact
+    re-rank inside the probed cells.
+
+    The fit follows the faiss-IVF recipe scaled to Spark: Lloyd iterations
+    run driver-side over a bounded deterministic sample (hash-ordered
+    ``limit(train_size)`` — ``train_size·dim·8`` bytes, ~2 MB at the
+    defaults, regardless of table size), then the n_cells centroids are
+    broadcast and assignment is one argmax map over the full table. At
+    100 TB only the sample collect and the broadcast cross the driver."""
+    cents_np = _kmeans_centroids(
+        candidates, vec_col=vec_col, id_col=cand_id, n_cells=n_cells
+    )
+    spark = candidates.sparkSession
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(cents_np)],
+        "cell_id int, __cent array<double>",
     )
 
     def assign(df: DataFrame, id_name: str, n_keep: int) -> DataFrame:
