@@ -56,6 +56,16 @@ def sliding_counts(
     )
 
 
+def _epoch_secs(c) -> F.Column:
+    """Epoch seconds for any timestamp flavor. The events fixture reads as
+    TIMESTAMP_NTZ (parquet NANOS under nanosAsLong resolves to NTZ in
+    Spark 4.1), and NTZ → DOUBLE is an illegal cast — so go through
+    TIMESTAMP_LTZ + ``unix_micros`` (always legal). The NTZ→LTZ cast
+    interprets wall-clock in the session tz; callers only use differences,
+    where any fixed offset cancels."""
+    return F.unix_micros(F.col(c).cast("timestamp_ltz")) / F.lit(1e6)
+
+
 def session_stats(
     events: DataFrame, gap: str = "1 hour", ts_col: str = "ts"
 ) -> DataFrame:
@@ -67,11 +77,11 @@ def session_stats(
     gap_secs = _parse_gap_seconds(gap)
     w_user = Window.partitionBy("user_id").orderBy(F.col(ts_col).asc())
     flagged = events.withColumn(
+        "__secs", _epoch_secs(ts_col)
+    ).withColumn(
         "__new_session",
         F.when(
-            F.col(ts_col).cast("double")
-            - F.lag(F.col(ts_col)).over(w_user).cast("double")
-            >= gap_secs,
+            F.col("__secs") - F.lag("__secs").over(w_user) >= gap_secs,
             1,
         ).otherwise(0),
     ).withColumn(
@@ -88,8 +98,7 @@ def session_stats(
                 "session_start"
             ),
             stable_round(
-                F.max(F.col(ts_col).cast("double"))
-                - F.min(F.col(ts_col).cast("double")),
+                F.max("__secs") - F.min("__secs"),
                 3,
             ).alias("duration_secs"),
         )
@@ -184,4 +193,8 @@ def stream_events_from_parquet(
         stream = stream.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
         )
+    elif dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP_LTZ; session tz is UTC, so the
+        # cast keeps window boundaries identical to the batch NTZ plan.
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
     return stream.withWatermark(ts_col, "1 day")
