@@ -16,13 +16,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from consent_based_conversion_adjustments_spark.plans import (
     cocoa_queries,
+    corpus_queries,
     data_queries,
     relational,
 )
 
 SF0001 = "/root/testdata/sf0.001"
 
-_REGISTRIES = (cocoa_queries.QUERIES, relational.QUERIES, data_queries.QUERIES)
+_REGISTRIES = (
+    cocoa_queries.QUERIES,
+    relational.QUERIES,
+    data_queries.QUERIES,
+    corpus_queries.QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

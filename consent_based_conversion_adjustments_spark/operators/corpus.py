@@ -1,0 +1,290 @@
+"""Corpus-construction operators for LLM training-data pipelines.
+
+The reference engine stops at per-date adjustment analytics; a pretraining
+corpus additionally needs dataset splitting, per-source quotas, relevance
+scoring, chunking, and train/eval decontamination. Everything here is pure
+DataFrame composition over the text primitives in :mod:`operators.text` —
+no Python in the row path — and each has an exact DuckDB oracle twin in
+``plans/corpus_queries.py``.
+
+Scale notes per operator are inline; the common theme is that every step is
+either a stateless per-row map (chunking, split assignment) or a shuffle on
+a well-distributed key (term, gram hash, user id) — nothing quadratic and
+nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import let, shingle_hashes_in, string_hash, tokens
+
+SPLIT_BUCKETS = 1000
+TRAIN_UPPER = 900  # buckets [0, 900) → train
+VAL_UPPER = 950  # buckets [900, 950) → val; [950, 1000) → test
+
+
+def split_bucket(id_col: Column | str, n_buckets: int = SPLIT_BUCKETS) -> Column:
+    """Deterministic split bucket: polynomial hash of the stringified id,
+    Fibonacci-mixed, then ranged to ``n_buckets``. Hash-based (not random)
+    so the assignment is stable across runs, engines, and repartitions —
+    the property a train/val/test split must have.
+
+    The multiplicative mixing step matters: the polynomial hash alone maps
+    consecutive ids to consecutive values (the last character dominates),
+    so ``% n_buckets`` yields runs, and small-id corpora can leave whole
+    splits empty. ``(h·2654435761 mod 2³²)·n // 2³²`` (Knuth's golden-ratio
+    multiplier, take the high bits) spreads consecutive hashes ~0.618·n
+    buckets apart. All steps stay under 2⁶³ and are exact in int64 — the
+    DuckDB oracle mirrors them verbatim. Stateless per-row map; no shuffle.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    mixed = (string_hash(c.cast("string")) * F.lit(2654435761)) % F.lit(
+        4294967296
+    )
+    return F.floor((mixed * n_buckets) / F.lit(4294967296)).cast("long")
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    train_upper: int = TRAIN_UPPER,
+    val_upper: int = VAL_UPPER,
+) -> DataFrame:
+    """Adds a ``split`` column (train/val/test) by hash bucket thresholds
+    (default 90/5/5)."""
+    b = split_bucket(id_col)
+    return df.withColumn(
+        "split",
+        F.when(b < train_upper, F.lit("train"))
+        .when(b < val_upper, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    tf = raw term count in the document; idf = ln((N+1)/(df+1)) + 1 (the
+    smoothed scikit-style variant — never zero, defined for unseen terms).
+
+    Plan at scale: explode → hash-agg on (doc, term) → second hash-agg on
+    term for document frequency → shuffled equi-join back on term (vocab
+    can exceed broadcast at corpus scale, so no broadcast hint — AQE
+    promotes it when small) → per-doc window for the top-k. Both shuffle
+    keys (term, doc) are high-cardinality and well distributed; partial
+    aggregation halves the explode volume before either exchange. N is a
+    1-row agg crossJoined broadcast (no driver collect, stays lazy).
+    """
+    terms = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.col("__n_docs") + 1) / (F.col("doc_freq") + 1))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "tfidf", "rank")
+    )
+
+
+def source_quota_sample(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    quota: int = 10,
+) -> DataFrame:
+    """Caps each source at ``quota`` documents, keeping the lowest ids
+    (deterministic; swap the ordering column for a quality score to keep
+    the best instead).
+
+    Scale: one shuffle on source + per-source window. A pathological
+    heavy-hitter source serializes its partition through one reducer; for
+    that shape, pre-filter with a per-source ``approx_count_distinct``
+    pass and hash-sample down to ~quota·oversample rows per source before
+    ranking, which bounds any partition at oversample·quota rows.
+    """
+    w = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .drop("rn")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Splits documents into overlapping fixed-size token chunks — the
+    standard context-window packing step before tokenization.
+
+    Output: one row per chunk with ``chunk_idx``, ``chunk_text``,
+    ``n_tokens``. A document shorter than one chunk yields exactly one
+    chunk (possibly empty for a blank document, preserving doc count).
+
+    Stateless per-row explode (no shuffle); the token array is let-bound so
+    the document is tokenized once, not once per chunk (see text.let).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+
+    def body(t: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1),
+            F.greatest(F.size(t) - overlap, F.lit(1)),
+            F.lit(step),
+        )
+        return F.transform(
+            starts,
+            lambda i: F.struct(
+                F.array_join(F.slice(t, i, chunk_tokens), " ").alias(
+                    "chunk_text"
+                ),
+                F.size(F.slice(t, i, chunk_tokens)).alias("n_tokens"),
+            ),
+        )
+
+    chunks = let(tokens(text_col), body)
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__c")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Train/eval decontamination check: for each eval document, how many
+    of its distinct word ``n``-grams also occur anywhere in the training
+    corpus.
+
+    Output: ``(id, n_grams, n_shared, contamination)`` for every eval doc.
+
+    Plan at scale — the reason this is NOT an all-pairs document join: both
+    sides explode to distinct ``(gram_hash)`` rows, the train side is
+    deduplicated to a gram set, and the match is one equi-join on the hash
+    (well-distributed key) followed by a per-doc count. Linear in corpus
+    size; the train gram set shuffles once and can be bucketed/persisted
+    and reused across eval sets.
+    """
+    eval_grams = eval_.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingle_hashes_in(tokens(text_col), n))
+        ).alias("gh"),
+    )
+    train_grams = (
+        train.select(
+            F.explode(
+                F.array_distinct(shingle_hashes_in(tokens(text_col), n))
+            ).alias("gh")
+        )
+        .distinct()
+    )
+    totals = eval_.select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingle_hashes_in(tokens(text_col), n))).alias(
+            "n_grams"
+        ),
+    )
+    hits = (
+        eval_grams.join(train_grams, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .withColumn(
+            "contamination",
+            F.col("n_shared") / F.greatest(F.col("n_grams"), F.lit(1)),
+        )
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered three-step funnel: users whose first ``steps[0]`` precedes a
+    ``steps[1]`` which precedes a ``steps[2]`` (strict event-time order,
+    earliest-qualifying-event semantics at each stage).
+
+    Returns one row: entered / reached_2 / reached_3 counts + conversion
+    rates. Plan: per-step filters push to the scan; three shuffles on the
+    user key (filtered subsets, partial-agg'd); the three 1-row counts
+    combine via broadcast crossJoin — nothing collects on the driver.
+    """
+    s1 = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col(type_col) == steps[1])
+        .join(s1, user_col)
+        .filter(F.col(ts_col) > F.col("t1"))
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col(type_col) == steps[2])
+        .join(s2, user_col)
+        .filter(F.col(ts_col) > F.col("t2"))
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n_step1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_step2"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n_step3"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_step1",
+            "n_step2",
+            "n_step3",
+            (F.col("n_step2") / F.greatest("n_step1", F.lit(1))).alias(
+                "rate_12"
+            ),
+            (F.col("n_step3") / F.greatest("n_step2", F.lit(1))).alias(
+                "rate_23"
+            ),
+        )
+    )

@@ -1,0 +1,242 @@
+"""Checkable queries for the corpus-construction operators (TF-IDF scoring,
+deterministic splits, per-source quotas, chunking, decontamination, event
+funnels) + DuckDB oracle twins.
+
+Every oracle reuses the exact polynomial-hash and tokenizer SQL mirrors from
+``plans.data_queries`` so hashes, buckets, and gram sets match bit-for-bit
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import sql_round, stable_round
+from ..operators import corpus as C
+from ..operators.text import string_hash
+from ..sources.io import read_table
+from .data_queries import _DTOKS, _TOKS, _sql_hash  # noqa: F401
+
+# Fibonacci-mixed bucket — mirrors corpus.split_bucket exactly (int64-exact)
+_SPLIT_BUCKET_SQL = (
+    f"((({_sql_hash('CAST(doc_id AS VARCHAR)')}) * 2654435761)"
+    f" % 4294967296) * {C.SPLIT_BUCKETS} // 4294967296"
+)
+_SPLIT_CASE_SQL = f"""CASE
+    WHEN {_SPLIT_BUCKET_SQL} < {C.TRAIN_UPPER} THEN 'train'
+    WHEN {_SPLIT_BUCKET_SQL} < {C.VAL_UPPER} THEN 'val'
+    ELSE 'test' END"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = C.tfidf_top_terms(docs, "text", "doc_id", k=3)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        "doc_freq",
+        stable_round("tfidf", 6).alias("tfidf"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+TFIDF_SQL = """
+WITH terms AS (
+    SELECT doc_id, unnest({toks}) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), df_ AS (
+    SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df_.doc_freq,
+           tf.tf * (ln((n.n_docs + 1.0) / (df_.doc_freq + 1.0)) + 1.0)
+               AS tfidf
+    FROM tf JOIN df_ USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, doc_freq, {r} AS tfidf, rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+    FROM scored)
+WHERE rank <= 3
+""".format(toks=_TOKS.format(c="text"), r=sql_round("tfidf", 6))
+
+
+def corpus_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-split assignment (90/5/5) + per-split profile."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        C.assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            stable_round(F.avg("n_chars"), 3).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_SUMMARY_SQL = f"""
+SELECT {_SPLIT_CASE_SQL} AS split,
+       count(*) AS n_docs,
+       {sql_round('avg(n_chars)', 3)} AS avg_chars
+FROM documents
+GROUP BY split
+ORDER BY split
+"""
+
+
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    kept = C.source_quota_sample(docs, "source", "doc_id", quota=10)
+    return kept.select("source", "doc_id")
+
+
+SOURCE_QUOTA_SQL = """
+SELECT source, doc_id
+FROM (
+    SELECT source, doc_id, row_number() OVER (
+        PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents)
+WHERE rn <= 10
+"""
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token chunks (8-token overlap); chunk text compared
+    by polynomial hash to keep the oracle diff compact."""
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = C.chunk_documents(docs, "text", "doc_id", 32, 8)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        string_hash(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
+DOC_CHUNKS_SQL = """
+WITH t AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+), s AS (
+    SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - 8, 1) + 1, 24)) AS start
+    FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+       CAST(len(toks[start : start + 31]) AS BIGINT) AS n_tokens,
+       {chunk_hash} AS chunk_hash
+FROM s
+""".format(
+    toks=_TOKS.format(c="text"),
+    chunk_hash=_sql_hash("array_to_string(toks[start : start + 31], ' ')"),
+)
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: distinct word 3-grams of each test-split document
+    matched against the full train-split gram set (equi-join on gram hash —
+    never a doc×doc comparison)."""
+    docs = read_table(spark, sf_dir, "documents")
+    split = C.assign_split(docs, "doc_id")
+    train = split.filter(F.col("split") == "train")
+    eval_ = split.filter(F.col("split") == "test")
+    out = C.ngram_contamination(train, eval_, "text", "doc_id", n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_shared",
+        stable_round("contamination", 6).alias("contamination"),
+    )
+
+
+CONTAMINATION_SQL = """
+WITH s AS (
+    SELECT doc_id, text, {bucket} AS b FROM documents
+), g AS (
+    SELECT doc_id, b,
+           list_distinct(list_transform(
+               range(1, greatest(len({toks}) - 2, 1) + 1),
+               i -> {gram_hash})) AS grams
+    FROM s
+), tr AS (
+    SELECT DISTINCT unnest(grams) AS gh FROM g WHERE b < {train_upper}
+), ev AS (
+    SELECT doc_id, grams FROM g WHERE b >= {val_upper}
+), hits AS (
+    SELECT e.doc_id, count(*) AS n_shared
+    FROM (SELECT doc_id, unnest(grams) AS gh FROM ev) e
+    JOIN tr USING (gh)
+    GROUP BY e.doc_id
+)
+SELECT ev.doc_id,
+       CAST(len(ev.grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(hits.n_shared, 0) AS BIGINT) AS n_shared,
+       {r} AS contamination
+FROM ev LEFT JOIN hits USING (doc_id)
+""".format(
+    bucket=_SPLIT_BUCKET_SQL,
+    toks=_TOKS.format(c="text"),
+    gram_hash=_sql_hash(
+        "array_to_string(" + _TOKS.format(c="text") + "[i : i + 2], ' ')"
+    ),
+    train_upper=C.TRAIN_UPPER,
+    val_upper=C.VAL_UPPER,
+    r=sql_round(
+        "CAST(coalesce(hits.n_shared, 0) AS DOUBLE)"
+        " / greatest(len(ev.grams), 1)",
+        6,
+    ),
+)
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    out = C.funnel_counts(events, ("view", "click", "purchase"))
+    return out.select(
+        "n_step1",
+        "n_step2",
+        "n_step3",
+        stable_round("rate_12", 6).alias("rate_12"),
+        stable_round("rate_23", 6).alias("rate_23"),
+    )
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2 FROM events e
+    JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3 FROM events e
+    JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_step1,
+       (SELECT count(*) FROM s2) AS n_step2,
+       (SELECT count(*) FROM s3) AS n_step3,
+       {sql_round('(SELECT count(*) FROM s2) * 1.0'
+                  ' / greatest((SELECT count(*) FROM s1), 1)', 6)} AS rate_12,
+       {sql_round('(SELECT count(*) FROM s3) * 1.0'
+                  ' / greatest((SELECT count(*) FROM s2), 1)', 6)} AS rate_23
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "corpus_split_summary": (corpus_split_summary, SPLIT_SUMMARY_SQL),
+    "source_quota_sample": (source_quota_sample, SOURCE_QUOTA_SQL),
+    "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
+    "contamination_check": (contamination_check, CONTAMINATION_SQL),
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+}

@@ -1,0 +1,139 @@
+"""Unit tests for the corpus-construction operators (operators/corpus.py)."""
+
+from math import log as math_log
+
+import pytest
+from pyspark.sql import functions as F
+
+from consent_based_conversion_adjustments_spark.operators import corpus as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "src0", None),
+        (1, "the quick brown fox jumps over the lazy cat", "src0", None),
+        (2, "completely different content about spark engines", "src1", None),
+        (3, "", "src1", None),
+        (4, "one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen sixteen", "src2", None),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+
+
+def test_split_deterministic_and_proportional(spark):
+    ids = spark.range(20000).withColumnRenamed("id", "doc_id")
+    a = C.assign_split(ids, "doc_id").groupBy("split").count()
+    counts = {r["split"]: r["count"] for r in a.collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # 90/5/5 within a generous tolerance — the mixer must not leave runs
+    assert 0.88 <= counts["train"] / 20000 <= 0.92
+    assert 0.035 <= counts["val"] / 20000 <= 0.065
+    assert 0.035 <= counts["test"] / 20000 <= 0.065
+    # stable across repartitions (pure function of the id)
+    b = C.assign_split(ids.repartition(7), "doc_id").groupBy("split").count()
+    assert {r["split"]: r["count"] for r in b.collect()} == counts
+
+
+def test_chunks_cover_and_overlap(spark, docs):
+    chunks = C.chunk_documents(docs, chunk_tokens=6, overlap=2).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 9 tokens, chunk 6 step 4 → starts 1,5 → 2 chunks
+    assert [r["n_tokens"] for r in by_doc[0]] == [6, 5]
+    toks = "the quick brown fox jumps over the lazy dog".split()
+    assert by_doc[0][0]["chunk_text"] == " ".join(toks[0:6])
+    assert by_doc[0][1]["chunk_text"] == " ".join(toks[4:9])
+    # overlap: last 2 tokens of chunk i = first 2 of chunk i+1
+    assert by_doc[0][0]["chunk_text"].split()[-2:] == by_doc[0][1][
+        "chunk_text"
+    ].split()[:2]
+    # blank document still yields exactly one (empty) chunk
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 0
+    # doc 4: 16 tokens → starts 1,5,9,13 → full coverage, no token lost
+    stitched = by_doc[4][0]["chunk_text"].split()
+    for r in by_doc[4][1:]:
+        stitched.extend(r["chunk_text"].split()[2:])
+    assert stitched == [
+        "one", "two", "three", "four", "five", "six", "seven", "eight",
+        "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+        "fifteen", "sixteen",
+    ]
+
+
+def test_tfidf_ranks_distinctive_terms(spark, docs):
+    out = C.tfidf_top_terms(docs.filter("doc_id < 3"), k=3).collect()
+    scores = {(r["doc_id"], r["term"]): r["tfidf"] for r in out}
+    # within doc 0: 'dog' (df=1) outscores 'quick' (df=2) at equal tf
+    doc0 = [r for r in out if r["doc_id"] == 0]
+    terms0 = {r["term"]: r for r in doc0}
+    assert "dog" in terms0, doc0
+    if "quick" in terms0:
+        assert terms0["dog"]["tfidf"] > terms0["quick"]["tfidf"]
+    # 'the' has tf=2 in doc 0 → highest score despite low idf (raw-count tf)
+    assert terms0["the"]["rank"] == 1
+    # doc 2's terms are all unique to it → equal scores, term-asc tie-break
+    doc2 = sorted(
+        (r for r in out if r["doc_id"] == 2), key=lambda r: r["rank"]
+    )
+    assert [r["term"] for r in doc2] == sorted(r["term"] for r in doc2)
+    # every doc got exactly k rows
+    from collections import Counter
+
+    assert Counter(r["doc_id"] for r in out) == {0: 3, 1: 3, 2: 3}
+    # doc_freq counts documents, not occurrences
+    assert scores[(0, "the")] == pytest.approx(
+        2 * (math_log(4 / 3) + 1), rel=1e-12
+    )
+
+
+def test_source_quota_cap(spark, docs):
+    kept = C.source_quota_sample(docs, quota=1).collect()
+    per_src = {}
+    for r in kept:
+        per_src.setdefault(r["source"], []).append(r["doc_id"])
+    # lowest id kept per source
+    assert per_src == {"src0": [0], "src1": [2], "src2": [4]}
+
+
+def test_contamination_detects_planted_overlap(spark, docs):
+    train = docs.filter("doc_id = 0")
+    eval_ = docs.filter("doc_id IN (1, 2)")
+    out = {
+        r["doc_id"]: r
+        for r in C.ngram_contamination(train, eval_, n=3).collect()
+    }
+    # doc 1 shares 6 of its 7 trigrams with doc 0 (all but '...lazy cat')
+    assert out[1]["n_shared"] == 6
+    assert out[1]["n_grams"] == 7
+    assert abs(out[1]["contamination"] - 6 / 7) < 1e-12
+    # doc 2 shares nothing
+    assert out[2]["n_shared"] == 0 and out[2]["contamination"] == 0.0
+
+
+def test_funnel_requires_strict_order(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(uid, typ, mins):
+        return (uid, typ, t0 + datetime.timedelta(minutes=mins))
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # user 2: purchase BEFORE click → stops at step 2
+        ev(2, "view", 0), ev(2, "purchase", 5), ev(2, "click", 10),
+        # user 3: view only
+        ev(3, "view", 0),
+        # user 4: click/purchase but never viewed → not in funnel at all
+        ev(4, "click", 0), ev(4, "purchase", 10),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    row = C.funnel_counts(events).collect()[0]
+    assert (row["n_step1"], row["n_step2"], row["n_step3"]) == (3, 2, 1)
