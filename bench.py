@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from consent_based_conversion_adjustments_spark.plans import (  # noqa: E402
     cocoa_queries,
+    corpus_queries,
     data_queries,
     relational,
 )
@@ -45,6 +46,8 @@ HEADLINE = [
     ("ann_lsh_topk", data_queries.ann_lsh_topk),
     ("events_sessions", data_queries.events_sessions),
     ("events_tumbling", data_queries.events_tumbling),
+    ("tfidf_top_terms", corpus_queries.tfidf_top_terms),
+    ("contamination_check", corpus_queries.contamination_check),
 ]
 
 
@@ -105,6 +108,13 @@ def main() -> None:
         force(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        # Steady-state isolation between timed queries: drop persisted
+        # blocks (minhash keeps its signature/token tables pinned) and
+        # trigger the ContextCleaner (broadcast/shuffle cleanup is
+        # GC-driven and otherwise lands as a full-GC stall inside some
+        # later query's timing window).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
