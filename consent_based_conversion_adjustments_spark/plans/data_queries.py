@@ -25,7 +25,12 @@ from ..operators.similarity_search import (
     lsh_topk,
 )
 from ..sources.io import read_table
-from ..streaming.events import session_stats, sliding_counts, tumbling_counts
+from ..streaming.events import (
+    interval_bin_join,
+    session_stats,
+    sliding_counts,
+    tumbling_counts,
+)
 
 JACCARD_THRESHOLD = 0.8
 ANN_K = 5
@@ -668,6 +673,144 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating quantiles per event type (the distributed exact
+    percentile — one shuffle on event_type; swap for approx_percentile at
+    unbounded cardinality)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.percentile("value", 0.5), 6).alias("p50"),
+            stable_round(F.percentile("value", 0.9), 6).alias("p90"),
+            stable_round(F.percentile("value", 0.99), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       {p50} AS p50,
+       {p90} AS p90,
+       {p99} AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""".format(
+    p50=sql_round("quantile_cont(value, 0.5)", 6),
+    p90=sql_round("quantile_cont(value, 0.9)", 6),
+    p99=sql_round("quantile_cont(value, 0.99)", 6),
+)
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid fit — the building block behind IVF coarse
+    quantization, as a pure two-level aggregation: posexplode to
+    (label, dim) → mean per cell → recombine to the centroid's L2 norm.
+    Both shuffles key on high-cardinality composites; no vector ever
+    passes through Python."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    per_cell = cells.groupBy("label", "pos").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_cell.groupBy("label")
+        .agg(
+            F.max("cnt").alias("n_vecs"),
+            stable_round(
+                F.sqrt(F.sum(F.col("m") * F.col("m"))), 6
+            ).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH cells AS (
+    SELECT label, generate_subscripts(embedding, 1) AS pos,
+           unnest(embedding) AS v
+    FROM embeddings
+), per_cell AS (
+    SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m, count(*) AS cnt
+    FROM cells GROUP BY label, pos
+)
+SELECT label,
+       CAST(max(cnt) AS BIGINT) AS n_vecs,
+       {r} AS centroid_norm
+FROM per_cell
+GROUP BY label
+ORDER BY label
+""".format(r=sql_round("sqrt(sum(m * m))", 6))
+
+
+def events_peak_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time binning: find the top-10 six-hour windows by
+    total event value, then match purchases into those intervals with
+    ``interval_bin_join`` (equi-join on the bin key — never a
+    nested-loop inequality join; see streaming.events.interval_bin_join)."""
+    ev = read_table(spark, sf_dir, "events")
+    wins = (
+        ev.groupBy(F.window("ts", "6 hours").alias("win"))
+        .agg(stable_round(F.sum("value"), 3).alias("total_value"))
+        .select(
+            F.col("win.start").alias("start"),
+            F.col("win.end").alias("end"),
+            "total_value",
+        )
+    )
+    top = wins.orderBy(
+        F.col("total_value").desc(), F.col("start").asc()
+    ).limit(10)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = interval_bin_join(purchases, top)
+    return (
+        joined.groupBy("start", "total_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            stable_round(F.sum("value"), 3).alias("purchase_value"),
+        )
+        .select(
+            F.date_format("start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "total_value",
+            "n_purchases",
+            "purchase_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+EVENTS_PEAK_SQL = """
+WITH wins AS (
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS start,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours'
+               AS end_,
+           {tv} AS total_value
+    FROM events GROUP BY 1
+), top AS (
+    SELECT * FROM wins ORDER BY total_value DESC, start LIMIT 10
+)
+SELECT strftime(top.start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       top.total_value,
+       count(*) AS n_purchases,
+       {pv} AS purchase_value
+FROM top JOIN events e
+  ON e.event_type = 'purchase'
+ AND e.ts >= top.start AND e.ts < top.end_
+GROUP BY 1, 2
+ORDER BY 1
+""".format(
+    tv=sql_round("sum(value)", 3), pv=sql_round("sum(e.value)", 3)
+)
+
+
 # --- multimodal plumbing -----------------------------------------------------
 
 
@@ -704,5 +847,8 @@ QUERIES: dict[str, tuple] = {
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_asof_attribution": (events_asof_attribution, EVENTS_ASOF_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
+    "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
+    "events_peak_attribution": (events_peak_attribution, EVENTS_PEAK_SQL),
+    "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
 }

@@ -169,6 +169,55 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_bin_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 6 * 3600,
+) -> DataFrame:
+    """Range (interval-containment) join via time binning — the scale-safe
+    composition for an operator Spark lacks natively.
+
+    Matches each event to every interval with ``start <= ts < end``.
+    A naive inequality join degenerates to BroadcastNestedLoopJoin (all
+    pairs); instead, intervals explode to the coarse time bins they cover
+    and events map to their single bin, so the match is one equi-join on
+    the bin key + an exact containment filter. Each event owns exactly one
+    bin, so a (event, interval) pair can only meet once — no dedup pass.
+
+    Cost: |events| + Σ interval_spans/bin rows through one well-distributed
+    equi-join; pick ``bin_seconds`` near the median interval length so most
+    intervals explode to 1–2 bins. Works at any interval count (broadcast
+    is never assumed), and AQE's skew-join splitting handles a hot bin.
+    """
+    ev_bin = events.withColumn(
+        "__bin", F.floor(_epoch_secs(ts_col) / bin_seconds)
+    )
+    iv_bin = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch_secs(start_col) / bin_seconds),
+                # end is exclusive: an interval ending exactly on a bin
+                # boundary does not cover that bin
+                F.floor(
+                    (_epoch_secs(end_col) - F.lit(1e-6)) / bin_seconds
+                ),
+            )
+        ),
+    )
+    return (
+        ev_bin.join(iv_bin, "__bin")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("__bin")
+    )
+
+
 def _parse_gap_seconds(gap: str) -> float:
     qty, unit = gap.split()
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,

@@ -140,3 +140,46 @@ def test_session_formulations_agree(spark):
         for r in session_window_stats(events).collect()
     }
     assert a == b
+
+
+def test_interval_bin_join_matches_naive(spark):
+    """Binned range join ≡ the naive inequality join, including boundary
+    semantics (start inclusive, end exclusive) and intervals spanning
+    multiple / zero bins."""
+    import datetime
+
+    from consent_based_conversion_adjustments_spark.streaming.events import (
+        interval_bin_join,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    events = spark.createDataFrame(
+        [(i, at(h)) for i, h in enumerate([0, 5.99, 6, 11, 12, 23, 24, 30])],
+        "event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, at(0), at(6)),      # exactly one bin; end on the boundary
+            (1, at(3), at(27)),     # spans 5 bins
+            (2, at(7), at(8)),      # inside one bin
+            (3, at(40), at(41)),    # matches nothing
+        ],
+        "interval_id long, start timestamp, end timestamp",
+    )
+    got = {
+        (r["event_id"], r["interval_id"])
+        for r in interval_bin_join(events, intervals).collect()
+    }
+    expect = {
+        (r["event_id"], r["interval_id"])
+        for r in events.crossJoin(intervals)
+        .filter("ts >= start AND ts < end")
+        .collect()
+    }
+    assert got == expect
+    # the end-exclusive boundary: event at h=6 is NOT in interval 0
+    assert (2, 0) not in got and (1, 0) in got

@@ -99,6 +99,32 @@ def main() -> int:
             and "BroadcastNestedLoopJoin" not in p,
         )
 
+    from consent_based_conversion_adjustments_spark.plans.corpus_queries import (
+        contamination_check,
+        tfidf_top_terms,
+    )
+    from consent_based_conversion_adjustments_spark.plans.data_queries import (
+        events_peak_attribution,
+    )
+
+    p = plan_of(events_peak_attribution(spark, SF))
+    check(
+        "interval join is bin equi-join, not nested-loop",
+        "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(contamination_check(spark, SF))
+    check(
+        "contamination is gram-hash equi-join, not doc×doc",
+        "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(tfidf_top_terms(spark, SF))
+    check(
+        "tfidf joins shuffled/broadcast, partial aggs present",
+        "CartesianProduct" not in p and p.count("HashAggregate") >= 2,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
