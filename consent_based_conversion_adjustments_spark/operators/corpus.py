@@ -235,6 +235,74 @@ def ngram_contamination(
     )
 
 
+def temperature_sample_quotas(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    target_total: int = 200,
+) -> DataFrame:
+    """Temperature-based source mixing (α = 0.5): per-source sampling
+    quotas ∝ √count, normalized to ``target_total`` docs — the standard
+    flattening that keeps huge crawl sources from drowning small curated
+    ones (cf. multilingual-LM sampling with T=2).
+
+    Deterministic and float-free where it matters: weights are
+    ``floor(√n·10⁶)`` (IEEE sqrt and multiply are exactly rounded, so both
+    engines floor the same integer), quotas are integer ``w·T // ΣW``, and
+    the per-source selection takes the ``quota`` docs with the smallest
+    Knuth-mixed id hash (a seeded pseudorandom draw, stable across
+    engines, runs, and repartitions).
+
+    Returns one row per source: ``n_docs``, ``quota``, ``n_kept``
+    (n_kept = min(quota, n_docs), realized by the rank filter).
+
+    Scale: a count agg, a 1-row total broadcast, and one per-source window
+    over docs — same skew note as :func:`source_quota_sample`.
+    """
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = counts.withColumn(
+        "__w", F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000))
+    )
+    # ΣW via a global window over the per-source frame (one row per source
+    # — tiny at any corpus scale), which avoids a crossJoin of the frame
+    # with its own aggregate (a self-join whose `__w` reference Spark 4's
+    # analyzer rejects as ambiguous). Exact integer floor division without
+    # SQL `div`: subtract the modulo first, so the double division is of
+    # exactly-representable ints with an integer quotient — bit-exact vs
+    # the oracle's `//`.
+    wt = F.col("__w") * target_total
+    quotas = weights.withColumn(
+        "__wsum",
+        F.sum("__w").over(Window.partitionBy(F.lit(1))),
+    ).withColumn(
+        "quota", ((wt - wt % F.col("__wsum")) / F.col("__wsum")).cast("long")
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        split_bucket(id_col, 1_000_000_000).asc(), F.col(id_col).asc()
+    )
+    ranked = docs.withColumn("__rn", F.row_number().over(w))
+    kept = ranked.join(
+        quotas.select(source_col, "quota"), source_col
+    ).filter(F.col("__rn") <= F.col("quota"))
+    return (
+        kept.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(quotas.select(source_col, "n_docs", "quota"), source_col, "right")
+        .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
+        .select(source_col, "n_docs", "quota", "n_kept")
+    )
+
+
+def shuffled_position(id_col: str = "doc_id") -> Column:
+    """Seeded pseudorandom global ordering key: the Knuth-mixed id hash.
+    ``orderBy(shuffled_position(id))`` is a deterministic permutation —
+    the reproducible replacement for ``ORDER BY random()`` when shuffling
+    training examples. The sort is a range-partition exchange (Spark's
+    distributed sort); at corpus scale prefer writing with
+    ``repartitionByRange`` on this key + ``sortWithinPartitions``."""
+    return split_bucket(id_col, 1_000_000_000)
+
+
 def funnel_counts(
     events: DataFrame,
     steps: tuple[str, str, str] = ("view", "click", "purchase"),

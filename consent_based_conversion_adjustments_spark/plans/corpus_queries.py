@@ -195,6 +195,67 @@ FROM ev LEFT JOIN hits USING (doc_id)
 )
 
 
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return C.temperature_sample_quotas(
+        docs, "source", "doc_id", target_total=200
+    ).orderBy("source")
+
+
+_MIX_BUCKET = (
+    f"((({_sql_hash('CAST(doc_id AS VARCHAR)')}) * 2654435761)"
+    f" % 4294967296) * 1000000000 // 4294967296"
+)
+
+TEMPERATURE_MIX_SQL = f"""
+WITH counts AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), weights AS (
+    SELECT source, n_docs,
+           CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w
+    FROM counts
+), quotas AS (
+    SELECT source, n_docs, (w * 200) // (SELECT sum(w) FROM weights) AS quota
+    FROM weights
+), ranked AS (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_MIX_BUCKET}, doc_id) AS rn
+    FROM documents
+), kept AS (
+    SELECT r.source, count(*) AS n_kept
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.rn <= q.quota
+    GROUP BY r.source
+)
+SELECT q.source, q.n_docs, CAST(q.quota AS BIGINT) AS quota,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM quotas q LEFT JOIN kept k USING (source)
+ORDER BY q.source
+"""
+
+
+def corpus_shuffle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 50 documents of the seeded global shuffle — the reproducible
+    ORDER BY random() replacement for training-example ordering."""
+    docs = read_table(spark, sf_dir, "documents")
+    pos = C.shuffled_position("doc_id")
+    return (
+        docs.select("doc_id", pos.alias("shuffle_pos"))
+        .orderBy("shuffle_pos", "doc_id")
+        .limit(50)
+    )
+
+
+CORPUS_SHUFFLE_SQL = f"""
+SELECT doc_id, {_MIX_BUCKET} AS shuffle_pos
+FROM documents
+ORDER BY shuffle_pos, doc_id
+LIMIT 50
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
     out = C.funnel_counts(events, ("view", "click", "purchase"))
@@ -238,5 +299,7 @@ QUERIES: dict[str, tuple] = {
     "source_quota_sample": (source_quota_sample, SOURCE_QUOTA_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
+    "source_temperature_mix": (source_temperature_mix, TEMPERATURE_MIX_SQL),
+    "corpus_shuffle_sample": (corpus_shuffle_sample, CORPUS_SHUFFLE_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
 }

@@ -137,3 +137,49 @@ def test_funnel_requires_strict_order(spark):
     )
     row = C.funnel_counts(events).collect()[0]
     assert (row["n_step1"], row["n_step2"], row["n_step3"]) == (3, 2, 1)
+
+
+def test_temperature_quotas_flatten_sources(spark):
+    rows = [(i, f"s{'big' if i < 900 else ('mid' if i < 990 else 'small')}")
+            for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {
+        r["source"]: r
+        for r in C.temperature_sample_quotas(
+            docs, "source", "doc_id", target_total=100
+        ).collect()
+    }
+    # √-weighting flattens: big=900→30, mid=90→9.48, small=10→3.16 docs;
+    # quotas are integer floors of 100·w/Σw
+    assert out["sbig"]["n_docs"] == 900
+    assert out["smid"]["n_docs"] == 90
+    assert out["ssmall"]["n_docs"] == 10
+    q_big, q_mid, q_small = (
+        out["sbig"]["quota"], out["smid"]["quota"], out["ssmall"]["quota"]
+    )
+    # raw proportional sampling would give 90/9/1; √-temperature gives the
+    # small source ~3× its raw share and the big one ~2/3 of its raw share
+    assert q_small >= 3 and q_big <= 70
+    assert q_big > q_mid > q_small
+    # kept counts realize the quotas (every source has enough docs)
+    for r in out.values():
+        assert r["n_kept"] == min(r["quota"], r["n_docs"])
+
+
+def test_shuffled_position_is_stable_permutation(spark):
+    ids = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = [
+        r["doc_id"]
+        for r in ids.orderBy(
+            C.shuffled_position("doc_id"), F.col("doc_id")
+        ).collect()
+    ]
+    b = [
+        r["doc_id"]
+        for r in ids.repartition(13)
+        .orderBy(C.shuffled_position("doc_id"), F.col("doc_id"))
+        .collect()
+    ]
+    assert a == b                      # deterministic across repartitions
+    assert a != sorted(a)              # actually permuted
+    assert sorted(a) == list(range(500))  # a bijection
