@@ -169,6 +169,28 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame, id_cols: tuple[str, ...] = ("event_id",)
+) -> DataFrame:
+    """Streaming exactly-once ingestion dedup: drops re-deliveries of the
+    same event id arriving within the watermark delay.
+
+    ``dropDuplicatesWithinWatermark`` keys state on ``id_cols`` and —
+    unlike plain ``dropDuplicates`` on a stream — expires state once the
+    watermark passes, so memory is bounded by the delivery-delay window
+    rather than the full stream history. The input must already carry a
+    watermark (``stream_events_from_parquet`` does)."""
+    return events.dropDuplicatesWithinWatermark(list(id_cols))
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch hash-joins against
+    the static dimension (broadcast when small — the planner treats the
+    static side as a normal batch relation, so all the usual join
+    strategies apply; no state store involved)."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def interval_bin_join(
     events: DataFrame,
     intervals: DataFrame,

@@ -183,3 +183,55 @@ def test_interval_bin_join_matches_naive(spark):
     assert got == expect
     # the end-exclusive boundary: event at h=6 is NOT in interval 0
     assert (2, 0) not in got and (1, 0) in got
+
+
+def test_streaming_dedup_and_enrich(spark, tmp_path):
+    """Exactly-once ingestion: re-delivered event ids within the watermark
+    window are dropped; the surviving stream enriches against a static
+    dimension via a broadcast stream-static join."""
+    import datetime
+
+    from consent_based_conversion_adjustments_spark.streaming.events import (
+        dedup_stream,
+        enrich_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, mins):
+        return (eid, uid, t0 + datetime.timedelta(minutes=mins))
+
+    schema = "event_id long, user_id long, ts timestamp"
+    # file 1: events 1-3; file 2: re-delivers 2 and 3 (same ts), adds 4
+    f1 = spark.createDataFrame(
+        [ev(1, 10, 0), ev(2, 10, 1), ev(3, 20, 2)], schema
+    )
+    f2 = spark.createDataFrame(
+        [ev(2, 10, 1), ev(3, 20, 2), ev(4, 20, 3)], schema
+    )
+    src = str(tmp_path / "stream_src")
+    f1.coalesce(1).write.mode("overwrite").parquet(src)
+    f2.coalesce(1).write.mode("append").parquet(src)
+
+    dim = spark.createDataFrame(
+        [(10, "alpha"), (20, "beta")], "user_id long, segment string"
+    )
+    stream = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    out = enrich_stream(dedup_stream(stream), dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_test").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3, 4]
+    segs = {r["event_id"]: r["segment"] for r in rows}
+    assert segs == {1: "alpha", 2: "alpha", 3: "beta", 4: "beta"}
