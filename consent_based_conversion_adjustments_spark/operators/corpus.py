@@ -303,6 +303,64 @@ def shuffled_position(id_col: str = "doc_id") -> Column:
     return split_bucket(id_col, 1_000_000_000)
 
 
+def pack_chunks(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+    budget: int = 128,
+    n_groups: int = 64,
+) -> DataFrame:
+    """Greedy sequence packing: assigns chunks to packs of ≤ ``budget``
+    tokens (first-fit-decreasing), the context-window packing step that
+    turns variable-length chunks into dense fixed-budget training
+    sequences.
+
+    Packing is inherently iterative, so this is one of the few operators
+    that earns ``applyInPandas``: chunks hash-shard into ``n_groups``
+    independent groups (Knuth-mixed id hash — deterministic, balanced) and
+    FFD runs per group in Arrow batches. Sharding costs at most one
+    under-filled pack per group versus a global packer — the waste bound
+    production packers accept to stay embarrassingly parallel. An
+    oversized chunk (> budget) gets its own pack rather than failing.
+
+    Output: one row per chunk with its ``group_id``, ``pack_id`` (dense
+    within group), and the running assignment is deterministic: groups by
+    id hash, FFD order by (tokens desc, id, idx)."""
+    import pandas as pd
+
+    def packer(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            [tokens_col, id_col, idx_col], ascending=[False, True, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []
+        assigned: list[int] = []
+        for n in pdf[tokens_col].astype(int):
+            for b, room in enumerate(remaining):
+                if room >= n:
+                    remaining[b] = room - n
+                    assigned.append(b)
+                    break
+            else:
+                remaining.append(max(budget - n, 0))
+                assigned.append(len(remaining) - 1)
+        pdf["pack_id"] = pd.Series(assigned, dtype="int64")
+        return pdf[[ "group_id", id_col, idx_col, tokens_col, "pack_id" ]]
+
+    grouped = chunks.withColumn(
+        "group_id",
+        (split_bucket(F.col(id_col).cast("string"), 1_000_000_000) % n_groups)
+        .cast("long"),
+    )
+    schema = (
+        f"group_id long, {id_col} long, {idx_col} long, "
+        f"{tokens_col} long, pack_id long"
+    )
+    return grouped.select(
+        "group_id", id_col, idx_col, tokens_col
+    ).groupBy("group_id").applyInPandas(packer, schema=schema)
+
+
 def funnel_counts(
     events: DataFrame,
     steps: tuple[str, str, str] = ("view", "click", "purchase"),

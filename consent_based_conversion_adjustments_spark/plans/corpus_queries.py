@@ -256,6 +256,24 @@ LIMIT 50
 """
 
 
+def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group packing summary of the 32-token chunk stream under a
+    128-token budget (greedy FFD in applyInPandas — iterative, so no SQL
+    oracle; invariants are pytest-checked in tests/test_corpus.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = C.chunk_documents(docs, "text", "doc_id", 32, 8)
+    packed = C.pack_chunks(chunks, budget=128, n_groups=16)
+    return (
+        packed.groupBy("group_id")
+        .agg(
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("group_id")
+    )
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
     out = C.funnel_counts(events, ("view", "click", "purchase"))
@@ -301,5 +319,6 @@ QUERIES: dict[str, tuple] = {
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "source_temperature_mix": (source_temperature_mix, TEMPERATURE_MIX_SQL),
     "corpus_shuffle_sample": (corpus_shuffle_sample, CORPUS_SHUFFLE_SQL),
+    "chunk_packing": (chunk_packing, None),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
 }

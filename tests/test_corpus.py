@@ -183,3 +183,51 @@ def test_shuffled_position_is_stable_permutation(spark):
     assert a == b                      # deterministic across repartitions
     assert a != sorted(a)              # actually permuted
     assert sorted(a) == list(range(500))  # a bijection
+
+
+def test_pack_chunks_invariants(spark):
+    rows = [(d, i, 10 + (d * 7 + i * 13) % 100) for d in range(40)
+            for i in range(3)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, n_tokens long"
+    )
+    packed = C.pack_chunks(chunks, budget=128, n_groups=4).collect()
+    # every chunk assigned exactly once
+    assert len(packed) == len(rows)
+    assert {(r["doc_id"], r["chunk_idx"]) for r in packed} == {
+        (d, i) for d, i, _ in rows
+    }
+    # no pack exceeds the budget (all chunks here are <= budget)
+    fill = {}
+    for r in packed:
+        key = (r["group_id"], r["pack_id"])
+        fill[key] = fill.get(key, 0) + r["n_tokens"]
+    assert all(v <= 128 for v in fill.values()), max(fill.values())
+    # FFD packs reasonably densely: no two packs could merge
+    # (any half-empty pair would have been merged by first-fit)
+    by_group = {}
+    for (g, p), v in fill.items():
+        by_group.setdefault(g, []).append(v)
+    for g, fills in by_group.items():
+        fills = sorted(fills)
+        if len(fills) >= 2:
+            assert fills[-1] + fills[0] > 128 or len(fills) == 1
+    # deterministic under repartition
+    again = C.pack_chunks(
+        chunks.repartition(7), budget=128, n_groups=4
+    ).collect()
+    key = lambda r: (r["group_id"], r["doc_id"], r["chunk_idx"], r["pack_id"])
+    assert sorted(map(key, packed)) == sorted(map(key, again))
+
+
+def test_pack_chunks_oversized_gets_own_pack(spark):
+    chunks = spark.createDataFrame(
+        [(0, 0, 500), (0, 1, 60), (0, 2, 60)],
+        "doc_id long, chunk_idx long, n_tokens long",
+    )
+    packed = C.pack_chunks(chunks, budget=128, n_groups=1).collect()
+    packs = {}
+    for r in packed:
+        packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    # the 500-token chunk is alone; the two 60s share one pack
+    assert sorted(map(sorted, packs.values())) == [[60, 60], [500]]
