@@ -35,6 +35,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # at schema resolution (PARQUET_TYPE_ILLEGAL). The conf is
         # runtime-settable, so set it here instead of relying on the session
         # builder — read_table must work under any caller-provided session.
+        # Spark 4.1 resolves the column to timestamp_ntz under this conf
+        # (micros precision, matching DuckDB's naive TIMESTAMP
+        # tz-independently); older behavior surfaced a bigint, handled below.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
