@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import sql_round, stable_round
 from ..sources.io import read_table
 
 
@@ -608,7 +609,142 @@ ORDER BY c_nationkey
 """
 
 
+# --- Q14-style conditional-aggregation ratio --------------------------------
+
+
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share in one month: conditional sum / total sum over a
+    part⋈lineitem join. No broadcast hint on part — it scales with the
+    corpus (AQE promotes the join when the filtered side is small)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-02-01")
+    )
+    part = read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            stable_round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+PROMO_RATIO_SQL = """
+SELECT {r} AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-02-01'
+""".format(
+    r=sql_round(
+        "100.0 * sum(CASE WHEN p_type = 'PROMO'"
+        " THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)"
+        " / sum(l_extendedprice * (1 - l_discount))",
+        6,
+    )
+)
+
+
+# --- Q22-style: scalar subquery + anti join ---------------------------------
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average (positive-balance) account balance and
+    no urgent orders, profiled per market segment — the decorrelated Q22
+    shape: the scalar AVG becomes a 1-row broadcast crossJoin, the NOT
+    EXISTS an anti join."""
+    cust = read_table(spark, sf_dir, "customer")
+    urgent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg_bal")
+    )
+    idle = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            stable_round(F.sum("c_acctbal"), 3).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+IDLE_RICH_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       {r} AS total_balance
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""".format(r=sql_round("sum(c_acctbal)", 3))
+
+
+# --- Q8-style market share per year -----------------------------------------
+
+
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's share of total supplier revenue per order year — the
+    Q8 shape: a 4-table join with a conditional-aggregation ratio. Nation
+    is broadcast (constant-size dim); supplier joins shuffled."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            stable_round(
+                F.sum(F.when(F.col("n_name") == "NATION_7", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("nation7_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+MARKET_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       {r} AS nation7_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+ORDER BY 1
+""".format(
+    r=sql_round(
+        "sum(CASE WHEN n_name = 'NATION_7'"
+        " THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)"
+        " / sum(l_extendedprice * (1 - l_discount))",
+        6,
+    )
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "promo_revenue_ratio": (promo_revenue_ratio, PROMO_RATIO_SQL),
+    "idle_rich_customers": (idle_rich_customers, IDLE_RICH_SQL),
+    "market_share_by_year": (market_share_by_year, MARKET_SHARE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
