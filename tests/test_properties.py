@@ -94,3 +94,81 @@ def test_radius_upper_bound_random(spark, seed, radius):
         )
         for r in sums:
             assert r["w"] == pytest.approx(1.0, rel=1e-12)
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_interval_bin_join_equals_naive_random(spark, seed):
+    """For random events and random (possibly zero-length, boundary-
+    touching, multi-bin) intervals, the binned range join must equal the
+    naive inequality join exactly."""
+    import datetime
+
+    from consent_based_conversion_adjustments_spark.streaming.events import (
+        interval_bin_join,
+    )
+
+    rng = np.random.RandomState(seed)
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=float(minutes))
+
+    events = spark.createDataFrame(
+        [(i, at(rng.uniform(0, 4000))) for i in range(60)],
+        "event_id long, ts timestamp",
+    )
+    ivs = []
+    for j in range(25):
+        start = rng.uniform(0, 4000)
+        length = rng.choice([0.0, rng.uniform(0, 30), rng.uniform(0, 2000)])
+        ivs.append((j, at(start), at(start + length)))
+    intervals = spark.createDataFrame(
+        ivs, "interval_id long, start timestamp, end timestamp"
+    )
+    got = {
+        (r["event_id"], r["interval_id"])
+        for r in interval_bin_join(
+            events, intervals, bin_seconds=3600
+        ).collect()
+    }
+    expect = {
+        (r["event_id"], r["interval_id"])
+        for r in events.crossJoin(intervals)
+        .filter("ts >= start AND ts < end")
+        .collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    chunk=st.integers(4, 12),
+    overlap=st.integers(0, 3),
+)
+def test_chunk_stitch_roundtrip_random(spark, seed, chunk, overlap):
+    """Chunks with overlap o stitch back to the exact original token
+    sequence for random documents (including empty and 1-token docs)."""
+    from consent_based_conversion_adjustments_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    rng = np.random.RandomState(seed)
+    words = ["w%d" % i for i in range(30)]
+    rows = []
+    for d in range(12):
+        n = int(rng.randint(0, 40))
+        rows.append((d, " ".join(rng.choice(words, n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=chunk, overlap=overlap)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, text in rows:
+        toks = text.split()
+        got = sorted(by_doc[d], key=lambda r: r["chunk_idx"])
+        stitched = got[0]["chunk_text"].split()
+        for r in got[1:]:
+            stitched.extend(r["chunk_text"].split()[overlap:])
+        assert stitched == toks, (d, chunk, overlap)
