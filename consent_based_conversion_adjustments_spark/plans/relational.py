@@ -741,8 +741,92 @@ ORDER BY 1
 )
 
 
+# --- Q10-style: returned-item revenue per customer, top 20 ------------------
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue of returned items in one quarter — the
+    Q10 shape: fact⋈fact join on the order key (shuffled; both sides scale)
+    + customer-level aggregation + deterministic top-k."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(stable_round(F.sum(rev), 3).alias("returned_revenue"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+        )
+        .select(
+            "c_custkey", "c_mktsegment", "c_acctbal", "returned_revenue"
+        )
+        .orderBy(F.col("returned_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal, returned_revenue
+FROM (
+    SELECT o_custkey, {r} AS returned_revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+    GROUP BY o_custkey
+) JOIN customer ON o_custkey = c_custkey
+ORDER BY returned_revenue DESC, c_custkey
+LIMIT 20
+""".format(r=sql_round("sum(l_extendedprice * (1 - l_discount))", 3))
+
+
+# --- Q16-style: supplier variety per part attribute -------------------------
+
+
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per (brand, type) excluding Brand#1 — the
+    Q16 shape: join + countDistinct + exclusion filter, ordered by
+    variety. Uses lineitem as the part↔supplier bridge (no partsupp table
+    in the fixture set)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#1"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+        )
+        .limit(30)
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 30
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "promo_revenue_ratio": (promo_revenue_ratio, PROMO_RATIO_SQL),
+    "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
+    "q16_part_supplier_variety": (q16_part_supplier_variety, Q16_SQL),
     "idle_rich_customers": (idle_rich_customers, IDLE_RICH_SQL),
     "market_share_by_year": (market_share_by_year, MARKET_SHARE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
