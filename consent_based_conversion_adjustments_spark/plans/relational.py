@@ -823,8 +823,92 @@ LIMIT 30
 """
 
 
+# --- data-quality audits -----------------------------------------------------
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every fact→dim edge
+    of the star schema, as anti-join aggregates (V-family validation at
+    warehouse scale — each edge is one shuffled anti join + count; no row
+    ever reaches the driver)."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cust = read_table(spark, sf_dir, "customer")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+
+    def orphans(fact, key, dim, dim_key, name):
+        return (
+            fact.join(dim, fact[key] == dim[dim_key], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("edge"), "n_orphans")
+        )
+
+    return (
+        orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer")
+        .unionByName(
+            orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        )
+        .unionByName(
+            orphans(li, "l_partkey", part, "p_partkey", "lineitem->part")
+        )
+        .unionByName(
+            orphans(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier")
+        )
+        .orderBy("edge")
+    )
+
+
+FK_AUDIT_SQL = """
+SELECT 'orders->customer' AS edge, count(*) AS n_orphans
+FROM orders WHERE NOT EXISTS
+    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem->orders', count(*)
+FROM lineitem WHERE NOT EXISTS
+    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'lineitem->part', count(*)
+FROM lineitem WHERE NOT EXISTS
+    (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+UNION ALL
+SELECT 'lineitem->supplier', count(*)
+FROM lineitem WHERE NOT EXISTS
+    (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+ORDER BY edge
+"""
+
+
+def null_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-quality profile of the documents table in one aggregation
+    pass: null and blank counts plus distinct cardinalities."""
+    docs = read_table(spark, sf_dir, "documents")
+    blank = F.trim(F.col("text")) == ""
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("null_text"),
+        F.count(F.when(blank, 1)).alias("blank_text"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("null_lang"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+NULL_PROFILE_SQL = """
+SELECT count(*) AS n_rows,
+       count(CASE WHEN text IS NULL THEN 1 END) AS null_text,
+       count(CASE WHEN trim(text) = '' THEN 1 END) AS blank_text,
+       count(CASE WHEN lang IS NULL THEN 1 END) AS null_lang,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "promo_revenue_ratio": (promo_revenue_ratio, PROMO_RATIO_SQL),
+    "fk_integrity_audit": (fk_integrity_audit, FK_AUDIT_SQL),
+    "null_profile_documents": (null_profile_documents, NULL_PROFILE_SQL),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
     "q16_part_supplier_variety": (q16_part_supplier_variety, Q16_SQL),
     "idle_rich_customers": (idle_rich_customers, IDLE_RICH_SQL),
