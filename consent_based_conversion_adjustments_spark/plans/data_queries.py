@@ -673,6 +673,44 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash pair graph → distributed connected
+    components → (doc_id, component=min doc id of its cluster). The
+    actionable form of dedup: keep each component's minimum, drop the
+    rest. Oracle: recursive CTE computing min reachable label over the
+    identical pair set."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup(docs, "text", "doc_id", threshold=JACCARD_THRESHOLD)
+    cc = D.connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"), "component"
+    ).orderBy("doc_id")
+
+
+def _clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE
+p AS (
+    SELECT doc_a, doc_b FROM ({_minhash_sql()}) mp
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM p
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM p
+),
+comp(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, c.label
+    FROM comp c JOIN edges e ON e.src = c.node
+)
+SELECT node AS doc_id, min(label) AS component
+FROM comp
+GROUP BY node
+ORDER BY doc_id
+"""
+
+
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolating quantiles per event type (the distributed exact
     percentile — one shuffle on event_type; swap for approx_percentile at
@@ -837,6 +875,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash": (dedup_minhash, _minhash_sql()),
+    "dedup_clusters": (dedup_clusters, _clusters_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),

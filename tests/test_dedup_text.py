@@ -244,3 +244,31 @@ def test_minhash_bitmap_and_array_verify_agree(spark):
                 if j >= 0.6:
                     expected[(a, b)] = round(j, 9)
         assert got == expected
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, and isolated pair resolve to min-id components."""
+    from consent_based_conversion_adjustments_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            # chain 1-2-3-4 (diameter > 1 forces multiple rounds)
+            (1, 2), (2, 3), (3, 4),
+            # triangle 10-11-12
+            (10, 11), (11, 12), (10, 12),
+            # isolated pair
+            (20, 21),
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
