@@ -139,3 +139,40 @@ def write_adjustments_csv(
     summary.coalesce(1).write.mode("overwrite").option("header", True).csv(
         f"{base_path}/{date}/adjustments_summary"
     )
+
+
+def write_compacted_parquet(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 256,
+    sample_rows: int = 10_000,
+) -> int:
+    """Writes parquet with file counts sized to a target file size — the
+    guard against the small-files problem (a 100 TB pipeline that writes
+    one file per shuffle partition floods the metastore/namenode and
+    slows every downstream scan).
+
+    Sizing: sample up to ``sample_rows`` rows, estimate bytes/row from
+    their serialized in-memory footprint with a 2.5× parquet-compression
+    discount, scale by the full row count, and ``repartition`` to
+    ``ceil(total / target)`` files. Costs one extra count + sample pass —
+    worth it on any write that downstream jobs read more than once.
+    Returns the partition count used.
+    """
+    import math
+    import sys as _sys
+
+    n_rows = df.count()
+    if n_rows == 0:
+        df.limit(0).write.mode("overwrite").parquet(path)
+        return 1
+    sample = df.limit(sample_rows).collect()
+    est_row_bytes = max(
+        1,
+        sum(_sys.getsizeof(str(r)) for r in sample) // max(len(sample), 1)
+        // 2,  # parquet encoding+compression discount vs str repr
+    )
+    total_mb = n_rows * est_row_bytes / (1024 * 1024)
+    n_files = max(1, math.ceil(total_mb / target_file_mb))
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return n_files

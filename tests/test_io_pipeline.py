@@ -202,3 +202,23 @@ def test_approx_distinct_within_tolerance(spark):
     rows = approx_distinct_parts(spark, "/root/testdata/sf0.001").collect()
     for r in rows:
         assert r["approx_parts"] == pytest.approx(r["exact_parts"], rel=0.05)
+
+
+def test_write_compacted_parquet(spark, tmp_path):
+    from consent_based_conversion_adjustments_spark.sources.io import (
+        write_compacted_parquet,
+    )
+
+    df = spark.range(50_000).selectExpr(
+        "id", "repeat('x', 100) AS payload"
+    ).repartition(32)
+    out = str(tmp_path / "compacted")
+    n_files = write_compacted_parquet(df, out, target_file_mb=1)
+    import glob
+
+    parts = glob.glob(out + "/part-*.parquet")
+    # one file per computed partition, far fewer than the 32 input
+    # partitions would have produced, and the data round-trips
+    assert len(parts) == n_files
+    assert 1 <= n_files < 32
+    assert spark.read.parquet(out).count() == 50_000
