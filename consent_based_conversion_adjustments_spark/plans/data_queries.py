@@ -849,6 +849,48 @@ ORDER BY 1
 )
 
 
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3): a two-pass anomaly scan — tiny
+    per-type moment aggregate broadcast back onto the stream. The shape
+    that replaces a window-function formulation at scale (a global window
+    per type would single-thread each type's partition; the agg + broadcast
+    join keeps the second pass embarrassingly parallel)."""
+    ev = read_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"),
+        F.stddev_samp("value").alias("__sd"),
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("__z", z)
+        .filter(F.abs("__z") > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            stable_round("value", 3).alias("value"),
+            stable_round("__z", 3).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ANOMALIES_SQL = """
+SELECT event_id, event_type,
+       {v} AS value,
+       {z} AS zscore
+FROM (
+    SELECT *,
+           avg(value) OVER (PARTITION BY event_type) AS mu,
+           stddev_samp(value) OVER (PARTITION BY event_type) AS sd
+    FROM events)
+WHERE abs((value - mu) / sd) > 3
+ORDER BY event_id
+""".format(
+    v=sql_round("value", 3), z=sql_round("(value - mu) / sd", 3)
+)
+
+
 # --- multimodal plumbing -----------------------------------------------------
 
 
@@ -887,6 +929,7 @@ QUERIES: dict[str, tuple] = {
     "events_asof_attribution": (events_asof_attribution, EVENTS_ASOF_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
+    "events_value_anomalies": (events_value_anomalies, EVENTS_ANOMALIES_SQL),
     "events_peak_attribution": (events_peak_attribution, EVENTS_PEAK_SQL),
     "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),

@@ -222,3 +222,20 @@ def test_write_compacted_parquet(spark, tmp_path):
     assert len(parts) == n_files
     assert 1 <= n_files < 32
     assert spark.read.parquet(out).count() == 50_000
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Reading a dataset whose later files added a column: mergeSchema
+    unions the schemas and back-fills nulls — the standard warehouse
+    schema-evolution contract."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.parquet(base + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(base + "/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) == {"id", "name", "score", "batch"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
