@@ -140,6 +140,33 @@ def quality_score(col: Column | str) -> Column:
     return quality_score_in(toks, punct_ratio(col), stopword_ratio_in(toks))
 
 
+# PII patterns: conservative syntax shared verbatim by Java regex (Spark)
+# and RE2 (DuckDB) — no backrefs, no lookaround, no \b.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"[0-9]{3}-[0-9]{3,}", "[PHONE]"),
+)
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII kind (see PII_PATTERNS) in a string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = dict((k, p) for k, p, _ in PII_PATTERNS)[kind]
+    return F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replaces every PII match with its kind token ([EMAIL], [PHONE]…) —
+    the scrubbing pass a pretraining corpus runs before tokenization.
+    Stateless regexp_replace chain: pure Catalyst, no shuffle, and the
+    patterns are chosen to behave identically under DuckDB's RE2 so the
+    redacted text hash-matches cross-engine."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def string_hash(col: Column | str, mod: int = HASH_MOD, base: int = HASH_BASE) -> Column:
     """Polynomial rolling hash over unicode codepoints:
     ``acc = (acc·base + code) mod m``. Bit-identical in DuckDB via

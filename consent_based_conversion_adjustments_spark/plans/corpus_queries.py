@@ -274,6 +274,53 @@ def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_scrub_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction parity check: plants a deterministic email + phone
+    into every document, then counts and redacts them. The oracle runs
+    the identical regexes under DuckDB's RE2, so this proves the
+    cross-engine behavior of the scrubbing pass itself (the fixture text
+    contains no organic PII)."""
+    from ..operators.text import pii_count, redact_pii, string_hash
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-01"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        pii_count(planted, "email").cast("long").alias("n_emails"),
+        pii_count(planted, "phone").cast("long").alias("n_phones"),
+        string_hash(redact_pii(planted)).alias("redacted_hash"),
+    ).orderBy("doc_id")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"[0-9]{3}-[0-9]{3,}"
+_PLANTED = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or 555-01' || CAST(doc_id AS VARCHAR)"
+)
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all({_PLANTED}, '{_PII_EMAIL}'))
+            AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all({_PLANTED}, '{_PII_PHONE}'))
+            AS BIGINT) AS n_phones,
+       {_sql_hash(
+           "regexp_replace(regexp_replace(" + _PLANTED
+           + ", '" + _PII_EMAIL + "', '[EMAIL]', 'g'), '"
+           + _PII_PHONE + "', '[PHONE]', 'g')"
+       )} AS redacted_hash
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
     out = C.funnel_counts(events, ("view", "click", "purchase"))
@@ -320,5 +367,6 @@ QUERIES: dict[str, tuple] = {
     "source_temperature_mix": (source_temperature_mix, TEMPERATURE_MIX_SQL),
     "corpus_shuffle_sample": (corpus_shuffle_sample, CORPUS_SHUFFLE_SQL),
     "chunk_packing": (chunk_packing, None),
+    "pii_scrub_check": (pii_scrub_check, PII_SCRUB_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
 }

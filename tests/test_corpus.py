@@ -231,3 +231,33 @@ def test_pack_chunks_oversized_gets_own_pack(spark):
         packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
     # the 500-token chunk is alone; the two 60s share one pack
     assert sorted(map(sorted, packs.values())) == [[60, 60], [500]]
+
+
+def test_pii_redaction_planted(spark):
+    from consent_based_conversion_adjustments_spark.operators.text import (
+        pii_count,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail alice.smith+x@corp.example.org or call 415-5551234"),
+            (1, "two mails a@b.io c@d.org and 555-123 555-45"),
+            (2, "no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            pii_count("text", "email").alias("ne"),
+            pii_count("text", "phone").alias("np"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert out[0]["ne"] == 1 and out[0]["np"] == 1
+    assert out[0]["red"] == "mail [EMAIL] or call [PHONE]"
+    # 555-45 has only 2 digits after the dash → not a phone match
+    assert out[1]["ne"] == 2 and out[1]["np"] == 1
+    assert out[2]["red"] == "no pii at all"
