@@ -284,7 +284,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_neardup(docs, "text", "doc_id", threshold=JACCARD_THRESHOLD)
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(src: str = "documents") -> str:
     sig_exprs = ",\n           ".join(
         f"min((h0 * {D.perm_params(i)[0]} + {D.perm_params(i)[1]}) % 1000000007)"
         f" AS sig_{i}"
@@ -307,7 +307,7 @@ WITH t AS (
     SELECT doc_id,
            list_distinct(list_transform({_DTOKS.format(c='text')},
                tk -> {_sql_hash('tk')})) AS toks
-    FROM documents
+    FROM {src}
 ), hashed AS (
     SELECT doc_id, unnest(toks) AS h0 FROM t
 ), sigs AS (
@@ -711,6 +711,77 @@ ORDER BY doc_id
 """
 
 
+def corpus_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern corpus-cleaning pass: quality filter → MinHash
+    near-dup pair graph → connected components → keep each cluster's
+    canonical (minimum) doc plus all singletons. Composes the cluster
+    operator into the cleaning pipeline — what `corpus_clean_ids` does
+    with exact fingerprints, upgraded to fuzzy near-dup clusters."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    praw = X.punct_ratio("text")
+    quality = X.quality_score_in(toks, praw, X.stopword_ratio_in(toks))
+    good = docs.select("doc_id", "text").withColumn("q", quality).filter(
+        F.col("q") >= 0.5
+    )
+    pairs = D.minhash_neardup(good, "text", "doc_id", threshold=JACCARD_THRESHOLD)
+    cc = D.connected_components(pairs)
+    dupes = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        good.select("doc_id")
+        .join(dupes, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+_GOOD_SRC = """(
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               0.4 * least(len({toks}) / 50.0, 1.0)
+               + 0.3 * (1.0 - least(
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                            AS DOUBLE) / length(text) ELSE 0.0 END * 5.0, 1.0))
+               + 0.3 * least(
+                   CASE WHEN len({toks}) > 0 THEN
+                       CAST({en_hits} AS DOUBLE) / len({toks}) ELSE 0.0 END * 5.0,
+                   1.0) AS q
+        FROM documents)
+    WHERE q >= 0.5) __good""".format(
+    toks=_TOKS.format(c="text"), en_hits=_sql_stop_hits("en")
+)
+
+
+def _canonical_sql() -> str:
+    return f"""
+WITH RECURSIVE
+p AS (
+    SELECT doc_a, doc_b FROM ({_minhash_sql(src=_GOOD_SRC)}) mp
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM p
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM p
+),
+comp(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, c.label
+    FROM comp c JOIN edges e ON e.src = c.node
+),
+labels AS (
+    SELECT node, min(label) AS component FROM comp GROUP BY node
+)
+SELECT g.doc_id
+FROM {_GOOD_SRC.replace('__good', 'g')}
+LEFT JOIN labels l ON l.node = g.doc_id
+WHERE l.node IS NULL OR l.component = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolating quantiles per event type (the distributed exact
     percentile — one shuffle on event_type; swap for approx_percentile at
@@ -918,6 +989,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash": (dedup_minhash, _minhash_sql()),
     "dedup_clusters": (dedup_clusters, _clusters_sql()),
+    "corpus_canonical_ids": (corpus_canonical_ids, _canonical_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
