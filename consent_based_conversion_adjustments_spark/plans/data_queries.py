@@ -711,6 +711,37 @@ ORDER BY doc_id
 """
 
 
+def corpus_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-detected-language corpus profile: composes the per-doc
+    text_stats pass with one aggregation over the predicted language —
+    both engines wrap the identical per-doc query, so the rollup proves
+    composability of the text layer."""
+    ts = text_stats(spark, sf_dir)
+    return (
+        ts.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            stable_round(F.avg("quality"), 6).alias("avg_quality"),
+            stable_round(F.avg("n_chars"), 3).alias("avg_chars"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+def _language_profile_sql() -> str:
+    return f"""
+SELECT lang_pred,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       {sql_round('avg(quality)', 6)} AS avg_quality,
+       {sql_round('avg(n_chars)', 3)} AS avg_chars
+FROM ({TEXT_STATS_SQL}) __ts
+GROUP BY lang_pred
+ORDER BY lang_pred
+"""
+
+
 def corpus_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full modern corpus-cleaning pass: quality filter → MinHash
     near-dup pair graph → connected components → keep each cluster's
@@ -990,6 +1021,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash": (dedup_minhash, _minhash_sql()),
     "dedup_clusters": (dedup_clusters, _clusters_sql()),
     "corpus_canonical_ids": (corpus_canonical_ids, _canonical_sql()),
+    "corpus_language_profile": (corpus_language_profile, _language_profile_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
