@@ -235,3 +235,58 @@ def test_streaming_dedup_and_enrich(spark, tmp_path):
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3, 4]
     segs = {r["event_id"]: r["segment"] for r in rows}
     assert segs == {1: "alpha", 2: "alpha", 3: "beta", 4: "beta"}
+
+
+def test_stream_stream_time_bounded_join(spark, tmp_path):
+    """Watermarked stream-stream join: purchases join clicks of the same
+    user within [click, click+1h] — the state-store join Structured
+    Streaming runs with both sides unbounded."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    schema = "user_id long, ts timestamp"
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    spark.createDataFrame(
+        [(1, at(0)), (2, at(5)), (3, at(10))], schema
+    ).coalesce(1).write.parquet(clicks_dir)
+    spark.createDataFrame(
+        [
+            (1, at(30)),    # within the hour → joins
+            (2, at(120)),   # too late → no join
+            (4, at(20)),    # never clicked → no join
+        ],
+        schema,
+    ).coalesce(1).write.parquet(buys_dir)
+
+    clicks = (
+        spark.readStream.schema(schema).parquet(clicks_dir)
+        .withColumnRenamed("ts", "click_ts")
+        .withWatermark("click_ts", "2 hours")
+    )
+    buys = (
+        spark.readStream.schema(schema).parquet(buys_dir)
+        .withColumnRenamed("ts", "buy_ts")
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = buys.join(
+        clicks,
+        (buys.user_id == clicks.user_id)
+        & (buys.buy_ts >= clicks.click_ts)
+        & (buys.buy_ts <= clicks.click_ts + F.expr("interval 1 hour")),
+    )
+    q = (
+        joined.select(buys.user_id, "click_ts", "buy_ts")
+        .writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ss_join_test").collect()
+    assert [r["user_id"] for r in rows] == [1]
