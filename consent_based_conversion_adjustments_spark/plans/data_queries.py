@@ -951,6 +951,47 @@ ORDER BY 1
 )
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen ISO week × weeks
+    since that week, distinct active users per cell. Two shuffles on the
+    user key (first-seen agg + activity join) and one on the cohort cell —
+    all high-cardinality keys; the classic cohort matrix without any
+    window function."""
+    ev = read_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("__cohort")
+    )
+    act = ev.join(first_seen, "user_id")
+    week_no = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date("__cohort")) / 7
+    ).cast("long")
+    return (
+        act.select(
+            "user_id",
+            F.date_format("__cohort", "yyyy-MM-dd").alias("cohort_week"),
+            week_no.alias("week_no"),
+        )
+        .groupBy("cohort_week", "week_no")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_no")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH first_seen AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort
+    FROM events GROUP BY user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(floor(date_diff('day', CAST(cohort AS DATE), CAST(ts AS DATE)) / 7.0)
+            AS BIGINT) AS week_no,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first_seen USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outliers (|z| > 3): a two-pass anomaly scan — tiny
     per-type moment aggregate broadcast back onto the stream. The shape
@@ -1034,6 +1075,7 @@ QUERIES: dict[str, tuple] = {
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
     "events_value_anomalies": (events_value_anomalies, EVENTS_ANOMALIES_SQL),
+    "events_retention": (events_retention, EVENTS_RETENTION_SQL),
     "events_peak_attribution": (events_peak_attribution, EVENTS_PEAK_SQL),
     "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
