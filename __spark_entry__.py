@@ -10,6 +10,9 @@ is genuinely non-SQL-expressible (those run rows-only).
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,18 +39,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return cocoa_queries.knn_adjust(spark, SF0001)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+def _last_verified_round() -> dict[str, int]:
+    """Map query name -> most recent round whose CORRECTNESS file recorded it.
+
+    The driver only records the first N registry entries per round, so ordering
+    least-recently-verified first rotates the verification window until every
+    query has a recent driver row. Queries never recorded sort first (round 0).
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")])
+            names = json.load(open(path))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name in names:
+            seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
+def _ordered_names() -> list[str]:
+    registered: list[str] = []
     for registry in _REGISTRIES:
-        for name, (fn, _sql) in registry.items():
-            out[name] = fn
+        registered.extend(registry.keys())
+    seen = _last_verified_round()
+    # Stable sort: never-verified first, then oldest verification round;
+    # registration order breaks ties so the rotation is deterministic.
+    return sorted(registered, key=lambda n: seen.get(n, 0))
+
+
+def _flat() -> dict[str, tuple]:
+    out: dict[str, tuple] = {}
+    for registry in _REGISTRIES:
+        out.update(registry)
     return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    flat = _flat()
+    return {name: flat[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for registry in _REGISTRIES:
-        for name, (_fn, sql) in registry.items():
-            if sql is not None:
-                out[name] = sql
-    return out
+    flat = _flat()
+    return {
+        name: flat[name][1]
+        for name in _ordered_names()
+        if flat[name][1] is not None
+    }
