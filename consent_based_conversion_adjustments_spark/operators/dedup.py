@@ -125,7 +125,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs Jaccard over n-word-shingle hash sets (order-sensitive
     near-dup, vs the order-blind token-set variant): catches documents that
-    share phrasing, not just vocabulary."""
+    share phrasing, not just vocabulary.
+
+    QUADRATIC small-n baseline ONLY (broadcast crossJoin) — never register
+    or run this form at corpus scale; `ngram_jaccard_pairs_scalable` is the
+    production path with identical output."""
     from .text import shingle_hashes
 
     sets = df.select(
@@ -203,8 +207,13 @@ def prefix_filter_candidates(
 def _verify_jaccard(
     cands: DataFrame, sets: DataFrame, threshold: float, items_col: str
 ) -> DataFrame:
-    """Exact Jaccard ≥ threshold over candidate pairs; the per-doc item
-    table is broadcast so the candidate side never shuffles."""
+    """Exact Jaccard ≥ threshold over candidate pairs.
+
+    No broadcast hint on the per-doc item table: it scales with the corpus,
+    so a forced broadcast would FAIL outright past the broadcast limit at
+    100 TB. Plain equi-joins on doc id let AQE promote to broadcast when the
+    table is actually small and fall back to shuffled sort-merge when it
+    isn't (both sides hash-partition on the doc id key)."""
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col(items_col).alias("__ia")
     )
@@ -213,8 +222,8 @@ def _verify_jaccard(
     )
     inter = F.size(F.array_intersect("__ia", "__ib"))
     return (
-        cands.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn(
             "jaccard", inter / (F.size("__ia") + F.size("__ib") - inter)
         )
@@ -389,14 +398,15 @@ def minhash_neardup(
             for c in sig_cols
         ) / F.lit(float(len(sig_cols)))
         cands = (
-            cands.join(F.broadcast(a), "doc_a")
-            .join(F.broadcast(b), "doc_b")
+            cands.join(a, "doc_a")
+            .join(b, "doc_b")
             .filter(est >= est_prefilter)
             .select("doc_a", "doc_b")
         )
-    # token tables are |docs| rows — broadcast so the (potentially huge)
-    # candidate-pair side never shuffles; persisted because the verify
-    # stage builds two broadcasts (doc_a / doc_b side) from it
+    # the per-doc token table grows with the corpus, so no broadcast hint —
+    # a forced broadcast would fail outright past the limit at scale; AQE
+    # promotes when small. Persisted because the verify stage reads it
+    # twice (doc_a / doc_b side)
     hashes = _token_hash_set(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -417,8 +427,8 @@ def minhash_neardup(
         )
         inter = F.bit_count(F.col("__ma").bitwiseAND(F.col("__mb")))
         verified = (
-            cands.join(F.broadcast(a), "doc_a")
-            .join(F.broadcast(b), "doc_b")
+            cands.join(a, "doc_a")
+            .join(b, "doc_b")
             .withColumn(
                 "jaccard", inter / (F.col("__na") + F.col("__nb") - inter)
             )
@@ -433,8 +443,8 @@ def minhash_neardup(
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     verified = (
-        cands.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn(
             # distinct arrays ⇒ |union| = |a| + |b| − |∩| (one set op)
             "jaccard",

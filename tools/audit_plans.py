@@ -20,6 +20,12 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def analyzed_of(df) -> str:
+    """Analyzed logical plan — forced broadcasts show up as ResolvedHint
+    here regardless of what AQE later picks physically."""
+    return df._jdf.queryExecution().analyzed().toString()
+
+
 def main() -> int:
     from consent_based_conversion_adjustments_spark.plans import (
         cocoa_queries,
@@ -68,8 +74,11 @@ def main() -> int:
     )
 
     p = plan_of(dedup_minhash(spark, SF))
-    check("minhash verify broadcasts token tables", "BroadcastHashJoin" in p)
     check("minhash has no cartesian product", "CartesianProduct" not in p)
+    check(
+        "minhash verify has no forced broadcast (AQE decides)",
+        "ResolvedHint" not in analyzed_of(dedup_minhash(spark, SF)),
+    )
 
     from consent_based_conversion_adjustments_spark.plans.data_queries import (
         dedup_simhash,
@@ -97,6 +106,10 @@ def main() -> int:
             f"{name} has no quadratic join",
             "CartesianProduct" not in p
             and "BroadcastNestedLoopJoin" not in p,
+        )
+        check(
+            f"{name} has no forced broadcast (AQE decides)",
+            "ResolvedHint" not in analyzed_of(fn(spark, SF)),
         )
 
     from consent_based_conversion_adjustments_spark.plans.corpus_queries import (
