@@ -243,7 +243,42 @@ def similarity_join(
     reference: nearest_consented_customers.py:223-264, 470-524. Dispatch is
     on ``is not None`` — deliberately fixing the reference's truthiness bug
     (line 513) so ``radius=0.0`` is a valid empty-match join (FIXTURES.md F5).
+
+    ``impl="lsh"`` selects the beyond-broadcast route for every mode
+    (kNN / radius / percentile) — neither side is collected or broadcast;
+    requires ``feature_width``. Approximate (recall set by the LSH
+    amplification), intended for build sides past the broadcast limit.
     """
+    if impl == "lsh":
+        if feature_width is None:
+            raise ValueError("impl='lsh' requires feature_width")
+        if config.number_nearest_neighbors is not None:
+            if n_build is None:
+                n_build = build.count()
+            k = resolve_k(config.number_nearest_neighbors, n_build)
+            matched = knn_join_lsh(
+                probe, build, k, feature_width, metric=config.metric,
+                probe_id=probe_id, build_id=build_id, features=features,
+            )
+        else:
+            radius = config.radius
+            if radius is None:
+                radius = percentile_radius_lsh(
+                    probe, build, config.percentile, feature_width,
+                    metric=config.metric, probe_id=probe_id,
+                    build_id=build_id, features=features,
+                )
+            matched = radius_join_lsh(
+                probe, build, radius, feature_width, metric=config.metric,
+                probe_id=probe_id, build_id=build_id, features=features,
+            )
+        # re-attach the probe payload columns (the LSH joins return narrow
+        # (probe_id, build_id, distance) rows; features stay dropped) —
+        # an equi-join on probe_id, shuffle-safe at any probe size
+        payload = probe.drop(features)
+        if len(payload.columns) > 1:
+            matched = matched.join(payload, probe_id)
+        return matched
     if config.number_nearest_neighbors is not None:
         if impl == "numpy":
             # the numpy kernel collects the build side anyway — resolve and
@@ -375,6 +410,113 @@ def knn_join_lsh(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def radius_join_lsh(
+    probe: DataFrame,
+    build: DataFrame,
+    radius: float,
+    feature_width: int,
+    *,
+    metric: str = "manhattan",
+    probe_id: str = "probe_id",
+    build_id: str = "build_id",
+    features: str = "features",
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate radius join for build sides too large to broadcast —
+    the beyond-broadcast route for the reference's radius mode
+    (reference: nearest_consented_customers.py:153-182).
+
+    Same bucketed co-group as `knn_join_lsh` (neither side collected,
+    hyperplane signatures + equi-join-shaped shuffle on (table, sig)), but
+    each bucket emits ALL pairs with distance ≤ radius instead of a local
+    top-k. A pair colliding in several tables surfaces once per table with
+    an identical distance; a narrow groupBy-min collapses the duplicates.
+    Unlike the kNN variant there is no per-probe output bound — the match
+    fan-out is whatever the radius admits, exactly like the exact radius
+    join — so downstream consumers should aggregate (the adjust kernel
+    does) rather than materialize. Recall is governed by
+    n_planes/n_tables; tests assert a floor vs the exact join.
+    """
+    from .similarity_search import _signature_array
+
+    sig = _signature_array(
+        features, dim=feature_width, n_planes=n_planes, n_tables=n_tables
+    )
+    q = probe.select(
+        F.col(probe_id).alias("__pid"),
+        F.col(features).alias("__f"),
+        F.posexplode(sig).alias("table_id", "lsh_sig"),
+    )
+    c = build.select(
+        F.col(build_id).alias("__bid"),
+        F.col(features).alias("__f"),
+        F.posexplode(sig).alias("table_id", "lsh_sig"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(probe_id, probe.schema[probe_id].dataType, True),
+            T.StructField(build_id, build.schema[build_id].dataType, True),
+            T.StructField(DISTANCE, T.DoubleType(), False),
+        ]
+    )
+
+    def bucket_radius(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({probe_id: [], build_id: [], DISTANCE: []})
+        Q = np.array(left["__f"].tolist(), dtype=np.float64)
+        C = np.array(right["__f"].tolist(), dtype=np.float64)
+        D = _chunk_distances(Q, C, metric, _is_binary(C) and _is_binary(Q))
+        rows, cols = np.nonzero(D <= radius)
+        return pd.DataFrame(
+            {
+                probe_id: left["__pid"].to_numpy()[rows],
+                build_id: right["__bid"].to_numpy()[cols],
+                DISTANCE: D[rows, cols],
+            }
+        )
+
+    local = (
+        q.groupBy("table_id", "lsh_sig")
+        .cogroup(c.groupBy("table_id", "lsh_sig"))
+        .applyInPandas(bucket_radius, schema=out_schema)
+    )
+    return local.groupBy(probe_id, build_id).agg(
+        F.min(DISTANCE).alias(DISTANCE)
+    )
+
+
+def percentile_radius_lsh(
+    probe: DataFrame,
+    build: DataFrame,
+    percentile: float,
+    feature_width: int,
+    *,
+    metric: str = "manhattan",
+    probe_id: str = "probe_id",
+    build_id: str = "build_id",
+    features: str = "features",
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> float:
+    """Percentile pass 1 beyond broadcast: nearest-candidate distance per
+    probe from the k=1 LSH join, then the exact quantile over that column.
+
+    Approximate in one direction only — a missed true nearest neighbor can
+    INFLATE a probe's nearest-distance, never shrink it, so the resulting
+    radius errs toward matching ≥ percentile·100% of probes (the guarantee
+    the reference mode exists for)."""
+    nearest = knn_join_lsh(
+        probe.select(probe_id, features), build, 1, feature_width,
+        metric=metric, probe_id=probe_id, build_id=build_id,
+        features=features, n_planes=n_planes, n_tables=n_tables,
+    )
+    row = nearest.select(
+        F.expr(f"percentile({DISTANCE}, {percentile!r})").alias("radius")
+    ).first()
+    return float(row["radius"])
 
 
 # ---------------------------------------------------------------------------

@@ -147,6 +147,34 @@ def knn_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def radius_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-broadcast RADIUS join (J3 scale ceiling): same bucketed
+    co-group as the kNN variant but emitting every in-bucket pair within
+    the radius — the route for the reference's radius mode when the build
+    side outgrows a broadcast. Embeddings are unit-normalized, so
+    euclidean 1.2 ≈ cosine similarity ≥ 0.28 — selective but non-empty at
+    every SF. Rows-only: approximate by design; subset-of-exact and
+    recall-floor are asserted in tests/test_similarity_join.py."""
+    from ..operators.similarity_join import radius_join_lsh
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probe = emb.select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+    )
+    build = emb.select(
+        F.col("vec_id").alias("consent_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+    )
+    out = radius_join_lsh(
+        probe, build, 1.2, 64,
+        metric="euclidean", probe_id="probe_id", build_id="consent_id",
+    )
+    return out.filter(F.col("probe_id") < F.col("consent_id")).select(
+        "probe_id", "consent_id", "distance"
+    )
+
+
 def knn_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k < 1 ⇒ proportional to the build side (J2 proportional-k)."""
     consent, noconsent = consent_split(spark, sf_dir)
@@ -503,6 +531,7 @@ QUERIES: dict[str, tuple] = {
     "cocoa_knn_pairs": (knn_pairs, KNN_PAIRS_SQL),
     "cocoa_knn_minkowski": (knn_minkowski, KNN_MINKOWSKI_SQL),
     "cocoa_knn_lsh_pairs": (knn_lsh_pairs, None),
+    "cocoa_radius_lsh_pairs": (radius_lsh_pairs, None),
     "cocoa_knn_proportional": (knn_proportional, KNN_PROPORTIONAL_SQL),
     "cocoa_radius_adjust": (radius_adjust, RADIUS_ADJUST_SQL),
     "cocoa_radius_summary": (radius_summary, RADIUS_SUMMARY_SQL),

@@ -160,3 +160,76 @@ def test_min_distance_and_percentile_radius(spark):
     matched = radius_join(probe, build, r95, build_id="bid")
     frac = matched.select("pid").distinct().count() / 7
     assert frac >= 0.95 - 1.0 / 7 - 1e-9
+
+def test_radius_join_lsh_subset_and_recall(spark):
+    """Bucketed approximate radius join: every returned pair is a true
+    in-radius pair with its exact distance (no false positives — buckets
+    verify exactly), and recall vs the exact join clears a floor."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        radius_join_lsh,
+    )
+
+    probe, build = _frames(spark, n_probe=30, n_build=40, width=8, seed=9)
+    exact = {
+        (r["pid"], r["bid"]): r["distance"]
+        for r in radius_join(
+            probe, build, 6.0, build_id="bid"
+        ).collect()
+    }
+    approx = {
+        (r["pid"], r["bid"]): r["distance"]
+        for r in radius_join_lsh(
+            probe, build, 6.0, 8, probe_id="pid", build_id="bid"
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    for pair, d in approx.items():
+        assert d == pytest.approx(exact[pair], abs=1e-9)
+    assert len(approx) / len(exact) >= 0.4
+
+
+def test_similarity_join_lsh_dispatch(spark):
+    """impl='lsh' drives all three modes without collecting either side and
+    re-attaches probe payload columns."""
+    from consent_based_conversion_adjustments_spark.config import (
+        AdjustmentConfig,
+    )
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        similarity_join,
+    )
+
+    probe, build = _frames(spark, n_probe=20, n_build=25, width=8, seed=7)
+    probe = probe.withColumn("payload", F.col("pid") * 10)
+
+    def cfg(**mode):
+        return AdjustmentConfig(
+            conversion_column="payload", id_columns=["pid"], **mode
+        )
+
+    knn = similarity_join(
+        probe, build, cfg(number_nearest_neighbors=3),
+        probe_id="pid", build_id="bid", impl="lsh", feature_width=8,
+    )
+    assert set(knn.columns) >= {"pid", "bid", "distance", "payload"}
+    per_probe = knn.groupBy("pid").count().agg(F.max("count")).first()[0]
+    assert per_probe <= 3
+
+    rad = similarity_join(
+        probe, build, cfg(radius=5.0),
+        probe_id="pid", build_id="bid", impl="lsh", feature_width=8,
+    )
+    assert rad.filter(F.col("distance") > 5.0).count() == 0
+    assert "payload" in rad.columns
+
+    pct = similarity_join(
+        probe, build, cfg(percentile=0.5),
+        probe_id="pid", build_id="bid", impl="lsh", feature_width=8,
+    )
+    # at least ~half the probes should match within the p50 nearest radius
+    assert pct.select("pid").distinct().count() >= 8
+
+    with pytest.raises(ValueError, match="feature_width"):
+        similarity_join(
+            probe, build, cfg(radius=1.0),
+            probe_id="pid", build_id="bid", impl="lsh",
+        )
