@@ -41,7 +41,10 @@ HEADLINE = [
     ("rollup_customer_segments", relational.rollup_customer_segments),
     ("text_stats", data_queries.text_stats),
     ("dedup_minhash", data_queries.dedup_minhash),
+    ("dedup_clusters", data_queries.dedup_clusters),
+    ("corpus_canonical_ids", data_queries.corpus_canonical_ids),
     ("dedup_fingerprint", data_queries.dedup_fingerprint),
+    ("cocoa_radius_lsh_pairs", cocoa_queries.radius_lsh_pairs),
     ("ann_cosine_topk", data_queries.ann_cosine_topk),
     ("ann_lsh_topk", data_queries.ann_lsh_topk),
     ("events_sessions", data_queries.events_sessions),

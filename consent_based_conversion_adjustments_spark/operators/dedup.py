@@ -552,50 +552,103 @@ def connected_components(
     turns pairwise matches into actionable dedup clusters (keep the
     canonical minimum, drop the rest).
 
-    Distributed min-label propagation: every node starts labeled with
-    itself; each round every node adopts the minimum label among itself
-    and its neighbors, until a round changes nothing. Convergence takes
-    O(graph diameter) rounds — near-dup clusters are near-cliques, so
-    typically 2-3 — with a driver-side loop issuing one count per round
-    (the standard Spark formulation, same shape GraphFrames uses; labels
-    persist per round, previous round unpersisted). Each round is one
-    shuffled equi-join on node id + a min-agg: nothing quadratic, no
-    vertex ever on the driver.
+    Two phases, both shaped for the near-dup workload where components are
+    near-CLIQUES (a c-doc cluster contributes ~c²/2 pairs, so the edge set
+    dwarfs the node set — measured 10.9M symmetric edges over 4.7k nodes
+    at sf0.1):
+
+    1. **Star contraction** (one pass over the full edge set): every node
+       maps to min(itself, its neighbors); edges re-keyed through that map
+       collapse cliques to self-loops, which are dropped. One min-agg plus
+       two equi-joins against the (nodes-sized, AQE-broadcastable) label
+       map — the only stages that ever touch the full edge set, so the
+       O(rounds · |E|) join cost of plain label propagation never happens.
+    2. **Min-label propagation with pointer jumping** on the contracted
+       graph (orders of magnitude smaller): each round adopts the minimum
+       label among self and neighbors, then path-halves (label ← label's
+       label — min labels always name reachable nodes, so the composition
+       stays inside the component). Jumping turns O(diameter) rounds into
+       O(log diameter) — the PRAM pointer-doubling trick, same family as
+       the large-star/small-star MapReduce formulation (Kiveris et al.,
+       SoCC'14).
+
+    The contracted component of ``l0(v)`` is the component of ``v``, and
+    its min label is the true component min: the component's minimum node
+    m has ``l0(m) = m``, so it survives contraction as its own
+    representative.
 
     Iteration state is cut with ``localCheckpoint`` (eager) each round:
     persist alone is NOT enough for iterative algorithms — the logical
     plan still nests one round deeper per iteration and re-analysis cost
     grows without bound (measured: the persist form ran >20 min where the
-    checkpointed form converges in ~4 s post-edges). On a multi-executor
-    cluster swap in reliable ``checkpoint()`` (localCheckpoint stores
-    blocks on executors and is lost on executor failure).
+    checkpointed form converges in ~4 s post-edges). The previous round's
+    checkpoint blocks are unpersisted once the new round is materialized,
+    so executor storage holds at most two label snapshots. On a
+    multi-executor cluster swap in reliable ``checkpoint()``
+    (localCheckpoint stores blocks on executors and is lost on executor
+    failure).
+
+    Raises ``RuntimeError`` if the loop exhausts ``max_iter`` before a
+    fixed point — returning unconverged labels would silently mislabel
+    components (with jumping, 25 rounds covers diameter ~2²⁵).
 
     The DuckDB oracle twin is a recursive CTE computing min reachable
     label — exact agreement on every node.
     """
-    fwd = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    )
-    edges = (
-        fwd.unionByName(
-            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
+    # normalize + distinct on the HALF edge set (the symmetric union of a
+    # distinct src<dst set is distinct by construction — no 2|E| distinct)
+    norm = pairs.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("src"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    edges = norm.unionByName(
+        norm.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    # phase 1: star contraction — l0(v) = min(v, neighbors(v)); every node
+    # appears as dst in the symmetrized edge set, so one agg covers all
+    l0 = (
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("mn"))
+        .select("node", F.least(F.col("node"), F.col("mn")).alias("label0"))
         .localCheckpoint()
     )
+    re_src = l0.select(
+        F.col("node").alias("src"), F.col("label0").alias("csrc")
+    )
+    re_dst = l0.select(
+        F.col("node").alias("dst"), F.col("label0").alias("cdst")
+    )
+    cnorm = (
+        edges.join(re_src, "src")
+        .join(re_dst, "dst")
+        .filter(F.col("csrc") != F.col("cdst"))
+        .select(
+            F.least("csrc", "cdst").alias("src"),
+            F.greatest("csrc", "cdst").alias("dst"),
+        )
+        .distinct()
+    )
+    cedges = cnorm.unionByName(
+        cnorm.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    # phase 2: jump-accelerated label propagation on the contracted graph
     labels = (
-        edges.select(F.col("src").alias("node"))
+        cedges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
+            cedges.join(labels, cedges.src == labels.node)
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # checkpointed so the jump's self-join reads it, not re-runs it
+        stepped = (
             labels.join(
                 neighbor_min, labels.node == neighbor_min.node2, "left"
             )
@@ -607,15 +660,44 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        # pointer jump: label ← label's label (path halving)
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            stepped.join(parent, stepped.label == parent.p_node, "left")
+            .select(
+                "node", F.coalesce("p_label", "label").alias("label")
+            )
+            .localCheckpoint()
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        labels.unpersist()
+        stepped.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        F.col("node"), F.col("label").alias("component")
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing)"
+        )
+    # the result depends only on the l0 and final-labels checkpoints —
+    # release the edge-set blocks (the big ones) eagerly
+    edges.unpersist()
+    cedges.unpersist()
+    # map every original node through its contraction representative; reps
+    # whose whole component collapsed in phase 1 never reach the loop and
+    # keep label0 as their component
+    rep = labels.select(
+        F.col("node").alias("label0"), F.col("label").alias("rep_label")
+    )
+    return l0.join(rep, "label0", "left").select(
+        F.col("node"),
+        F.coalesce("rep_label", "label0").alias("component"),
     )
