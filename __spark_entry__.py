@@ -83,8 +83,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     flat = _flat()
-    return {
-        name: flat[name][1]
-        for name in _ordered_names()
-        if flat[name][1] is not None
-    }
+    out: dict[str, str] = {}
+    for name in _ordered_names():
+        sql = flat[name][1]
+        if callable(sql):
+            # lazily generated oracles (data-dependent constants, e.g. the
+            # IVF centroid literals); may return None → rows-only fallback
+            sql = sql()
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -203,6 +203,13 @@ def _kmeans_centroids(
         .toPandas()
     )
     x = np.array(rows["__v"].tolist(), dtype=np.float64)
+    return _kmeans_fit(x, n_cells, n_iter)
+
+
+def _kmeans_fit(x: np.ndarray, n_cells: int, n_iter: int = 10) -> np.ndarray:
+    """Numpy Lloyd core, shared with the oracle generator (which replays
+    the identical fit on the identically-ordered sample so the centroid
+    literals it emits are bit-equal to the ones this pipeline broadcasts)."""
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     k = min(n_cells, len(xn))
     cents = xn[:k].copy()

@@ -510,6 +510,147 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_sql() -> str:
+    """Exact DuckDB replay of the hyperplane-LSH pipeline: the ±1 plane
+    matrix is pure integer mixing (similarity_search.plane_sign), so it is
+    materialized here as literal double lists and every stage — signature
+    bits, (table, sig) candidate equi-join, exact cosine re-rank — becomes
+    plain SQL. Float caveat: the Spark side projects with a BLAS matmul,
+    DuckDB with a sequential list_dot_product; a sign bit could differ only
+    if a projection lands within float-reassociation distance of 0."""
+    from ..operators.similarity_search import N_PLANES, N_TABLES, _plane_matrix
+
+    planes = _plane_matrix(64, N_PLANES, N_TABLES)
+    sig_cols = []
+    for t in range(N_TABLES):
+        terms = []
+        for p in range(N_PLANES):
+            lit = (
+                "["
+                + ",".join(f"{int(s)}.0" for s in planes[:, t * N_PLANES + p])
+                + "]"
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product(dv, {lit}) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        sig_cols.append("(" + " + ".join(terms) + f") AS s{t}")
+    s_list = ",".join(f"s{t}" for t in range(N_TABLES))
+    t_list = ",".join(str(t) for t in range(N_TABLES))
+    return """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+), sigs AS (
+    SELECT vec_id, {sig_cols} FROM v
+), lng AS (
+    SELECT vec_id, unnest([{s_list}]) AS sig,
+           unnest([{t_list}]) AS table_id
+    FROM sigs
+), pairs AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+    FROM lng q JOIN lng c ON q.table_id = c.table_id AND q.sig = c.sig
+    WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+), scored AS (
+    SELECT query_id, cand_id,
+           list_dot_product(a.dv, b.dv)
+               / (sqrt(list_dot_product(a.dv, a.dv))
+                  * sqrt(list_dot_product(b.dv, b.dv))) AS cosine
+    FROM pairs
+    JOIN v a ON a.vec_id = query_id
+    JOIN v b ON b.vec_id = cand_id
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, {r} AS cosine, rank
+FROM ranked WHERE rank <= {k}
+""".format(
+        sig_cols=", ".join(sig_cols),
+        s_list=s_list,
+        t_list=t_list,
+        r=sql_round("cosine", 6),
+        k=ANN_K,
+    )
+
+
+def _ann_ivf_sql() -> str | None:
+    """Exact DuckDB replay of the IVF pipeline, generated lazily: the
+    k-means fit is deterministic (bounded sample in Spark-murmur3 hash
+    order, Lloyd via the shared `_kmeans_fit` numpy core on the identical
+    matrix → bit-equal centroids), so the centroids become literal double
+    lists and assignment / probing / re-rank become plain SQL windows.
+    Pinned to sf0.01 — the scale the driver's correctness gate runs at —
+    because the fit is data-dependent; returns None (rows-only fallback)
+    if that testdata is absent."""
+    import os
+
+    import duckdb as _dd
+    import numpy as _np
+
+    from ..functions.spark_hash import spark_hash_long
+    from ..operators.similarity_search import _kmeans_fit
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    rows = _dd.connect().execute(
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        f"FROM read_parquet('{path}')"
+    ).fetchall()
+    rows.sort(key=lambda r: (spark_hash_long(r[0]), r[0]))
+    x = _np.array([r[1] for r in rows[:4096]], dtype=_np.float64)
+    cents = _kmeans_fit(x, n_cells=16)
+    cent_values = ", ".join(
+        "({i}, [{vs}])".format(i=i, vs=",".join(repr(float(c)) for c in row))
+        for i, row in enumerate(cents)
+    )
+    return """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+), cents(cell_id, cv) AS (VALUES {cent_values}),
+cell_sims AS (
+    SELECT v.vec_id, c.cell_id,
+           list_dot_product(v.dv, c.cv)
+               / (sqrt(list_dot_product(v.dv, v.dv))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS cell_sim
+    FROM v CROSS JOIN cents c
+), cand_cell AS (
+    SELECT vec_id AS cand_id, cell_id FROM (
+        SELECT vec_id, cell_id, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cell_sim DESC, cell_id) AS r
+        FROM cell_sims
+    ) WHERE r <= 1
+), q_cell AS (
+    SELECT vec_id AS query_id, cell_id FROM (
+        SELECT vec_id, cell_id, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cell_sim DESC, cell_id) AS r
+        FROM cell_sims WHERE vec_id % 100 = 0
+    ) WHERE r <= 4
+), pairs AS (
+    SELECT DISTINCT query_id, cand_id
+    FROM q_cell JOIN cand_cell USING (cell_id)
+    WHERE query_id <> cand_id
+), scored AS (
+    SELECT query_id, cand_id,
+           list_dot_product(a.dv, b.dv)
+               / (sqrt(list_dot_product(a.dv, a.dv))
+                  * sqrt(list_dot_product(b.dv, b.dv))) AS cosine
+    FROM pairs
+    JOIN v a ON a.vec_id = query_id
+    JOIN v b ON b.vec_id = cand_id
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, {r} AS cosine, rank
+FROM ranked WHERE rank <= {k}
+""".format(cent_values=cent_values, r=sql_round("cosine", 6), k=ANN_K)
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates + exact cosine verify; the oracle below stays the
     exact all-pairs SQL — parity at this corpus/threshold is asserted by
@@ -1065,8 +1206,8 @@ QUERIES: dict[str, tuple] = {
     "corpus_language_profile": (corpus_language_profile, _language_profile_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
-    "ann_lsh_topk": (ann_lsh_topk, None),
-    "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql()),
+    "ann_ivf_topk": (ann_ivf_topk, _ann_ivf_sql),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "events_tumbling": (events_tumbling, EVENTS_TUMBLING_SQL),
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),

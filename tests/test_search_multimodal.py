@@ -216,3 +216,54 @@ def test_lsh_neardup_matches_exact(spark, emb):
         for r in cosine_neardup_lsh(emb, 0.45).collect()
     }
     assert got == exact
+
+
+def test_spark_hash_long_parity(spark):
+    """spark_hash.spark_hash_long is bit-equal to F.hash on LongType —
+    the invariant the IVF oracle generator's sample ordering rests on."""
+    import pyspark.sql.functions as F
+
+    from consent_based_conversion_adjustments_spark.functions.spark_hash import (
+        spark_hash_long,
+    )
+
+    vals = [0, 1, -1, 7, 499, 100000, 2**40 + 17, -(2**35)]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", F.hash("v").alias("h"))
+        .collect()
+    )
+    assert all(spark_hash_long(r["v"]) == r["h"] for r in rows)
+
+
+def test_ivf_oracle_centroids_match_pipeline(spark):
+    """The oracle generator's replayed k-means fit is bit-equal to the
+    centroids the IVF pipeline itself fits at sf0.01."""
+    import numpy as np
+
+    from consent_based_conversion_adjustments_spark.operators.similarity_search import (
+        _kmeans_centroids,
+    )
+    from consent_based_conversion_adjustments_spark.functions.spark_hash import (
+        spark_hash_long,
+    )
+    from consent_based_conversion_adjustments_spark.operators.similarity_search import (
+        _kmeans_fit,
+    )
+    import duckdb
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pipeline_cents = _kmeans_centroids(
+        emb.select(F.col("vec_id").alias("cand_id"), "embedding"),
+        vec_col="embedding", id_col="cand_id", n_cells=16,
+    )
+    rows = duckdb.connect().execute(
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    ).fetchall()
+    rows.sort(key=lambda r: (spark_hash_long(r[0]), r[0]))
+    replay_cents = _kmeans_fit(
+        np.array([r[1] for r in rows[:4096]], dtype=np.float64), n_cells=16
+    )
+    assert np.array_equal(pipeline_cents, replay_cents)
