@@ -83,7 +83,9 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # no broadcast hint: customer scales with SF; AQE promotes the
+        # join to broadcast at runtime when the filtered side is small
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -134,7 +136,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # supplier scales with SF too — no hint, AQE decides
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -296,7 +299,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF — no hint, AQE decides
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",
@@ -333,7 +337,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.5).alias("half_avg")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales with SF even filtered to one brand — no hint
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
@@ -763,9 +768,9 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(stable_round(F.sum(rev), 3).alias("returned_revenue"))
     )
     return (
-        per_cust.join(
-            F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
-        )
+        # customer scales with SF — no forced broadcast; AQE promotes the
+        # join at runtime when the probe side actually fits
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .select(
             "c_custkey", "c_mktsegment", "c_acctbal", "returned_revenue"
         )

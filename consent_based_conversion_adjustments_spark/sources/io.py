@@ -152,26 +152,38 @@ def write_compacted_parquet(
     one file per shuffle partition floods the metastore/namenode and
     slows every downstream scan).
 
-    Sizing: sample up to ``sample_rows`` rows, estimate bytes/row from
-    their serialized in-memory footprint with a 2.5× parquet-compression
-    discount, scale by the full row count, and ``repartition`` to
-    ``ceil(total / target)`` files. Costs one extra count + sample pass —
-    worth it on any write that downstream jobs read more than once.
-    Returns the partition count used.
+    Sizing: write a cross-partition pilot sample (``df.sample`` — not
+    ``limit``, which reads only the first partitions and is unrepresentative
+    on sorted/skewed data) as real parquet, measure its actual on-disk
+    bytes through the Hadoop FileSystem API (so the estimate includes true
+    encoding + compression, not an in-memory proxy), scale by the full row
+    count, and ``repartition`` to ``ceil(total / target)`` files. Costs one
+    count + one small pilot write — worth it on any output that downstream
+    jobs read more than once. Returns the partition count used.
     """
     import math
-    import sys as _sys
 
     n_rows = df.count()
     if n_rows == 0:
         df.limit(0).write.mode("overwrite").parquet(path)
         return 1
-    sample = df.limit(sample_rows).collect()
-    est_row_bytes = max(
-        1,
-        sum(_sys.getsizeof(str(r)) for r in sample) // max(len(sample), 1)
-        // 2,  # parquet encoding+compression discount vs str repr
-    )
+
+    spark = df.sparkSession
+    fraction = min(1.0, sample_rows / n_rows)
+    pilot = df.sample(fraction=fraction, seed=7) if fraction < 1.0 else df
+    pilot_path = path.rstrip("/") + "__pilot"
+    pilot.coalesce(1).write.mode("overwrite").parquet(pilot_path)
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(pilot_path)
+    fs = jpath.getFileSystem(hconf)
+    pilot_bytes = fs.getContentSummary(jpath).getLength()
+    # metadata-only count (parquet footers), no data scan
+    pilot_rows = spark.read.parquet(pilot_path).count()
+    fs.delete(jpath, True)
+
+    est_row_bytes = max(1, pilot_bytes // max(pilot_rows, 1))
     total_mb = n_rows * est_row_bytes / (1024 * 1024)
     n_files = max(1, math.ceil(total_mb / target_file_mb))
     df.repartition(n_files).write.mode("overwrite").parquet(path)

@@ -185,10 +185,12 @@ def dedup_stream(
 
 def enrich_stream(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     """Stream-static enrichment join: each micro-batch hash-joins against
-    the static dimension (broadcast when small — the planner treats the
-    static side as a normal batch relation, so all the usual join
-    strategies apply; no state store involved)."""
-    return events.join(F.broadcast(dim), key, "left")
+    the static dimension (the planner treats the static side as a normal
+    batch relation, so all the usual join strategies apply; no state store
+    involved). No forced broadcast hint — a dimension table can outgrow the
+    broadcast limit at scale, and AQE promotes the join to broadcast at
+    runtime whenever the dim side actually is small."""
+    return events.join(dim, key, "left")
 
 
 def interval_bin_join(
@@ -213,20 +215,31 @@ def interval_bin_join(
     equi-join; pick ``bin_seconds`` near the median interval length so most
     intervals explode to 1–2 bins. Works at any interval count (broadcast
     is never assumed), and AQE's skew-join splitting handles a hot bin.
+
+    Bin math is exact integer microseconds (decimal floor-division, no
+    binary floats): the exclusive end uses ``end_micros - 1``, so an
+    interval ending exactly on a bin boundary never covers that bin and an
+    event sitting exactly on the boundary of the previous bin still meets
+    its interval — float epoch-seconds minus an epsilon could double-round
+    the end bin one too low and drop that match.
     """
-    ev_bin = events.withColumn(
-        "__bin", F.floor(_epoch_secs(ts_col) / bin_seconds)
-    )
+    bin_us = int(bin_seconds) * 1_000_000
+
+    def _us(c: str):
+        return F.unix_micros(F.col(c).cast("timestamp_ltz"))
+
+    def _bin_of(us):
+        # floor division via decimal: exact at any epoch value, correct
+        # (floor, not truncation) for pre-1970 negatives too
+        return F.floor(us.cast("decimal(20,0)") / F.lit(bin_us)).cast("long")
+
+    ev_bin = events.withColumn("__bin", _bin_of(_us(ts_col)))
     iv_bin = intervals.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(_epoch_secs(start_col) / bin_seconds),
-                # end is exclusive: an interval ending exactly on a bin
-                # boundary does not cover that bin
-                F.floor(
-                    (_epoch_secs(end_col) - F.lit(1e-6)) / bin_seconds
-                ),
+                _bin_of(_us(start_col)),
+                _bin_of(_us(end_col) - F.lit(1)),
             )
         ),
     )
