@@ -53,6 +53,28 @@ def main() -> int:
     check("q5 all joins broadcast at this SF", p.count("BroadcastHashJoin") == 5)
     check("q5 no sort-merge join", "SortMergeJoin" not in p)
 
+    p = plan_of(relational.q19_disjunctive_revenue(spark, SF))
+    check(
+        "q19 OR-derived predicates pushed to both scans",
+        # part scan: the three-branch brand/size OR; lineitem scan: the
+        # union quantity range (plan string truncates long filter lists,
+        # so match the stable prefixes)
+        "Or(Or(And" in p and "IsNotNull(l_quantity)" in p,
+    )
+    check("q19 no cartesian", "CartesianProduct" not in p)
+
+    p = plan_of(relational.q13_customer_order_counts(spark, SF))
+    check("q13 outer join preserved", "LeftOuter" in p or "left_outer" in p)
+
+    p = plan_of(relational.q4_order_priority_check(spark, SF))
+    check("q4 EXISTS is a semi join", "LeftSemi" in p)
+
+    p = plan_of(relational.q21_waiting_suppliers(spark, SF))
+    check(
+        "q21 decorrelated — no nested-loop or cartesian",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    )
+
     p = plan_of(cocoa_queries.knn_adjust(spark, SF, impl="sql"))
     check(
         "flagship build side broadcast (nested-loop)",
