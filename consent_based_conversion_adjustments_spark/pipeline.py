@@ -274,6 +274,32 @@ def prepare_pipeline_input(
     return dates
 
 
+def run_dates_collected(
+    consent: DataFrame,
+    noconsent: DataFrame,
+    config: AdjustmentConfig,
+    dates: list[str],
+    *,
+    impl: str = "sql",
+) -> DataFrame:
+    """The O1-O2 date loop without a sink: one independent distributed
+    adjustment per date (dates are independent model fits — the encoder and
+    matches must not mix days), unioned with a ``date`` literal column.
+    This is the frame ``run_dates_partitioned`` writes; returning it lazily
+    lets callers pick their own sink or feed it to further queries."""
+    if config.date_column is None:
+        raise ValueError("run_dates_collected requires config.date_column")
+    out = None
+    for date in dates:
+        end = _next_day(date)
+        c = scan_between_dates(consent, config.date_column, date, end)
+        nc = scan_between_dates(noconsent, config.date_column, date, end)
+        result = run_adjustment(c, nc, config, impl=impl)
+        dated = result.data_adjusted.withColumn("date", F.lit(date))
+        out = dated if out is None else out.unionByName(dated)
+    return out
+
+
 def run_dates_partitioned(
     spark: SparkSession,
     consent: DataFrame,
@@ -284,21 +310,10 @@ def run_dates_partitioned(
     *,
     impl: str = "sql",
 ) -> None:
-    """Scale variant of the O3 sink: the per-date loop still runs one
-    distributed adjustment per date (dates are independent model fits — the
-    encoder and matches must not mix days), but results accumulate into a
-    single ``partitionBy(date)`` dataset so downstream consumers get
+    """Scale variant of the O3 sink: results of the per-date loop accumulate
+    into a single ``partitionBy(date)`` dataset so downstream consumers get
     partition pruning instead of a directory-per-date convention."""
-    if config.date_column is None:
-        raise ValueError("run_dates_partitioned requires config.date_column")
-    out = None
-    for date in dates:
-        end = _next_day(date)
-        c = scan_between_dates(consent, config.date_column, date, end)
-        nc = scan_between_dates(noconsent, config.date_column, date, end)
-        result = run_adjustment(c, nc, config, impl=impl)
-        dated = result.data_adjusted.withColumn("date", F.lit(date))
-        out = dated if out is None else out.unionByName(dated)
+    out = run_dates_collected(consent, noconsent, config, dates, impl=impl)
     out.write.mode("overwrite").partitionBy("date").option(
         "header", True
     ).csv(f"{output_path}/adjustments_data_partitioned")

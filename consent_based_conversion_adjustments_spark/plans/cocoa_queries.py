@@ -204,6 +204,49 @@ def percentile_adjust(spark: SparkSession, sf_dir: str, impl: str = "sql") -> Da
     return _round_adjusted(result.data_adjusted)
 
 
+def daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O3 date-loop parity as a checkable query: two "days" of customers
+    (a deterministic c_custkey%2 date split — the fixture has no customer
+    date column) through the real ``run_dates_collected`` loop — per-date
+    scan_between_dates pushdown, an independently fitted encoder and kNN
+    adjustment per date, unioned with the date literal (the exact frame the
+    per-date CSV sink writes, reference pipeline.py:318-360). The oracle
+    re-derives both days in one SQL by constraining pairs to equal derived
+    dates and computing the naive smear per date."""
+    from ..pipeline import run_dates_collected
+
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+        F.col("c_nationkey").cast("string").alias("c_nation_cat"),
+        F.date_add(
+            F.lit("1996-01-01").cast("date"),
+            (F.col("c_custkey") % 2).cast("int"),
+        ).alias("event_date"),
+    )
+    consent = customer.filter(F.col("c_custkey") % 5 != 0)
+    noconsent = customer.filter(F.col("c_custkey") % 5 == 0)
+    cfg = _config(number_nearest_neighbors=3, date_column="event_date")
+    out = run_dates_collected(
+        consent, noconsent, cfg, ["1996-01-01", "1996-01-02"]
+    )
+    return out.select(
+        "date",
+        "c_custkey",
+        stable_round("c_acctbal", 3).alias("c_acctbal"),
+        stable_round("adjusted_conversion", 3).alias("adjusted_conversion"),
+        stable_round("average_distance", 3).alias("average_distance"),
+        F.col("n_added_conversions").cast("long").alias("n_added_conversions"),
+        stable_round("sum_distribution_weights", 3).alias(
+            "sum_distribution_weights"
+        ),
+        stable_round("naive_adjusted_conversion", 3).alias(
+            "naive_adjusted_conversion"
+        ),
+    )
+
+
 def nearest_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: per-probe distance to nearest consenting customer."""
     consent, noconsent = consent_split(spark, sf_dir)
@@ -521,7 +564,82 @@ FROM nearest
 )
 
 
+DAILY_RUN_SQL = """
+WITH base AS (
+    SELECT c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           c_mktsegment,
+           CAST(c_nationkey AS VARCHAR) AS nat,
+           (c_custkey % 5 <> 0) AS consent,
+           strftime(DATE '1996-01-01' + CAST(c_custkey % 2 AS INTEGER),
+                    '%Y-%m-%d') AS d
+    FROM customer
+    WHERE c_acctbal IS NOT NULL AND c_acctbal > 0
+),
+probe AS (SELECT * FROM base WHERE NOT consent),
+build AS (SELECT * FROM base WHERE consent),
+pairs AS (
+    -- per-date independence: matches never cross the derived date
+    SELECT p.d, p.c_custkey AS probe_id,
+           b.c_custkey AS consent_id,
+           p.c_acctbal AS probe_value,
+           (CASE WHEN p.c_mktsegment <> b.c_mktsegment THEN 2.0 ELSE 0.0 END
+            + CASE WHEN p.nat <> b.nat THEN 2.0 ELSE 0.0 END) AS distance
+    FROM probe p JOIN build b ON p.d = b.d
+),
+topk AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY distance, consent_id) AS rn
+        FROM pairs) WHERE rn <= 3
+),
+expd AS (
+    SELECT *, exp(-distance - max(-distance) OVER (PARTITION BY probe_id)) AS e
+    FROM topk
+),
+wts AS (
+    SELECT consent_id, distance, probe_value,
+           e / sum(e) OVER (PARTITION BY probe_id) AS weight
+    FROM expd
+),
+aggs AS (
+    SELECT consent_id,
+           sum(probe_value * weight) AS adjusted_conversion,
+           sum(distance) AS sum_distance,
+           count(*) AS n_added_conversions,
+           sum(weight) AS sum_distribution_weights
+    FROM wts GROUP BY consent_id
+),
+naive AS (
+    SELECT p.d,
+           sum(p.c_acctbal)
+             / (SELECT count(*) FROM build b WHERE b.d = p.d) AS smear
+    FROM probe p
+    WHERE p.c_custkey IN (SELECT DISTINCT probe_id FROM topk)
+    GROUP BY p.d
+)
+SELECT b.d AS date,
+       b.c_custkey,
+       {r_acctbal} AS c_acctbal,
+       {r_adj} AS adjusted_conversion,
+       {r_avgd} AS average_distance,
+       coalesce(a.n_added_conversions, 0) AS n_added_conversions,
+       {r_wts} AS sum_distribution_weights,
+       {r_naive} AS naive_adjusted_conversion
+FROM build b
+LEFT JOIN aggs a ON b.c_custkey = a.consent_id
+LEFT JOIN naive n ON b.d = n.d
+""".format(
+    r_acctbal=sql_round("b.c_acctbal", 3),
+    r_adj=sql_round("coalesce(a.adjusted_conversion, 0.0)", 3),
+    r_avgd=sql_round("a.sum_distance / a.n_added_conversions", 3),
+    r_wts=sql_round("coalesce(a.sum_distribution_weights, 0.0)", 3),
+    r_naive=sql_round("b.c_acctbal + coalesce(n.smear, 0.0)", 3),
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "cocoa_daily_run": (daily_run, DAILY_RUN_SQL),
     "cocoa_knn_adjust": (knn_adjust, KNN_ADJUST_SQL),
     "cocoa_distance_stats": (distance_stats, DISTANCE_STATS_SQL),
     "cocoa_nearest_distance_stats": (
