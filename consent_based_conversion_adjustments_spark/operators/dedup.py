@@ -557,12 +557,18 @@ def connected_components(
     dwarfs the node set — measured 10.9M symmetric edges over 4.7k nodes
     at sf0.1):
 
-    1. **Star contraction** (one pass over the full edge set): every node
+    1. **Star contraction** (one pass over the half edge set): every node
        maps to min(itself, its neighbors); edges re-keyed through that map
-       collapse cliques to self-loops, which are dropped. One min-agg plus
-       two equi-joins against the (nodes-sized, AQE-broadcastable) label
-       map — the only stages that ever touch the full edge set, so the
-       O(rounds · |E|) join cost of plain label propagation never happens.
+       collapse cliques to self-loops, which are dropped. Everything works
+       off the src<dst half-edges — only in-edges can lower a label, so
+       one union-agg computes l0 and the 2|E| symmetric union is never
+       materialized. One min-agg plus two equi-joins against the
+       (nodes-sized, AQE-broadcastable) label map are the only stages that
+       ever touch the edge set, so the O(rounds · |E|) join cost of plain
+       label propagation never happens. The contracted residual is tiny
+       for near-clique workloads, so the loop's partitioning is sized to
+       its measured edge count (full-width shuffles on a few-thousand-row
+       graph were pure per-task overhead).
     2. **Min-label propagation with pointer jumping** on the contracted
        graph (orders of magnitude smaller): each round adopts the minimum
        label among self and neighbors, then path-halves (label ← label's
@@ -595,22 +601,31 @@ def connected_components(
     The DuckDB oracle twin is a recursive CTE computing min reachable
     label — exact agreement on every node.
     """
-    # normalize + distinct on the HALF edge set (the symmetric union of a
-    # distinct src<dst set is distinct by construction — no 2|E| distinct)
-    norm = pairs.select(
-        F.least(F.col(a_col), F.col(b_col)).alias("src"),
-        F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
-    ).filter(F.col("src") != F.col("dst")).distinct()
-    edges = norm.unionByName(
-        norm.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    # normalize + distinct on the HALF edge set — everything in phase 1
+    # works off src<dst half-edges; the 2|E| symmetric union is never
+    # materialized (it used to be the largest checkpoint write here)
+    norm = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("src"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
 
-    # phase 1: star contraction — l0(v) = min(v, neighbors(v)); every node
-    # appears as dst in the symmetrized edge set, so one agg covers all
+    # phase 1: star contraction — l0(v) = min(v, neighbors(v)). With
+    # src<dst, only in-edges can lower a label (all of v's dst-side
+    # neighbors are > v), so one union-agg over half-edges suffices: the
+    # (src, src) rows register every node (and its self-candidate), the
+    # (dst, src) rows contribute the smaller-id neighbors.
     l0 = (
-        edges.groupBy(F.col("dst").alias("node"))
-        .agg(F.min("src").alias("mn"))
-        .select("node", F.least(F.col("node"), F.col("mn")).alias("label0"))
+        norm.select(F.col("src").alias("node"), F.col("src").alias("cand"))
+        .unionByName(
+            norm.select(F.col("dst").alias("node"), F.col("src").alias("cand"))
+        )
+        .groupBy("node")
+        .agg(F.min("cand").alias("label0"))
         .localCheckpoint()
     )
     re_src = l0.select(
@@ -620,7 +635,7 @@ def connected_components(
         F.col("node").alias("dst"), F.col("label0").alias("cdst")
     )
     cnorm = (
-        edges.join(re_src, "src")
+        norm.join(re_src, "src")
         .join(re_dst, "dst")
         .filter(F.col("csrc") != F.col("cdst"))
         .select(
@@ -633,11 +648,23 @@ def connected_components(
         cnorm.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
 
+    # after contracting near-clique components the residual graph is tiny;
+    # size the loop's partitioning to the data so each round is a couple of
+    # single-digit-task jobs instead of full-width shuffles (fixed per-task
+    # overhead dominated the loop at small sizes). Falls back to the
+    # inherited width when the contracted graph is genuinely large.
+    n_cedges = cedges.count()
+    norm.unpersist()
+    loop_parts = max(1, min(cedges.rdd.getNumPartitions(), n_cedges // 2_000_000 + 1))
+    if loop_parts < cedges.rdd.getNumPartitions():
+        cedges = cedges.repartition(loop_parts).localCheckpoint()
+
     # phase 2: jump-accelerated label propagation on the contracted graph
     labels = (
         cedges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .repartition(loop_parts)
         .localCheckpoint()
     )
     changed = 0
@@ -658,6 +685,7 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
+            .repartition(loop_parts)
             .localCheckpoint()
         )
         # pointer jump: label ← label's label (path halving)
@@ -669,6 +697,7 @@ def connected_components(
             .select(
                 "node", F.coalesce("p_label", "label").alias("label")
             )
+            .repartition(loop_parts)
             .localCheckpoint()
         )
         changed = (
@@ -688,8 +717,8 @@ def connected_components(
             f"({changed} labels still changing)"
         )
     # the result depends only on the l0 and final-labels checkpoints —
-    # release the edge-set blocks (the big ones) eagerly
-    edges.unpersist()
+    # release the contracted edge blocks eagerly (norm, the big one, was
+    # released right after contraction)
     cedges.unpersist()
     # map every original node through its contraction representative; reps
     # whose whole component collapsed in phase 1 never reach the loop and
