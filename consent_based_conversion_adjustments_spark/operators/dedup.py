@@ -264,12 +264,20 @@ def ngram_jaccard_pairs_scalable(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n_perm: int = N_PERMUTATIONS
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_perm: int = N_PERMUTATIONS,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over tokens of
     (a_i·h(token) + b_i) mod p. One explode + one groupBy with n_perm
-    min-aggregates (map-side combinable)."""
-    exploded = _token_hash_set(df, text_col, id_col).select(
+    min-aggregates (map-side combinable). Pass a precomputed (persisted)
+    ``_token_hash_set`` frame via ``hashes`` to share the tokenize pass
+    with the verify stage instead of running it twice."""
+    if hashes is None:
+        hashes = _token_hash_set(df, text_col, id_col)
+    exploded = hashes.select(
         "doc_id", F.explode("tok_hashes").alias("h0")
     )
     aggs = []
@@ -375,11 +383,14 @@ def minhash_neardup(
     Trades a small recall loss (P[Binom(16, j) < 16·est] at true similarity
     j) for roughly candidate-ratio speedup; None keeps the exact semantics
     the DuckDB oracle checks."""
-    # the banded candidate step references the signature table twice per
-    # band (left/right of each equi-join) and the est_prefilter once more —
-    # persist so tokenize + explode + 16 min-aggs run exactly once
-    # (|docs| × n_perm longs, spillable)
-    sigs = minhash_signatures(df, text_col, id_col).persist(
+    # one tokenize pass feeds BOTH the signature explode and the verify
+    # stage (it used to run twice, once per consumer); persisted because
+    # the banded candidate step references signatures twice per band and
+    # the verify joins read the token table on both pair sides
+    hashes = _token_hash_set(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(df, text_col, id_col, hashes=hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     cands = minhash_candidates(sigs)
@@ -405,11 +416,7 @@ def minhash_neardup(
         )
     # the per-doc token table grows with the corpus, so no broadcast hint —
     # a forced broadcast would fail outright past the limit at scale; AQE
-    # promotes when small. Persisted because the verify stage reads it
-    # twice (doc_a / doc_b side)
-    hashes = _token_hash_set(df, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # promotes when small
     bitmaps = _bitmap_masks(hashes)
     if bitmaps is not None:
         # dictionary-encodable vocabulary: verify is bit_count(a & b) —
