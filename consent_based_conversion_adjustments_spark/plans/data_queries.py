@@ -893,8 +893,14 @@ def corpus_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = X.tokens("text")
     praw = X.punct_ratio("text")
     quality = X.quality_score_in(toks, praw, X.stopword_ratio_in(toks))
-    good = docs.select("doc_id", "text").withColumn("q", quality).filter(
-        F.col("q") >= 0.5
+    # persisted: the quality expression (tokenize + regex passes over the
+    # full text) feeds both the near-dup pipeline and the final anti-join —
+    # without the persist it is evaluated end-to-end twice
+    good = (
+        docs.select("doc_id", "text")
+        .withColumn("q", quality)
+        .filter(F.col("q") >= 0.5)
+        .persist()
     )
     pairs = D.minhash_neardup(good, "text", "doc_id", threshold=JACCARD_THRESHOLD)
     cc = D.connected_components(pairs)
