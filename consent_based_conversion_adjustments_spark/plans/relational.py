@@ -1111,7 +1111,159 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 """.format(r=sql_round("sum(l_extendedprice * (1 - l_discount))", 3))
 
 
+# --- Q7-style: bilateral volume between two nations -------------------------
+
+
+def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, both
+    directions, by ship year — a 6-table snowflake where the interesting
+    predicate (the nation *pair* disjunction) only becomes evaluable after
+    the customer- and supplier-side nation names meet. Nation is
+    fixed-cardinality (25 rows) so its joins keep broadcast hints; the
+    fact-side joins shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("snk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, {r} AS revenue
+FROM (
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           year(l_shipdate) AS l_year,
+           l_extendedprice, l_discount
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE (n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2')
+       OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""".format(r=sql_round("sum(l_extendedprice * (1 - l_discount))", 3))
+
+
+# --- Q12-style: conditional (CASE) aggregation over a join ------------------
+
+
+def q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-group counts under CASE predicates — late
+    lineitems split into high/low order-priority classes (the fixture has
+    no shipmode column, so l_returnflag plays the grouping role and
+    lateness is l_shipdate > o_orderdate + 45 days)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 45 DAYS"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- Q15-style: scalar-subquery equality on an aggregate --------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
+    maximum — the view + scalar-subquery pattern, decorrelated to a 1-row
+    max aggregate attached by broadcast crossJoin. Revenue is rounded to 3
+    decimals on BOTH engines *before* the max/equality so ulp-level
+    summation-order differences cannot flip set membership."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue0 AS (
+    SELECT l_suppkey, {r} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+    GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+ORDER BY s_suppkey
+""".format(r=sql_round("sum(l_extendedprice * (1 - l_discount))", 3))
+
+
 QUERIES: dict[str, tuple] = {
+    "q7_bilateral_volume": (q7_bilateral_volume, Q7_SQL),
+    "q12_priority_lateness": (q12_priority_lateness, Q12_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q13_customer_order_counts": (q13_customer_order_counts, Q13_SQL),
     "q4_order_priority_check": (q4_order_priority_check, Q4_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
