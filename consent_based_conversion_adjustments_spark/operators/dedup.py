@@ -608,16 +608,20 @@ def connected_components(
     The DuckDB oracle twin is a recursive CTE computing min reachable
     label — exact agreement on every node.
     """
-    # normalize + distinct on the HALF edge set — everything in phase 1
-    # works off src<dst half-edges; the 2|E| symmetric union is never
-    # materialized (it used to be the largest checkpoint write here)
+    # normalize to src<dst half-edges — the 2|E| symmetric union is never
+    # materialized (it used to be the largest checkpoint write here). No
+    # distinct: duplicate edges are harmless everywhere downstream (l0 is
+    # a min-agg whose map-side combine collapses them nearly free, and the
+    # contracted edge set runs through its own distinct), so deduping here
+    # would be a full extra shuffle purely to shrink one join input — and
+    # every in-repo producer (minhash/simhash/embedding banding) already
+    # emits each pair exactly once.
     norm = (
         pairs.select(
             F.least(F.col(a_col), F.col(b_col)).alias("src"),
             F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
         .localCheckpoint()
     )
 

@@ -185,6 +185,54 @@ def test_interval_bin_join_matches_naive(spark):
     assert (2, 0) not in got and (1, 0) in got
 
 
+def test_interval_bin_join_microsecond_boundaries(spark):
+    """Exact-microsecond boundary regression: an interval ending 1 µs after
+    a bin boundary must still cover an event sitting exactly ON that
+    boundary. The old float epoch-seconds-minus-1e-6 bin math double-
+    rounded the end bin one too low and dropped the match; the integer
+    unix_micros form cannot."""
+    import datetime
+
+    from consent_based_conversion_adjustments_spark.streaming.events import (
+        interval_bin_join,
+    )
+
+    bin_s = 6 * 3600
+    b1 = datetime.datetime(2024, 1, 1, 6, 0, 0)  # a bin boundary
+    us = datetime.timedelta(microseconds=1)
+    events = spark.createDataFrame(
+        [(0, b1), (1, b1 - us), (2, b1 + us)],
+        "event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            # ends exactly 1 µs past the boundary: must cover event 0
+            (0, b1 - datetime.timedelta(hours=1), b1 + us),
+            # ends exactly ON the boundary: covers only the pre-boundary event
+            (1, b1 - datetime.timedelta(hours=1), b1),
+            # starts exactly ON the boundary: covers events 0 and 2
+            (2, b1, b1 + datetime.timedelta(hours=1)),
+        ],
+        "interval_id long, start timestamp, end timestamp",
+    )
+    got = {
+        (r["event_id"], r["interval_id"])
+        for r in interval_bin_join(
+            events, intervals, bin_seconds=bin_s
+        ).collect()
+    }
+    expect = {
+        (r["event_id"], r["interval_id"])
+        for r in events.crossJoin(intervals)
+        .filter("ts >= start AND ts < end")
+        .collect()
+    }
+    assert got == expect
+    assert (0, 0) in got          # the case the float math dropped
+    assert (0, 1) not in got      # end-exclusive on the exact boundary
+    assert {(0, 2), (2, 2)} <= got and (1, 2) not in got
+
+
 def test_streaming_dedup_and_enrich(spark, tmp_path):
     """Exactly-once ingestion: re-delivered event ids within the watermark
     window are dropped; the surviving stream enriches against a static
