@@ -117,6 +117,13 @@ def main() -> None:
         # GC-driven and otherwise lands as a full-GC stall inside some
         # later query's timing window).
         spark.catalog.clearCache()
+        # two GCs with a short drain gap: localCheckpoint RDD blocks are
+        # freed by the ContextCleaner only after the referencing RDDs are
+        # collected, and that async cleanup otherwise lands inside the next
+        # query's timing window (observed as a ~9 s outlier on whichever
+        # query followed the checkpoint-heavy cluster queries)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
         spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     print(
