@@ -414,3 +414,44 @@ def funnel_counts(
             ),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher-family quality
+    rules): per doc, the fraction of word-bigram occurrences that are
+    repeats (``dup_bigram_frac`` = 1 − distinct/total) and the share of
+    the single most frequent bigram (``top_bigram_frac``). Documents with
+    fewer than two tokens have no bigrams and are excluded (mirrored in
+    the oracle).
+
+    Plan: explode bigrams → count per (doc, gram) → per-doc aggregate.
+    Both aggregations are map-side combinable hash aggs on
+    well-distributed keys; nothing quadratic, nothing driver-side —
+    within-doc repetition at 100 TB is exactly as parallel as word count.
+    """
+    from .text import word_bigrams
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_bigrams(text_col)).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("total") - F.col("n_distinct")) / F.col("total")).alias(
+                "dup_bigram_frac"
+            ),
+            (F.col("top") / F.col("total")).alias("top_bigram_frac"),
+        )
+    )

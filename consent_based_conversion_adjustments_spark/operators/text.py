@@ -266,3 +266,24 @@ def winnow_fingerprints(col: Column | str, k: int = 8, window: int = 4) -> Colum
     """Winnowing document fingerprint: distinct minima of each ``window``
     of consecutive k-gram hashes (Schleimer et al., SIGMOD'03 scheme)."""
     return _winnow(kgram_hashes(col, k), window)
+
+
+def word_bigrams_in(toks: Column) -> Column:
+    """String word-bigrams ("a b") of a token array, preserving repeats —
+    the unit of the within-doc repetition signals. zip_with pads the
+    shorter side with nulls (and concat_ws silently drops them), so the
+    zipped array is sliced back to size-1 before any null pair forms."""
+
+    def body(t: Column) -> Column:
+        pairs = F.zip_with(
+            t,
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return F.slice(pairs, 1, F.greatest(F.size(t) - 1, F.lit(0)))
+
+    return let(toks, body)
+
+
+def word_bigrams(col: Column | str) -> Column:
+    return word_bigrams_in(tokens(col))

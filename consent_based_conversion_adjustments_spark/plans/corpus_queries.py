@@ -358,7 +358,50 @@ SELECT (SELECT count(*) FROM s1) AS n_step1,
 """
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality signals over the documents table —
+    duplicate-bigram fraction and modal-bigram share, rounded for
+    cross-engine hashing."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = C.repetition_stats(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        stable_round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+        stable_round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+DOC_REPETITION_SQL = """
+WITH toks AS (
+    SELECT doc_id, {toks} AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+    FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks)
+),
+counts AS (
+    SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+),
+per_doc AS (
+    SELECT doc_id, sum(c) AS total, count(*) AS n_distinct, max(c) AS top
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       {r_dup} AS dup_bigram_frac,
+       {r_top} AS top_bigram_frac
+FROM per_doc
+ORDER BY doc_id
+""".format(
+    toks=_TOKS.format(c="text"),
+    r_dup=sql_round("(total - n_distinct) * 1.0 / total", 6),
+    r_top=sql_round("top * 1.0 / total", 6),
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "corpus_split_summary": (corpus_split_summary, SPLIT_SUMMARY_SQL),
     "source_quota_sample": (source_quota_sample, SOURCE_QUOTA_SQL),

@@ -261,3 +261,27 @@ def test_pii_redaction_planted(spark):
     # 555-45 has only 2 digits after the dash → not a phone match
     assert out[1]["ne"] == 2 and out[1]["np"] == 1
     assert out[2]["red"] == "no pii at all"
+
+
+def test_repetition_stats_golden(spark):
+    """Hand-computed bigram repetition: 'a b a b a' has bigrams
+    [ab, ba, ab, ba] -> total 4, distinct 2, top 2 -> dup 0.5, top 0.5.
+    Distinct-bigram and sub-2-token docs covered too."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a"),
+            (1, "w x y z"),     # all bigrams distinct
+            (2, "solo"),        # no bigrams -> excluded
+            (3, "r r r r"),     # one bigram repeated 3x
+            (4, "   "),         # blank -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dup_bigram_frac"], r["top_bigram_frac"])
+        for r in C.repetition_stats(df, "text", "doc_id").collect()
+    }
+    assert set(out) == {0, 1, 3}
+    assert out[0] == (0.5, 0.5)
+    assert out[1] == (0.0, 1.0 / 3.0)
+    assert out[3] == (2.0 / 3.0, 1.0)

@@ -272,3 +272,29 @@ def test_connected_components_shapes(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_connected_components_dirty_edges(spark):
+    """Duplicate, reversed, and self-loop edges must not change the
+    result — the operator normalizes to src<dst half-edges and tolerates
+    duplicates without a dedup shuffle (l0 is a min-agg; the contracted
+    edge set has its own distinct), so a producer that emits a pair twice
+    or in both orientations is still labeled exactly."""
+    from consent_based_conversion_adjustments_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 1), (1, 2), (1, 2),   # duplicated + reversed
+            (2, 3), (3, 2),
+            (7, 7),                            # self-loop: dropped
+            (10, 11), (11, 10), (10, 11),
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
