@@ -1260,7 +1260,162 @@ ORDER BY s_suppkey
 """.format(r=sql_round("sum(l_extendedprice * (1 - l_discount))", 3))
 
 
+# --- Q9-style: profit rollup by nation and year -----------------------------
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation, per-year profit over a substring-filtered
+    part set — two fact-side joins (lineitem⋈orders, lineitem⋈part) plus
+    the supplier→nation dimension chain. The fixture has no partsupp, so
+    supplycost is proxied by a retail-price fraction; the LIKE filter on
+    p_name is a non-pushable-to-stats predicate Catalyst still pushes to
+    the scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.1
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    # per-row profit in integer millis: per-row IEEE arithmetic is
+    # bit-identical across engines (same ops, same order), and int64 sums
+    # are order-independent — so the aggregate matches exactly where a
+    # double sum over ~60k summands straddles rounding boundaries
+    # depending on partial-agg order
+    millis = F.floor(profit * 1000 + F.lit(0.5)).cast("long")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            stable_round(F.sum(millis) / 1000.0, 3).alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year, {r} AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+""".format(
+    r=sql_round(
+        "sum(CAST(floor((l_extendedprice * (1 - l_discount)"
+        " - 0.1 * p_retailprice * l_quantity) * 1000 + 0.5) AS BIGINT))"
+        " / 1000.0",
+        3,
+    )
+)
+
+
+# --- Window-analytics breadth (ntile / percent_rank / cume_dist / frames) ---
+
+
+def window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order analytics exercising the ranking-function family
+    beyond row_number: quartile (ntile), percent_rank, cume_dist, and
+    first/last value over a running date frame — one window partition per
+    customer, totally ordered by (date, key) so every function is
+    deterministic cross-engine."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        stable_round(F.cume_dist().over(w), 6).alias("cume"),
+        stable_round(F.first("o_totalprice").over(wf), 3).alias("first_price"),
+        stable_round(F.max("o_totalprice").over(wf), 3).alias(
+            "running_max_price"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_ANALYTICS_SQL = """
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER w AS quartile,
+       {pr} AS pct_rank,
+       {cd} AS cume,
+       {fp} AS first_price,
+       {mp} AS running_max_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""".format(
+    pr=sql_round("percent_rank() OVER w", 6),
+    cd=sql_round("cume_dist() OVER w", 6),
+    fp=sql_round(
+        "first_value(o_totalprice) OVER (PARTITION BY o_custkey"
+        " ORDER BY o_orderdate, o_orderkey"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 3),
+    mp=sql_round(
+        "max(o_totalprice) OVER (PARTITION BY o_custkey"
+        " ORDER BY o_orderdate, o_orderkey"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 3),
+)
+
+
+# --- Ordered array aggregation (collect_list under a sort contract) ---------
+
+
+def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer ordered purchase history: the ordered-array-agg shape
+    (collect_list has no intra-group order guarantee in Spark, so the
+    deterministic form sorts (date, key) structs *after* collection and
+    slices). Serialized to a comma-joined string so the cross-engine value
+    hash is structure-free."""
+    orders = read_table(spark, sf_dir, "orders")
+    ev = F.struct(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F.col("o_orderkey").alias("k"),
+    )
+    hist = F.transform(
+        F.slice(F.array_sort(F.collect_list(ev)), 1, 5),
+        lambda s: s["d"],
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.array_join(hist, ",").alias("first5_dates"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ORDER_HISTORY_SQL = """
+SELECT o_custkey,
+       count(*) AS n_orders,
+       list_aggregate(
+           (list(strftime(o_orderdate, '%Y-%m-%d')
+                 ORDER BY o_orderdate, o_orderkey))[1:5],
+           'string_agg', ',') AS first5_dates
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
+    "window_order_analytics": (window_order_analytics, WINDOW_ANALYTICS_SQL),
+    "customer_order_history": (customer_order_history, ORDER_HISTORY_SQL),
     "q7_bilateral_volume": (q7_bilateral_volume, Q7_SQL),
     "q12_priority_lateness": (q12_priority_lateness, Q12_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
