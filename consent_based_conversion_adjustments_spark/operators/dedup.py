@@ -462,6 +462,59 @@ def minhash_neardup(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def dup_shingle_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-passage coverage: the fraction of a doc's
+    word-shingle positions whose shingle also occurs in ≥ ``min_docs``
+    distinct documents — the corpus-level twin of the within-doc
+    repetition signals (the RefinedWeb/Gopher "dup n-gram coverage"
+    family, computed inter-document). High coverage flags boilerplate and
+    template pages that pairwise near-dup misses because no single pair
+    crosses the Jaccard threshold.
+
+    Shape (scale-safe — never doc×doc): explode shingle hashes keeping
+    multiplicity, one hash-agg per (doc, shingle), one hash-agg per
+    shingle for the distinct-doc count, then an equi-join back and a
+    per-doc rollup. All four stages are partial-agg/equi-join on the
+    shingle hash or the doc id; the duplicated-shingle side is the
+    smaller aggregate and AQE broadcast-promotes it when it fits.
+    """
+    from .text import shingle_hashes
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_hashes(text_col, n)).alias("sh"),
+    )
+    per_doc_sh = sh.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = (
+        per_doc_sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("sh")
+    )
+    marked = per_doc_sh.join(dup.withColumn("__isdup", F.lit(1)), "sh", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__isdup").isNotNull(), F.col("cnt")).otherwise(0)
+            ).alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            (F.col("n_dup_shingles") / F.col("n_shingles")).alias("__frac"),
+        )
+    )
+
+
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """32-bit SimHash: bit j of the signature is set iff the sum over
     tokens of ±1 (sign of bit j of the token hash) is positive."""

@@ -1197,7 +1197,104 @@ FROM documents
 """
 
 
+def corpus_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document duplicated-passage coverage (RefinedWeb-style dup
+    n-gram fraction): per doc, the fraction of 3-word-shingle positions
+    whose shingle occurs in ≥2 distinct documents. Never doc×doc — two
+    hash aggs + one equi-join on the shingle hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    cov = D.dup_shingle_coverage(docs, "text", "doc_id", n=3, min_docs=2)
+    return cov.select(
+        "doc_id",
+        "n_shingles",
+        "n_dup_shingles",
+        stable_round("__frac", 4).alias("dup_fraction"),
+    ).orderBy("doc_id")
+
+
+DUP_COVERAGE_SQL = """
+WITH g AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, greatest(len({toks}) - 2, 1) + 1),
+               i -> {gram_hash}) AS grams
+    FROM documents
+), e AS (
+    SELECT doc_id, unnest(grams) AS sh FROM g
+), c AS (
+    SELECT doc_id, sh, count(*) AS cnt FROM e GROUP BY doc_id, sh
+), dup AS (
+    SELECT sh FROM c GROUP BY sh HAVING count(*) >= 2
+)
+SELECT c.doc_id,
+       CAST(sum(c.cnt) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN dup.sh IS NOT NULL THEN c.cnt ELSE 0 END) AS BIGINT)
+           AS n_dup_shingles,
+       {frac} AS dup_fraction
+FROM c LEFT JOIN dup ON c.sh = dup.sh
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""".format(
+    toks=_TOKS.format(c="text"),
+    gram_hash=_sql_hash(
+        "array_to_string(" + _TOKS.format(c="text") + "[i : i + 2], ' ')"
+    ),
+    frac=sql_round(
+        "CAST(sum(CASE WHEN dup.sh IS NOT NULL THEN c.cnt ELSE 0 END) AS DOUBLE)"
+        " / sum(c.cnt)",
+        4,
+    ),
+)
+
+
+def embedding_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup-family): embedding near-dup pair graph
+    (LSH candidates + exact cosine verify) → connected components → keep
+    each semantic cluster's minimum vec_id plus all singletons. The
+    embedding-space twin of `corpus_canonical_ids`."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_lsh(emb, NEARDUP_COSINE)
+    cc = D.connected_components(pairs, a_col="id_a", b_col="id_b")
+    dupes = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("vec_id")
+    )
+    return (
+        emb.select("vec_id")
+        .join(dupes, "vec_id", "left_anti")
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_DEDUP_SQL = """
+WITH RECURSIVE
+p AS (
+    SELECT id_a, id_b FROM ({pairs}) np
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM p
+),
+comp(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, c.label
+    FROM comp c JOIN edges e ON e.src = c.node
+),
+labels AS (
+    SELECT node, min(label) AS component FROM comp GROUP BY node
+)
+SELECT v.vec_id
+FROM embeddings v
+LEFT JOIN labels l ON l.node = v.vec_id
+WHERE l.node IS NULL OR l.component = v.vec_id
+ORDER BY v.vec_id
+""".format(pairs=EMBEDDING_NEARDUP_SQL)
+
+
 QUERIES: dict[str, tuple] = {
+    "corpus_dup_coverage": (corpus_dup_coverage, DUP_COVERAGE_SQL),
+    "embedding_dedup_ids": (embedding_dedup_ids, EMBEDDING_DEDUP_SQL),
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

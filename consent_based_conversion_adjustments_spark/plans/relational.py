@@ -1412,7 +1412,221 @@ ORDER BY o_custkey
 """
 
 
+# --- Q2-style min-cost supplier (decorrelated per-group MIN) ----------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part within one region — the TPC-H Q2 shape:
+    a correlated ``= (SELECT min(..) WHERE part matches)`` subquery,
+    decorrelated into a per-part min aggregate joined back on equality.
+    The fixture set has no partsupp table, so the part↔supplier offer
+    relation is derived from lineitem (min observed unit price per pair);
+    unit costs are rounded identically on both engines before the min so
+    the equality join compares exact doubles.
+
+    Scale: the bridge agg is map-side combinable on (partkey, suppkey);
+    the min-agg + equi-join decorrelation shuffles on p_partkey only —
+    no correlated re-scan per row, which is the 100 TB-safe plan. Region
+    dims stay unhinted; AQE broadcasts them at runtime.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        stable_round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "unit_cost"
+        )
+    )
+    eligible = (
+        offers.join(supp, offers.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .join(part, offers.l_partkey == part.p_partkey)
+    )
+    min_cost = eligible.groupBy(F.col("l_partkey").alias("__mk")).agg(
+        F.min("unit_cost").alias("__min_cost")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (eligible.l_partkey == min_cost.__mk)
+            & (eligible.unit_cost == min_cost.__min_cost),
+        )
+        .select(
+            stable_round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "unit_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(25)
+    )
+
+
+Q2_SQL = """
+WITH offers AS (
+    SELECT l_partkey, l_suppkey,
+           {cost} AS unit_cost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT {bal} AS s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+FROM offers
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN part ON l_partkey = p_partkey
+WHERE r_name = 'EUROPE' AND p_size = 15
+  AND unit_cost = (
+      SELECT min(o2.unit_cost)
+      FROM offers o2
+      JOIN supplier s2 ON o2.l_suppkey = s2.s_suppkey
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE r2.r_name = 'EUROPE' AND o2.l_partkey = offers.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 25
+""".format(
+    cost=sql_round("min(l_extendedprice / l_quantity)", 4),
+    bal=sql_round("s_acctbal", 2),
+)
+
+
+# --- Q11-style important stock (group value vs scalar total) ----------------
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose shipped value from one nation's suppliers exceeds 1.5×
+    the mean per-part share — the TPC-H Q11 shape (GROUP BY ... HAVING
+    SUM > scalar-subquery fraction). The scalar total/count collapse to a
+    1-row aggregate cross-joined back (broadcastable by construction);
+    the threshold is share-relative so the query is scale-free.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    part_value = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("__value"))
+    )
+    totals = part_value.agg(
+        F.sum("__value").alias("__total"),
+        F.count(F.lit(1)).alias("__nparts"),
+    )
+    return (
+        part_value.crossJoin(F.broadcast(totals))
+        .filter(F.col("__value") > 1.5 * F.col("__total") / F.col("__nparts"))
+        .select(
+            "l_partkey",
+            stable_round(F.col("__value"), 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+    )
+
+
+Q11_SQL = """
+WITH part_value AS (
+    SELECT l_partkey, sum(l_extendedprice) AS v
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+)
+SELECT l_partkey, {v} AS value
+FROM part_value
+WHERE v > 1.5 * (SELECT sum(v) FROM part_value)
+            / (SELECT count(*) FROM part_value)
+ORDER BY value DESC, l_partkey
+""".format(v=sql_round("v", 2))
+
+
+# --- Q20-style dominant suppliers (nested agg + semi-join) ------------------
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than half of a red part's 1997 volume,
+    restricted to one region — the TPC-H Q20 shape: an IN-subquery over a
+    nested aggregation (per-pair qty vs half the per-part total), closed
+    with a semi join. Both aggregates shuffle on the part key and the
+    dominant-pair set is tiny relative to lineitem, so the final semi
+    join is AQE-broadcastable at any scale.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    green = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    )
+    shipped = li.join(green, li.l_partkey == green.p_partkey)
+    pair_qty = shipped.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("__pair_qty")
+    )
+    part_qty = shipped.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("l_quantity").alias("__part_qty")
+    )
+    dominant = (
+        pair_qty.join(part_qty, pair_qty.l_partkey == part_qty.__pk)
+        .filter(F.col("__pair_qty") > 0.5 * F.col("__part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey, "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, s_suppkey
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_partkey, l_suppkey
+    HAVING sum(l_quantity) > 0.5 * (
+        SELECT sum(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+          AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+  AND s_nationkey IN (
+    SELECT n_nationkey FROM nation
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA')
+ORDER BY s_name
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
     "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
     "window_order_analytics": (window_order_analytics, WINDOW_ANALYTICS_SQL),
     "customer_order_history": (customer_order_history, ORDER_HISTORY_SQL),

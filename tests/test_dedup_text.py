@@ -298,3 +298,57 @@ def test_connected_components_dirty_edges(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_shingle_coverage_planted(spark):
+    """Planted boilerplate: docs 1–3 share an identical 5-token prefix, doc
+    4 is disjoint. Verified against a pure-Python recount of positional
+    3-shingle multiplicities."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon one two"),
+        (2, "alpha beta gamma delta epsilon three four"),
+        (3, "alpha beta gamma delta epsilon five six"),
+        (4, "zeta eta theta iota kappa lambda mu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"])
+        for r in D.dup_shingle_coverage(df, "text", "doc_id", n=3).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        return [
+            " ".join(toks[i : i + 3])
+            for i in range(max(len(toks) - 2, 1))
+        ]
+
+    per_doc = {d: shingles(t) for d, t in rows}
+    docs_per_sh = {}
+    for d, shs in per_doc.items():
+        for s in set(shs):
+            docs_per_sh.setdefault(s, set()).add(d)
+    want = {}
+    for d, shs in per_doc.items():
+        dup = sum(1 for s in shs if len(docs_per_sh[s]) >= 2)
+        want[d] = (len(shs), dup)
+    assert got == want
+    # the shared 5-token prefix yields exactly 3 duplicated shingles
+    assert want[1][1] == 3 and want[4][1] == 0
+
+
+def test_dup_shingle_coverage_counts_positions_not_types(spark):
+    """A shingle repeated within one doc AND shared across docs counts once
+    per position (coverage is positional, like the RefinedWeb dup-char
+    fraction), so 2 occurrences in doc 1 → 2 duplicated positions."""
+    rows = [
+        (1, "x y z pad1 x y z"),   # "x y z" occurs at 2 positions
+        (2, "x y z other words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"])
+        for r in D.dup_shingle_coverage(df, "text", "doc_id", n=3).collect()
+    }
+    assert got[1] == (5, 2)
+    assert got[2] == (4, 1)
