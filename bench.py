@@ -51,6 +51,8 @@ HEADLINE = [
     ("events_tumbling", data_queries.events_tumbling),
     ("tfidf_top_terms", corpus_queries.tfidf_top_terms),
     ("contamination_check", corpus_queries.contamination_check),
+    ("corpus_dup_coverage", data_queries.corpus_dup_coverage),
+    ("embedding_dedup_ids", data_queries.embedding_dedup_ids),
 ]
 
 

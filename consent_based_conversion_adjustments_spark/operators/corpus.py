@@ -455,3 +455,73 @@ def repetition_stats(
             (F.col("top") / F.col("total")).alias("top_bigram_frac"),
         )
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global 1-based ranking over a TOTAL order — the
+    scale-safe replacement for ``row_number() OVER (ORDER BY ...)``,
+    which Catalyst plans as a single-partition window (the classic
+    100 TB cliff: every row funnels through one task).
+
+    Shape: range-repartition on the sort key (Spark's sampled range
+    exchange keeps partitions balanced and globally ordered), sort within
+    partitions, then one tiny job counts rows per partition (map-side
+    combined → #partitions rows on the driver) and the exclusive prefix
+    sum of those counts is added to each partition's local index in a
+    single Arrow pass. The sorted layout is materialized ONCE
+    (``localCheckpoint``) before the count job: range partitioning samples
+    its boundaries per execution, so letting the count job and the rank
+    job each re-execute the exchange can land rows in different
+    partitions than the offsets were computed for (observed: ranks offset
+    by whole partition chunks). On a multi-executor cluster use reliable
+    ``checkpoint()``/``persist(DISK_ONLY)`` for the same barrier.
+
+    The per-partition local index is genuinely imperative (a running
+    counter across Arrow batches), which is the documented legitimate use
+    of ``mapInPandas``. Rank values depend only on the global order, never
+    on the sampled partition boundaries, so the output is deterministic
+    when ``order_cols`` is a total order (pass a tie-breaking unique key).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sizes = sorted(
+        (r["__pid"], r["__n"])
+        for r in parts.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in sizes:
+        offsets[pid] = acc
+        acc += cnt
+    boff = spark.sparkContext.broadcast(offsets)
+    out_schema = StructType(
+        parts.schema.fields + [StructField(rank_col, LongType(), False)]
+    )
+
+    def add_rank(batches):
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = boff.value[int(pdf["__pid"].iloc[0])]
+            start = base + local + 1
+            pdf[rank_col] = range(start, start + len(pdf))
+            local += len(pdf)
+            yield pdf
+
+    return parts.mapInPandas(add_rank, out_schema).drop("__pid")

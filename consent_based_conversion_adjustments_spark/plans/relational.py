@@ -1623,7 +1623,41 @@ ORDER BY s_name
 """
 
 
+# --- distributed global ranking ---------------------------------------------
+
+
+def orders_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 1-based rank of every order by (o_orderdate, o_orderkey) —
+    computed with the distributed range-partition + partition-offset
+    operator (operators.corpus.global_rank), NOT a single-partition
+    window. The oracle is the plain ``row_number() OVER (ORDER BY ...)``,
+    so the driver hash proves the distributed form reproduces the global
+    window exactly."""
+    from ..operators.corpus import global_rank
+
+    orders = read_table(spark, sf_dir, "orders")
+    ranked = global_rank(
+        orders.select("o_orderkey", "o_orderdate"),
+        ["o_orderdate", "o_orderkey"],
+        rank_col="global_rank",
+    )
+    return ranked.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "global_rank",
+    )
+
+
+GLOBAL_RANK_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS global_rank
+FROM orders
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "orders_global_rank": (orders_global_rank, GLOBAL_RANK_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),

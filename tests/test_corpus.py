@@ -285,3 +285,44 @@ def test_repetition_stats_golden(spark):
     assert out[0] == (0.5, 0.5)
     assert out[1] == (0.0, 1.0 / 3.0)
     assert out[3] == (2.0 / 3.0, 1.0)
+
+
+def test_global_rank_matches_window(spark):
+    """Distributed range-partition ranking must reproduce the
+    single-partition row_number window exactly — including duplicate sort
+    prefixes resolved by the tie-breaking unique key — and be stable
+    across runs (sampled range boundaries must not leak into ranks)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, i % 17, f"g{i % 5}") for i in range(2000)],
+        "id long, key long, grp string",
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in C.global_rank(df, ["key", "id"], num_partitions=8).collect()
+    }
+    w = Window.orderBy("key", "id")
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+    again = {
+        r["id"]: r["rank"]
+        for r in C.global_rank(df, ["key", "id"], num_partitions=8).collect()
+    }
+    assert again == want
+
+
+def test_global_rank_single_row_partitions(spark):
+    """More partitions than rows: empty partitions contribute zero to the
+    prefix offsets and ranks stay 1..n."""
+    df = spark.createDataFrame([(3,), (1,), (2,)], "v long")
+    got = sorted(
+        (r["v"], r["rank"])
+        for r in C.global_rank(df, ["v"], num_partitions=8).collect()
+    )
+    assert got == [(1, 1), (2, 2), (3, 3)]

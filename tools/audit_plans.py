@@ -160,6 +160,23 @@ def main() -> int:
         "CartesianProduct" not in p and p.count("HashAggregate") >= 2,
     )
 
+    from consent_based_conversion_adjustments_spark.plans.data_queries import (
+        corpus_dup_coverage,
+    )
+
+    p = plan_of(corpus_dup_coverage(spark, SF))
+    check(
+        "dup coverage is shingle-hash aggs + equi-join, not doc×doc",
+        "BroadcastNestedLoopJoin" not in p
+        and "CartesianProduct" not in p
+        and p.count("HashAggregate") >= 4,
+    )
+    a = analyzed_of(corpus_dup_coverage(spark, SF))
+    check(
+        "dup coverage has no forced broadcast (AQE decides)",
+        "ResolvedHint" not in a,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
