@@ -400,7 +400,59 @@ ORDER BY doc_id
 )
 
 
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate document pairs (MinHash graph,
+    threshold 0.8) tallied by the split pair they straddle. Hash-based
+    splitting assigns near-dups independently, so without a
+    cluster-aware split a fraction of dup pairs lands across train/test —
+    exactly the leakage this audit quantifies (the reason modern corpus
+    pipelines dedup BEFORE splitting). Rows with split_a ≠ split_b are
+    the leaks; the within-split rows complete the distribution."""
+    from ..operators import dedup as D
+    from .data_queries import JACCARD_THRESHOLD
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup(docs, "text", "doc_id", threshold=JACCARD_THRESHOLD)
+    splits = C.assign_split(docs.select("doc_id"), "doc_id").select(
+        "doc_id", "split"
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("__sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("__sb")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _split_leakage_sql() -> str:
+    from .data_queries import _minhash_sql
+
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+s AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       count(*) AS n_pairs
+FROM pairs p
+JOIN s sa ON sa.doc_id = p.doc_a
+JOIN s sb ON sb.doc_id = p.doc_b
+GROUP BY 1, 2
+ORDER BY split_a, split_b
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "corpus_split_summary": (corpus_split_summary, SPLIT_SUMMARY_SQL),

@@ -19,7 +19,7 @@ from ..operators import dedup as D
 from ..operators import text as X
 from ..operators.multimodal import binary_metadata
 from ..operators.similarity_search import (
-    cosine_neardup_lsh,
+    cosine_neardup_blas,
     cosine_topk,
     ivf_topk,
     lsh_topk,
@@ -652,12 +652,14 @@ FROM ranked WHERE rank <= {k}
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates + exact cosine verify; the oracle below stays the
-    exact all-pairs SQL — parity at this corpus/threshold is asserted by
-    the driver gate and tests/test_search.py (see cosine_neardup_lsh's
-    recall model)."""
+    """Exact near-dup pairs via the broadcast-BLAS kernel. The corpus'
+    0.45 threshold is below where angular LSH prunes (random-pair
+    any-table collision ≈ 0.96), so the honest scale plan is the exact
+    blocked matmul (n²·d flops in BLAS, probe side partition-parallel) —
+    `cosine_neardup_lsh` remains the route for realistic (≥0.9)
+    thresholds, recall-tested in tests/test_search_multimodal.py."""
     emb = read_table(spark, sf_dir, "embeddings")
-    out = cosine_neardup_lsh(emb, NEARDUP_COSINE)
+    out = cosine_neardup_blas(emb, NEARDUP_COSINE)
     return out.select(
         "id_a", "id_b", stable_round("cosine", 6).alias("cosine")
     )
@@ -1253,7 +1255,7 @@ def embedding_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     each semantic cluster's minimum vec_id plus all singletons. The
     embedding-space twin of `corpus_canonical_ids`."""
     emb = read_table(spark, sf_dir, "embeddings")
-    pairs = cosine_neardup_lsh(emb, NEARDUP_COSINE)
+    pairs = cosine_neardup_blas(emb, NEARDUP_COSINE)
     cc = D.connected_components(pairs, a_col="id_a", b_col="id_b")
     dupes = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("vec_id")
