@@ -106,7 +106,10 @@ def main() -> None:
     sf = None
     for part in SF_DIR.rstrip("/").split("/"):
         if part.startswith("sf"):
-            sf = float(part[2:])
+            try:
+                sf = float(part[2:])
+            except ValueError:
+                pass
     timings: dict[str, float] = {}
     for name, fn in HEADLINE:
         t0 = time.time()

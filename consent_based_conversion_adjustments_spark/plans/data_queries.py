@@ -291,15 +291,21 @@ def _minhash_sql(src: str = "documents") -> str:
         for i in range(D.N_PERMUTATIONS)
     )
     n_bands = D.N_PERMUTATIONS // D.BAND_SIZE
+
+    def band_fold(b: int) -> str:
+        # verbatim mirror of minhash_candidates' int64 band-key fold
+        expr = None
+        for i in range(b * D.BAND_SIZE, (b + 1) * D.BAND_SIZE):
+            expr = (
+                f"CAST(sig_{i} AS BIGINT)"
+                if expr is None
+                else f"(({expr}) * 31 + sig_{i}) % {D.BAND_KEY_MOD}"
+            )
+        return expr
+
     band_selects = "\n    UNION ALL\n".join(
-        "    SELECT doc_id, {b} AS band_no, concat_ws('_', {cols}) AS band_key"
-        " FROM sigs".format(
-            b=b,
-            cols=", ".join(
-                f"CAST(sig_{i} AS VARCHAR)"
-                for i in range(b * D.BAND_SIZE, (b + 1) * D.BAND_SIZE)
-            ),
-        )
+        f"    SELECT doc_id, {b} AS band_no, {band_fold(b)} AS band_key"
+        " FROM sigs"
         for b in range(n_bands)
     )
     return f"""
