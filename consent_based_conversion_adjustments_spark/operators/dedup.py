@@ -353,39 +353,59 @@ def minhash_candidates(
     return out
 
 
-BITMAP_VOCAB_MAX = 64
+BITMAP_MAX_WORDS = 4  # dictionary bitmap verify up to 256 distinct tokens
 
 
-def _bitmap_masks(hashes: DataFrame) -> DataFrame | None:
+def _bitmap_masks(
+    hashes: DataFrame, max_words: int = BITMAP_MAX_WORDS
+) -> tuple[DataFrame, int] | None:
     """Dictionary-encoded bitmap form of the per-doc token-hash sets.
 
-    When the corpus' distinct token-hash vocabulary fits in 64 dense ids
-    (one cheap distinct-aggregate probe — the same exploded-token pass the
-    signature stage already makes), each doc's set becomes a single LONG
-    bitmask and set intersection in the verify stage collapses to
-    ``bit_count(a & b)`` — pure whole-stage-codegen integer ops, no array
-    materialization through the joins. This is the classic bitmap-index
-    trick for dictionary-encodable set columns; corpora with larger
-    vocabularies return None and take the sorted-array intersect path.
+    When the corpus' distinct token-hash vocabulary fits in ``64·max_words``
+    dense ids (one cheap distinct-aggregate probe — the same exploded-token
+    pass the signature stage already makes), each doc's set becomes
+    ``ceil(vocab/64)`` LONG bitmask columns and set intersection in the
+    verify stage collapses to a sum of ``bit_count(a_w & b_w)`` — pure
+    whole-stage-codegen integer ops, no array materialization through the
+    joins. This is the classic bitmap-index trick for dictionary-encodable
+    set columns; corpora with larger vocabularies return None and take the
+    sorted-array intersect path (the general route — any real corpus
+    vocabulary dwarfs any bitmap cap).
 
-    Returns ``(doc_id, mask, n)`` or None.
+    Returns ``((doc_id, mask_0..mask_{w-1}, n), n_words)`` or None.
     """
+    cap = 64 * max_words
     distinct_h = hashes.select(F.explode("tok_hashes").alias("h")).distinct()
-    vocab = [r["h"] for r in distinct_h.limit(BITMAP_VOCAB_MAX + 1).collect()]
-    if not vocab or len(vocab) > BITMAP_VOCAB_MAX:
+    vocab = [r["h"] for r in distinct_h.limit(cap + 1).collect()]
+    if not vocab or len(vocab) > cap:
         return None
-    pairs = []
-    for i, h in enumerate(sorted(vocab)):
-        pairs.extend([F.lit(h), F.lit(1 << i).cast("long")])
-    bit_of = F.create_map(*pairs)
-    mask = F.aggregate(
-        "tok_hashes",
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(F.element_at(bit_of, x)),
+    svocab = sorted(vocab)
+    n_words = (len(svocab) + 63) // 64
+
+    def make_merge(bit_of):
+        # element_at misses (token in another word) → null → OR 0
+        return lambda acc, x: acc.bitwiseOR(
+            F.coalesce(F.element_at(bit_of, x), F.lit(0).cast("long"))
+        )
+
+    mask_cols = []
+    for w in range(n_words):
+        pairs = []
+        for i, h in enumerate(svocab[64 * w : 64 * (w + 1)]):
+            # bit 63 does not fit a positive int64 literal — two's complement
+            bit = (1 << i) if i < 63 else (1 << i) - (1 << 64)
+            pairs.extend([F.lit(h), F.lit(bit).cast("long")])
+        mask_cols.append(
+            F.aggregate(
+                "tok_hashes",
+                F.lit(0).cast("long"),
+                make_merge(F.create_map(*pairs)),
+            ).alias(f"mask_{w}")
+        )
+    out = hashes.select(
+        "doc_id", *mask_cols, F.size("tok_hashes").alias("n")
     )
-    return hashes.select(
-        "doc_id", mask.alias("mask"), F.size("tok_hashes").alias("n")
-    )
+    return out, n_words
 
 
 def minhash_neardup(
@@ -438,22 +458,26 @@ def minhash_neardup(
     # the per-doc token table grows with the corpus, so no broadcast hint —
     # a forced broadcast would fail outright past the limit at scale; AQE
     # promotes when small
-    bitmaps = _bitmap_masks(hashes)
-    if bitmaps is not None:
-        # dictionary-encodable vocabulary: verify is bit_count(a & b) —
-        # identical jaccard values (the dense-id map is injective on the
+    bitmap_result = _bitmap_masks(hashes)
+    if bitmap_result is not None:
+        # dictionary-encodable vocabulary: verify is Σ bit_count(a_w & b_w)
+        # — identical jaccard values (the dense-id map is injective on the
         # token hashes the oracle intersects), no arrays in the hot path
+        bitmaps, n_words = bitmap_result
         a = bitmaps.select(
             F.col("doc_id").alias("doc_a"),
-            F.col("mask").alias("__ma"),
+            *[F.col(f"mask_{w}").alias(f"__ma{w}") for w in range(n_words)],
             F.col("n").alias("__na"),
         )
         b = bitmaps.select(
             F.col("doc_id").alias("doc_b"),
-            F.col("mask").alias("__mb"),
+            *[F.col(f"mask_{w}").alias(f"__mb{w}") for w in range(n_words)],
             F.col("n").alias("__nb"),
         )
-        inter = F.bit_count(F.col("__ma").bitwiseAND(F.col("__mb")))
+        inter = sum(
+            F.bit_count(F.col(f"__ma{w}").bitwiseAND(F.col(f"__mb{w}")))
+            for w in range(n_words)
+        )
         verified = (
             cands.join(a, "doc_a")
             .join(b, "doc_b")

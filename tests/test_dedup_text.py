@@ -197,8 +197,9 @@ def test_minhash_bitmap_and_array_verify_agree(spark):
     import random
 
     rng = random.Random(7)
-    small_vocab = [f"w{i}" for i in range(40)]
-    big_vocab = [f"w{i}" for i in range(200)]
+    small_vocab = [f"w{i}" for i in range(40)]      # 1-word bitmap
+    mid_vocab = [f"w{i}" for i in range(200)]       # multi-word bitmap
+    big_vocab = [f"w{i}" for i in range(400)]       # beyond cap → arrays
 
     def corpus(vocab):
         rows = []
@@ -209,12 +210,14 @@ def test_minhash_bitmap_and_array_verify_agree(spark):
             rows.append((2 * d + 1, " ".join(near)))
         return spark.createDataFrame(rows, ["doc_id", "text"])
 
-    for vocab in (small_vocab, big_vocab):
+    for vocab in (small_vocab, mid_vocab, big_vocab):
         df = corpus(vocab)
         hashes = D._token_hash_set(df, "text", "doc_id")
         bm = D._bitmap_masks(hashes)
         if vocab is small_vocab:
-            assert bm is not None  # fast path engaged
+            assert bm is not None and bm[1] == 1  # single-word fast path
+        elif vocab is mid_vocab:
+            assert bm is not None and bm[1] > 1   # multi-word fast path
         else:
             assert bm is None  # falls back to array intersect
         got = {
