@@ -154,23 +154,35 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: union of same-bucket candidates over all hash
     tables, dedup, exact cosine re-rank. The candidate step is a plain
-    equi-join on (table_id, signature) — no quadratic pass anywhere."""
+    equi-join on (table_id, signature) — no quadratic pass anywhere.
+
+    The bucket join and the dedup shuffle carry ONLY the id pair — a
+    bucket-dense corpus multiplies candidate rows by n_tables, and dragging
+    two 64-double vectors through that join and the dropDuplicates
+    exchange was most of its bytes (the embedding tables are re-joined by
+    id afterwards, touching each surviving pair once)."""
     q = hyperplane_signatures(
         queries, id_col=query_id, vec_col=vec_col, dim=dim,
         n_planes=n_planes, n_tables=n_tables,
-    ).select(query_id, "table_id", "lsh_sig", _cast_double(vec_col).alias("__qv"))
+    ).select(query_id, "table_id", "lsh_sig")
     c = hyperplane_signatures(
         candidates, id_col=cand_id, vec_col=vec_col, dim=dim,
         n_planes=n_planes, n_tables=n_tables,
-    ).select(cand_id, "table_id", "lsh_sig", _cast_double(vec_col).alias("__cv"))
+    ).select(cand_id, "table_id", "lsh_sig")
     pairs = (
         q.join(c, ["table_id", "lsh_sig"])
+        .select(query_id, cand_id)
         .filter(F.col(query_id) != F.col(cand_id))
         .dropDuplicates([query_id, cand_id])
     )
-    pairs = pairs.withColumn(
-        "cosine", cosine_similarity(F.col("__qv"), F.col("__cv"))
-    ).drop("__qv", "__cv", "lsh_sig", "table_id")
+    qv = queries.select(F.col(query_id), _cast_double(vec_col).alias("__qv"))
+    cv = candidates.select(F.col(cand_id), _cast_double(vec_col).alias("__cv"))
+    pairs = (
+        pairs.join(qv, query_id)
+        .join(cv, cand_id)
+        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv")
+    )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(cand_id).asc()
     )
