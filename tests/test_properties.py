@@ -172,3 +172,36 @@ def test_chunk_stitch_roundtrip_random(spark, seed, chunk, overlap):
         for r in got[1:]:
             stitched.extend(r["chunk_text"].split()[overlap:])
         assert stitched == toks, (d, chunk, overlap)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 300),
+    n_parts=st.integers(1, 9),
+)
+def test_global_rank_is_the_window_rank(spark, seed, n, n_parts):
+    """Distributed global_rank ≡ single-partition row_number for arbitrary
+    key multisets (heavy ties resolved by the unique id) and any partition
+    count, including n_parts > n."""
+    from pyspark.sql import Window
+
+    from consent_based_conversion_adjustments_spark.operators.corpus import (
+        global_rank,
+    )
+
+    rng = np.random.RandomState(seed)
+    rows = [(i, int(rng.randint(0, max(n // 10, 2)))) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, key long")
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(df, ["key", "id"], num_partitions=n_parts).collect()
+    }
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("key", "id")).cast("long"),
+        ).collect()
+    }
+    assert got == want
