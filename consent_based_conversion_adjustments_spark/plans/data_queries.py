@@ -1001,6 +1001,34 @@ ORDER BY event_type
 )
 
 
+def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles per event type (`approx_percentile`,
+    Greenwald-Khanna with relative-error accuracy 1/ε=1000) — the route
+    the exact query's docstring points to at unbounded cardinality:
+    bounded state per group regardless of row count, mergeable partials.
+    Registered rows-only (sketch internals are engine-specific);
+    tests/test_corpus.py asserts every value within rank-ε of the exact
+    distributed percentile."""
+    ev = read_table(spark, sf_dir, "events")
+    acc = F.lit(1000)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(
+                F.approx_percentile("value", F.lit(0.5), acc), 6
+            ).alias("p50"),
+            stable_round(
+                F.approx_percentile("value", F.lit(0.9), acc), 6
+            ).alias("p90"),
+            stable_round(
+                F.approx_percentile("value", F.lit(0.99), acc), 6
+            ).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid fit — the building block behind IVF coarse
     quantization, as a pure two-level aggregation: posexplode to
@@ -1326,6 +1354,7 @@ QUERIES: dict[str, tuple] = {
     "events_asof_attribution": (events_asof_attribution, EVENTS_ASOF_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
+    "events_value_quantiles_approx": (events_value_quantiles_approx, None),
     "events_value_anomalies": (events_value_anomalies, EVENTS_ANOMALIES_SQL),
     "events_retention": (events_retention, EVENTS_RETENTION_SQL),
     "events_peak_attribution": (events_peak_attribution, EVENTS_PEAK_SQL),

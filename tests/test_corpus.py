@@ -326,3 +326,38 @@ def test_global_rank_single_row_partitions(spark):
         for r in C.global_rank(df, ["v"], num_partitions=8).collect()
     )
     assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_approx_quantiles_within_rank_epsilon(spark):
+    """Greenwald-Khanna approx_percentile vs the exact percentile: each
+    approximate quantile must itself be an exact quantile at some rank
+    within ±1/accuracy of the requested one (the GK guarantee)."""
+    from consent_based_conversion_adjustments_spark.plans.data_queries import (
+        events_value_quantiles,
+        events_value_quantiles_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["event_type"]: r for r in events_value_quantiles(spark, sf).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in events_value_quantiles_approx(spark, sf).collect()
+    }
+    assert exact.keys() == approx.keys()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    values = {
+        t: sorted(
+            x["value"] for x in ev.filter(F.col("event_type") == t).collect()
+        )
+        for t in exact
+    }
+    eps = 1.0 / 1000
+    for t, row in approx.items():
+        vals = values[t]
+        n = len(vals)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            lo = vals[max(0, int((q - 2 * eps) * (n - 1)))]
+            hi = vals[min(n - 1, int((q + 2 * eps) * (n - 1)) + 1)]
+            assert lo - 1e-6 <= row[col] <= hi + 1e-6, (t, col, row[col], lo, hi)
