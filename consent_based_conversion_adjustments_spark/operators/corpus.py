@@ -525,3 +525,46 @@ def global_rank(
             yield pdf
 
     return parts.mapInPandas(add_rank, out_schema).drop("__pid")
+
+
+def vocab_heavy_hitters(
+    docs: DataFrame,
+    support: float = 0.02,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact term heavy hitters (frequency ≥ support·total) via a
+    sketch-prefilter cascade: ``df.stat.freqItems`` (a single-pass
+    Karp-Papadimitriou-Shenker-style counter sketch, bounded state) yields
+    a SUPERSET of every term above the support threshold; an exact count
+    restricted to that candidate set then filters it down to exactly the
+    true heavy hitters. Same cascade shape as LSH banding + exact verify:
+    the approximate stage bounds the work, the exact stage restores
+    precision — so the output is oracle-checkable against the plain
+    GROUP BY ... HAVING despite the sketch in the plan.
+
+    Scale: the full-vocabulary groupBy (cardinality = vocab) is replaced
+    by one bounded-state sketch pass plus a count over candidate-matching
+    term instances only (candidates ≤ 1/support regardless of corpus
+    size, broadcast by construction).
+    """
+    terms = docs.select(F.explode(tokens(text_col)).alias("term"))
+    # KPS sketch: one pass, ≤ 1/support counters per column
+    cand_row = terms.stat.freqItems(["term"], support).first()
+    cands = [t for t in cand_row[0] if t is not None]
+    spark = docs.sparkSession
+    total = terms.count()
+    floor = support * total
+    if not cands:
+        return spark.createDataFrame(
+            [], "term string, n_occurrences long, frequency double"
+        )
+    return (
+        terms.filter(F.col("term").isin(cands))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= floor)
+        .withColumn(
+            "frequency", F.col("n_occurrences") / F.lit(float(total))
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+    )

@@ -451,7 +451,40 @@ ORDER BY split_a, split_b
 """
 
 
+def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters through a sketch-prefilter cascade: freqItems
+    (bounded-state KPS counter sketch, superset guarantee) proposes
+    candidates, an exact count over candidate-matching instances filters
+    to precisely frequency ≥ 2% — so the plain GROUP BY ... HAVING oracle
+    checks it exactly despite the sketch in the plan."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = C.vocab_heavy_hitters(docs, support=0.02)
+    return out.select(
+        "term",
+        "n_occurrences",
+        stable_round("frequency", 6).alias("frequency"),
+    )
+
+
+HEAVY_HITTERS_SQL = """
+WITH t AS (
+    SELECT unnest({toks}) AS term FROM documents
+), tot AS (SELECT count(*) AS n FROM t)
+SELECT term,
+       count(*) AS n_occurrences,
+       {f} AS frequency
+FROM t, tot
+GROUP BY term, tot.n
+HAVING count(*) >= 0.02 * tot.n
+ORDER BY n_occurrences DESC, term
+""".format(
+    toks=_TOKS.format(c="text"),
+    f=sql_round("count(*) / CAST(tot.n AS DOUBLE)", 6),
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "vocab_heavy_hitters": (vocab_heavy_hitters, HEAVY_HITTERS_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),

@@ -361,3 +361,20 @@ def test_approx_quantiles_within_rank_epsilon(spark):
             lo = vals[max(0, int((q - 2 * eps) * (n - 1)))]
             hi = vals[min(n - 1, int((q + 2 * eps) * (n - 1)) + 1)]
             assert lo - 1e-6 <= row[col] <= hi + 1e-6, (t, col, row[col], lo, hi)
+
+
+def test_vocab_heavy_hitters_exact_after_cascade(spark):
+    """The sketch stage may propose false candidates; the exact stage must
+    strip them so output == plain groupBy-HAVING, including when only
+    some terms clear the support floor."""
+    rows = (
+        [(i, "alpha beta common") for i in range(30)]
+        + [(100 + i, f"rare{i} common") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["term"], r["n_occurrences"])
+        for r in C.vocab_heavy_hitters(df, support=0.2).collect()
+    }
+    # totals: alpha 30, beta 30, common 40, rare* 1 each; n=130, floor 26
+    assert got == {("alpha", 30), ("beta", 30), ("common", 40)}
