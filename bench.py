@@ -53,6 +53,8 @@ HEADLINE = [
     ("contamination_check", corpus_queries.contamination_check),
     ("corpus_dup_coverage", data_queries.corpus_dup_coverage),
     ("embedding_dedup_ids", data_queries.embedding_dedup_ids),
+    ("orders_global_rank", relational.orders_global_rank),
+    ("vocab_heavy_hitters", corpus_queries.vocab_heavy_hitters),
 ]
 
 
