@@ -45,17 +45,32 @@ def _last_verified_round() -> dict[str, int]:
     The driver only records the first N registry entries per round, so ordering
     least-recently-verified first rotates the verification window until every
     query has a recent driver row. Queries never recorded sort first (round 0).
+    A round whose record shows a FAILURE (hash mismatch or a hard error) does
+    not count as verified — the query re-sorts to the front of the next window
+    so a fix lands a fresh green row immediately instead of waiting a full
+    rotation cycle. Rows-only records (``err == "no_oracle"``) count: they are
+    the strongest check those queries support.
     """
     here = os.path.dirname(os.path.abspath(__file__))
     seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             rnd = int(os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")])
-            names = json.load(open(path))
+            records = json.load(open(path))
         except (ValueError, OSError, json.JSONDecodeError):
             continue
-        for name in names:
-            seen[name] = max(seen.get(name, 0), rnd)
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                seen[name] = max(seen.get(name, 0), rnd)
+                continue
+            failed = (
+                rec.get("hash_match") is False
+                or rec.get("rows_match") is False
+                or rec.get("schema_match") is False
+                or rec.get("err") not in (None, "no_oracle")
+            )
+            if not failed:
+                seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
 

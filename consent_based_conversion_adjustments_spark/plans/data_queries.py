@@ -882,7 +882,7 @@ def _language_profile_sql() -> str:
     return f"""
 SELECT lang_pred,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        {sql_round('avg(quality)', 6)} AS avg_quality,
        {sql_round('avg(n_chars)', 3)} AS avg_chars
 FROM ({TEXT_STATS_SQL}) __ts
