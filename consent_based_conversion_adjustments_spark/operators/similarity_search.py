@@ -324,11 +324,13 @@ def cosine_neardup_blas(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Exact all-pairs cosine near-dup via broadcast matrix + blocked BLAS:
+    """Exact all-pairs cosine near-dup via a block-pair grid join:
     identical output contract to `cosine_neardup_pairs` (cosine ≥
-    threshold, id_a < id_b), executed as one normalized matmul per probe
-    partition instead of a pair-materializing join.
+    threshold, id_a < id_b), executed as one BLAS matmul per block pair
+    instead of a pair-materializing join — and with NO driver-side
+    materialization of the table.
 
     Why this exists: at *aggressively low* thresholds (the synthetic
     corpus' 0.45), angular LSH cannot prune — a random pair collides in
@@ -337,52 +339,104 @@ def cosine_neardup_blas(
     set, but dragged through a join that materializes every pair row
     (measured 129 s on 2,000×64 at sf0.1, with AQE coalescing the
     exploded join to one task). The exact computation is 2,000²·64 ≈
-    2.6e8 flops — milliseconds in BLAS. Candidate side is collected and
-    broadcast (same contract as the kNN numpy kernel: the deduped
-    embedding table must fit executor memory; beyond that, use
-    `cosine_neardup_lsh` at a threshold where LSH actually prunes, or
-    IVF cell-local dedup); the probe side streams partition-parallel,
-    emitting only pairs over the threshold.
+    2.6e8 flops — milliseconds in BLAS.
+
+    Scale shape: every row gets a deterministic block id
+    (``pmod(hash(id), B)``); the B·(B+1)/2 unordered block pairs form a
+    tiny broadcast grid; each row is replicated to the grid rows where
+    its block is the left (or right) member — (B+1)× shuffle
+    amplification, the standard exact-all-pairs trade — and a cogrouped
+    Arrow kernel multiplies the two blocks of each pair. Peak task
+    memory is 2·(N/B) vectors no matter how big N is: at 100 TB you
+    raise ``n_blocks`` until a block fits an executor, and the
+    B(B+1)/2 pairs give the parallelism. (The n²·d flops are inherent
+    to EXACT all-pairs under a threshold this low; `cosine_neardup_lsh`
+    remains the sub-quadratic route for thresholds where LSH prunes.)
+    Each unordered row pair lives in exactly one block pair, so no
+    global dedup shuffle is needed; a diagonal block pair dedups by
+    ``id_a < id_b``, an off-diagonal one normalizes the orientation.
+
+    FP boundary note: cosine is computed as ``dot(a,b) / (|a|·|b|)`` —
+    the oracle's expression shape — so Spark and DuckDB agree to the
+    final ulp in practice; a pair sitting *exactly* at the threshold
+    within ~1 ulp is still formally at the mercy of FMA/summation-order
+    differences (documented risk, accepted: the synthetic corpus has no
+    such pair, and the threshold is a tunable, not an identity).
     """
     spark = df.sparkSession
-    pdf_all = df.select(
-        F.col(id_col).alias("__id"), _cast_double(vec_col).alias("__v")
-    ).toPandas()
-    ids = pdf_all["__id"].to_numpy()
-    M = np.stack(pdf_all["__v"].to_numpy()).astype(np.float64)
-    norms = np.sqrt((M * M).sum(axis=1))
-    safe = np.where(norms == 0.0, 1.0, norms)
-    Mn = M / safe[:, None]
-    Mn[norms == 0.0] = 0.0  # zero vectors match nothing (cosine null)
-    bc = spark.sparkContext.broadcast((ids, Mn))
-
-    probe = df.select(
-        F.col(id_col).alias("id_a"), _cast_double(vec_col).alias("__v")
+    tagged = df.select(
+        F.col(id_col).alias("__id"),
+        _cast_double(vec_col).alias("__v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
+    )
+    # VALUES gives a true LocalRelation (known tiny size → statically
+    # broadcast on both grid joins, no hint, no stats guesswork), unlike
+    # createDataFrame's stats-less ExistingRDD scan
+    grid_rows = ", ".join(
+        f"({a * n_blocks + b}, {a}, {b})"
+        for a in range(n_blocks)
+        for b in range(a, n_blocks)
+    )
+    grid = spark.sql(
+        f"SELECT * FROM VALUES {grid_rows} AS grid(__pair, __ba, __bb)"
+    )
+    ta, ga = tagged.alias("ta"), grid.alias("ga")
+    tb, gb = tagged.alias("tb"), grid.alias("gb")
+    # no broadcast() hint: the grid is a B(B+1)/2-row local relation whose
+    # known size makes the planner broadcast it unhinted (plan-audited)
+    left = ta.join(
+        ga, F.col("ta.__blk") == F.col("ga.__ba")
+    ).select(
+        F.col("ga.__pair").alias("__pair"),
+        F.col("ta.__id").alias("__id"),
+        F.col("ta.__v").alias("__v"),
+    )
+    right = tb.join(
+        gb, F.col("tb.__blk") == F.col("gb.__bb")
+    ).select(
+        F.col("gb.__pair").alias("__pair_r"),
+        F.col("tb.__id").alias("__id"),
+        F.col("tb.__v").alias("__v"),
     )
 
-    def gen(batches):
-        cand_ids, Cn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            xa = pdf["id_a"].to_numpy()
-            xn = np.sqrt((X * X).sum(axis=1))
-            xsafe = np.where(xn == 0.0, 1.0, xn)
-            Xn = X / xsafe[:, None]
-            Xn[xn == 0.0] = 0.0
-            S = Xn @ Cn.T
-            mask = (S >= threshold) & (cand_ids[None, :] > xa[:, None])
-            ii, jj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "id_a": xa[ii],
-                    "id_b": cand_ids[jj],
-                    "cosine": S[ii, jj],
-                }
-            )
+    def block_kernel(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        pair = int(key[0])
+        diag = (pair // n_blocks) == (pair % n_blocks)
+        la = l["__id"].to_numpy()
+        rb = r["__id"].to_numpy()
+        L = np.stack(l["__v"].to_numpy()).astype(np.float64)
+        R = np.stack(r["__v"].to_numpy()).astype(np.float64)
+        ln = np.sqrt((L * L).sum(axis=1))
+        rn = np.sqrt((R * R).sum(axis=1))
+        lsafe = np.where(ln == 0.0, 1.0, ln)
+        rsafe = np.where(rn == 0.0, 1.0, rn)
+        # dot / (|a|·|b|): same expression shape as the SQL oracle
+        S = (L @ R.T) / np.outer(lsafe, rsafe)
+        mask = (S >= threshold) & (ln[:, None] > 0.0) & (rn[None, :] > 0.0)
+        if diag:
+            mask &= rb[None, :] > la[:, None]
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            return empty
+        ida, idb = la[ii], rb[jj]
+        if not diag:
+            ida, idb = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": ida, "id_b": idb, "cosine": S[ii, jj]})
 
-    return probe.mapInPandas(gen, "id_a long, id_b long, cosine double")
+    return (
+        left.groupBy("__pair")
+        .cogroup(right.groupBy("__pair_r"))
+        .applyInPandas(block_kernel, "id_a long, id_b long, cosine double")
+    )
 
 
 def cosine_neardup_lsh(

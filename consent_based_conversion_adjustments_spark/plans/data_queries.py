@@ -658,10 +658,11 @@ FROM ranked WHERE rank <= {k}
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs via the broadcast-BLAS kernel. The corpus'
-    0.45 threshold is below where angular LSH prunes (random-pair
+    """Exact near-dup pairs via the block-pair-grid BLAS kernel. The
+    corpus' 0.45 threshold is below where angular LSH prunes (random-pair
     any-table collision ≈ 0.96), so the honest scale plan is the exact
-    blocked matmul (n²·d flops in BLAS, probe side partition-parallel) —
+    blocked matmul — executed as a cogrouped block-pair grid join (n²·d
+    flops in BLAS, B(B+1)/2-way parallel, nothing driver-side) —
     `cosine_neardup_lsh` remains the route for realistic (≥0.9)
     thresholds, recall-tested in tests/test_search_multimodal.py."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1285,9 +1286,10 @@ ORDER BY c.doc_id
 
 def embedding_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup-family): embedding near-dup pair graph
-    (LSH candidates + exact cosine verify) → connected components → keep
-    each semantic cluster's minimum vec_id plus all singletons. The
-    embedding-space twin of `corpus_canonical_ids`."""
+    (exact block-pair BLAS at this low threshold) → connected components →
+    keep each semantic cluster's minimum vec_id plus all singletons. The
+    embedding-space twin of `corpus_canonical_ids`. Every stage is
+    distributed — the pair graph never touches the driver."""
     emb = read_table(spark, sf_dir, "embeddings")
     pairs = cosine_neardup_blas(emb, NEARDUP_COSINE)
     cc = D.connected_components(pairs, a_col="id_a", b_col="id_b")

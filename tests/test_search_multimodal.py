@@ -218,6 +218,49 @@ def test_lsh_neardup_matches_exact(spark, emb):
     assert got == exact
 
 
+def test_blas_neardup_matches_exact_any_blocking(spark, emb):
+    """The block-pair grid kernel is exact: its output equals the all-pairs
+    baseline for EVERY block count (each unordered row pair lands in exactly
+    one block pair; blocking must not change the result set)."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_search import (
+        cosine_neardup_blas,
+        cosine_neardup_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in cosine_neardup_pairs(emb, 0.45).collect()
+    }
+    assert exact  # fixture must actually produce near-dup pairs
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+            for r in cosine_neardup_blas(emb, 0.45, n_blocks=n_blocks).collect()
+        }
+        assert got == exact, f"n_blocks={n_blocks}"
+
+
+def test_blas_neardup_empty_and_zero_vectors(spark):
+    """Empty input yields an empty frame with the contract schema (the old
+    kernel crashed in np.stack); zero vectors match nothing."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_search import (
+        cosine_neardup_blas,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    out = cosine_neardup_blas(empty, 0.5)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0]), (4, [1.0, 0.0])],
+        schema,
+    )
+    rows = cosine_neardup_blas(zeros, 0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(3, 4)}
+
+
 def test_spark_hash_long_parity(spark):
     """spark_hash.spark_hash_long is bit-equal to F.hash on LongType —
     the invariant the IVF oracle generator's sample ordering rests on."""

@@ -121,7 +121,7 @@ def main() -> int:
     for name, fn in [
         ("jaccard prefix-filter", dedup_jaccard),
         ("ngram-jaccard prefix-filter", dedup_ngram_jaccard),
-        ("embedding neardup LSH", embedding_neardup),
+        ("embedding neardup block kernel", embedding_neardup),
     ]:
         p = plan_of(fn(spark, SF))
         check(
@@ -175,6 +175,41 @@ def main() -> int:
     check(
         "dup coverage has no forced broadcast (AQE decides)",
         "ResolvedHint" not in a,
+    )
+
+    from consent_based_conversion_adjustments_spark.operators.similarity_search import (
+        cosine_neardup_blas,
+    )
+
+    # The exact cosine near-dup path must never materialize the table on
+    # the driver: building the plan over a job-free local relation must
+    # trigger zero Spark jobs (the old kernel eagerly toPandas'd the full
+    # table at plan-build time), and the physical plan must be the
+    # cogrouped block-pair kernel with the tiny grid broadcast unhinted.
+    local_emb = spark.createDataFrame(
+        [(1, [1.0] * 4), (2, [0.5] * 4)], "vec_id long, embedding array<double>"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    nd = cosine_neardup_blas(local_emb, 0.45)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    p = plan_of(nd)
+    check(
+        "exact near-dup builds lazily (no driver-side table collect)",
+        jobs_after == jobs_before,
+        f"jobs during plan build: {jobs_after - jobs_before}",
+    )
+    check(
+        "exact near-dup is the cogrouped block-pair BLAS kernel",
+        "FlatMapCoGroupsInPandas" in p,
+    )
+    check(
+        "exact near-dup block grid is broadcast, no cartesian",
+        "CartesianProduct" not in p and p.count("BroadcastHashJoin") >= 2,
+    )
+    check(
+        "exact near-dup has no forced broadcast (planner decides)",
+        "ResolvedHint" not in analyzed_of(nd),
     )
 
     print("ALL OK" if not failures else f"FAILED: {failures}")
