@@ -125,8 +125,9 @@ def knn_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical vectors always share every bucket, so LSH degenerates toward
     all-pairs; the broadcast numpy kernel is the right plan there, and this
     operator is the relief valve for when the BUILD side outgrows a
-    broadcast.) Rows-only: approximate by design; recall vs the exact join
-    is asserted in tests/test_similarity_join.py."""
+    broadcast.) Oracle: the hyperplane buckets are deterministic, so
+    `_knn_lsh_sql` replays the full pipeline in SQL; recall vs the exact
+    join is additionally asserted in tests/test_similarity_join.py."""
     from ..operators.similarity_join import knn_join_lsh
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -143,7 +144,7 @@ def knn_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric="euclidean", probe_id="probe_id", build_id="consent_id",
     )
     return out.filter(F.col("probe_id") != F.col("consent_id")).select(
-        "probe_id", "consent_id", "distance"
+        "probe_id", "consent_id", stable_round("distance", 6).alias("distance")
     )
 
 
@@ -153,8 +154,9 @@ def radius_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the radius — the route for the reference's radius mode when the build
     side outgrows a broadcast. Embeddings are unit-normalized, so
     euclidean 1.2 ≈ cosine similarity ≥ 0.28 — selective but non-empty at
-    every SF. Rows-only: approximate by design; subset-of-exact and
-    recall-floor are asserted in tests/test_similarity_join.py."""
+    every SF. Oracle: `_radius_lsh_sql` replays the deterministic buckets
+    in SQL; subset-of-exact and recall-floor are additionally asserted in
+    tests/test_similarity_join.py."""
     from ..operators.similarity_join import radius_join_lsh
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -171,7 +173,7 @@ def radius_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric="euclidean", probe_id="probe_id", build_id="consent_id",
     )
     return out.filter(F.col("probe_id") < F.col("consent_id")).select(
-        "probe_id", "consent_id", "distance"
+        "probe_id", "consent_id", stable_round("distance", 6).alias("distance")
     )
 
 
@@ -638,6 +640,209 @@ LEFT JOIN naive n ON b.d = n.d
 )
 
 
+def _lsh_sig_sql(n_planes: int, n_tables: int, dim: int = 64) -> tuple[str, str, str]:
+    """DuckDB fragments replaying `_signature_array`'s hyperplane math:
+    the ±1 plane matrix is pure integer mixing (similarity_search.
+    plane_sign), so each table's signature becomes literal-list dot
+    products. Returns (sig_cols, s_list, t_list) for the WITH chain.
+    Float caveat as in `_ann_lsh_sql`: a sign bit could differ only if a
+    projection lands within float-reassociation distance of 0."""
+    from ..operators.similarity_search import _plane_matrix
+
+    planes = _plane_matrix(dim, n_planes, n_tables)
+    sig_cols = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(n_planes):
+            lit = (
+                "["
+                + ",".join(f"{int(s)}.0" for s in planes[:, t * n_planes + p])
+                + "]"
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product(dv, {lit}) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        sig_cols.append("(" + " + ".join(terms) + f") AS s{t}")
+    s_list = ",".join(f"s{t}" for t in range(n_tables))
+    t_list = ",".join(str(t) for t in range(n_tables))
+    return ", ".join(sig_cols), s_list, t_list
+
+
+_LSH_PAIRS_PRELUDE = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+), sigs AS (
+    SELECT vec_id, {sig_cols} FROM v
+), lng AS (
+    SELECT vec_id, unnest([{s_list}]) AS sig,
+           unnest([{t_list}]) AS table_id
+    FROM sigs
+)"""
+
+# euclidean in the kernel's expression shape:
+# sqrt(max(||a||² + ||b||² − 2·a·b, 0))  (similarity_join._chunk_distances)
+_EUCLID = (
+    "sqrt(greatest(list_dot_product(a.dv, a.dv)"
+    " + list_dot_product(b.dv, b.dv)"
+    " - 2 * list_dot_product(a.dv, b.dv), 0))"
+)
+
+
+def _knn_lsh_sql() -> str:
+    """Replay of `cocoa_knn_lsh_pairs`: candidates = pairs sharing any
+    (table, signature) bucket; the operator's local-topk-per-bucket union
+    provably contains the global top-k over the candidate union, so the
+    oracle ranks the candidate set directly (distance, consent_id
+    tie-break), keeps rank ≤ k INCLUDING the self pair (rank 1 at
+    distance 0, exactly as the operator sees it), then drops self."""
+    sig_cols, s_list, t_list = _lsh_sig_sql(4, 8)
+    prelude = _LSH_PAIRS_PRELUDE.format(
+        sig_cols=sig_cols, s_list=s_list, t_list=t_list
+    )
+    return f"""{prelude}, pairs AS (
+    SELECT DISTINCT q.vec_id AS probe_id, c.vec_id AS consent_id
+    FROM lng q JOIN lng c ON q.table_id = c.table_id AND q.sig = c.sig
+), scored AS (
+    SELECT probe_id, consent_id, {_EUCLID} AS dist_raw
+    FROM pairs
+    JOIN v a ON a.vec_id = probe_id
+    JOIN v b ON b.vec_id = consent_id
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY dist_raw, consent_id) AS rn
+    FROM scored
+)
+SELECT probe_id, consent_id, {sql_round('dist_raw', 6)} AS distance
+FROM ranked WHERE rn <= {FLAGSHIP_K} AND probe_id <> consent_id
+"""
+
+
+def radius_lsh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end beyond-broadcast adjustment — the 100×-scale execution
+    path run whole: hyperplane-LSH radius matching (neither side
+    collected, bucketed co-group) feeding the SAME softmax + scatter-add
+    kernel as the broadcast routes. Probe/build split and conversion
+    values are derived deterministically from the embeddings table
+    (vec_id % 5 == 0 → probe, value = vec_id % 97 + 1), mirroring the
+    consent split's shape on a feature space where LSH buckets are
+    selective. reference: nearest_consented_customers.py:470-524 (radius
+    mode + redistribution); conservation property over this path is
+    asserted in tests/test_similarity_join.py."""
+    from ..operators.adjust import scatter_add, softmax_weights
+    from ..operators.similarity_join import radius_join_lsh
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        (F.col("vec_id") % 97 + 1).cast("double").alias("conversion_value"),
+    )
+    probe = feats.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("probe_id"), "features", "conversion_value"
+    )
+    build = feats.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("consent_id"), "features", "conversion_value"
+    )
+    pairs = radius_join_lsh(
+        probe.select("probe_id", "features"),
+        build.select("consent_id", "features"),
+        1.2,
+        64,
+        metric="euclidean",
+        probe_id="probe_id",
+        build_id="consent_id",
+    )
+    weighted = softmax_weights(
+        pairs.join(probe.select("probe_id", "conversion_value"), "probe_id")
+    )
+    out = scatter_add(
+        build.select("consent_id", "conversion_value"),
+        weighted,
+        build_id="consent_id",
+    )
+    return out.select(
+        "consent_id",
+        stable_round("conversion_value", 3).alias("conversion_value"),
+        stable_round("adjusted_conversion", 3).alias("adjusted_conversion"),
+        stable_round("average_distance", 3).alias("average_distance"),
+        F.col("n_added_conversions").cast("long").alias("n_added_conversions"),
+        stable_round("sum_distribution_weights", 3).alias(
+            "sum_distribution_weights"
+        ),
+    )
+
+
+def _radius_lsh_adjust_sql() -> str:
+    """Replay of `cocoa_radius_lsh_adjust`: deterministic LSH buckets →
+    radius filter → the standard softmax/scatter-add CTE chain keyed on
+    the derived probe values."""
+    sig_cols, s_list, t_list = _lsh_sig_sql(4, 8)
+    prelude = _LSH_PAIRS_PRELUDE.format(
+        sig_cols=sig_cols, s_list=s_list, t_list=t_list
+    )
+    return f"""{prelude}, cand AS (
+    SELECT DISTINCT q.vec_id AS probe_id, c.vec_id AS consent_id
+    FROM lng q JOIN lng c ON q.table_id = c.table_id AND q.sig = c.sig
+    WHERE q.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
+), matched AS (
+    SELECT probe_id, consent_id, distance,
+           CAST(probe_id % 97 + 1 AS DOUBLE) AS conversion_value
+    FROM (
+        SELECT probe_id, consent_id, {_EUCLID} AS distance
+        FROM cand
+        JOIN v a ON a.vec_id = probe_id
+        JOIN v b ON b.vec_id = consent_id
+    ) WHERE distance <= 1.2
+), expd AS (
+    SELECT *, exp(-distance - max(-distance) OVER (PARTITION BY probe_id)) AS e
+    FROM matched
+), wts AS (
+    SELECT *, e / sum(e) OVER (PARTITION BY probe_id) AS weight FROM expd
+), aggs AS (
+    SELECT consent_id,
+           sum(conversion_value * weight) AS adjusted_conversion,
+           sum(distance) AS sum_distance,
+           count(*) AS n_added_conversions,
+           sum(weight) AS sum_distribution_weights
+    FROM wts GROUP BY consent_id
+)
+SELECT e.vec_id AS consent_id,
+       {sql_round('CAST(e.vec_id % 97 + 1 AS DOUBLE)', 3)} AS conversion_value,
+       {sql_round('coalesce(a.adjusted_conversion, 0.0)', 3)} AS adjusted_conversion,
+       {sql_round('a.sum_distance / a.n_added_conversions', 3)} AS average_distance,
+       CAST(coalesce(a.n_added_conversions, 0) AS BIGINT) AS n_added_conversions,
+       {sql_round('coalesce(a.sum_distribution_weights, 0.0)', 3)} AS sum_distribution_weights
+FROM embeddings e
+LEFT JOIN aggs a ON e.vec_id = a.consent_id
+WHERE e.vec_id % 5 <> 0
+"""
+
+
+def _radius_lsh_sql() -> str:
+    """Replay of `cocoa_radius_lsh_pairs`: every bucket-colliding pair with
+    euclidean distance ≤ 1.2 (filter on the raw distance, round for
+    output), probe_id < consent_id."""
+    sig_cols, s_list, t_list = _lsh_sig_sql(4, 8)
+    prelude = _LSH_PAIRS_PRELUDE.format(
+        sig_cols=sig_cols, s_list=s_list, t_list=t_list
+    )
+    return f"""{prelude}, pairs AS (
+    SELECT DISTINCT q.vec_id AS probe_id, c.vec_id AS consent_id
+    FROM lng q JOIN lng c ON q.table_id = c.table_id AND q.sig = c.sig
+    WHERE q.vec_id < c.vec_id
+), scored AS (
+    SELECT probe_id, consent_id, {_EUCLID} AS dist_raw
+    FROM pairs
+    JOIN v a ON a.vec_id = probe_id
+    JOIN v b ON b.vec_id = consent_id
+)
+SELECT probe_id, consent_id, {sql_round('dist_raw', 6)} AS distance
+FROM scored WHERE dist_raw <= 1.2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "cocoa_daily_run": (daily_run, DAILY_RUN_SQL),
     "cocoa_knn_adjust": (knn_adjust, KNN_ADJUST_SQL),
@@ -648,8 +853,9 @@ QUERIES: dict[str, tuple] = {
     ),
     "cocoa_knn_pairs": (knn_pairs, KNN_PAIRS_SQL),
     "cocoa_knn_minkowski": (knn_minkowski, KNN_MINKOWSKI_SQL),
-    "cocoa_knn_lsh_pairs": (knn_lsh_pairs, None),
-    "cocoa_radius_lsh_pairs": (radius_lsh_pairs, None),
+    "cocoa_knn_lsh_pairs": (knn_lsh_pairs, _knn_lsh_sql),
+    "cocoa_radius_lsh_pairs": (radius_lsh_pairs, _radius_lsh_sql),
+    "cocoa_radius_lsh_adjust": (radius_lsh_adjust, _radius_lsh_adjust_sql),
     "cocoa_knn_proportional": (knn_proportional, KNN_PROPORTIONAL_SQL),
     "cocoa_radius_adjust": (radius_adjust, RADIUS_ADJUST_SQL),
     "cocoa_radius_summary": (radius_summary, RADIUS_SUMMARY_SQL),

@@ -188,6 +188,58 @@ def test_radius_join_lsh_subset_and_recall(spark):
     assert len(approx) / len(exact) >= 0.4
 
 
+def test_radius_lsh_adjust_conservation(spark):
+    """Conservation over the beyond-broadcast execution path: LSH-matched
+    radius pairs → softmax → scatter-add must redistribute each MATCHED
+    probe's conversion value exactly once (Σ adjusted over consent ==
+    Σ conversion over matched probes), and every received distance is a
+    true in-radius distance."""
+    from consent_based_conversion_adjustments_spark.operators.adjust import (
+        scatter_add,
+        softmax_weights,
+    )
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        radius_join_lsh,
+    )
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    feats = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        (F.col("vec_id") % 97 + 1).cast("double").alias("conversion_value"),
+    )
+    probe = feats.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("probe_id"), "features", "conversion_value"
+    )
+    build = feats.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("consent_id"), "features", "conversion_value"
+    )
+    pairs = radius_join_lsh(
+        probe.select("probe_id", "features"),
+        build.select("consent_id", "features"),
+        1.2, 64, metric="euclidean",
+        probe_id="probe_id", build_id="consent_id",
+    )
+    assert pairs.count() > 0
+    weighted = softmax_weights(
+        pairs.join(probe.select("probe_id", "conversion_value"), "probe_id")
+    )
+    out = scatter_add(
+        build.select("consent_id", "conversion_value"),
+        weighted,
+        build_id="consent_id",
+    )
+    total_received = out.agg(F.sum("adjusted_conversion")).first()[0]
+    matched_value = (
+        pairs.select("probe_id").distinct()
+        .join(probe, "probe_id")
+        .agg(F.sum("conversion_value")).first()[0]
+    )
+    assert total_received == pytest.approx(matched_value, rel=1e-9)
+    assert pairs.filter(F.col("distance") > 1.2).count() == 0
+
+
 def test_similarity_join_lsh_dispatch(spark):
     """impl='lsh' drives all three modes without collecting either side and
     re-attaches probe payload columns."""
