@@ -548,8 +548,12 @@ def vocab_heavy_hitters(
     size, broadcast by construction).
     """
     terms = docs.select(F.explode(tokens(text_col)).alias("term"))
-    # KPS sketch: one pass, ≤ 1/support counters per column
-    cand_row = terms.stat.freqItems(["term"], support).first()
+    # KPS sketch: one pass, bounded counters per column. Run it at
+    # support/2 (candidates still ≤ 2/support): freqItems only guarantees
+    # a superset of terms STRICTLY above its support argument, and the
+    # exact stage filters with >= floor — at support itself a term sitting
+    # exactly on the boundary could legally be dropped by the sketch.
+    cand_row = terms.stat.freqItems(["term"], support / 2).first()
     cands = [t for t in cand_row[0] if t is not None]
     spark = docs.sparkSession
     total = terms.count()

@@ -383,9 +383,12 @@ def _bitmap_masks(
     n_words = (len(svocab) + 63) // 64
 
     def make_merge(bit_of):
-        # element_at misses (token in another word) → null → OR 0
+        # try_element_at: misses (token in another word) → null → OR 0.
+        # The try_ variant makes null-on-miss the explicit contract —
+        # plain element_at is documented to error on missing keys under
+        # ANSI mode in some Spark configurations.
         return lambda acc, x: acc.bitwiseOR(
-            F.coalesce(F.element_at(bit_of, x), F.lit(0).cast("long"))
+            F.coalesce(F.try_element_at(bit_of, x), F.lit(0).cast("long"))
         )
 
     mask_cols = []

@@ -328,6 +328,28 @@ def distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adjusted_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 parity for the ADJUSTED output: describe()-style statistics of
+    ``adjusted_conversion`` over the kNN-adjusted frame (reference:
+    the describe() diagnostics block, nearest_consented_customers.py:
+    116-123 — run on the redistribution result rather than distances)."""
+    consent, noconsent = consent_split(spark, sf_dir)
+    result = run_adjustment(
+        consent, noconsent, _config(number_nearest_neighbors=FLAGSHIP_K)
+    )
+    d = F.col("adjusted_conversion")
+    return result.data_adjusted.agg(
+        F.count(d).alias("n"),
+        stable_round(F.avg(d), 4).alias("mean"),
+        stable_round(F.stddev_samp(d), 4).alias("stddev"),
+        stable_round(F.min(d), 3).alias("min"),
+        stable_round(F.expr("percentile(adjusted_conversion, 0.25)"), 3).alias("p25"),
+        stable_round(F.expr("percentile(adjusted_conversion, 0.5)"), 3).alias("p50"),
+        stable_round(F.expr("percentile(adjusted_conversion, 0.75)"), 3).alias("p75"),
+        stable_round(F.max(d), 3).alias("max"),
+    )
+
+
 # --- oracle SQL --------------------------------------------------------------
 
 _PRELUDE = """
@@ -542,6 +564,48 @@ FROM per_row
         r_p50=sql_round("quantile_cont(avg_d, 0.5)", 3),
         r_p75=sql_round("quantile_cont(avg_d, 0.75)", 3),
         r_max=sql_round("max(avg_d)", 3),
+    )
+)
+
+
+ADJUSTED_DESCRIBE_SQL = (
+    _PRELUDE
+    + _topk_cte(FLAGSHIP_K)
+    + """
+, expd AS (
+    SELECT *, exp(-distance - max(-distance) OVER (PARTITION BY probe_id)) AS e
+    FROM topk
+),
+wts AS (
+    SELECT consent_id, probe_value,
+           e / sum(e) OVER (PARTITION BY probe_id) AS weight
+    FROM expd
+),
+aggs AS (
+    SELECT consent_id, sum(probe_value * weight) AS adjusted
+    FROM wts GROUP BY consent_id
+),
+per_row AS (
+    SELECT coalesce(a.adjusted, 0.0) AS v
+    FROM build b LEFT JOIN aggs a ON b.c_custkey = a.consent_id
+)
+SELECT count(v) AS n,
+       {r_mean} AS mean,
+       {r_std} AS stddev,
+       {r_min} AS min,
+       {r_p25} AS p25,
+       {r_p50} AS p50,
+       {r_p75} AS p75,
+       {r_max} AS max
+FROM per_row
+""".format(
+        r_mean=sql_round("avg(v)", 4),
+        r_std=sql_round("stddev_samp(v)", 4),
+        r_min=sql_round("min(v)", 3),
+        r_p25=sql_round("quantile_cont(v, 0.25)", 3),
+        r_p50=sql_round("quantile_cont(v, 0.5)", 3),
+        r_p75=sql_round("quantile_cont(v, 0.75)", 3),
+        r_max=sql_round("max(v)", 3),
     )
 )
 
@@ -847,6 +911,7 @@ QUERIES: dict[str, tuple] = {
     "cocoa_daily_run": (daily_run, DAILY_RUN_SQL),
     "cocoa_knn_adjust": (knn_adjust, KNN_ADJUST_SQL),
     "cocoa_distance_stats": (distance_stats, DISTANCE_STATS_SQL),
+    "cocoa_adjusted_describe": (adjusted_describe, ADJUSTED_DESCRIBE_SQL),
     "cocoa_nearest_distance_stats": (
         nearest_distance_stats,
         NEAREST_DISTANCE_STATS_SQL,

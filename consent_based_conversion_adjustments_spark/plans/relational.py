@@ -1570,10 +1570,10 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
-    green = read_table(spark, sf_dir, "part").filter(
+    red_parts = read_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("red%")
     )
-    shipped = li.join(green, li.l_partkey == green.p_partkey)
+    shipped = li.join(red_parts, li.l_partkey == red_parts.p_partkey)
     pair_qty = shipped.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("__pair_qty")
     )

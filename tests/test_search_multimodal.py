@@ -111,6 +111,43 @@ def test_real_codec_path_when_available():
     assert Image.open(io.BytesIO(out)).size == (4, 4)
 
 
+def test_real_video_codec_path_when_available():
+    """When PyAV is importable the non-fake path decodes a real (tiny,
+    generated) video and returns exactly n_frames evenly-spaced RGB24
+    frames — clamped when the clip is shorter than n_frames. Skipped in
+    codec-less containers; the guarded import keeps both green."""
+    from consent_based_conversion_adjustments_spark.operators.multimodal import (
+        _HAS_PYAV,
+        sample_frames,
+    )
+
+    if not _HAS_PYAV:
+        pytest.skip("PyAV not installed")
+    import io
+
+    import av
+    import numpy as np_
+
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 16, 16
+        for i in range(8):
+            arr = np_.full((16, 16, 3), i * 30, dtype=np_.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    payload = buf.getvalue()
+
+    frames = sample_frames(payload, 3)
+    assert len(frames) == 3
+    assert all(len(fr) == 16 * 16 * 3 for fr in frames)
+    # shorter-than-request clip: still exactly n_frames (clamped/repeated)
+    assert len(sample_frames(payload, 20)) == 20
+
+
 def test_resize_and_frame_sample_plumbing(spark):
     from consent_based_conversion_adjustments_spark.operators.multimodal import (
         resize_image,
@@ -123,11 +160,16 @@ def test_resize_and_frame_sample_plumbing(spark):
         _HAS_PIL,
     )
 
+    from consent_based_conversion_adjustments_spark.operators.multimodal import (
+        _HAS_PYAV,
+    )
+
     if not _HAS_PIL:
         with pytest.raises(NotImplementedError):
             resize_image(b"x", 8, 8)
-    with pytest.raises(NotImplementedError):
-        sample_frames(b"x", 2)
+    if not _HAS_PYAV:
+        with pytest.raises(NotImplementedError):
+            sample_frames(b"x", 2)
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
     media = attach_payloads(docs, "text", "doc_id")
     resized = resize_images(media, 32, 32).collect()
