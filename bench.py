@@ -45,6 +45,7 @@ HEADLINE = [
     ("corpus_canonical_ids", data_queries.corpus_canonical_ids),
     ("dedup_fingerprint", data_queries.dedup_fingerprint),
     ("cocoa_radius_lsh_pairs", cocoa_queries.radius_lsh_pairs),
+    ("cocoa_radius_lsh_adjust", cocoa_queries.radius_lsh_adjust),
     ("ann_cosine_topk", data_queries.ann_cosine_topk),
     ("ann_lsh_topk", data_queries.ann_lsh_topk),
     ("events_sessions", data_queries.events_sessions),
