@@ -212,6 +212,21 @@ def main() -> int:
         "ResolvedHint" not in analyzed_of(nd),
     )
 
+    # The end-to-end beyond-broadcast adjust: LSH bucket cogroup feeding
+    # softmax/scatter-add — no quadratic join anywhere, no forced broadcast,
+    # and the bucket kernel is the cogrouped Arrow pass.
+    p = plan_of(cocoa_queries.radius_lsh_adjust(spark, SF))
+    check(
+        "LSH adjust end-to-end: bucket cogroup + no quadratic join",
+        "FlatMapCoGroupsInPandas" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    )
+    check(
+        "LSH adjust has no forced broadcast (AQE decides)",
+        "ResolvedHint" not in analyzed_of(cocoa_queries.radius_lsh_adjust(spark, SF)),
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
