@@ -794,9 +794,24 @@ def radius_lsh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective. reference: nearest_consented_customers.py:470-524 (radius
     mode + redistribution); conservation property over this path is
     asserted in tests/test_similarity_join.py."""
-    from ..operators.adjust import scatter_add, softmax_weights
     from ..operators.similarity_join import radius_join_lsh
 
+    probe, build = _emb_probe_build(spark, sf_dir)
+    pairs = radius_join_lsh(
+        probe.select("probe_id", "features"),
+        build.select("consent_id", "features"),
+        1.2,
+        64,
+        metric="euclidean",
+        probe_id="probe_id",
+        build_id="consent_id",
+    )
+    return _lsh_adjust_tail(probe, build, pairs)
+
+
+def _emb_probe_build(spark: SparkSession, sf_dir: str):
+    """Shared probe/build derivation for the beyond-broadcast adjust
+    queries: vec_id % 5 == 0 → probe, conversion value = vec_id % 97 + 1."""
     emb = read_table(spark, sf_dir, "embeddings")
     feats = emb.select(
         "vec_id",
@@ -809,15 +824,13 @@ def radius_lsh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = feats.filter(F.col("vec_id") % 5 != 0).select(
         F.col("vec_id").alias("consent_id"), "features", "conversion_value"
     )
-    pairs = radius_join_lsh(
-        probe.select("probe_id", "features"),
-        build.select("consent_id", "features"),
-        1.2,
-        64,
-        metric="euclidean",
-        probe_id="probe_id",
-        build_id="consent_id",
-    )
+    return probe, build
+
+
+def _lsh_adjust_tail(probe: DataFrame, build: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Softmax + scatter-add over LSH-matched pairs, rounded for the oracle."""
+    from ..operators.adjust import scatter_add, softmax_weights
+
     weighted = softmax_weights(
         pairs.join(probe.select("probe_id", "conversion_value"), "probe_id")
     )
@@ -836,6 +849,102 @@ def radius_lsh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_distribution_weights"
         ),
     )
+
+
+def percentile_lsh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile mode beyond broadcast, run whole: pass 1 =
+    `percentile_radius_lsh` (per-probe LSH nearest distance → exact
+    percentile; a missed true nearest can only INFLATE the radius, so the
+    ≥ P%-matched guarantee the reference mode exists for is preserved),
+    pass 2 = LSH radius join at that radius feeding the same softmax +
+    scatter-add kernel. reference: nearest_consented_customers.py:199-231
+    (percentile mode) + 470-524 (redistribution)."""
+    from ..operators.similarity_join import (
+        percentile_radius_lsh,
+        radius_join_lsh,
+    )
+
+    probe, build = _emb_probe_build(spark, sf_dir)
+    radius = percentile_radius_lsh(
+        probe.select("probe_id", "features"),
+        build.select("consent_id", "features"),
+        PERCENTILE,
+        64,
+        metric="euclidean",
+        probe_id="probe_id",
+        build_id="consent_id",
+    )
+    pairs = radius_join_lsh(
+        probe.select("probe_id", "features"),
+        build.select("consent_id", "features"),
+        radius,
+        64,
+        metric="euclidean",
+        probe_id="probe_id",
+        build_id="consent_id",
+    )
+    return _lsh_adjust_tail(probe, build, pairs)
+
+
+_LSH_ADJUST_TAIL_SQL = """, expd AS (
+    SELECT *, exp(-distance - max(-distance) OVER (PARTITION BY probe_id)) AS e
+    FROM matched
+), wts AS (
+    SELECT *, e / sum(e) OVER (PARTITION BY probe_id) AS weight FROM expd
+), aggs AS (
+    SELECT consent_id,
+           sum(conversion_value * weight) AS adjusted_conversion,
+           sum(distance) AS sum_distance,
+           count(*) AS n_added_conversions,
+           sum(weight) AS sum_distribution_weights
+    FROM wts GROUP BY consent_id
+)
+SELECT e.vec_id AS consent_id,
+       {r_conv} AS conversion_value,
+       {r_adj} AS adjusted_conversion,
+       {r_avgd} AS average_distance,
+       CAST(coalesce(a.n_added_conversions, 0) AS BIGINT) AS n_added_conversions,
+       {r_wts} AS sum_distribution_weights
+FROM embeddings e
+LEFT JOIN aggs a ON e.vec_id = a.consent_id
+WHERE e.vec_id % 5 <> 0
+"""
+
+
+def _lsh_adjust_tail_sql() -> str:
+    return _LSH_ADJUST_TAIL_SQL.format(
+        r_conv=sql_round("CAST(e.vec_id % 97 + 1 AS DOUBLE)", 3),
+        r_adj=sql_round("coalesce(a.adjusted_conversion, 0.0)", 3),
+        r_avgd=sql_round("a.sum_distance / a.n_added_conversions", 3),
+        r_wts=sql_round("coalesce(a.sum_distribution_weights, 0.0)", 3),
+    )
+
+
+def _percentile_lsh_adjust_sql() -> str:
+    """Replay of `cocoa_percentile_lsh_adjust`: deterministic buckets →
+    per-probe nearest candidate distance → quantile_cont radius → radius
+    filter → the softmax/scatter-add chain."""
+    sig_cols, s_list, t_list = _lsh_sig_sql(4, 8)
+    prelude = _LSH_PAIRS_PRELUDE.format(
+        sig_cols=sig_cols, s_list=s_list, t_list=t_list
+    )
+    return f"""{prelude}, cand AS (
+    SELECT DISTINCT q.vec_id AS probe_id, c.vec_id AS consent_id
+    FROM lng q JOIN lng c ON q.table_id = c.table_id AND q.sig = c.sig
+    WHERE q.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
+), scored AS (
+    SELECT probe_id, consent_id, {_EUCLID} AS distance,
+           CAST(probe_id % 97 + 1 AS DOUBLE) AS conversion_value
+    FROM cand
+    JOIN v a ON a.vec_id = probe_id
+    JOIN v b ON b.vec_id = consent_id
+), nearest AS (
+    SELECT probe_id, min(distance) AS d FROM scored GROUP BY probe_id
+), rad AS (
+    SELECT quantile_cont(d, {PERCENTILE}) AS r FROM nearest
+), matched AS (
+    SELECT * FROM scored WHERE distance <= (SELECT r FROM rad)
+){_lsh_adjust_tail_sql()}"""
 
 
 def _radius_lsh_adjust_sql() -> str:
@@ -859,29 +968,7 @@ def _radius_lsh_adjust_sql() -> str:
         JOIN v a ON a.vec_id = probe_id
         JOIN v b ON b.vec_id = consent_id
     ) WHERE distance <= 1.2
-), expd AS (
-    SELECT *, exp(-distance - max(-distance) OVER (PARTITION BY probe_id)) AS e
-    FROM matched
-), wts AS (
-    SELECT *, e / sum(e) OVER (PARTITION BY probe_id) AS weight FROM expd
-), aggs AS (
-    SELECT consent_id,
-           sum(conversion_value * weight) AS adjusted_conversion,
-           sum(distance) AS sum_distance,
-           count(*) AS n_added_conversions,
-           sum(weight) AS sum_distribution_weights
-    FROM wts GROUP BY consent_id
-)
-SELECT e.vec_id AS consent_id,
-       {sql_round('CAST(e.vec_id % 97 + 1 AS DOUBLE)', 3)} AS conversion_value,
-       {sql_round('coalesce(a.adjusted_conversion, 0.0)', 3)} AS adjusted_conversion,
-       {sql_round('a.sum_distance / a.n_added_conversions', 3)} AS average_distance,
-       CAST(coalesce(a.n_added_conversions, 0) AS BIGINT) AS n_added_conversions,
-       {sql_round('coalesce(a.sum_distribution_weights, 0.0)', 3)} AS sum_distribution_weights
-FROM embeddings e
-LEFT JOIN aggs a ON e.vec_id = a.consent_id
-WHERE e.vec_id % 5 <> 0
-"""
+){_lsh_adjust_tail_sql()}"""
 
 
 def _radius_lsh_sql() -> str:
@@ -921,6 +1008,10 @@ QUERIES: dict[str, tuple] = {
     "cocoa_knn_lsh_pairs": (knn_lsh_pairs, _knn_lsh_sql),
     "cocoa_radius_lsh_pairs": (radius_lsh_pairs, _radius_lsh_sql),
     "cocoa_radius_lsh_adjust": (radius_lsh_adjust, _radius_lsh_adjust_sql),
+    "cocoa_percentile_lsh_adjust": (
+        percentile_lsh_adjust,
+        _percentile_lsh_adjust_sql,
+    ),
     "cocoa_knn_proportional": (knn_proportional, KNN_PROPORTIONAL_SQL),
     "cocoa_radius_adjust": (radius_adjust, RADIUS_ADJUST_SQL),
     "cocoa_radius_summary": (radius_summary, RADIUS_SUMMARY_SQL),
