@@ -287,3 +287,23 @@ def word_bigrams_in(toks: Column) -> Column:
 
 def word_bigrams(col: Column | str) -> Column:
     return word_bigrams_in(tokens(col))
+
+
+def linear_model_score(
+    features: dict[str, Column], weights: dict[str, float], bias: float
+) -> Column:
+    """Catalyst-only model scoring: ``sigmoid(bias + Σ wᵢ·xᵢ)``.
+
+    The model-based quality-filter shape (classifier gating à la
+    FineWeb-Edu) for a model small enough to bake into the plan as
+    literals: zero Python, zero shuffle, whole-stage codegen end-to-end,
+    so filtering 100 TB costs one scan. A large model would instead be a
+    broadcast weight matrix applied inside an Arrow-batched pandas UDF —
+    the pipeline shape (stateless per-row score → threshold filter) is
+    identical, and this is the degenerate single-neuron case. Terms are
+    accumulated in sorted(weights) order so an oracle can replay the
+    float-associativity exactly."""
+    z = F.lit(float(bias))
+    for name in sorted(weights):
+        z = z + F.lit(float(weights[name])) * features[name]
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -153,6 +153,55 @@ FROM s
 )
 
 
+# A deterministic stand-in for a trained quality classifier: weights over
+# the text-stat features, baked into the plan as literals. Term order in
+# the score is sorted(key) — the oracle replays the same order.
+MODEL_QUALITY_W = {
+    "log_tokens": 0.6,
+    "punct_ratio": -1.5,
+    "quality": 2.5,
+    "stopword_ratio": 1.0,
+}
+MODEL_QUALITY_B = -2.0
+
+
+def doc_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gating (FineWeb-Edu-style classifier filter):
+    a logistic model over the text-stat features scores every document in
+    pure Catalyst — one scan, no shuffle, no Python — and thresholding the
+    score yields the keep set. Features reuse `text_stats`' rounded
+    columns so both engines score bit-identical inputs."""
+    ts = text_stats(spark, sf_dir)
+    feats = {
+        "log_tokens": F.log(F.lit(1.0) + F.col("n_tokens")),
+        "punct_ratio": F.col("punct_ratio"),
+        "quality": F.col("quality"),
+        "stopword_ratio": F.col("stopword_ratio"),
+    }
+    score = X.linear_model_score(feats, MODEL_QUALITY_W, MODEL_QUALITY_B)
+    return ts.select(
+        "doc_id",
+        stable_round(score, 4).alias("model_score"),
+        (score >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+MODEL_QUALITY_SQL = """
+WITH ts AS ({stats}),
+scored AS (
+    SELECT doc_id,
+           1.0 / (1.0 + exp(-({b}
+               + 0.6 * ln(1.0 + n_tokens)
+               + -1.5 * punct_ratio
+               + 2.5 * quality
+               + 1.0 * stopword_ratio))) AS score
+    FROM ts
+)
+SELECT doc_id, {r} AS model_score, score >= 0.5 AS keep
+FROM scored ORDER BY doc_id
+""".format(stats=TEXT_STATS_SQL, b=float(MODEL_QUALITY_B), r=sql_round("score", 4))
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     fps = X.winnow_shingle_fingerprints("text", n=3, window=4)
@@ -1334,6 +1383,7 @@ QUERIES: dict[str, tuple] = {
     "corpus_dup_coverage": (corpus_dup_coverage, DUP_COVERAGE_SQL),
     "embedding_dedup_ids": (embedding_dedup_ids, EMBEDDING_DEDUP_SQL),
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "doc_model_quality": (doc_model_quality, MODEL_QUALITY_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "vocab_top_terms": (vocab_top_terms, VOCAB_TOP_SQL),

@@ -355,3 +355,37 @@ def test_dup_shingle_coverage_counts_positions_not_types(spark):
     }
     assert got[1] == (5, 2)
     assert got[2] == (4, 1)
+
+
+def test_linear_model_score_shape_and_plan(spark):
+    """Model-based quality gating: scores are valid probabilities,
+    monotone in a positive-weight feature, and the whole query compiles
+    to a zero-shuffle single-scan plan (no Exchange) — the property that
+    makes classifier filtering one-pass at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from consent_based_conversion_adjustments_spark.operators.text import (
+        linear_model_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "id long, x double"
+    )
+    score = linear_model_score({"x": F.col("x")}, {"x": 1.0}, -2.5)
+    rows = df.select("id", score.alias("s")).orderBy("id").collect()
+    vals = [r["s"] for r in rows]
+    assert all(0.0 < v < 1.0 for v in vals)
+    assert vals == sorted(vals)  # positive weight → monotone increasing
+    # bias −2.5: x=0 scores < 0.5, x=5 scores > 0.5 (the filter bites)
+    assert vals[0] < 0.5 < vals[-1]
+
+    from consent_based_conversion_adjustments_spark.plans.data_queries import (
+        doc_model_quality,
+    )
+
+    plan = (
+        doc_model_quality(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan.replace("Exchange rangepartitioning", "")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
