@@ -300,6 +300,56 @@ def run_dates_collected(
     return out
 
 
+def run_dates_streaming(
+    spark: SparkSession,
+    consent: DataFrame,
+    noconsent: DataFrame,
+    config: AdjustmentConfig,
+    dates_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    impl: str = "sql",
+):
+    """O5 trigger path as Structured Streaming: the dates.txt blob the
+    trigger function writes (`prepare_pipeline_input`) becomes a
+    file-source STREAM — each dates file that lands fires the per-date
+    adjustment loop over exactly the newly arrived dates, with the
+    file-source checkpoint providing exactly-once progress across
+    restarts. The cron/PubSub launch collapses into the trigger choice:
+    ``availableNow`` for a scheduled catch-up run, a processing-time
+    trigger for a long-lived daemon; the engine-side semantics are
+    identical either way.
+
+    reference: cloud_function/main.py:86-142 (trigger writes dates.txt) +
+    pipeline.py:318-360 (the batch loop). The loop body runs inside
+    ``foreachBatch``: the micro-batch is collected (a dates file is a
+    handful of date strings by construction — the collect is bounded by
+    lookback_days, never by data), then each date runs as the same
+    independent distributed job the batch loop uses, appended to a
+    ``date=<d>`` parquet partition.
+    """
+    if config.date_column is None:
+        raise ValueError("run_dates_streaming requires config.date_column")
+    stream = spark.readStream.format("text").load(dates_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        dates = sorted(
+            {r["value"].strip() for r in batch_df.collect() if r["value"].strip()}
+        )
+        if not dates:
+            return
+        out = run_dates_collected(consent, noconsent, config, dates, impl=impl)
+        out.write.mode("append").partitionBy("date").parquet(output_path)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_dates_partitioned(
     spark: SparkSession,
     consent: DataFrame,
