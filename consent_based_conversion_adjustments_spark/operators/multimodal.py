@@ -155,6 +155,88 @@ def sample_frames(
     )
 
 
+def decode_audio(
+    payload: bytes, fake: bool = False
+) -> tuple[int, int, list[float]]:
+    """Decode an audio payload → (sample_rate, n_samples, 8-dim feature).
+
+    ``fake=True`` selects the deterministic stand-in (rate/length/feature
+    derived from the payload hash). The real path needs no optional
+    dependency: PCM WAV parses with the stdlib ``wave`` module — features
+    are per-window RMS over 8 equal windows of the first channel
+    (deterministic, library-stable). Non-WAV payloads raise ValueError —
+    compressed codecs (mp3/ogg) would slot in behind a guarded import
+    exactly like Pillow/PyAV do for images/video."""
+    if fake:
+        digest = hashlib.sha256(payload).digest()
+        rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+        n_samples = 256 + int.from_bytes(digest[1:3], "big") % 4096
+        feature = [digest[3 + i] / 255.0 for i in range(8)]
+        return rate, n_samples, feature
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            n_channels = w.getnchannels()
+            width = w.getsampwidth()
+            n_samples = w.getnframes()
+            raw = w.readframes(n_samples)
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"payload is not a PCM WAV stream: {exc}") from exc
+    if width != 2:
+        raise ValueError(f"only 16-bit PCM supported, got {8 * width}-bit")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if n_channels > 1:
+        samples = samples[::n_channels]  # first channel
+    if len(samples) == 0:
+        return rate, 0, [0.0] * 8
+    windows = np.array_split(samples, 8)
+    feature = [
+        float(np.sqrt((w_ * w_).mean())) if len(w_) else 0.0 for w_ in windows
+    ]
+    return rate, int(n_samples), feature
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas audio decode/feature pipeline over binary payloads —
+    same stateless-map shape as `extract_features` (no shuffle, Arrow
+    batches, bytes never driver-side)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = _payload_bytes(pdf["payload"])
+            decoded = [decode_audio(p, fake=fake_decode) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_bytes": [len(p) for p in payloads],
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_samples": [d[1] for d in decoded],
+                    "duration_s": [
+                        d[1] / d[0] if d[0] else 0.0 for d in decoded
+                    ],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -1283,6 +1283,57 @@ FROM documents
 """
 
 
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed audio feature extraction over binary payloads
+    (mapInPandas, stateless map — no shuffle, bytes never driver-side).
+    Runs the deterministic fake codec so the full Arrow pipeline is
+    oracle-checkable: the stand-in derives rate/length/feature from the
+    payload's sha256, which DuckDB replays byte-for-byte. The real PCM-WAV
+    path (stdlib `wave`, no optional dependency) is exercised in
+    tests/test_search_multimodal.py."""
+    from ..operators.multimodal import attach_payloads, extract_audio_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = attach_payloads(docs, "text", "doc_id")
+    out = extract_audio_features(media, fake_decode=True)
+    return out.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples",
+        "duration_s",
+        # scalar feature columns: the driver's value-hash compares scalars
+        *[F.col("feature").getItem(i).alias(f"f{i}") for i in range(8)],
+    ).orderBy("media_id")
+
+
+# byte k (0-based) of sha256(text) as an integer, via hex-pair cast
+_SHA_BYTE = "(('0x' || substr(sha256(text), {o}, 2))::INT)"
+
+
+def _audio_sql() -> str:
+    rates = "[8000, 16000, 22050, 44100]"
+    b = lambda k: _SHA_BYTE.format(o=2 * k + 1)  # noqa: E731
+    feats = ",\n       ".join(f"{b(3 + i)} / 255.0 AS f{i}" for i in range(8))
+    return f"""
+WITH s AS (
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           list_extract({rates}, 1 + {b(0)} % 4) AS sample_rate,
+           256 + ({b(1)} * 256 + {b(2)}) % 4096 AS n_samples,
+           {feats}
+    FROM documents
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_samples AS DOUBLE) / sample_rate AS duration_s,
+       f0, f1, f2, f3, f4, f5, f6, f7
+FROM s ORDER BY media_id
+"""
+
+
 def corpus_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-document duplicated-passage coverage (RefinedWeb-style dup
     n-gram fraction): per doc, the fraction of 3-word-shingle positions
@@ -1412,4 +1463,5 @@ QUERIES: dict[str, tuple] = {
     "events_peak_attribution": (events_peak_attribution, EVENTS_PEAK_SQL),
     "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
+    "audio_features": (audio_features, _audio_sql),
 }

@@ -352,3 +352,62 @@ def test_ivf_oracle_centroids_match_pipeline(spark):
         np.array([r[1] for r in rows[:4096]], dtype=np.float64), n_cells=16
     )
     assert np.array_equal(pipeline_cents, replay_cents)
+
+
+def test_audio_decode_real_wav_and_fake():
+    """The audio path is REAL with no optional dependency: stdlib `wave`
+    parses PCM WAV. A generated 16-bit sine clip decodes to the right
+    rate/length and non-zero RMS windows; the fake contract stays
+    deterministic; non-WAV bytes raise."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from consent_based_conversion_adjustments_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    buf = io.BytesIO()
+    rate, n = 8000, 1600
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack(
+                    "<h", int(20000 * math.sin(2 * math.pi * 440 * i / rate))
+                )
+                for i in range(n)
+            )
+        )
+    payload = buf.getvalue()
+
+    got_rate, got_n, feat = decode_audio(payload)
+    assert (got_rate, got_n) == (rate, n)
+    assert len(feat) == 8 and all(f > 0.1 for f in feat)  # steady sine RMS
+    assert decode_audio(payload) == (got_rate, got_n, feat)  # deterministic
+
+    with pytest.raises(ValueError):
+        decode_audio(b"not a wav")
+    fake = decode_audio(b"anything", fake=True)
+    assert fake == decode_audio(b"anything", fake=True)
+    assert len(fake[2]) == 8
+
+
+def test_audio_feature_plumbing(spark):
+    """Distributed audio pipeline: attach payloads, extract features via
+    mapInPandas, one row per media item with a duration and 8-dim RMS."""
+    from consent_based_conversion_adjustments_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(25)
+    media = attach_payloads(docs, "text", "doc_id")
+    rows = extract_audio_features(media, fake_decode=True).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+        assert r["duration_s"] == pytest.approx(r["n_samples"] / r["sample_rate"])
+        assert len(r["feature"]) == 8
