@@ -46,6 +46,7 @@ HEADLINE = [
     ("dedup_fingerprint", data_queries.dedup_fingerprint),
     ("cocoa_radius_lsh_pairs", cocoa_queries.radius_lsh_pairs),
     ("cocoa_radius_lsh_adjust", cocoa_queries.radius_lsh_adjust),
+    ("cocoa_percentile_lsh_adjust", cocoa_queries.percentile_lsh_adjust),
     ("ann_cosine_topk", data_queries.ann_cosine_topk),
     ("ann_lsh_topk", data_queries.ann_lsh_topk),
     ("events_sessions", data_queries.events_sessions),
