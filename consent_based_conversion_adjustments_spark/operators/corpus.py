@@ -235,6 +235,78 @@ def ngram_contamination(
     )
 
 
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by the mean hashed-n-gram log-likelihood ratio between the target
+    corpus' distribution and the raw corpus' distribution — high weight =
+    "looks like the target domain". The standard use is resampling the raw
+    corpus proportionally to these weights.
+
+    Model: both sides are bags of hashed word n-grams over ``n_buckets``
+    buckets with add-one smoothing, P(b) = (count_b + 1)/(total + B);
+    weight(doc) = mean over its gram occurrences of
+    log P_target(bucket) − log P_raw(bucket).
+
+    Plan at scale: two global bucket-count aggregations (map-side
+    combinable, output bounded by ``n_buckets``), scalar totals attached
+    as 1-row broadcast aggregates, then one equi-join of the exploded raw
+    grams against the bounded ratio table and a per-doc average — linear
+    in corpus size, never doc×doc, and the ratio table is reusable across
+    scoring runs. Output: ``(id, n_grams, weight)``.
+    """
+    def grams(df: DataFrame, *cols: Column) -> DataFrame:
+        return df.select(
+            *cols,
+            F.explode(shingle_hashes_in(tokens(text_col), n)).alias("__gh"),
+        ).withColumn("__b", F.pmod(F.col("__gh"), F.lit(n_buckets)))
+
+    raw_grams = grams(raw, F.col(id_col))
+    tgt_counts = (
+        grams(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__tc"))
+    )
+    raw_counts = (
+        raw_grams.groupBy("__b").agg(F.count(F.lit(1)).alias("__rc"))
+    )
+    # scalar totals roll up from the bounded count tables (no extra corpus
+    # scan); attached as 1-row broadcast aggregates — the repo's accepted
+    # scalar-attach pattern. The ratio table stays ≤ n_buckets rows.
+    ratio = (
+        raw_counts.join(tgt_counts, "__b", "left")
+        .withColumn("__tc", F.coalesce("__tc", F.lit(0)))
+        .crossJoin(F.broadcast(raw_counts.agg(F.sum("__rc").alias("__rt"))))
+        .crossJoin(F.broadcast(tgt_counts.agg(F.sum("__tc").alias("__tt"))))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.col("__tc") + F.lit(1.0))
+                    / (F.col("__tt") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("__rc") + F.lit(1.0))
+                    / (F.col("__rt") + F.lit(float(n_buckets)))
+                )
+            ).alias("__lr"),
+        )
+    )
+    return (
+        raw_grams.join(ratio, "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.avg("__lr").alias("weight"),
+        )
+    )
+
+
 def temperature_sample_quotas(
     docs: DataFrame,
     source_col: str = "source",

@@ -483,8 +483,64 @@ ORDER BY n_occurrences DESC, term
 )
 
 
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every document scored by
+    the mean hashed-bigram log-likelihood ratio between the `src0` target
+    domain and the whole corpus — the data-selection signal importance
+    resampling draws against. Part of the beyond-reference LLM-pipeline
+    layer; plan shape documented on the operator."""
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    out = C.dsir_importance_weights(
+        docs, target, "text", "doc_id", n=2, n_buckets=4096
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        stable_round("weight", 6).alias("weight"),
+    )
+
+
+DSIR_SQL = """
+WITH g AS (
+    SELECT doc_id, source,
+           list_transform(
+               range(1, greatest(len({toks}) - 1, 1) + 1),
+               i -> {gram_hash}) AS grams
+    FROM documents
+), rg AS (
+    SELECT doc_id, unnest(grams) % 4096 AS b FROM g
+), tg AS (
+    SELECT unnest(grams) % 4096 AS b FROM g WHERE source = 'src0'
+), rc AS (
+    SELECT b, count(*) AS rc FROM rg GROUP BY b
+), tc AS (
+    SELECT b, count(*) AS tc FROM tg GROUP BY b
+), tot AS (
+    SELECT (SELECT count(*) FROM rg) AS rt, (SELECT count(*) FROM tg) AS tt
+), ratio AS (
+    SELECT rc.b,
+           ln((coalesce(tc.tc, 0) + 1.0) / (tot.tt + 4096.0))
+         - ln((rc.rc + 1.0) / (tot.rt + 4096.0)) AS lr
+    FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+)
+SELECT rg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       {r} AS weight
+FROM rg JOIN ratio USING (b)
+GROUP BY rg.doc_id
+""".format(
+    toks=_TOKS.format(c="text"),
+    gram_hash=_sql_hash(
+        "array_to_string(" + _TOKS.format(c="text") + "[i : i + 1], ' ')"
+    ),
+    r=sql_round("avg(lr)", 6),
+)
+
+
 QUERIES: dict[str, tuple] = {
     "vocab_heavy_hitters": (vocab_heavy_hitters, HEAVY_HITTERS_SQL),
+    "dsir_importance": (dsir_importance, DSIR_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),

@@ -378,3 +378,31 @@ def test_vocab_heavy_hitters_exact_after_cascade(spark):
     }
     # totals: alpha 30, beta 30, common 40, rare* 1 each; n=130, floor 26
     assert got == {("alpha", 30), ("beta", 30), ("common", 40)}
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """DSIR weights: documents sharing the target domain's vocabulary must
+    outscore documents from a disjoint vocabulary, and weights are a pure
+    function of content (same text → same weight)."""
+    from consent_based_conversion_adjustments_spark.operators.corpus import (
+        dsir_importance_weights,
+    )
+    import pyspark.sql.functions as F
+
+    target_text = "spark query plan shuffle join agg"
+    other_text = "zebra quokka lemur wombat okapi gnu"
+    rows = (
+        [(i, target_text, "tgt") for i in range(10)]
+        + [(100 + i, other_text, "other") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = docs.filter(F.col("source") == "tgt")
+    out = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_importance_weights(docs, target, "text", "doc_id").collect()
+    }
+    assert len(out) == 20
+    tgt_like = [out[i] for i in range(10)]
+    other = [out[100 + i] for i in range(10)]
+    assert min(tgt_like) > max(other)
+    assert len(set(tgt_like)) == 1 and len(set(other)) == 1  # content-pure
