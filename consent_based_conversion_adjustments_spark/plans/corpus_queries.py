@@ -258,8 +258,12 @@ LIMIT 50
 
 def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group packing summary of the 32-token chunk stream under a
-    128-token budget (greedy FFD in applyInPandas — iterative, so no SQL
-    oracle; invariants are pytest-checked in tests/test_corpus.py)."""
+    128-token budget (greedy FFD in applyInPandas). The FFD loop is
+    iterative but fully deterministic, so the oracle replays it with a
+    recursive CTE: each recursion step advances every group by one chunk
+    in FFD order, threading the pack-remainder list as a LIST column and
+    first-fitting via a lambda scan — byte-identical pack counts.
+    Invariants are additionally pytest-checked in tests/test_corpus.py."""
     docs = read_table(spark, sf_dir, "documents")
     chunks = C.chunk_documents(docs, "text", "doc_id", 32, 8)
     packed = C.pack_chunks(chunks, budget=128, n_groups=16)
@@ -483,6 +487,67 @@ ORDER BY n_occurrences DESC, term
 )
 
 
+# first-fit index into the remainder list (1-based; NULL = no pack fits)
+_FFD_FIT = (
+    "list_filter(range(1, len(f.rem) + 1),"
+    " i -> list_extract(f.rem, i) >= o.n_tokens)[1]"
+)
+
+CHUNK_PACKING_SQL = """
+WITH RECURSIVE
+t AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+), s AS (
+    SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - 8, 1) + 1, 24)) AS start
+    FROM t
+), chunks AS (
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+           CAST(len(toks[start : start + 31]) AS BIGINT) AS n_tokens,
+           CAST(({bucket}) % 16 AS BIGINT) AS group_id
+    FROM s
+), ord AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY group_id
+               ORDER BY n_tokens DESC, doc_id, chunk_idx) AS rn
+    FROM chunks
+), ffd(group_id, rn, rem, n_packs) AS (
+    SELECT group_id, CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST(0 AS BIGINT)
+    FROM (SELECT DISTINCT group_id FROM ord)
+    UNION ALL
+    SELECT o.group_id, o.rn,
+           CASE WHEN {fit} IS NULL
+                THEN list_append(f.rem, greatest(128 - o.n_tokens, 0))
+                ELSE list_transform(range(1, len(f.rem) + 1),
+                     i -> CASE WHEN i = {fit}
+                               THEN list_extract(f.rem, i) - o.n_tokens
+                               ELSE list_extract(f.rem, i) END)
+           END,
+           CASE WHEN {fit} IS NULL THEN f.n_packs + 1 ELSE f.n_packs END
+    FROM ffd f JOIN ord o ON o.group_id = f.group_id AND o.rn = f.rn + 1
+), sizes AS (
+    SELECT group_id, count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           max(rn) AS last_rn
+    FROM ord GROUP BY group_id
+)
+SELECT s.group_id,
+       f.n_packs,
+       CAST(s.n_chunks AS BIGINT) AS n_chunks,
+       s.total_tokens
+FROM sizes s JOIN ffd f ON f.group_id = s.group_id AND f.rn = s.last_rn
+ORDER BY s.group_id
+""".format(
+    toks=_TOKS.format(c="text"),
+    bucket=(
+        f"((({_sql_hash('CAST(doc_id AS VARCHAR)')}) * 2654435761)"
+        f" % 4294967296) * 1000000000 // 4294967296"
+    ),
+    fit=_FFD_FIT,
+)
+
+
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): every document scored by
     the mean hashed-bigram log-likelihood ratio between the `src0` target
@@ -550,7 +615,7 @@ QUERIES: dict[str, tuple] = {
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "source_temperature_mix": (source_temperature_mix, TEMPERATURE_MIX_SQL),
     "corpus_shuffle_sample": (corpus_shuffle_sample, CORPUS_SHUFFLE_SQL),
-    "chunk_packing": (chunk_packing, None),
+    "chunk_packing": (chunk_packing, CHUNK_PACKING_SQL),
     "pii_scrub_check": (pii_scrub_check, PII_SCRUB_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
 }
