@@ -353,6 +353,114 @@ def minhash_candidates(
     return out
 
 
+def minhash_store(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_perm: int = N_PERMUTATIONS,
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted dedup state a production pipeline maintains:
+    ``(signatures, token-hash sets)`` of every ACCEPTED document. Build
+    once over the corpus (in practice both frames are written as tables),
+    then each arriving batch goes through `incremental_minhash_neardup` —
+    only the batch is tokenized and signed per run, the store is only
+    probed through band-key equi-joins, and admitted docs' rows are
+    appended to the store for the next batch."""
+    hashes = _token_hash_set(df, text_col, id_col)
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, hashes=hashes)
+    return sigs, hashes
+
+
+def incremental_minhash_neardup(
+    new: DataFrame,
+    store_sigs: DataFrame,
+    store_hashes: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    n_perm: int = N_PERMUTATIONS,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Incremental near-dup admission — the production dedup shape: check
+    an arriving batch against the existing corpus STORE (and against
+    earlier-id docs within its own batch) without touching the corpus
+    text again.
+
+    Candidates come from band-key equi-joins exactly like the batch
+    pipeline (store×new cross-side plus within-batch), each pair emitted
+    only by its FIRST agreeing band; verify is the exact-Jaccard
+    sorted-array intersect. Output: ``(doc_id, dup_of, jaccard)`` — one
+    row per near-duplicate relation a new doc has; admission = anti-join
+    the batch on ``doc_id``; the admitted rows' (sigs, hashes) union into
+    the store. Scale shape: everything is equi-joins on int64 band keys —
+    the store can be arbitrarily large, only its band/sig/hash tables are
+    read, never its text."""
+    n_bands = n_perm // band_size
+    new_hashes = _token_hash_set(new, text_col, id_col)
+    new_sigs = minhash_signatures(
+        new, text_col, id_col, n_perm, hashes=new_hashes
+    )
+
+    def band_key(band: int):
+        acc = None
+        for i in range(band * band_size, (band + 1) * band_size):
+            c = F.col(f"sig_{i}")
+            acc = (
+                c.cast("long")
+                if acc is None
+                else (acc * F.lit(31) + c) % F.lit(BAND_KEY_MOD)
+            )
+        return acc
+
+    def keyed(sigs: DataFrame, id_alias: str, prefix: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(id_alias),
+            *[band_key(b).alias(f"{prefix}bk_{b}") for b in range(n_bands)],
+        )
+
+    kn = keyed(new_sigs, "doc_id", "n_")
+    k_store = keyed(store_sigs, "dup_of", "s_")
+    k_mates = keyed(new_sigs, "dup_of", "s_")
+
+    def cross_cands(left: DataFrame, within_batch: bool) -> DataFrame:
+        out = None
+        for band in range(n_bands):
+            l = left.select(
+                "dup_of", *[F.col(f"s_bk_{b}") for b in range(band + 1)]
+            ).withColumnRenamed(f"s_bk_{band}", "band_key")
+            r = kn.select(
+                "doc_id", *[F.col(f"n_bk_{b}") for b in range(band + 1)]
+            ).withColumnRenamed(f"n_bk_{band}", "band_key")
+            pairs = l.join(r, "band_key")
+            if within_batch:
+                pairs = pairs.filter(F.col("dup_of") < F.col("doc_id"))
+            for prev in range(band):
+                pairs = pairs.filter(
+                    F.col(f"s_bk_{prev}") != F.col(f"n_bk_{prev}")
+                )
+            pairs = pairs.select("doc_id", "dup_of")
+            out = pairs if out is None else out.unionByName(pairs)
+        return out
+
+    cands = cross_cands(k_store, False).unionByName(cross_cands(k_mates, True))
+    partner_hashes = store_hashes.unionByName(new_hashes)
+    a = partner_hashes.select(
+        F.col("doc_id").alias("dup_of"), F.col("tok_hashes").alias("toks_a")
+    )
+    b = new_hashes.select("doc_id", F.col("tok_hashes").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cands.join(a, "dup_of")
+        .join(b, "doc_id")
+        .withColumn(
+            "jaccard",
+            inter / (F.size("toks_a") + F.size("toks_b") - inter),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "dup_of", "jaccard")
+    )
+
+
 BITMAP_MAX_WORDS = 4  # dictionary bitmap verify up to 256 distinct tokens
 
 

@@ -388,6 +388,51 @@ WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
 """
 
 
+def incremental_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape: an accepted corpus STORE (doc_id % 4
+    != 0 — its signature/token tables stand in for the persisted state)
+    receives an arriving batch (doc_id % 4 == 0); every near-dup relation
+    a batch doc has against the store or an earlier batch-mate is
+    emitted. Only the batch is tokenized in the incremental pass; the
+    store is probed through band-key equi-joins alone."""
+    docs = read_table(spark, sf_dir, "documents")
+    store_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    store_sigs, store_hashes = D.minhash_store(store_docs, "text", "doc_id")
+    out = D.incremental_minhash_neardup(
+        batch, store_sigs, store_hashes, "text", "doc_id",
+        threshold=JACCARD_THRESHOLD,
+    )
+    return out.select("doc_id", "dup_of", "jaccard").orderBy(
+        "doc_id", "dup_of"
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    """Replay: the same sig/band CTEs over all documents, with candidates
+    restricted to (store→batch) plus (earlier batch-mate→batch)."""
+    base = _minhash_sql("documents")
+    # reuse everything up to the cands CTE, swap the pairing predicate
+    head = base.split("), cands AS (")[0]
+    return f"""{head}), cands AS (
+    SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS dup_of
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_key = b.band_key
+    WHERE b.doc_id % 4 = 0
+      AND (a.doc_id % 4 <> 0 OR a.doc_id < b.doc_id)
+)
+SELECT c.doc_id, c.dup_of,
+       CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+           / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
+FROM cands c
+JOIN t ta ON ta.doc_id = c.dup_of
+JOIN t tb ON tb.doc_id = c.doc_id
+WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(ta.toks, tb.toks))) >= {JACCARD_THRESHOLD}
+ORDER BY c.doc_id, c.dup_of
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     sigs = D.simhash_signatures(docs, "text", "doc_id")
@@ -1443,6 +1488,10 @@ QUERIES: dict[str, tuple] = {
     "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash": (dedup_minhash, _minhash_sql()),
+    "incremental_dedup_admission": (
+        incremental_dedup_admission,
+        _incremental_dedup_sql,
+    ),
     "dedup_clusters": (dedup_clusters, _clusters_sql()),
     "corpus_canonical_ids": (corpus_canonical_ids, _canonical_sql()),
     "corpus_language_profile": (corpus_language_profile, _language_profile_sql()),

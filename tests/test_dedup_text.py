@@ -389,3 +389,34 @@ def test_linear_model_score_shape_and_plan(spark):
     )
     assert "Exchange" not in plan.replace("Exchange rangepartitioning", "")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_dedup_matches_batch_pipeline(spark):
+    """Incremental admission ≡ batch dedup: for the same corpus split, the
+    (batch doc, partner) relations from the incremental operator must be
+    exactly the full-pipeline near-dup pairs that involve a batch doc and
+    an eligible partner (any store doc, or an earlier batch-mate)."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+    store_sigs, store_hashes = D.minhash_store(store_docs, "text", "doc_id")
+    got = {
+        (r["doc_id"], r["dup_of"]): round(r["jaccard"], 9)
+        for r in D.incremental_minhash_neardup(
+            batch, store_sigs, store_hashes, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+
+    full = D.minhash_neardup(docs, "text", "doc_id", threshold=0.8).collect()
+    want = {}
+    for r in full:
+        a, b, j = r["doc_a"], r["doc_b"], round(r["jaccard"], 9)
+        if b % 4 == 0:  # batch doc with an earlier partner (store or mate)
+            want[(b, a)] = j
+        elif a % 4 == 0:  # batch doc with a later store partner
+            want[(a, b)] = j
+    assert got == want
+    assert got  # the fixture must actually exercise the path
