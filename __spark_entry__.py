@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return cocoa_queries.knn_adjust(spark, SF0001)
 
 
-def _last_verified_round() -> dict[str, int]:
+def _last_verified_round(record_dir: str | None = None) -> dict[str, int]:
     """Map query name -> most recent round whose CORRECTNESS file recorded it.
 
     The driver only records the first N registry entries per round, so ordering
@@ -51,7 +51,7 @@ def _last_verified_round() -> dict[str, int]:
     rotation cycle. Rows-only records (``err == "no_oracle"``) count: they are
     the strongest check those queries support.
     """
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = record_dir or os.path.dirname(os.path.abspath(__file__))
     seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:

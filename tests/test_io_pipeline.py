@@ -239,3 +239,39 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score", "batch"}
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_rotation_prioritizes_failed_rows(tmp_path):
+    """The verification-window rotation treats a FAILED correctness row
+    (hash mismatch or hard error) as never-verified, so a fixed query
+    re-sorts to the front of the next driver window instead of waiting a
+    full rotation cycle; rows-only records (err == "no_oracle") count as
+    verified."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    rec = {
+        "green_q": {"hash_match": True, "rows_match": True,
+                    "schema_match": True, "err": None},
+        "red_hash_q": {"hash_match": False, "rows_match": True,
+                       "schema_match": True, "err": None},
+        "red_err_q": {"hash_match": None, "rows_match": None,
+                      "schema_match": None, "err": "EXCEPTION boom"},
+        "rows_only_q": {"hash_match": None, "rows_match": None,
+                        "schema_match": None, "err": "no_oracle"},
+    }
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps(rec))
+    seen = e._last_verified_round(str(tmp_path))
+    assert seen.get("green_q") == 7
+    assert seen.get("rows_only_q") == 7
+    assert "red_hash_q" not in seen   # re-verify ASAP
+    assert "red_err_q" not in seen    # re-verify ASAP
+    # a later green row restores normal rotation for a once-red query
+    (tmp_path / "CORRECTNESS_r08.json").write_text(json.dumps(
+        {"red_hash_q": {"hash_match": True, "rows_match": True,
+                        "schema_match": True, "err": None}}
+    ))
+    assert e._last_verified_round(str(tmp_path))["red_hash_q"] == 8
