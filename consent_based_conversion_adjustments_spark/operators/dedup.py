@@ -365,9 +365,15 @@ def minhash_store(
     then each arriving batch goes through `incremental_minhash_neardup` —
     only the batch is tokenized and signed per run, the store is only
     probed through band-key equi-joins, and admitted docs' rows are
-    appended to the store for the next batch."""
-    hashes = _token_hash_set(df, text_col, id_col)
-    sigs = minhash_signatures(df, text_col, id_col, n_perm, hashes=hashes)
+    appended to the store for the next batch. Both frames are persisted —
+    that IS the store contract (in production they are written tables);
+    without it every band join would re-derive them from text."""
+    hashes = _token_hash_set(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_perm, hashes=hashes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return sigs, hashes
 
 
@@ -396,10 +402,18 @@ def incremental_minhash_neardup(
     the store can be arbitrarily large, only its band/sig/hash tables are
     read, never its text."""
     n_bands = n_perm // band_size
-    new_hashes = _token_hash_set(new, text_col, id_col)
+    # one tokenize/sign pass for the batch: the banded candidate step
+    # references these frames once per band per side, and the verify joins
+    # read the token table again — without the persist each band join
+    # would re-tokenize the batch from scratch (same reasoning as
+    # minhash_neardup). The STORE frames are the caller's persisted state
+    # (tables in production), so they are not cached here.
+    new_hashes = _token_hash_set(new, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     new_sigs = minhash_signatures(
         new, text_col, id_col, n_perm, hashes=new_hashes
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def band_key(band: int):
         acc = None
