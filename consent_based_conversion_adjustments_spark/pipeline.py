@@ -300,6 +300,23 @@ def run_dates_collected(
     return out
 
 
+def _write_dates_batch(out: DataFrame, output_path: str) -> None:
+    """The micro-batch sink of `run_dates_streaming`, factored out so the
+    restart test can inject a crash between the write and the checkpoint
+    commit. DYNAMIC partition overwrite (scoped to this writer, not the
+    session) is what makes the foreachBatch replay idempotent: only the
+    ``date=<d>`` partitions present in this batch's frame are replaced,
+    every other date's output is untouched — so a batch that is re-run
+    after a mid-commit crash rewrites its own partitions to the identical
+    deterministic result instead of appending duplicates."""
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(output_path)
+    )
+
+
 def run_dates_streaming(
     spark: SparkSession,
     consent: DataFrame,
@@ -326,8 +343,20 @@ def run_dates_streaming(
     ``foreachBatch``: the micro-batch is collected (a dates file is a
     handful of date strings by construction — the collect is bounded by
     lookback_days, never by data), then each date runs as the same
-    independent distributed job the batch loop uses, appended to a
-    ``date=<d>`` parquet partition.
+    independent distributed job the batch loop uses, landing in
+    ``date=<d>`` parquet partitions.
+
+    End-to-end semantics: the file-source checkpoint makes batch REPLAY
+    at-least-once (a crash after the sink write but before the commit
+    re-runs the micro-batch on restart); the sink (`_write_dates_batch`)
+    turns that into effectively-exactly-once by DYNAMIC partition
+    overwrite — a replayed batch deterministically rewrites exactly its
+    own ``date=<d>`` partitions rather than appending to them. The same
+    property gives re-adjustment the batch pipeline's semantics: a later
+    dates file containing an already-processed date supersedes that
+    date's output (latest run wins), matching the reference's
+    per-date-overwrite contract (reference pipeline.py:292-295 writes a
+    fixed per-date object path, so re-runs replace).
     """
     if config.date_column is None:
         raise ValueError("run_dates_streaming requires config.date_column")
@@ -340,7 +369,7 @@ def run_dates_streaming(
         if not dates:
             return
         out = run_dates_collected(consent, noconsent, config, dates, impl=impl)
-        out.write.mode("append").partitionBy("date").parquet(output_path)
+        _write_dates_batch(out, output_path)
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -427,3 +427,99 @@ def test_streaming_date_trigger_incremental(spark, tmp_path):
     w = {(str(r["date"]), r["c_custkey"]): round(r["adjusted_conversion"], 6)
          for r in want_both.collect()}
     assert g == w
+
+
+def test_streaming_midbatch_failure_idempotent_restart(
+    spark, tmp_path, monkeypatch
+):
+    """foreachBatch is at-least-once: a crash AFTER the sink write but
+    BEFORE the checkpoint commit re-runs the whole micro-batch on restart.
+    The sink must therefore be an idempotent (dynamic-partition-overwrite)
+    write, not a blind append. This test injects exactly that crash and
+    asserts the replayed batch does not duplicate any date partition."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from consent_based_conversion_adjustments_spark import pipeline
+    from consent_based_conversion_adjustments_spark.config import (
+        AdjustmentConfig,
+    )
+
+    customer = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+        F.col("c_nationkey").cast("string").alias("c_nation_cat"),
+        F.date_add(
+            F.lit("1996-01-01").cast("date"),
+            (F.col("c_custkey") % 2).cast("int"),
+        ).alias("event_date"),
+    )
+    consent = customer.filter(F.col("c_custkey") % 5 != 0)
+    noconsent = customer.filter(F.col("c_custkey") % 5 == 0)
+    cfg = AdjustmentConfig(
+        conversion_column="c_acctbal",
+        id_columns=["c_custkey"],
+        number_nearest_neighbors=3,
+        date_column="event_date",
+    )
+    dates_dir = str(tmp_path / "dates")
+    out_dir = str(tmp_path / "adjusted")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(dates_dir, exist_ok=True)
+    with open(f"{dates_dir}/batch1.txt", "w") as f:
+        f.write("1996-01-01\n1996-01-02\n")
+
+    real_write = pipeline._write_dates_batch
+    calls = []
+
+    def crash_after_write(out, output_path):
+        real_write(out, output_path)  # the sink write COMPLETES...
+        calls.append("crashed")
+        raise RuntimeError("injected crash before checkpoint commit")
+
+    monkeypatch.setattr(pipeline, "_write_dates_batch", crash_after_write)
+    q = pipeline.run_dates_streaming(
+        spark, consent, noconsent, cfg, dates_dir, out_dir, ckpt
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert calls == ["crashed"]
+    # the data landed (the crash was after the write) but the batch is
+    # uncommitted — both partitions exist on disk already
+    first = spark.read.parquet(out_dir)
+    first_counts = {
+        str(r["date"]): r["count"]
+        for r in first.groupBy("date").count().collect()
+    }
+    assert set(first_counts) == {"1996-01-01", "1996-01-02"}
+
+    # recovery: same checkpoint, healthy sink — the micro-batch REPLAYS
+    monkeypatch.setattr(pipeline, "_write_dates_batch", real_write)
+    q2 = pipeline.run_dates_streaming(
+        spark, consent, noconsent, cfg, dates_dir, out_dir, ckpt
+    )
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    want = pipeline.run_dates_collected(
+        consent, noconsent, cfg, ["1996-01-01", "1996-01-02"]
+    )
+    per_date = {
+        str(r["date"]): r["count"]
+        for r in got.groupBy("date").count().collect()
+    }
+    want_per_date = {
+        str(r["date"]): r["count"]
+        for r in want.groupBy("date").count().collect()
+    }
+    # no duplication: the replay overwrote its own partitions
+    assert per_date == want_per_date == first_counts
+    g = {(str(r["date"]), r["c_custkey"]): round(r["adjusted_conversion"], 6)
+         for r in got.collect()}
+    w = {(str(r["date"]), r["c_custkey"]): round(r["adjusted_conversion"], 6)
+         for r in want.collect()}
+    assert g == w
