@@ -47,6 +47,14 @@ except ImportError:  # pragma: no cover - environment dependent
     _av = None
     _HAS_PYAV = False
 
+try:  # optional compressed-audio codec (mp3/ogg/flac) — same layering
+    import soundfile as _soundfile
+
+    _HAS_SOUNDFILE = True
+except ImportError:  # pragma: no cover - environment dependent
+    _soundfile = None
+    _HAS_SOUNDFILE = False
+
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -131,8 +139,14 @@ def sample_frames(
     over the stream, clamping (repeating frames) when the video is
     shorter than n_frames so the fixed fan-out contract of
     `sample_video_frames` holds either way — else NotImplementedError.
-    (A production path over long videos would keyframe-seek instead of
-    decoding sequentially; payloads here are short clips.)"""
+
+    Memory contract on the real path: only the n_frames TARGET frames are
+    retained while iterating — never the whole decoded clip (raw RGB24 of
+    a 1-minute 1080p@30 clip is ~11 GB; holding it would OOM the executor
+    inside `sample_video_frames`). The frame count comes from container
+    metadata when present; otherwise a counting pass (decode-and-discard:
+    costs CPU, O(1) memory) runs first. (A production path over long
+    videos would keyframe-seek instead of decoding sequentially.)"""
     if fake:
         return [
             hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
@@ -141,14 +155,34 @@ def sample_frames(
     if _HAS_PYAV:
         with _av.open(io.BytesIO(payload)) as container:
             stream = container.streams.video[0]
-            decoded = [
-                frame.to_ndarray(format="rgb24").tobytes()
-                for frame in container.decode(stream)
-            ]
-        if not decoded:
+            total = stream.frames or 0
+        if not total:
+            with _av.open(io.BytesIO(payload)) as container:
+                stream = container.streams.video[0]
+                total = sum(1 for _ in container.decode(stream))
+        if not total:
             raise ValueError("video payload contains no decodable frames")
-        step = (len(decoded) - 1) / max(n_frames - 1, 1)
-        return [decoded[round(i * step)] for i in range(n_frames)]
+        step = (total - 1) / max(n_frames - 1, 1)
+        targets = [min(round(i * step), total - 1) for i in range(n_frames)]
+        need = sorted(set(targets))
+        kept: dict[int, bytes] = {}
+        last: bytes | None = None
+        with _av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            pending = iter(need)
+            nxt = next(pending)
+            for idx, frame in enumerate(container.decode(stream)):
+                if idx == nxt:
+                    last = frame.to_ndarray(format="rgb24").tobytes()
+                    kept[idx] = last
+                    nxt = next(pending, None)
+                    if nxt is None:
+                        break
+        if not kept:
+            raise ValueError("video payload contains no decodable frames")
+        # metadata overcounts (container header lies) leave high targets
+        # unfilled — clamp them to the last frame actually decoded
+        return [kept.get(t, last) for t in targets]
     raise NotImplementedError(
         "video decoding requires a codec library (e.g. PyAV); "
         "re-run with fake=True for the deterministic stand-in"
@@ -162,11 +196,12 @@ def decode_audio(
 
     ``fake=True`` selects the deterministic stand-in (rate/length/feature
     derived from the payload hash). The real path needs no optional
-    dependency: PCM WAV parses with the stdlib ``wave`` module — features
-    are per-window RMS over 8 equal windows of the first channel
-    (deterministic, library-stable). Non-WAV payloads raise ValueError —
-    compressed codecs (mp3/ogg) would slot in behind a guarded import
-    exactly like Pillow/PyAV do for images/video."""
+    dependency for PCM WAV: it parses with the stdlib ``wave`` module.
+    Compressed codecs (mp3/ogg/flac) decode via ``soundfile`` behind a
+    guarded import, exactly like Pillow/PyAV do for images/video; when
+    soundfile is absent a non-WAV payload raises ValueError. Features
+    are per-window RMS over 8 equal windows of the first channel either
+    way (deterministic, library-stable)."""
     if fake:
         digest = hashlib.sha256(payload).digest()
         rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
@@ -185,19 +220,43 @@ def decode_audio(
             n_samples = w.getnframes()
             raw = w.readframes(n_samples)
     except (wave.Error, EOFError) as exc:
-        raise ValueError(f"payload is not a PCM WAV stream: {exc}") from exc
+        if _HAS_SOUNDFILE:
+            try:
+                data, rate = _soundfile.read(
+                    io.BytesIO(payload), dtype="float64", always_2d=True
+                )
+            except Exception as sf_exc:  # soundfile raises RuntimeError
+                raise ValueError(
+                    f"payload is neither PCM WAV nor a soundfile-decodable "
+                    f"stream: {sf_exc}"
+                ) from sf_exc
+            return _rms_windows(data[:, 0], rate, len(data))
+        raise ValueError(
+            f"payload is not a PCM WAV stream: {exc} "
+            "(compressed codecs need the optional soundfile library)"
+        ) from exc
     if width != 2:
         raise ValueError(f"only 16-bit PCM supported, got {8 * width}-bit")
     samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     if n_channels > 1:
         samples = samples[::n_channels]  # first channel
+    return _rms_windows(samples, rate, int(n_samples))
+
+
+def _rms_windows(
+    samples, rate: int, n_samples: int
+) -> tuple[int, int, list[float]]:
+    """Shared feature tail of both audio decode paths: per-window RMS over
+    8 equal windows of one channel."""
+    import numpy as np
+
     if len(samples) == 0:
         return rate, 0, [0.0] * 8
-    windows = np.array_split(samples, 8)
+    windows = np.array_split(np.asarray(samples, dtype=np.float64), 8)
     feature = [
         float(np.sqrt((w_ * w_).mean())) if len(w_) else 0.0 for w_ in windows
     ]
-    return rate, int(n_samples), feature
+    return rate, n_samples, feature
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(

@@ -411,3 +411,30 @@ def test_audio_feature_plumbing(spark):
         assert r["sample_rate"] in (8000, 16000, 22050, 44100)
         assert r["duration_s"] == pytest.approx(r["n_samples"] / r["sample_rate"])
         assert len(r["feature"]) == 8
+
+
+def test_audio_compressed_codec_guard():
+    """Compressed audio mirrors the Pillow/PyAV layering: with soundfile
+    importable a FLAC payload decodes for real; without it a non-WAV
+    payload raises ValueError naming the missing optional dependency."""
+    from consent_based_conversion_adjustments_spark.operators.multimodal import (
+        _HAS_SOUNDFILE,
+        decode_audio,
+    )
+
+    if not _HAS_SOUNDFILE:
+        with pytest.raises(ValueError, match="soundfile"):
+            decode_audio(b"OggS" + b"\x00" * 64)
+        return
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    buf = io.BytesIO()
+    rate, n = 8000, 1600
+    samples = 0.5 * np.sin(2 * np.pi * 440 * np.arange(n) / rate)
+    sf.write(buf, samples, rate, format="FLAC")
+    got_rate, got_n, feat = decode_audio(buf.getvalue())
+    assert (got_rate, got_n) == (rate, n)
+    assert len(feat) == 8 and all(f > 0.1 for f in feat)
