@@ -448,6 +448,12 @@ def incremental_minhash_neardup(
             pairs = l.join(r, "band_key")
             if within_batch:
                 pairs = pairs.filter(F.col("dup_of") < F.col("doc_id"))
+            else:
+                # re-ingestion guard: a doc_id present in BOTH the store and
+                # the arriving batch (replayed batch, at-least-once upstream)
+                # would otherwise collide with itself at jaccard 1.0 and the
+                # admission anti-join would permanently reject it
+                pairs = pairs.filter(F.col("dup_of") != F.col("doc_id"))
             for prev in range(band):
                 pairs = pairs.filter(
                     F.col(f"s_bk_{prev}") != F.col(f"n_bk_{prev}")

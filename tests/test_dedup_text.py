@@ -420,3 +420,40 @@ def test_incremental_dedup_matches_batch_pipeline(spark):
             want[(a, b)] = j
     assert got == want
     assert got  # the fixture must actually exercise the path
+
+
+def test_incremental_dedup_reingestion_no_self_pair(spark):
+    """Replay safety: a doc_id present in BOTH the store and the arriving
+    batch (at-least-once upstream, re-ingestion) must not collide with
+    itself — a self-pair at jaccard 1.0 would make the admission anti-join
+    permanently reject the doc. Real duplicate relations to OTHER docs are
+    still reported."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store_docs = docs.filter(F.col("doc_id") % 3 != 2)
+    # the batch replays a slice of the store itself plus the genuinely new
+    batch = docs.filter(
+        (F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 7 == 0)
+    )
+
+    store_sigs, store_hashes = D.minhash_store(store_docs, "text", "doc_id")
+    rows = D.incremental_minhash_neardup(
+        batch, store_sigs, store_hashes, "text", "doc_id", threshold=0.8
+    ).collect()
+    assert rows  # fixture exercises the path
+    assert all(r["doc_id"] != r["dup_of"] for r in rows)
+
+    # a replayed doc with no real near-dup partner stays admissible: it
+    # must not appear as a rejected doc_id purely because of itself
+    rejected = {r["doc_id"] for r in rows}
+    full = D.minhash_neardup(docs, "text", "doc_id", threshold=0.8)
+    has_partner = {r["doc_a"] for r in full.collect()} | {
+        r["doc_b"] for r in full.collect()
+    }
+    replayed_unique = {
+        r["doc_id"]
+        for r in batch.filter(F.col("doc_id") % 3 != 2).collect()
+    } - has_partner
+    assert replayed_unique, "fixture needs at least one unique replayed doc"
+    assert not (replayed_unique & rejected)
