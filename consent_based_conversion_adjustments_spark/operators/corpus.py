@@ -625,7 +625,11 @@ def vocab_heavy_hitters(
     # a superset of terms STRICTLY above its support argument, and the
     # exact stage filters with >= floor — at support itself a term sitting
     # exactly on the boundary could legally be dropped by the sketch.
-    cand_row = terms.stat.freqItems(["term"], support / 2).first()
+    # Clamped to freqItems' enforced minimum of 1e-4 (it raises below
+    # that); the looser sketch is still a superset of the >= floor terms,
+    # the exact stage keeps the output unchanged, and the candidate bound
+    # becomes min(2/support, 10^4) — still broadcast-sized.
+    cand_row = terms.stat.freqItems(["term"], max(support / 2, 1e-4)).first()
     cands = [t for t in cand_row[0] if t is not None]
     spark = docs.sparkSession
     total = terms.count()

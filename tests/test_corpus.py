@@ -406,3 +406,24 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     other = [out[100 + i] for i in range(10)]
     assert min(tgt_like) > max(other)
     assert len(set(tgt_like)) == 1 and len(set(other)) == 1  # content-pure
+
+
+def test_vocab_heavy_hitters_tiny_support_clamped(spark):
+    """freqItems enforces a minimum support of 1e-4; caller supports in
+    [1e-4, 2e-4) must still work (the sketch threshold clamps, the exact
+    stage keeps the output identical to plain groupBy-HAVING)."""
+    rows = (
+        [(i, "alpha beta common") for i in range(30)]
+        + [(100 + i, f"rare{i} common") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # support 1.5e-4 → support/2 is BELOW freqItems' floor; floor count is
+    # 130 * 1.5e-4 ≈ 0.0195, so every term (even rare*, count 1) qualifies
+    got = {
+        (r["term"], r["n_occurrences"])
+        for r in C.vocab_heavy_hitters(df, support=1.5e-4).collect()
+    }
+    want = {("alpha", 30), ("beta", 30), ("common", 40)} | {
+        (f"rare{i}", 1) for i in range(10)
+    }
+    assert got == want
