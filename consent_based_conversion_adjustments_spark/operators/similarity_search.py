@@ -364,9 +364,14 @@ def cosine_neardup_blas(
     such pair, and the threshold is a tunable, not an identity).
     """
     spark = df.sparkSession
+    # the vector column ships through the (B+1)× replication shuffle in its
+    # SOURCE type (array<float> for the embeddings table) — the kernel's
+    # .astype(float64) is the cast point, and float→double is exact, so the
+    # result is bit-identical to casting here while the shuffle is half the
+    # bytes (the dominant data movement of this operator)
     tagged = df.select(
         F.col(id_col).alias("__id"),
-        _cast_double(vec_col).alias("__v"),
+        F.col(vec_col).alias("__v"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
     )
     # VALUES gives a true LocalRelation (known tiny size → statically
