@@ -269,15 +269,21 @@ def dsir_importance_weights(
         ).withColumn("__b", F.pmod(F.col("__gh"), F.lit(n_buckets)))
 
     raw_grams = grams(raw, F.col(id_col))
+    # the count tables are persisted: each is ≤ n_buckets rows, but each
+    # feeds TWO consumers (the ratio join and its scalar total), and
+    # without the persist Catalyst re-derives the full tokenize+explode
+    # corpus scan per consumer — measured 5 parquet scans instead of the
+    # intended 3 (raw counts, raw final join, target counts)
     tgt_counts = (
         grams(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__tc"))
-    )
+    ).persist()
     raw_counts = (
         raw_grams.groupBy("__b").agg(F.count(F.lit(1)).alias("__rc"))
-    )
-    # scalar totals roll up from the bounded count tables (no extra corpus
-    # scan); attached as 1-row broadcast aggregates — the repo's accepted
-    # scalar-attach pattern. The ratio table stays ≤ n_buckets rows.
+    ).persist()
+    # scalar totals roll up from the bounded persisted count tables (no
+    # extra corpus scan); attached as 1-row broadcast aggregates — the
+    # repo's accepted scalar-attach pattern. The ratio table stays
+    # ≤ n_buckets rows.
     ratio = (
         raw_counts.join(tgt_counts, "__b", "left")
         .withColumn("__tc", F.coalesce("__tc", F.lit(0)))
