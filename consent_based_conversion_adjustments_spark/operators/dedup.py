@@ -463,22 +463,21 @@ def incremental_minhash_neardup(
         return out
 
     cands = cross_cands(k_store, False).unionByName(cross_cands(k_mates, True))
-    partner_hashes = store_hashes.unionByName(new_hashes)
-    a = partner_hashes.select(
-        F.col("doc_id").alias("dup_of"), F.col("tok_hashes").alias("toks_a")
-    )
-    b = new_hashes.select("doc_id", F.col("tok_hashes").alias("toks_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    return (
-        cands.join(a, "dup_of")
-        .join(b, "doc_id")
-        .withColumn(
-            "jaccard",
-            inter / (F.size("toks_a") + F.size("toks_b") - inter),
+    # one partner row per id: a doc_id present in both the store and the
+    # batch (replay) must not contribute two verify rows per relation —
+    # the store's accepted version wins (anti-join on ids only, equi-safe)
+    partner_hashes = store_hashes.unionByName(
+        new_hashes.join(
+            store_hashes.select("doc_id"), "doc_id", "left_anti"
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_id", "dup_of", "jaccard")
     )
+    # vocab probe over the FULL union (not the deduped partner frame): a
+    # replayed doc with updated text may carry tokens only its batch-side
+    # row has, and the bitmap encoding must cover both verify sides
+    return _verify_pairs_jaccard(
+        cands, partner_hashes, new_hashes, "dup_of", "doc_id", threshold,
+        vocab_source=store_hashes.unionByName(new_hashes),
+    ).select("doc_id", "dup_of", "jaccard")
 
 
 BITMAP_MAX_WORDS = 4  # dictionary bitmap verify up to 256 distinct tokens
@@ -502,12 +501,34 @@ def _bitmap_masks(
 
     Returns ``((doc_id, mask_0..mask_{w-1}, n), n_words)`` or None.
     """
+    svocab = _bitmap_vocab(hashes, max_words)
+    if svocab is None:
+        return None
+    return _bitmap_apply(hashes, svocab)
+
+
+def _bitmap_vocab(
+    hashes: DataFrame, max_words: int = BITMAP_MAX_WORDS
+) -> list[int] | None:
+    """The dictionary probe of `_bitmap_masks`: the sorted distinct
+    token-hash vocabulary when it fits ``64·max_words`` dense ids, else
+    None. The collect is bounded at ``64·max_words + 1`` rows (the
+    documented driver-materialization inventory entry)."""
     cap = 64 * max_words
     distinct_h = hashes.select(F.explode("tok_hashes").alias("h")).distinct()
     vocab = [r["h"] for r in distinct_h.limit(cap + 1).collect()]
     if not vocab or len(vocab) > cap:
         return None
-    svocab = sorted(vocab)
+    return sorted(vocab)
+
+
+def _bitmap_apply(
+    hashes: DataFrame, svocab: list[int]
+) -> tuple[DataFrame, int]:
+    """Mask-building half of `_bitmap_masks`, applicable to any per-doc
+    hash table whose tokens are covered by ``svocab`` (split out so the
+    incremental path can encode its two sides against one shared
+    vocabulary)."""
     n_words = (len(svocab) + 63) // 64
 
     def make_merge(bit_of):
@@ -537,6 +558,77 @@ def _bitmap_masks(
         "doc_id", *mask_cols, F.size("tok_hashes").alias("n")
     )
     return out, n_words
+
+
+def _verify_pairs_jaccard(
+    cands: DataFrame,
+    a_hashes: DataFrame,
+    b_hashes: DataFrame,
+    a_id: str,
+    b_id: str,
+    threshold: float,
+    vocab_source: DataFrame,
+) -> DataFrame:
+    """Exact-Jaccard verify of a candidate pair set against per-doc
+    token-hash tables — the shared tail of the batch and incremental
+    MinHash pipelines. ``cands`` carries ``(a_id, b_id)``; output is
+    ``(a_id, b_id, jaccard)`` with jaccard ≥ threshold.
+
+    When ``vocab_source``'s distinct token hashes dictionary-encode into
+    ``64·BITMAP_MAX_WORDS`` dense ids (``vocab_source`` must cover BOTH
+    pair sides), verification is Σ bit_count(a_w & b_w) — pure
+    whole-stage-codegen integer ops, no arrays through the pair joins;
+    identical jaccard values because the dense-id map is injective on the
+    token hashes the array path intersects. Larger vocabularies take the
+    sorted-array intersect (the general route). No broadcast hint on the
+    per-doc tables: they grow with the corpus, and a forced broadcast
+    would fail outright past the limit at scale; AQE promotes when small.
+    """
+    svocab = _bitmap_vocab(vocab_source)
+    if svocab is not None:
+        masks_a, n_words = _bitmap_apply(a_hashes, svocab)
+        masks_b, _ = _bitmap_apply(b_hashes, svocab)
+        a = masks_a.select(
+            F.col("doc_id").alias(a_id),
+            *[F.col(f"mask_{w}").alias(f"__ma{w}") for w in range(n_words)],
+            F.col("n").alias("__na"),
+        )
+        b = masks_b.select(
+            F.col("doc_id").alias(b_id),
+            *[F.col(f"mask_{w}").alias(f"__mb{w}") for w in range(n_words)],
+            F.col("n").alias("__nb"),
+        )
+        inter = sum(
+            F.bit_count(F.col(f"__ma{w}").bitwiseAND(F.col(f"__mb{w}")))
+            for w in range(n_words)
+        )
+        return (
+            cands.join(a, a_id)
+            .join(b, b_id)
+            .withColumn(
+                "jaccard", inter / (F.col("__na") + F.col("__nb") - inter)
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select(a_id, b_id, "jaccard")
+        )
+    a = a_hashes.select(
+        F.col("doc_id").alias(a_id), F.col("tok_hashes").alias("toks_a")
+    )
+    b = b_hashes.select(
+        F.col("doc_id").alias(b_id), F.col("tok_hashes").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cands.join(a, a_id)
+        .join(b, b_id)
+        .withColumn(
+            # distinct arrays ⇒ |union| = |a| + |b| − |∩| (one set op)
+            "jaccard",
+            inter / (F.size("toks_a") + F.size("toks_b") - inter),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(a_id, b_id, "jaccard")
+    )
 
 
 def minhash_neardup(
@@ -586,56 +678,10 @@ def minhash_neardup(
             .filter(est >= est_prefilter)
             .select("doc_a", "doc_b")
         )
-    # the per-doc token table grows with the corpus, so no broadcast hint —
-    # a forced broadcast would fail outright past the limit at scale; AQE
-    # promotes when small
-    bitmap_result = _bitmap_masks(hashes)
-    if bitmap_result is not None:
-        # dictionary-encodable vocabulary: verify is Σ bit_count(a_w & b_w)
-        # — identical jaccard values (the dense-id map is injective on the
-        # token hashes the oracle intersects), no arrays in the hot path
-        bitmaps, n_words = bitmap_result
-        a = bitmaps.select(
-            F.col("doc_id").alias("doc_a"),
-            *[F.col(f"mask_{w}").alias(f"__ma{w}") for w in range(n_words)],
-            F.col("n").alias("__na"),
-        )
-        b = bitmaps.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(f"mask_{w}").alias(f"__mb{w}") for w in range(n_words)],
-            F.col("n").alias("__nb"),
-        )
-        inter = sum(
-            F.bit_count(F.col(f"__ma{w}").bitwiseAND(F.col(f"__mb{w}")))
-            for w in range(n_words)
-        )
-        verified = (
-            cands.join(a, "doc_a")
-            .join(b, "doc_b")
-            .withColumn(
-                "jaccard", inter / (F.col("__na") + F.col("__nb") - inter)
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
-        return verified.select("doc_a", "doc_b", "jaccard")
-    a = hashes.select(
-        F.col("doc_id").alias("doc_a"), F.col("tok_hashes").alias("toks_a")
+    return _verify_pairs_jaccard(
+        cands, hashes, hashes, "doc_a", "doc_b", threshold,
+        vocab_source=hashes,
     )
-    b = hashes.select(
-        F.col("doc_id").alias("doc_b"), F.col("tok_hashes").alias("toks_b")
-    )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    verified = (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn(
-            # distinct arrays ⇒ |union| = |a| + |b| − |∩| (one set op)
-            "jaccard",
-            inter / (F.size("toks_a") + F.size("toks_b") - inter),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select("doc_a", "doc_b", "jaccard")
 
 
 def dup_shingle_coverage(
