@@ -324,7 +324,7 @@ def cosine_neardup_blas(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup via a block-pair grid join:
     identical output contract to `cosine_neardup_pairs` (cosine ≥
@@ -349,7 +349,13 @@ def cosine_neardup_blas(
     Arrow kernel multiplies the two blocks of each pair. Peak task
     memory is 2·(N/B) vectors no matter how big N is: at 100 TB you
     raise ``n_blocks`` until a block fits an executor, and the
-    B(B+1)/2 pairs give the parallelism. (The n²·d flops are inherent
+    B(B+1)/2 pairs give the parallelism. Size B for task-packing too,
+    not just memory: B(B+1)/2 should be ≥ ~4× the core count so the
+    heterogeneous matmul tasks pack the executors without a ragged
+    tail wave (measured on the 8×-sf0.1 tiles, local[32]: B=8 → 36
+    pairs → 6.5 s; B=16 → 136 pairs → 3.4 s; B=24 → flat — hence the
+    default 16, whose extra per-task overhead costs only ~0.4 s at
+    sf0.1 scale). (The n²·d flops are inherent
     to EXACT all-pairs under a threshold this low; `cosine_neardup_lsh`
     remains the sub-quadratic route for thresholds where LSH prunes.)
     Each unordered row pair lives in exactly one block pair, so no
