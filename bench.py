@@ -54,6 +54,8 @@ HEADLINE = [
     ("corpus_dup_coverage", data_queries.corpus_dup_coverage),
     ("orders_global_rank", relational.orders_global_rank),
     ("vocab_heavy_hitters", corpus_queries.vocab_heavy_hitters),
+    ("dsir_importance", corpus_queries.dsir_importance),
+    ("incremental_dedup_admission", data_queries.incremental_dedup_admission),
     # The checkpoint-heavy graph queries run LAST: their localCheckpoint
     # blocks are freed by the ContextCleaner only after driver-side GC, and
     # even with the drain below a residue of that cleanup can land in the

@@ -422,6 +422,48 @@ def test_incremental_dedup_matches_batch_pipeline(spark):
     assert got  # the fixture must actually exercise the path
 
 
+def test_incremental_dedup_array_fallback_matches_batch(spark):
+    """The incremental verify's general (sorted-array) route: with a
+    vocabulary beyond the bitmap cap, incremental admission must still
+    equal the batch pipeline restricted to batch-doc relations — same
+    contract the bitmap-regime test pins, now on the fallback path."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(400)]  # > 256 → no bitmap encoding
+    rows = []
+    for d in range(60):
+        base = rng.sample(vocab, 12)
+        rows.append((2 * d, " ".join(base)))
+        near = base[:10] + rng.sample(vocab, 2)
+        rows.append((2 * d + 1, " ".join(near)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hashes = D._token_hash_set(df, "text", "doc_id")
+    assert D._bitmap_vocab(hashes) is None  # the fixture forces the fallback
+
+    store_docs = df.filter(F.col("doc_id") % 4 != 0)
+    batch = df.filter(F.col("doc_id") % 4 == 0)
+    store_sigs, store_hashes = D.minhash_store(store_docs, "text", "doc_id")
+    got = {
+        (r["doc_id"], r["dup_of"]): round(r["jaccard"], 9)
+        for r in D.incremental_minhash_neardup(
+            batch, store_sigs, store_hashes, "text", "doc_id", threshold=0.6
+        ).collect()
+    }
+    full = D.minhash_neardup(df, "text", "doc_id", threshold=0.6)
+    want = {}
+    for r in full.collect():
+        a, b, j = r["doc_a"], r["doc_b"], round(r["jaccard"], 9)
+        # relations an arriving batch doc has: vs the store (either
+        # orientation) or vs an EARLIER batch-mate (a < b by contract)
+        if b % 4 == 0 and (a % 4 != 0 or a < b):
+            want[(b, a)] = j
+        elif a % 4 == 0 and b % 4 != 0:
+            want[(a, b)] = j
+    assert got == want
+    assert got  # the fixture must actually exercise the path
+
+
 def test_incremental_dedup_reingestion_no_self_pair(spark):
     """Replay safety: a doc_id present in BOTH the store and the arriving
     batch (at-least-once upstream, re-ingestion) must not collide with
