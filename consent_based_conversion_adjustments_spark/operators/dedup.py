@@ -386,6 +386,7 @@ def incremental_minhash_neardup(
     threshold: float = 0.6,
     n_perm: int = N_PERMUTATIONS,
     band_size: int = BAND_SIZE,
+    new_tables: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental near-dup admission — the production dedup shape: check
     an arriving batch against the existing corpus STORE (and against
@@ -394,26 +395,36 @@ def incremental_minhash_neardup(
 
     Candidates come from band-key equi-joins exactly like the batch
     pipeline (store×new cross-side plus within-batch), each pair emitted
-    only by its FIRST agreeing band; verify is the exact-Jaccard
-    sorted-array intersect. Output: ``(doc_id, dup_of, jaccard)`` — one
-    row per near-duplicate relation a new doc has; admission = anti-join
-    the batch on ``doc_id``; the admitted rows' (sigs, hashes) union into
-    the store. Scale shape: everything is equi-joins on int64 band keys —
-    the store can be arbitrarily large, only its band/sig/hash tables are
-    read, never its text."""
+    only by its FIRST agreeing band; verify is the shared exact-Jaccard
+    tail (`_verify_pairs_jaccard`: bitmap masks when the vocabulary
+    dictionary-encodes, sorted-array intersect otherwise). Output:
+    ``(doc_id, dup_of, jaccard)`` — one row per near-duplicate relation a
+    new doc has; admission = anti-join the batch on ``doc_id``; the
+    admitted rows' (sigs, hashes) union into the store (`admit_batch`
+    packages that whole round). Scale shape: everything is equi-joins on
+    int64 band keys — the store can be arbitrarily large, only its
+    band/sig/hash tables are read, never its text.
+
+    ``new_tables``: optional prebuilt (sigs, hashes) for the batch — pass
+    `minhash_store(new, ...)`'s output when the caller also needs those
+    frames (as `admit_batch` does for the store update) so the batch is
+    tokenized and signed exactly once."""
     n_bands = n_perm // band_size
-    # one tokenize/sign pass for the batch: the banded candidate step
-    # references these frames once per band per side, and the verify joins
-    # read the token table again — without the persist each band join
-    # would re-tokenize the batch from scratch (same reasoning as
-    # minhash_neardup). The STORE frames are the caller's persisted state
-    # (tables in production), so they are not cached here.
-    new_hashes = _token_hash_set(new, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    new_sigs = minhash_signatures(
-        new, text_col, id_col, n_perm, hashes=new_hashes
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if new_tables is not None:
+        new_sigs, new_hashes = new_tables
+    else:
+        # one tokenize/sign pass for the batch: the banded candidate step
+        # references these frames once per band per side, and the verify
+        # joins read the token table again — without the persist each band
+        # join would re-tokenize the batch from scratch (same reasoning as
+        # minhash_neardup). The STORE frames are the caller's persisted
+        # state (tables in production), so they are not cached here.
+        new_hashes = _token_hash_set(new, text_col, id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        new_sigs = minhash_signatures(
+            new, text_col, id_col, n_perm, hashes=new_hashes
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def band_key(band: int):
         acc = None
@@ -478,6 +489,50 @@ def incremental_minhash_neardup(
         cands, partner_hashes, new_hashes, "dup_of", "doc_id", threshold,
         vocab_source=store_hashes.unionByName(new_hashes),
     ).select("doc_id", "dup_of", "jaccard")
+
+
+def admit_batch(
+    new: DataFrame,
+    store_sigs: DataFrame,
+    store_hashes: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    n_perm: int = N_PERMUTATIONS,
+    band_size: int = BAND_SIZE,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One full admission round of the incremental dedup store:
+    ``(relations, updated_sigs, updated_hashes)``.
+
+    A batch doc is REJECTED iff it has any near-dup relation — against
+    the store, or against an earlier-id mate of its own batch (whether or
+    not that mate is itself admitted: online-greedy semantics, which
+    differ from offline CC dedup on chains — a doc whose only near-dup
+    was itself rejected IS admitted, because the rejected doc never
+    entered the store). Admitted docs' (sigs, hashes) rows union into the
+    returned store frames for the next round; the batch is tokenized and
+    signed exactly once (`new_tables` pass-through). In production the
+    returned frames are appended to the persisted store tables —
+    everything here is id-keyed equi-joins, so the store can be
+    arbitrarily large."""
+    new_sigs, new_hashes = minhash_store(new, text_col, id_col, n_perm)
+    relations = incremental_minhash_neardup(
+        new, store_sigs, store_hashes, text_col, id_col, threshold,
+        n_perm, band_size, new_tables=(new_sigs, new_hashes),
+    )
+    # a rejected doc never enters the store; a REPLAYED id (already in the
+    # store — tolerated by the verify's re-ingestion guard) must not gain
+    # a second store row either, so the union is anti-joined on both
+    rejected = relations.select("doc_id").distinct().unionByName(
+        store_sigs.select("doc_id")
+    )
+    updated_sigs = store_sigs.unionByName(
+        new_sigs.join(rejected, "doc_id", "left_anti")
+    )
+    updated_hashes = store_hashes.unionByName(
+        new_hashes.join(rejected, "doc_id", "left_anti")
+    )
+    return relations, updated_sigs, updated_hashes
 
 
 BITMAP_MAX_WORDS = 4  # dictionary bitmap verify up to 256 distinct tokens

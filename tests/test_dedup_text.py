@@ -422,6 +422,61 @@ def test_incremental_dedup_matches_batch_pipeline(spark):
     assert got  # the fixture must actually exercise the path
 
 
+def test_admit_batch_sequential_rounds_greedy_oracle(spark):
+    """Two arriving batches flow through `admit_batch`; each round's
+    relations and the evolving store must match an online-greedy replay
+    over the full near-dup pair graph: a doc is rejected iff it relates
+    to a store doc or an earlier-id mate of its OWN batch, and only
+    admitted docs ever enter the store (a doc whose sole near-dup was
+    itself rejected is admitted — the documented divergence from offline
+    CC dedup)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store_docs = docs.filter(F.col("doc_id") % 4 < 2)
+    batches = [
+        docs.filter(F.col("doc_id") % 4 == 2),
+        docs.filter(F.col("doc_id") % 4 == 3),
+    ]
+    threshold = 0.8
+
+    # greedy replay over the exact pair graph
+    adj: dict[int, set[int]] = {}
+    for r in D.minhash_neardup(docs, "text", "doc_id", threshold).collect():
+        adj.setdefault(r["doc_a"], set()).add(r["doc_b"])
+        adj.setdefault(r["doc_b"], set()).add(r["doc_a"])
+    store_ids = {r["doc_id"] for r in store_docs.select("doc_id").collect()}
+
+    sigs, hashes = D.minhash_store(store_docs, "text", "doc_id")
+    for batch in batches:
+        batch_ids = sorted(
+            r["doc_id"] for r in batch.select("doc_id").collect()
+        )
+        want_rel, admitted = set(), []
+        for d in batch_ids:
+            partners = {
+                x
+                for x in adj.get(d, ())
+                if x in store_ids or (x in batch_ids and x < d)
+            }
+            want_rel |= {(d, x) for x in partners}
+            if not partners:
+                admitted.append(d)
+        relations, sigs, hashes = D.admit_batch(
+            batch, sigs, hashes, "text", "doc_id", threshold
+        )
+        got_rel = {
+            (r["doc_id"], r["dup_of"]) for r in relations.collect()
+        }
+        assert got_rel == want_rel
+        store_ids |= set(admitted)
+        got_store = {r["doc_id"] for r in sigs.select("doc_id").collect()}
+        assert got_store == store_ids
+        got_store_h = {
+            r["doc_id"] for r in hashes.select("doc_id").collect()
+        }
+        assert got_store_h == store_ids
+    assert want_rel  # the final round must actually exercise rejection
+
+
 def test_incremental_dedup_array_fallback_matches_batch(spark):
     """The incremental verify's general (sorted-array) route: with a
     vocabulary beyond the bitmap cap, incremental admission must still
