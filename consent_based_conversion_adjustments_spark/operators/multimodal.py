@@ -27,7 +27,7 @@ import io
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -395,6 +395,53 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def perceptual_hash(feature_col: Column | str) -> Column:
+    """16-bit perceptual hash of the 8-dim image descriptor — aHash+dHash:
+    bits 0-7 threshold each cell against the global mean (average hash),
+    bits 8-15 threshold each cell against its right neighbor, wrapping
+    (difference hash). Pure Catalyst — a stateless map, so the dedup that
+    consumes it is one hash aggregation at any corpus size.
+
+    Integer-exact cross-engine contract: the descriptor's cells are
+    byte-derived (b/255.0), so each cell is first recovered as the exact
+    int byte and every threshold is an INT comparison (8·b_i > Σb_j;
+    b_i > b_j) — no float boundary can diverge between Spark and the
+    DuckDB oracle."""
+    c = F.col(feature_col) if isinstance(feature_col, str) else feature_col
+    bytes_ = [
+        F.round(c.getItem(i) * F.lit(255.0)).cast("int") for i in range(8)
+    ]
+    total = sum(bytes_[1:], bytes_[0])
+    mean_bits = [
+        (bytes_[i] * F.lit(8) > total).cast("int") * F.lit(1 << i)
+        for i in range(8)
+    ]
+    grad_bits = [
+        (bytes_[i] > bytes_[(i + 1) % 8]).cast("int") * F.lit(1 << (8 + i))
+        for i in range(8)
+    ]
+    acc = mean_bits[0]
+    for b in mean_bits[1:] + grad_bits:
+        acc = acc + b
+    return acc.cast("long")
+
+
+def phash_dedup(features: DataFrame) -> DataFrame:
+    """Perceptual-duplicate groups over decoded image features:
+    ``(phash, canonical_id, n_copies)`` — min media_id per 16-bit
+    perceptual bucket. decode (Arrow map) → stateless hash expression →
+    one map-side-combinable hash aggregation; nothing pairwise, nothing
+    driver-side, linear at any corpus size."""
+    return (
+        features.withColumn("phash", perceptual_hash("feature"))
+        .groupBy("phash")
+        .agg(
+            F.min("media_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
 
 
 def binary_metadata(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -1379,6 +1379,59 @@ FROM s ORDER BY media_id
 """
 
 
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup — the multimodal layer composed with the
+    dedup layer: Arrow decode (deterministic fake codec, so the whole
+    pipeline is oracle-checkable) → 16-bit aHash+dHash perceptual hash
+    (pure Catalyst, integer-exact thresholds) → one hash aggregation into
+    ``(phash, canonical_id, n_copies)`` buckets. The real-codec decode is
+    exercised behind the Pillow guard in tests; the scale shape —
+    stateless map + map-side-combinable groupBy — is identical either
+    way."""
+    from ..operators.multimodal import (
+        attach_payloads,
+        extract_features,
+        phash_dedup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = extract_features(
+        attach_payloads(docs, "text", "doc_id"), fake_decode=True
+    )
+    out = phash_dedup(feats)
+    return out.select(
+        "phash",
+        "canonical_id",
+        F.col("n_copies").cast("long").alias("n_copies"),
+    ).orderBy("phash")
+
+
+def _image_phash_sql() -> str:
+    bs = ", ".join(
+        f"{_SHA_BYTE.format(o=2 * (2 + i) + 1)} AS b{i}" for i in range(8)
+    )
+    total = " + ".join(f"b{i}" for i in range(8))
+    mean_bits = " + ".join(
+        f"(CASE WHEN 8 * b{i} > ({total}) THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    grad_bits = " + ".join(
+        f"(CASE WHEN b{i} > b{(i + 1) % 8} THEN {1 << (8 + i)} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH b AS (
+    SELECT doc_id AS media_id, {bs} FROM documents
+), p AS (
+    SELECT media_id,
+           CAST({mean_bits} + {grad_bits} AS BIGINT) AS phash
+    FROM b
+)
+SELECT phash, MIN(media_id) AS canonical_id, COUNT(*) AS n_copies
+FROM p GROUP BY phash ORDER BY phash
+"""
+
+
 def corpus_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-document duplicated-passage coverage (RefinedWeb-style dup
     n-gram fraction): per doc, the fraction of 3-word-shingle positions
@@ -1513,4 +1566,5 @@ QUERIES: dict[str, tuple] = {
     "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
     "audio_features": (audio_features, _audio_sql),
+    "image_phash_dedup": (image_phash_dedup, _image_phash_sql),
 }

@@ -413,6 +413,43 @@ def test_audio_feature_plumbing(spark):
         assert len(r["feature"]) == 8
 
 
+def test_image_phash_dedup_contract(spark):
+    """Perceptual dedup: exact duplicate payloads MUST share a bucket
+    (count them through canonical grouping), hashes stay within 16 bits,
+    and the Catalyst bit math matches a python replay of the fake codec."""
+    import hashlib
+
+    from consent_based_conversion_adjustments_spark.operators.multimodal import (
+        attach_payloads,
+        extract_features,
+        phash_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dup = docs.limit(20).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    both = docs.unionByName(dup)
+    feats = extract_features(
+        attach_payloads(both, "text", "doc_id"), fake_decode=True
+    )
+    rows = phash_dedup(feats).collect()
+    assert all(0 <= r["phash"] < (1 << 16) for r in rows)
+    by_hash = {r["phash"]: r for r in rows}
+    # python replay on the duplicated slice: the dup's bucket must exist,
+    # contain >= 2 copies, and keep the ORIGINAL (smaller) id as canonical
+    for r in docs.limit(20).collect():
+        digest = hashlib.sha256(r["text"].encode("utf-8")).digest()
+        b = [digest[2 + i] for i in range(8)]
+        total = sum(b)
+        expect = sum(
+            (1 << i) for i in range(8) if 8 * b[i] > total
+        ) + sum((1 << (8 + i)) for i in range(8) if b[i] > b[(i + 1) % 8])
+        grp = by_hash[expect]
+        assert grp["n_copies"] >= 2
+        assert grp["canonical_id"] <= r["doc_id"]
+
+
 def test_audio_compressed_codec_guard():
     """Compressed audio mirrors the Pillow/PyAV layering: with soundfile
     importable a FLAC payload decodes for real; without it a non-WAV
