@@ -817,7 +817,7 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    sigs: DataFrame, max_hamming: int = 3
+    sigs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
 ) -> DataFrame:
     """Pairs within hamming distance ≤ max_hamming of the 32-bit SimHash,
     via bit-block banding (multi-index hashing).
@@ -831,11 +831,18 @@ def simhash_neardup_pairs(
     shuffle is needed — the same trick as `minhash_candidates`.
 
     Exact (recall 1.0), not approximate: banding only prunes pairs that
-    differ in every block, which a hamming-≤ d pair cannot. At 32 bits the
-    blocks are 8-bit keys; for corpora beyond ~10⁷ docs raise SIMHASH_BITS
-    to 64 so each block carries 16 bits of selectivity."""
+    differ in every block, which a hamming-≤ d pair cannot — and the
+    argument survives a remainder: when ``bits`` is not divisible by
+    d+1, the uncovered high bits spoil NO block, and the ≤ d covered
+    differing bits spoil at most d of the d+1 blocks, so one block still
+    agrees (the final bit_count filter is over the FULL signature either
+    way). At 32 bits the blocks are 8-bit keys; for corpora beyond ~10⁷
+    docs raise SIMHASH_BITS to 64 so each block carries 16 bits of
+    selectivity. ``bits`` parameterizes the signature width so other
+    fixed-width hashes (e.g. the 16-bit image perceptual hash) reuse the
+    same exact hamming join."""
     n_blocks = max_hamming + 1
-    block_bits = SIMHASH_BITS // n_blocks
+    block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
 
     def block_val(b: int) -> Column:

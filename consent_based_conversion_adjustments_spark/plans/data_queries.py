@@ -1432,6 +1432,46 @@ FROM p GROUP BY phash ORDER BY phash
 """
 
 
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image NEAR-dup: pairs within hamming distance ≤ 2 of
+    the 16-bit perceptual hash, found by the exact d+1 bit-block hamming
+    join (pigeonhole banding — equi-joins only, recall 1.0, no quadratic
+    pass; the same operator SimHash text dedup uses, parameterized to the
+    phash width). The oracle replays the hash from sha256 hex pairs and
+    verifies with a full xor-popcount — exact cross-engine because every
+    threshold in the hash is an INT comparison."""
+    from ..operators.multimodal import (
+        attach_payloads,
+        extract_features,
+        perceptual_hash,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = extract_features(
+        attach_payloads(docs, "text", "doc_id"), fake_decode=True
+    )
+    sigs = feats.select(
+        F.col("media_id").alias("doc_id"),
+        perceptual_hash("feature").alias("simhash"),
+    )
+    pairs = D.simhash_neardup_pairs(sigs, max_hamming=2, bits=16)
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    ).orderBy("media_a", "media_b")
+
+
+def _image_phash_neardup_sql() -> str:
+    head = _image_phash_sql().split("SELECT phash,")[0]
+    return f"""{head}SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM p a JOIN p b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+ORDER BY media_a, media_b
+"""
+
+
 def corpus_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-document duplicated-passage coverage (RefinedWeb-style dup
     n-gram fraction): per doc, the fraction of 3-word-shingle positions
@@ -1567,4 +1607,5 @@ QUERIES: dict[str, tuple] = {
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
     "audio_features": (audio_features, _audio_sql),
     "image_phash_dedup": (image_phash_dedup, _image_phash_sql),
+    "image_phash_neardup": (image_phash_neardup, _image_phash_neardup_sql),
 }
