@@ -626,31 +626,41 @@ def vocab_heavy_hitters(
     size, broadcast by construction).
     """
     terms = docs.select(F.explode(tokens(text_col)).alias("term"))
-    # KPS sketch: one pass, bounded counters per column. Run it at
-    # support/2 (candidates still ≤ 2/support): freqItems only guarantees
-    # a superset of terms STRICTLY above its support argument, and the
-    # exact stage filters with >= floor — at support itself a term sitting
-    # exactly on the boundary could legally be dropped by the sketch.
-    # Clamped to freqItems' enforced minimum of 1e-4 (it raises below
-    # that); the looser sketch is still a superset of the >= floor terms,
-    # the exact stage keeps the output unchanged, and the candidate bound
-    # becomes min(2/support, 10^4) — still broadcast-sized.
-    cand_row = terms.stat.freqItems(["term"], max(support / 2, 1e-4)).first()
-    cands = [t for t in cand_row[0] if t is not None]
     spark = docs.sparkSession
     total = terms.count()
     floor = support * total
+
+    def exact_tail(cands: list[str] | None) -> DataFrame:
+        scoped = (
+            terms if cands is None else terms.filter(F.col("term").isin(cands))
+        )
+        return (
+            scoped.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= floor)
+            .withColumn(
+                "frequency", F.col("n_occurrences") / F.lit(float(total))
+            )
+            .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        )
+
+    # The sketch prefilter runs at support/2: freqItems only guarantees a
+    # superset of terms STRICTLY above its argument, and the exact stage
+    # filters with >= floor — at support itself a boundary term could
+    # legally be dropped by the sketch. freqItems enforces a 1e-4 minimum
+    # (raises below it), and running it ABOVE support/2 would break the
+    # superset contract (terms with true frequency in [support, 2·arg)
+    # may be dropped silently) — so sub-floor supports skip the sketch and
+    # take the plain exact groupBy-HAVING over the full vocabulary. That
+    # loses the bounded-candidate guarantee, which is honest: no one-pass
+    # bounded-state sketch can isolate < 10^4-frequency heavy hitters
+    # here, and the full groupBy is the exact cost such a support implies.
+    if support / 2 < 1e-4:
+        return exact_tail(None)
+    cand_row = terms.stat.freqItems(["term"], support / 2).first()
+    cands = [t for t in cand_row[0] if t is not None]
     if not cands:
         return spark.createDataFrame(
             [], "term string, n_occurrences long, frequency double"
         )
-    return (
-        terms.filter(F.col("term").isin(cands))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .filter(F.col("n_occurrences") >= floor)
-        .withColumn(
-            "frequency", F.col("n_occurrences") / F.lit(float(total))
-        )
-        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
-    )
+    return exact_tail(cands)

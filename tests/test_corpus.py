@@ -409,9 +409,12 @@ def test_dsir_importance_prefers_target_like_docs(spark):
 
 
 def test_vocab_heavy_hitters_tiny_support_clamped(spark):
-    """freqItems enforces a minimum support of 1e-4; caller supports in
-    [1e-4, 2e-4) must still work (the sketch threshold clamps, the exact
-    stage keeps the output identical to plain groupBy-HAVING)."""
+    """freqItems enforces a minimum support of 1e-4; caller supports whose
+    sketch threshold (support/2) would fall below that floor must still
+    return EXACT results — the cascade skips the sketch entirely and runs
+    the plain groupBy-HAVING path, because clamping the sketch threshold
+    up would break its superset guarantee (terms with true frequency in
+    [support, 1e-4) could be silently dropped)."""
     rows = (
         [(i, "alpha beta common") for i in range(30)]
         + [(100 + i, f"rare{i} common") for i in range(10)]
@@ -427,3 +430,22 @@ def test_vocab_heavy_hitters_tiny_support_clamped(spark):
         (f"rare{i}", 1) for i in range(10)
     }
     assert got == want
+
+
+def test_vocab_heavy_hitters_subfloor_support_stays_exact(spark):
+    """Regression: support < 1e-4 with a term whose TRUE frequency sits in
+    [support, 1e-4). The old code clamped the sketch threshold up to
+    freqItems' 1e-4 floor, whose superset guarantee no longer covered such
+    terms — they could vanish silently. The exact-fallback path must
+    return them."""
+    # 40 docs x 1,000 tokens = 40,000 total; "needle" appears 3 times →
+    # true frequency 7.5e-5, inside [5e-5, 1e-4)
+    filler = " ".join(f"w{i % 997}" for i in range(1000))
+    rows = [(d, filler) for d in range(40)]
+    rows.append((40, "needle needle needle"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["term"]: r["n_occurrences"]
+        for r in C.vocab_heavy_hitters(df, support=5e-5).collect()
+    }
+    assert got["needle"] == 3
