@@ -500,21 +500,33 @@ def admit_batch(
     threshold: float = 0.6,
     n_perm: int = N_PERMUTATIONS,
     band_size: int = BAND_SIZE,
+    checkpoint_store: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One full admission round of the incremental dedup store:
     ``(relations, updated_sigs, updated_hashes)``.
 
     A batch doc is REJECTED iff it has any near-dup relation — against
-    the store, or against an earlier-id mate of its own batch (whether or
-    not that mate is itself admitted: online-greedy semantics, which
-    differ from offline CC dedup on chains — a doc whose only near-dup
-    was itself rejected IS admitted, because the rejected doc never
-    entered the store). Admitted docs' (sigs, hashes) rows union into the
-    returned store frames for the next round; the batch is tokenized and
-    signed exactly once (`new_tables` pass-through). In production the
-    returned frames are appended to the persisted store tables —
-    everything here is id-keyed equi-joins, so the store can be
-    arbitrarily large."""
+    the store, or against an earlier-id mate of its own batch, whether or
+    not that mate is itself admitted (online-greedy within a batch; a doc
+    whose only near-dup is an earlier REJECTED mate is still rejected —
+    the relation exists even though the mate never entered the store).
+    Across batches the greedy semantics are exact: only ADMITTED docs
+    join the store, so later batches are never tested against rejected
+    ones. Admitted docs' (sigs, hashes) rows union into the returned
+    store frames for the next round; the batch is tokenized and signed
+    exactly once (`new_tables` pass-through). In production the returned
+    frames are appended to the persisted store tables — everything here
+    is id-keyed equi-joins, so the store can be arbitrarily large.
+
+    ``checkpoint_store`` (default True) eagerly ``localCheckpoint``s all
+    three returned frames and releases the batch's transient sig/hash
+    caches. Without it, in-session chaining across rounds degrades
+    superlinearly: each round's store is lazy union + anti-join lineage
+    over the previous round's, so every one of the next round's band
+    joins would recompute the whole prior chain, and each round's
+    persisted batch frames would accumulate unreleased. Pass False only
+    when the caller immediately writes the returned frames out (the
+    production path — the table write itself is the checkpoint)."""
     new_sigs, new_hashes = minhash_store(new, text_col, id_col, n_perm)
     relations = incremental_minhash_neardup(
         new, store_sigs, store_hashes, text_col, id_col, threshold,
@@ -532,6 +544,15 @@ def admit_batch(
     updated_hashes = store_hashes.unionByName(
         new_hashes.join(rejected, "doc_id", "left_anti")
     )
+    if checkpoint_store:
+        # eager: relations must materialize BEFORE the batch caches are
+        # released (both store updates and relations read them); the
+        # checkpointed frames then carry no lineage into the next round
+        relations = relations.localCheckpoint()
+        updated_sigs = updated_sigs.localCheckpoint()
+        updated_hashes = updated_hashes.localCheckpoint()
+        new_sigs.unpersist()
+        new_hashes.unpersist()
     return relations, updated_sigs, updated_hashes
 
 

@@ -433,6 +433,105 @@ ORDER BY c.doc_id, c.dup_of
 """
 
 
+def admission_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production admission entry point end-to-end: TWO sequential
+    batches flow through `admit_batch` against an evolving store
+    (store0 = doc_id % 4 < 2, batch1 = % 4 == 2, batch2 = % 4 == 3).
+    Online-greedy semantics: a batch doc is rejected iff it relates to a
+    store doc or an earlier-id mate of its OWN batch; only admitted docs
+    join the store, so batch2 is never tested against batch1's rejects.
+    Output: one row per batch doc — ``(doc_id, round_no, n_relations,
+    admitted)``."""
+    docs = read_table(spark, sf_dir, "documents")
+    store0 = docs.filter(F.col("doc_id") % 4 < 2)
+    sigs, hashes = D.minhash_store(store0, "text", "doc_id")
+    store0_frames = (sigs, hashes)
+    out = None
+    for round_no, mod in ((1, 2), (2, 3)):
+        batch = docs.filter(F.col("doc_id") % 4 == mod)
+        rel, sigs, hashes = D.admit_batch(
+            batch, sigs, hashes, "text", "doc_id", JACCARD_THRESHOLD
+        )
+        n_rel = rel.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_rel")
+        )
+        per_doc = (
+            batch.select("doc_id")
+            .join(n_rel, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit(round_no).alias("round_no"),
+                F.coalesce(F.col("n_rel"), F.lit(0))
+                .cast("long")
+                .alias("n_relations"),
+                (F.coalesce(F.col("n_rel"), F.lit(0)) == 0).alias(
+                    "admitted"
+                ),
+            )
+        )
+        out = per_doc if out is None else out.unionByName(per_doc)
+    # admit_batch checkpointed every returned frame eagerly, so the
+    # initial store caches are no longer referenced by any pending plan
+    for frame in store0_frames:
+        frame.unpersist()
+    return out.orderBy("round_no", "doc_id")
+
+
+def _admission_round_sql() -> str:
+    """Greedy replay of the two-batch admission over the same banded
+    candidate graph: pairs = banding ∩ exact-Jaccard ≥ t (identical CTEs
+    to the minhash oracle), then round 1's admitted set feeds round 2's
+    store membership — rejected docs never enter it."""
+    base = _minhash_sql("documents")
+    head = base.split("), cands AS (")[0]
+    return f"""{head}), cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+), pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cands c
+    JOIN t ta ON ta.doc_id = c.doc_a
+    JOIN t tb ON tb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+          / len(list_distinct(list_concat(ta.toks, tb.toks)))
+          >= {JACCARD_THRESHOLD}
+), sym AS (
+    SELECT doc_a AS doc_id, doc_b AS partner FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS partner FROM pairs
+), rel1 AS (
+    SELECT doc_id, partner FROM sym
+    WHERE doc_id % 4 = 2
+      AND (partner % 4 < 2 OR (partner % 4 = 2 AND partner < doc_id))
+), adm1 AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 4 = 2
+      AND doc_id NOT IN (SELECT doc_id FROM rel1)
+), rel2 AS (
+    SELECT doc_id, partner FROM sym
+    WHERE doc_id % 4 = 3
+      AND (partner % 4 < 2
+           OR partner IN (SELECT doc_id FROM adm1)
+           OR (partner % 4 = 3 AND partner < doc_id))
+), out1 AS (
+    SELECT d.doc_id, 1 AS round_no, count(r.partner) AS n_relations
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 2) d
+    LEFT JOIN rel1 r ON r.doc_id = d.doc_id
+    GROUP BY d.doc_id
+), out2 AS (
+    SELECT d.doc_id, 2 AS round_no, count(r.partner) AS n_relations
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 3) d
+    LEFT JOIN rel2 r ON r.doc_id = d.doc_id
+    GROUP BY d.doc_id
+)
+SELECT doc_id, round_no, n_relations, n_relations = 0 AS admitted
+FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2)
+ORDER BY round_no, doc_id
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     sigs = D.simhash_signatures(docs, "text", "doc_id")
@@ -1585,6 +1684,7 @@ QUERIES: dict[str, tuple] = {
         incremental_dedup_admission,
         _incremental_dedup_sql,
     ),
+    "admission_round": (admission_round, _admission_round_sql),
     "dedup_clusters": (dedup_clusters, _clusters_sql()),
     "corpus_canonical_ids": (corpus_canonical_ids, _canonical_sql()),
     "corpus_language_profile": (corpus_language_profile, _language_profile_sql()),
