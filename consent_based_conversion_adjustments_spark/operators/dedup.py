@@ -906,6 +906,63 @@ def simhash_neardup_pairs(
     )
 
 
+def hamming_pairs_grouped(
+    sigs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """`simhash_neardup_pairs` through a distinct-hash pre-aggregation —
+    the scale route for NARROW hashes (e.g. the 16-bit image perceptual
+    hash) whose value space 2^bits is far smaller than the corpus. There
+    doc-level banding degenerates: every (d+1)-way block key is shared by
+    ~N/2^block_bits docs, so the band joins emit ~N²/2^block_bits
+    candidate rows (at 16 bits / hamming 2 the block keys carry 5 bits —
+    32 distinct values). Here the banded hamming join runs over DISTINCT
+    hash values only (≤ 2^bits rows — bounded by the hash space,
+    independent of N); docs then expand back through exact-hash
+    equi-joins: cross-group expansion for hash pairs at hamming 1..d,
+    within-group pairs at hamming 0. Candidate volume is capped at
+    2^bits · C(bits, ≤d) hash pairs, and the only N-sized work is the
+    expansion joins, whose output is the true pair set (any algorithm
+    must emit it). Same exact-recall contract and output schema as
+    `simhash_neardup_pairs` — for WIDE hashes (32+ bits, distinct ≈ N)
+    the pre-aggregation buys nothing and the doc-level join stays the
+    right call."""
+    distinct_hashes = sigs.select("simhash").distinct()
+    hash_pairs = simhash_neardup_pairs(
+        distinct_hashes.select(F.col("simhash").alias("doc_id"), "simhash"),
+        max_hamming,
+        bits,
+    ).select(
+        F.col("doc_a").alias("h_a"), F.col("doc_b").alias("h_b"), "hamming"
+    )
+    left = sigs.select(F.col("doc_id").alias("x"), F.col("simhash").alias("h_a"))
+    right = sigs.select(F.col("doc_id").alias("y"), F.col("simhash").alias("h_b"))
+    cross = (
+        hash_pairs.join(left, "h_a")
+        .join(right, "h_b")
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "hamming",
+        )
+    )
+    # hamming-0 pairs live WITHIN a hash group (doc_a < doc_b keeps each
+    # unordered pair exactly once; the cross branch never emits them, so
+    # no distinct shuffle is needed over the union)
+    same = (
+        sigs.select(F.col("doc_id").alias("doc_a"), "simhash")
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), "simhash"), "simhash"
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -1533,12 +1533,15 @@ FROM p GROUP BY phash ORDER BY phash
 
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image NEAR-dup: pairs within hamming distance ≤ 2 of
-    the 16-bit perceptual hash, found by the exact d+1 bit-block hamming
-    join (pigeonhole banding — equi-joins only, recall 1.0, no quadratic
-    pass; the same operator SimHash text dedup uses, parameterized to the
-    phash width). The oracle replays the hash from sha256 hex pairs and
-    verifies with a full xor-popcount — exact cross-engine because every
-    threshold in the hash is an INT comparison."""
+    the 16-bit perceptual hash, via the distinct-hash pre-aggregated
+    hamming join (`hamming_pairs_grouped`): the banded pigeonhole join
+    runs over ≤ 2¹⁶ DISTINCT hash values — bounded by the hash space,
+    independent of corpus size — and docs expand back through exact-hash
+    equi-joins (doc-level banding on a 16-bit hash would emit ~N²/32
+    candidates, since its 5-bit block keys take only 32 values). Recall
+    1.0, equi-joins only. The oracle replays the hash from sha256 hex
+    pairs and verifies with a full xor-popcount — exact cross-engine
+    because every threshold in the hash is an INT comparison."""
     from ..operators.multimodal import (
         attach_payloads,
         extract_features,
@@ -1553,7 +1556,7 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"),
         perceptual_hash("feature").alias("simhash"),
     )
-    pairs = D.simhash_neardup_pairs(sigs, max_hamming=2, bits=16)
+    pairs = D.hamming_pairs_grouped(sigs, max_hamming=2, bits=16)
     return pairs.select(
         F.col("doc_a").alias("media_a"),
         F.col("doc_b").alias("media_b"),

@@ -190,6 +190,33 @@ def test_simhash_banding_matches_all_pairs(spark):
     assert got == expected
 
 
+def test_hamming_pairs_grouped_matches_doc_level(spark):
+    """The distinct-hash pre-aggregated hamming join (the narrow-hash
+    scale route) must emit exactly the doc-level banding's pair set —
+    including hamming-0 pairs, which the grouped route derives from the
+    within-group branch. Narrow 8-bit fixture with heavy hash collisions
+    so every branch (cross-group, within-group, both orderings) is
+    exercised."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(256)) for i in range(300)]
+    sigs = spark.createDataFrame(rows, ["doc_id", "simhash"]).withColumn(
+        "simhash", F.col("simhash").cast("long")
+    )
+    want = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_neardup_pairs(sigs, max_hamming=2, bits=8).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.hamming_pairs_grouped(sigs, max_hamming=2, bits=8).collect()
+    }
+    assert got == want
+    assert any(h == 0 for h in want.values())  # collisions present
+    assert any(h > 0 for h in want.values())   # cross-group present
+
+
 def test_minhash_bitmap_and_array_verify_agree(spark):
     """minhash_neardup's bitmap fast path (vocab ≤ 64 dense ids) and the
     general sorted-array verify must emit identical pairs. Build one corpus

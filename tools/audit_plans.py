@@ -227,6 +227,24 @@ def main() -> int:
         "ResolvedHint" not in analyzed_of(cocoa_queries.radius_lsh_adjust(spark, SF)),
     )
 
+    # Perceptual near-dup: the banded hamming join must run over the
+    # DISTINCT-hash aggregate (≤ 2^16 rows), never doc-level rows — on a
+    # 16-bit hash the 5-bit block keys take only 32 values, so a doc-level
+    # band join would emit ~N²/32 candidates. The distinct aggregate
+    # appears as a HashAggregate feeding the block-key join inputs.
+    from consent_based_conversion_adjustments_spark.plans import data_queries
+
+    nd16 = data_queries.image_phash_neardup(spark, SF)
+    p = plan_of(nd16)
+    check(
+        "phash near-dup bands over distinct hashes (pre-aggregated)",
+        p.count("HashAggregate") >= 2 and "CartesianProduct" not in p,
+    )
+    check(
+        "phash near-dup has no forced broadcast (AQE decides)",
+        "ResolvedHint" not in analyzed_of(nd16),
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
