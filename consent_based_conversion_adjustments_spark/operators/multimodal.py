@@ -128,6 +128,45 @@ def resize_image(
     )
 
 
+def _single_pass_sample(frames, n: int, materialize=lambda f: f) -> list:
+    """Evenly-spaced n-frame sample over a stream of UNKNOWN length in one
+    sequential pass with O(n) memory: keep frames at stride ``s`` (doubling
+    ``s`` and halving the buffer whenever it would exceed 2n entries); once
+    the stream ends and the true total is known, answer each exact even
+    target index with the nearest kept frame. Kept indices are ≤ s apart
+    with final ``s`` ≈ total/n, so every answer is within ~total/(2n)
+    frames of the exact target — the price of a single decode instead of
+    count-then-sample. ``materialize`` converts a frame only when it is
+    buffered (never for discarded frames). Deterministic for a given
+    stream. Returns [] for an empty stream."""
+    kept: list[tuple[int, object]] = []
+    stride = 1
+    total = 0
+    for idx, frame in enumerate(frames):
+        total = idx + 1
+        if idx % stride == 0:
+            kept.append((idx, materialize(frame)))
+            if len(kept) > 2 * n:
+                kept = kept[::2]
+                stride *= 2
+    if not total:
+        return []
+    import bisect
+
+    indices = [i for i, _ in kept]
+    step = (total - 1) / max(n - 1, 1)
+    out = []
+    for i in range(n):
+        t = min(round(i * step), total - 1)
+        pos = bisect.bisect_left(indices, t)
+        if pos == len(indices):
+            pos -= 1
+        elif pos > 0 and t - indices[pos - 1] <= indices[pos] - t:
+            pos -= 1  # prefer the earlier frame on ties
+        out.append(kept[pos][1])
+    return out
+
+
 def sample_frames(
     payload: bytes, n_frames: int, fake: bool = False
 ) -> list[bytes]:
@@ -140,13 +179,18 @@ def sample_frames(
     shorter than n_frames so the fixed fan-out contract of
     `sample_video_frames` holds either way — else NotImplementedError.
 
-    Memory contract on the real path: only the n_frames TARGET frames are
-    retained while iterating — never the whole decoded clip (raw RGB24 of
-    a 1-minute 1080p@30 clip is ~11 GB; holding it would OOM the executor
-    inside `sample_video_frames`). The frame count comes from container
-    metadata when present; otherwise a counting pass (decode-and-discard:
-    costs CPU, O(1) memory) runs first. (A production path over long
-    videos would keyframe-seek instead of decoding sequentially.)"""
+    Memory contract on the real path: only O(n_frames) frames are ever
+    retained — never the whole decoded clip (raw RGB24 of a 1-minute
+    1080p@30 clip is ~11 GB; holding it would OOM the executor inside
+    `sample_video_frames`). When the container header declares a frame
+    count, targets are exact and the decode stops at the last one; the
+    header is trusted, so an OVERCOUNTING header leaves high targets
+    unfilled (clamped to the last KEPT target frame) and an UNDERCOUNTING
+    header spans only its declared prefix of the clip. Without a header
+    count, `_single_pass_sample` decodes once with a stride-doubling
+    buffer — single decode, O(n_frames) memory, frames within ~total/(2n)
+    of the exact even spacing. (A production path over long videos would
+    keyframe-seek instead of decoding sequentially.)"""
     if fake:
         return [
             hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
@@ -159,9 +203,16 @@ def sample_frames(
         if not total:
             with _av.open(io.BytesIO(payload)) as container:
                 stream = container.streams.video[0]
-                total = sum(1 for _ in container.decode(stream))
-        if not total:
-            raise ValueError("video payload contains no decodable frames")
+                out = _single_pass_sample(
+                    container.decode(stream),
+                    n_frames,
+                    lambda f: f.to_ndarray(format="rgb24").tobytes(),
+                )
+            if not out:
+                raise ValueError(
+                    "video payload contains no decodable frames"
+                )
+            return out
         step = (total - 1) / max(n_frames - 1, 1)
         targets = [min(round(i * step), total - 1) for i in range(n_frames)]
         need = sorted(set(targets))
@@ -181,7 +232,8 @@ def sample_frames(
         if not kept:
             raise ValueError("video payload contains no decodable frames")
         # metadata overcounts (container header lies) leave high targets
-        # unfilled — clamp them to the last frame actually decoded
+        # unfilled — clamp them to the last KEPT target frame (non-target
+        # frames decoded after it were discarded, not retained)
         return [kept.get(t, last) for t in targets]
     raise NotImplementedError(
         "video decoding requires a codec library (e.g. PyAV); "

@@ -148,6 +148,47 @@ def test_real_video_codec_path_when_available():
     assert len(sample_frames(payload, 20)) == 20
 
 
+def test_single_pass_sample_short_stream_is_exact():
+    """With total ≤ 2n the stride never doubles, every frame is buffered,
+    and the sample equals the exact even-spacing formula — same indices
+    the metadata path would pick."""
+    from consent_based_conversion_adjustments_spark.operators.multimodal import (
+        _single_pass_sample,
+    )
+
+    for total, n in [(8, 5), (3, 20), (1, 4), (10, 10)]:
+        got = _single_pass_sample(iter(range(total)), n)
+        step = (total - 1) / max(n - 1, 1)
+        want = [min(round(i * step), total - 1) for i in range(n)]
+        assert got == want, (total, n)
+    assert _single_pass_sample(iter(()), 3) == []
+
+
+def test_single_pass_sample_long_stream_bounded_and_near_even():
+    """Long stream: the buffer stays ≤ 2n+1 entries, `materialize` runs
+    only for buffered frames (never the full stream), and every selected
+    index lands within one final stride of its exact even target."""
+    from consent_based_conversion_adjustments_spark.operators.multimodal import (
+        _single_pass_sample,
+    )
+
+    total, n = 100_000, 8
+    calls = []
+    got = _single_pass_sample(iter(range(total)), n, materialize=(
+        lambda f: calls.append(f) or f
+    ))
+    assert len(got) == n
+    assert got == sorted(got)
+    # materialization is O(n log(total/n)), nowhere near the stream size
+    assert len(calls) < 64 * n
+    # final stride ≤ 2·total/n ⇒ nearest kept index within total/n of exact
+    step = (total - 1) / (n - 1)
+    for i, idx in enumerate(got):
+        assert abs(idx - i * step) <= total / n, (i, idx)
+    # endpoints: first frame is always kept exactly
+    assert got[0] == 0
+
+
 def test_resize_and_frame_sample_plumbing(spark):
     from consent_based_conversion_adjustments_spark.operators.multimodal import (
         resize_image,
