@@ -56,10 +56,12 @@ HEADLINE = [
     ("vocab_heavy_hitters", corpus_queries.vocab_heavy_hitters),
     ("dsir_importance", corpus_queries.dsir_importance),
     ("incremental_dedup_admission", data_queries.incremental_dedup_admission),
-    # The checkpoint-heavy graph queries run LAST: their localCheckpoint
+    # The checkpoint-heavy queries run LAST: their localCheckpoint
     # blocks are freed by the ContextCleaner only after driver-side GC, and
     # even with the drain below a residue of that cleanup can land in the
     # next timing window — at the tail there is no next window to pollute.
+    # (admission_round checkpoints its store frames each admit_batch round.)
+    ("admission_round", data_queries.admission_round),
     ("embedding_dedup_ids", data_queries.embedding_dedup_ids),
     ("dedup_clusters", data_queries.dedup_clusters),
     ("corpus_canonical_ids", data_queries.corpus_canonical_ids),

@@ -66,10 +66,15 @@ if "{name}" == "image_phash_neardup" and "{counts}" == "yes":
 
 RUNS = [
     # (query, sf_label, sf_dir, variant, counts)
-    ("dedup_minhash", "x64", "/tmp/scale64/sf6.4", "prefilter", "yes"),
-    ("dedup_minhash", "x64", "/tmp/scale64/sf6.4", "noprefilter", "no"),
+    # Pass 1 measured the JOIN-BASED prefilter: sf0.1 26.6 s vs 11.9 s
+    # without (two extra candidate-set shuffles for a ~30% kill rate —
+    # candidates 434.8M, size-compatible 306.6M at x64), wash at x64
+    # (425 vs 445 s, first leg contended). These legs re-measure with the
+    # IN-ROW length filter (no added joins) that replaced it.
     ("dedup_minhash", "sf0.1", "/root/testdata/sf0.1", "prefilter", "no"),
     ("dedup_minhash", "sf0.1", "/root/testdata/sf0.1", "noprefilter", "no"),
+    ("dedup_minhash", "x64", "/tmp/scale64/sf6.4", "prefilter", "no"),
+    ("dedup_minhash", "x64", "/tmp/scale64/sf6.4", "noprefilter", "no"),
     ("incremental_dedup_admission", "sf0.1", "/root/testdata/sf0.1",
      "prefilter", "yes"),
     ("incremental_dedup_admission", "x64", "/tmp/scale64/sf6.4",
