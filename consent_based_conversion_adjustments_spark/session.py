@@ -33,8 +33,12 @@ def get_spark(
         # shuffle/broadcast/blockmgr scratch on tmpfs: the local disk in
         # virtualized CI hosts intermittently stalls writes for tens of
         # seconds (observed as whole-stage idle-CPU hangs); RAM-backed local
-        # dirs remove that variance. On a real cluster this is the usual
-        # "local dirs on fast local storage" deployment setting.
+        # dirs remove that variance FOR SMALL RUNS (the sf0.1 bench shuffles
+        # a few GB). Once shuffle volume is a nontrivial fraction of RAM it
+        # inverts: tmpfs pages compete with the JVM heap and identical 64×
+        # legs measured 261–746 s (PERF.md round 6) — the scale runners pin
+        # SPARK_LOCAL_DIRS to disk, and on a real cluster local dirs belong
+        # on local SSD, never RAM-backed.
         .config(
             "spark.local.dir",
             os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/cocoa-spark-local"),
