@@ -532,6 +532,101 @@ ORDER BY round_no, doc_id
 """
 
 
+def streaming_admission_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING admission path end-to-end: three micro-batches
+    (epoch 0 = doc_id % 4 < 2, epoch 1 = % 4 == 2, epoch 2 = % 4 == 3)
+    flow through `streaming.admission.AdmissionStore.process_batch` — the
+    exact ``foreachBatch`` body of the production sink — against a
+    parquet-table store in a fresh temp dir, and the admitted table is
+    read back. Unlike `admission_round` (whose initial store is taken
+    as-is), every epoch here is greedily admitted, INCLUDING the first:
+    the stream starts from an empty store. Output: ``(doc_id,
+    admit_batch_id)`` of every admitted doc.
+
+    The readStream→sink wiring (file source, availableNow, checkpoint
+    replay) is exercised in tests/test_streaming.py; this query pins the
+    sink's admission semantics and store layout against the greedy SQL
+    oracle."""
+    import tempfile
+
+    from ..streaming.admission import AdmissionStore
+
+    docs = read_table(spark, sf_dir, "documents")
+    store = AdmissionStore(
+        tempfile.mkdtemp(prefix="cocoa_admission_store_"),
+        threshold=JACCARD_THRESHOLD,
+    )
+    store.process_batch(docs.filter(F.col("doc_id") % 4 < 2), 0)
+    store.process_batch(docs.filter(F.col("doc_id") % 4 == 2), 1)
+    store.process_batch(docs.filter(F.col("doc_id") % 4 == 3), 2)
+    # checkpoint cuts the plan's dependency on the temp-dir files, then
+    # the ordering is applied to the materialized frame
+    return (
+        store.admitted(spark)
+        .localCheckpoint()
+        .orderBy("admit_batch_id", "doc_id")
+    )
+
+
+def _streaming_admission_sql() -> str:
+    """Greedy replay of the three-epoch admission: identical banded
+    candidate + exact-Jaccard CTEs to the minhash oracle, then each
+    epoch's admitted set feeds the next epoch's store membership. Epoch 0
+    is itself greedy (empty initial store): a doc is rejected iff it
+    relates to an earlier-id mate of its own epoch or an admitted doc of
+    an earlier epoch."""
+    base = _minhash_sql("documents")
+    head = base.split("), cands AS (")[0]
+    return f"""{head}), cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+), pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cands c
+    JOIN t ta ON ta.doc_id = c.doc_a
+    JOIN t tb ON tb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+          / len(list_distinct(list_concat(ta.toks, tb.toks)))
+          >= {JACCARD_THRESHOLD}
+), sym AS (
+    SELECT doc_a AS doc_id, doc_b AS partner FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS partner FROM pairs
+), adm0 AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 4 < 2 AND doc_id NOT IN (
+        SELECT doc_id FROM sym
+        WHERE doc_id % 4 < 2 AND partner % 4 < 2 AND partner < doc_id
+    )
+), adm1 AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 4 = 2 AND doc_id NOT IN (
+        SELECT doc_id FROM sym
+        WHERE doc_id % 4 = 2
+          AND (partner IN (SELECT doc_id FROM adm0)
+               OR (partner % 4 = 2 AND partner < doc_id))
+    )
+), adm2 AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 4 = 3 AND doc_id NOT IN (
+        SELECT doc_id FROM sym
+        WHERE doc_id % 4 = 3
+          AND (partner IN (SELECT doc_id FROM adm0)
+               OR partner IN (SELECT doc_id FROM adm1)
+               OR (partner % 4 = 3 AND partner < doc_id))
+    )
+)
+SELECT doc_id, CAST(admit_batch_id AS BIGINT) AS admit_batch_id FROM (
+    SELECT doc_id, 0 AS admit_batch_id FROM adm0
+    UNION ALL SELECT doc_id, 1 FROM adm1
+    UNION ALL SELECT doc_id, 2 FROM adm2
+)
+ORDER BY admit_batch_id, doc_id
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     sigs = D.simhash_signatures(docs, "text", "doc_id")
@@ -1688,6 +1783,10 @@ QUERIES: dict[str, tuple] = {
         _incremental_dedup_sql,
     ),
     "admission_round": (admission_round, _admission_round_sql),
+    "streaming_admission_rounds": (
+        streaming_admission_rounds,
+        _streaming_admission_sql,
+    ),
     "dedup_clusters": (dedup_clusters, _clusters_sql()),
     "corpus_canonical_ids": (corpus_canonical_ids, _canonical_sql()),
     "corpus_language_profile": (corpus_language_profile, _language_profile_sql()),

@@ -1,0 +1,206 @@
+"""Streaming corpus admission: the incremental MinHash dedup store as a
+Structured Streaming sink.
+
+`operators.dedup.admit_batch` is one admission round over in-memory
+store frames; this module is the production wrapper around it — the
+store lives as parquet TABLES (MinHash signatures / token-hash sets /
+near-dup relations, each partitioned by ``admit_batch_id``), and each
+arriving micro-batch runs one admission round against every EARLIER
+epoch's partitions, then appends exactly its own delta.
+
+Exactly-once contract (the same mechanism as the O5 dates sink,
+`pipeline.run_dates_streaming`): the stream checkpoint makes micro-batch
+replay at-least-once — a crash after the sink writes but before the
+commit re-runs the batch with the SAME epoch id. The sink turns that
+into effectively-exactly-once by
+
+  (a) probing only ``admit_batch_id < epoch_id`` partitions, so a
+      replayed batch never sees its own crashed half-write (this is a
+      partition-pruned filter — the skipped partitions are never read),
+      and
+  (b) writing each epoch's output with DYNAMIC partition overwrite, so
+      the replay deterministically rewrites exactly its own
+      ``admit_batch_id=<epoch>`` partitions instead of appending
+      duplicates.
+
+Replays are deterministic because (a) fixes the probe set and the
+admission round itself is deterministic in (batch, store); the one
+residual assumption — shared with every foreachBatch sink — is that the
+SOURCE redelivers the same rows for the same epoch (true of the file /
+kafka sources by their checkpoint contract).
+
+Scale shape: identical to `admit_batch` — the store is only ever probed
+through band-key equi-joins over its (sigs, hashes) tables, its text is
+never re-read, and the per-epoch write is the admitted DELTA only
+(never a rewrite of the whole store), so a micro-batch costs
+O(batch + matching band keys) regardless of corpus size. The epoch
+filter prunes nothing in steady state (every prior epoch qualifies) and
+everything that must be pruned on replay.
+
+reference: cloud_function/main.py:86-142 + pipeline.py:318-360 define
+the reference's trigger shape (per-trigger batch over persisted state
+between runs); the dedup store itself is the LLM-pipeline extension
+(SURVEY §2 north star), not a reference operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import dedup as D
+
+
+def _with_epoch(schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(schema.fields)
+        + [T.StructField("admit_batch_id", T.LongType())]
+    )
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe — scheme-agnostic (local, HDFS, object
+    stores), and cheaper/quieter than attempting the read and catching
+    the AnalysisException."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+class AdmissionStore:
+    """A parquet-table-backed incremental dedup store at ``store_dir``.
+
+    Layout (all partitioned by ``admit_batch_id``):
+
+    - ``signatures/``   — admitted docs' MinHash signature rows
+    - ``token_hashes/`` — admitted docs' distinct token-hash sets
+    - ``relations/``    — every (doc_id, dup_of, jaccard) rejection edge
+
+    ``process_batch`` is the ``foreachBatch`` body; ``sink`` wires it to
+    a streaming DataFrame. Output frames standardize on ``doc_id``
+    whatever ``id_col`` is (the store tables key on it).
+    """
+
+    def __init__(
+        self,
+        store_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.6,
+        n_perm: int = D.N_PERMUTATIONS,
+        band_size: int = D.BAND_SIZE,
+    ):
+        self.store_dir = store_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.n_perm = n_perm
+        self.band_size = band_size
+        self.sigs_path = os.path.join(store_dir, "signatures")
+        self.hashes_path = os.path.join(store_dir, "token_hashes")
+        self.relations_path = os.path.join(store_dir, "relations")
+
+    # -- store table access ------------------------------------------------
+
+    def _read_before(
+        self, spark: SparkSession, path: str, schema, epoch_id: int
+    ) -> DataFrame:
+        """Store rows admitted STRICTLY BEFORE ``epoch_id`` (replay guard +
+        partition pruning); an absent table is the empty store. The schema
+        is passed explicitly so an all-rejected epoch (a partition dir with
+        zero files) can never break inference on the next epoch's read."""
+        if not _table_exists(spark, path):
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(_with_epoch(schema)).parquet(path).filter(
+            F.col("admit_batch_id").cast("long") < F.lit(int(epoch_id))
+        ).drop("admit_batch_id")
+
+    def _write_epoch(self, df: DataFrame, path: str, epoch_id: int) -> None:
+        (
+            df.withColumn(
+                "admit_batch_id", F.lit(int(epoch_id)).cast("long")
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("admit_batch_id")
+            .parquet(path)
+        )
+
+    # -- the sink ------------------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """One admission round at ``epoch_id``: probe the store, write the
+        epoch's relations and the admitted docs' (sigs, hashes) delta."""
+        spark = batch_df.sparkSession
+        # tokenize/sign the batch exactly once (shared with the verify)
+        new_sigs, new_hashes = D.minhash_store(
+            batch_df, self.text_col, self.id_col, self.n_perm
+        )
+        store_sigs = self._read_before(
+            spark, self.sigs_path, new_sigs.schema, epoch_id
+        )
+        store_hashes = self._read_before(
+            spark, self.hashes_path, new_hashes.schema, epoch_id
+        )
+        # eager checkpoint: one materialization feeds both the relations
+        # write and the rejected-set anti-joins below (admit_batch's
+        # checkpoint_store reasoning; here the table writes are the
+        # durable store, so only the shared relations frame needs cutting)
+        relations = D.incremental_minhash_neardup(
+            batch_df,
+            store_sigs,
+            store_hashes,
+            self.text_col,
+            self.id_col,
+            self.threshold,
+            self.n_perm,
+            self.band_size,
+            new_tables=(new_sigs, new_hashes),
+        ).localCheckpoint()
+        # rejected docs never enter the store; a replayed id already in an
+        # earlier epoch's partition must not gain a second row either
+        rejected = relations.select("doc_id").distinct().unionByName(
+            store_sigs.select("doc_id")
+        )
+        delta_sigs = new_sigs.join(rejected, "doc_id", "left_anti")
+        delta_hashes = new_hashes.join(rejected, "doc_id", "left_anti")
+        self._write_epoch(relations, self.relations_path, epoch_id)
+        self._write_epoch(delta_sigs, self.sigs_path, epoch_id)
+        self._write_epoch(delta_hashes, self.hashes_path, epoch_id)
+        new_sigs.unpersist()
+        new_hashes.unpersist()
+
+    def sink(self, stream_df: DataFrame, checkpoint_path: str, **trigger):
+        """Attach the admission sink to a streaming DataFrame. Default
+        trigger is ``availableNow`` (the scheduled catch-up shape); pass
+        e.g. ``processingTime="30 seconds"`` for a daemon."""
+        if not trigger:
+            trigger = {"availableNow": True}
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(**trigger)
+            .start()
+        )
+
+    # -- readback ------------------------------------------------------------
+
+    def admitted(self, spark: SparkSession) -> DataFrame:
+        """``(doc_id, admit_batch_id)`` of every admitted doc."""
+        return spark.read.parquet(self.sigs_path).select(
+            "doc_id",
+            F.col("admit_batch_id").cast("long").alias("admit_batch_id"),
+        )
+
+    def relations(self, spark: SparkSession) -> DataFrame:
+        """``(doc_id, dup_of, jaccard, admit_batch_id)`` rejection edges."""
+        return spark.read.parquet(self.relations_path).select(
+            "doc_id",
+            "dup_of",
+            "jaccard",
+            F.col("admit_batch_id").cast("long").alias("admit_batch_id"),
+        )

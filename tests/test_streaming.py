@@ -523,3 +523,165 @@ def test_streaming_midbatch_failure_idempotent_restart(
     w = {(str(r["date"]), r["c_custkey"]): round(r["adjusted_conversion"], 6)
          for r in want.collect()}
     assert g == w
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus admission (the incremental dedup store as a sink)
+# ---------------------------------------------------------------------------
+
+ADM_THRESHOLD = 0.8
+
+
+def _admission_batches(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return [docs.filter(F.col("doc_id") % 4 == m) for m in range(4)]
+
+
+def _batch_mode_replay(spark, batches):
+    """Expected result: the same batch split through plain `admit_batch`
+    over in-memory store frames (its greedy semantics are pinned by
+    test_admit_batch_sequential_rounds_greedy_oracle)."""
+    from consent_based_conversion_adjustments_spark.operators import dedup as D
+
+    docs0 = batches[0].filter("doc_id < 0")  # empty, right schema
+    sigs, hashes = D.minhash_store(docs0, "text", "doc_id")
+    admitted, relations = {}, {}
+    for i, batch in enumerate(batches):
+        rel, sigs, hashes = D.admit_batch(
+            batch, sigs, hashes, "text", "doc_id", ADM_THRESHOLD
+        )
+        relations[i] = {
+            (r["doc_id"], r["dup_of"], round(r["jaccard"], 9))
+            for r in rel.collect()
+        }
+        rejected = {r["doc_id"] for r in rel.collect()}
+        admitted[i] = {
+            r["doc_id"] for r in batch.select("doc_id").collect()
+        } - rejected
+    return admitted, relations
+
+
+def _store_state(spark, store):
+    admitted = {}
+    for r in store.admitted(spark).collect():
+        admitted.setdefault(r["admit_batch_id"], set()).add(r["doc_id"])
+    relations = {}
+    for r in store.relations(spark).collect():
+        relations.setdefault(r["admit_batch_id"], set()).add(
+            (r["doc_id"], r["dup_of"], round(r["jaccard"], 9))
+        )
+    return admitted, relations
+
+
+def test_admission_store_rounds_match_admit_batch(spark, tmp_path):
+    """Four micro-batches through the table-backed store must equal the
+    same split through in-memory `admit_batch` rounds — same admitted
+    set and same rejection edges, per epoch."""
+    from consent_based_conversion_adjustments_spark.streaming.admission import (
+        AdmissionStore,
+    )
+
+    batches = _admission_batches(spark)
+    store = AdmissionStore(str(tmp_path / "store"), threshold=ADM_THRESHOLD)
+    for i, batch in enumerate(batches):
+        store.process_batch(batch, i)
+
+    want_adm, want_rel = _batch_mode_replay(spark, batches)
+    got_adm, got_rel = _store_state(spark, store)
+    assert got_adm == {i: s for i, s in want_adm.items() if s}
+    assert got_rel == {i: s for i, s in want_rel.items() if s}
+    assert any(want_rel.values())  # the fixture must exercise rejection
+
+
+def test_admission_store_replay_idempotent(spark, tmp_path):
+    """At-least-once delivery: re-running an already-committed epoch (the
+    crash-between-write-and-commit shape) must leave every store table
+    unchanged — the epoch filter hides the epoch's own partitions from
+    the probe and dynamic overwrite rewrites them deterministically."""
+    from consent_based_conversion_adjustments_spark.streaming.admission import (
+        AdmissionStore,
+    )
+
+    batches = _admission_batches(spark)
+    store = AdmissionStore(str(tmp_path / "store"), threshold=ADM_THRESHOLD)
+    for i, batch in enumerate(batches):
+        store.process_batch(batch, i)
+    before = _store_state(spark, store)
+
+    store.process_batch(batches[2], 2)  # replay a middle epoch
+    assert _store_state(spark, store) == before
+
+    # half-written partition: garbage duplicate rows land in epoch 3's
+    # partition (a crashed first attempt), then the batch replays
+    part3 = spark.read.parquet(store.sigs_path).filter(
+        "admit_batch_id = 3"
+    )
+    part3.limit(1).drop("admit_batch_id").withColumn(
+        "admit_batch_id", F.lit(3)
+    ).write.mode("append").partitionBy("admit_batch_id").parquet(
+        store.sigs_path
+    )
+    assert store.admitted(spark).count() == sum(
+        len(s) for s in before[0].values()
+    ) + 1  # the corruption is visible before the replay
+    store.process_batch(batches[3], 3)
+    assert _store_state(spark, store) == before
+
+
+def test_admission_stream_end_to_end(spark, tmp_path):
+    """The real wiring: a file-source stream, one file per micro-batch,
+    availableNow trigger. Epoch order is whatever the source chose, so
+    the expected result is computed by replaying admit_batch in the
+    OBSERVED epoch order."""
+    import pyarrow.parquet as pq
+
+    from consent_based_conversion_adjustments_spark.streaming.admission import (
+        AdmissionStore,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for m in range(4):
+        tbl = docs.filter(F.col("doc_id") % 4 == m).toPandas()
+        pq.write_table(
+            __import__("pyarrow").Table.from_pandas(tbl, preserve_index=False),
+            str(in_dir / f"batch_{m}.parquet"),
+        )
+
+    store = AdmissionStore(str(tmp_path / "store"), threshold=ADM_THRESHOLD)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = store.sink(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got_adm, got_rel = _store_state(spark, store)
+    # recover the observed batch-per-epoch assignment from the store:
+    # an epoch's batch is its admitted docs plus its rejection sources
+    epoch_docs = {}
+    for e, s in got_adm.items():
+        epoch_docs.setdefault(e, set()).update(s)
+    for e, s in got_rel.items():
+        epoch_docs.setdefault(e, set()).update(d for d, _, _ in s)
+    mods = sorted(
+        epoch_docs, key=lambda e: min(d % 4 for d in epoch_docs[e])
+    )
+    assert len(mods) == 4  # one micro-batch per file
+    batches = [
+        docs.filter(F.col("doc_id") % 4 == min(d % 4 for d in epoch_docs[e]))
+        for e in sorted(epoch_docs)
+    ]
+    want_adm, want_rel = _batch_mode_replay(spark, batches)
+    assert got_adm == {
+        e: want_adm[i]
+        for i, e in enumerate(sorted(epoch_docs))
+        if want_adm[i]
+    }
+    assert got_rel == {
+        e: want_rel[i]
+        for i, e in enumerate(sorted(epoch_docs))
+        if want_rel[i]
+    }
