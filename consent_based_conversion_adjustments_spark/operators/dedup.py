@@ -523,8 +523,17 @@ def admit_batch(
     caches. Without it, in-session chaining across rounds degrades
     superlinearly: each round's store is lazy union + anti-join lineage
     over the previous round's, so every one of the next round's band
-    joins would recompute the whole prior chain, and each round's
-    persisted batch frames would accumulate unreleased. Pass False only
+    joins would recompute the whole prior chain. Checkpointing the FULL
+    store union rather than only the admitted delta is a MEASURED choice:
+    the next round probes the store through ~19 joins (16 band joins, the
+    two verify attach joins, the vocab probe), and one compact
+    materialized copy beats re-scanning a union of the prior store's
+    cache legs that many times — ×64 disk-backed A/B on the two-round
+    admission query: full-union 882/867 s vs delta-checkpoint
+    1382/1127 s (PERF.md round 6). The O(store) checkpoint write per
+    round is the price of O(1) scan legs; callers chaining MANY rounds
+    should flush to tables instead (`streaming.admission`), where parquet
+    appends give the O(batch) write AND compact scans. Pass False only
     when the caller immediately writes the returned frames out (the
     production path — the table write itself is the checkpoint)."""
     new_sigs, new_hashes = minhash_store(new, text_col, id_col, n_perm)

@@ -197,7 +197,13 @@ class AdmissionStore:
         )
 
     def relations(self, spark: SparkSession) -> DataFrame:
-        """``(doc_id, dup_of, jaccard, admit_batch_id)`` rejection edges."""
+        """``(doc_id, dup_of, jaccard, admit_batch_id)`` rejection edges.
+
+        Readback infers the schema from the table files; a store whose
+        every epoch produced zero edges has no files to infer from and
+        raises on read (there is nothing to read in that case — the
+        probe path, `_read_before`, is the one that must and does
+        tolerate file-less partitions via its explicit schema)."""
         return spark.read.parquet(self.relations_path).select(
             "doc_id",
             "dup_of",
