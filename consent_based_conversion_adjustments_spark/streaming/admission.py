@@ -37,6 +37,16 @@ O(batch + matching band keys) regardless of corpus size. The epoch
 filter prunes nothing in steady state (every prior epoch qualifies) and
 everything that must be pruned on replay.
 
+Operational note — small files: one partition per epoch accumulates
+files over a long-running stream (thousands of epochs). Parquet alone
+has no atomic rewrite, so ONLINE compaction belongs to a transactional
+table format (Delta/Iceberg — this layout maps directly onto either);
+with plain parquet, compact offline during a quiet window by rewriting
+epochs `<= E` into one partition and resuming the stream above `E`.
+Probe cost is unaffected either way (band-key equi-joins read every
+qualifying partition regardless of file count); only file-listing and
+task-count overheads grow.
+
 reference: cloud_function/main.py:86-142 + pipeline.py:318-360 define
 the reference's trigger shape (per-trigger batch over persisted state
 between runs); the dedup store itself is the LLM-pipeline extension
