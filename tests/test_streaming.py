@@ -685,3 +685,37 @@ def test_admission_stream_end_to_end(spark, tmp_path):
         for i, e in enumerate(sorted(epoch_docs))
         if want_rel[i]
     }
+
+
+def test_admission_store_probe_partition_pruned(spark, tmp_path):
+    """The replay guard's scale claim: `_read_before(epoch)` must reach
+    the parquet scan as a PARTITION filter (skipped epochs never read),
+    not a post-scan row filter — and must surface exactly the
+    strictly-earlier epochs' rows."""
+    from consent_based_conversion_adjustments_spark.streaming.admission import (
+        AdmissionStore,
+    )
+
+    batches = _admission_batches(spark)
+    store = AdmissionStore(str(tmp_path / "store"), threshold=ADM_THRESHOLD)
+    for i in range(3):
+        store.process_batch(batches[i], i)
+
+    full = spark.read.parquet(store.sigs_path)
+    schema = full.drop("admit_batch_id").schema
+    probe = store._read_before(spark, store.sigs_path, schema, 2)
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("admit_batch_id" in ln for ln in pf), plan
+    # no residual row-level filter on the partition column survives
+    assert not any(
+        "admit_batch_id" in ln for ln in plan.splitlines() if "Filter " in ln
+    ), plan
+
+    want = {
+        r["doc_id"]
+        for r in full.filter("admit_batch_id < 2").collect()
+    }
+    assert {r["doc_id"] for r in probe.collect()} == want
+    assert want  # epochs 0-1 must have admitted docs
