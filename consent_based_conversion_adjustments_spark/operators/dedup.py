@@ -864,6 +864,131 @@ def dup_shingle_coverage(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans (the word-level analogue of
+    Lee et al. 2022's suffix-array exact-substring dedup,
+    arXiv:2107.06499): every maximal token range covered by n-token
+    shingles that occur ≥ ``min_count`` times across the whole corpus
+    (within-doc repeats count, as in the paper). Returns one row per
+    maximal span: (doc_id, span_start, span_end, span_tokens) with
+    ``span_end`` exclusive. Docs shorter than ``n`` tokens hash their
+    whole text as one shingle; their ``span_end`` may exceed the token
+    count and consumers clamp (``scrub_duplicate_spans`` does).
+
+    Scale shape — the suffix-array construction the paper uses is a
+    global sort no cluster wants; shingle hashing gives the same
+    ≥n-token guarantee with only scale-safe primitives:
+
+    1. posexplode shingle hashes — linear in corpus tokens;
+    2. duplicated-shingle set via one map-side-combinable hash agg on
+       the shingle hash (``HAVING count ≥ min_count``);
+    3. a left-semi equi-join marking duplicated positions (the dup set
+       is the smaller aggregate; AQE broadcast-promotes it when small);
+    4. per-doc gaps-and-islands (one window keyed on doc_id ordered by
+       position — state bounded by tokens-per-doc, never corpus-wide).
+
+    Nothing is quadratic and nothing is globally sorted; the only
+    corpus-wide shuffles are the shingle-hash agg and the doc_id window.
+    """
+    from .text import shingle_hashes
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(shingle_hashes(text_col, n)).alias("pos", "sh"),
+    )
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("sh")
+    )
+    hits = sh.join(dup, "sh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # new island unless this shingle's range touches/overlaps the previous
+    # one ([prev, prev+n) vs [pos, pos+n) merge iff pos − prev ≤ n); the
+    # lag is NULL on the first row → otherwise-branch → island starts at 1
+    flagged = hits.withColumn(
+        "__new",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("__island", F.sum("__new").over(w))
+    return (
+        flagged.groupBy("doc_id", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply ``duplicate_spans``: rebuild each document with every
+    duplicated span's tokens removed (the "fix the data" step of exact
+    substring dedup). Returns (doc_id, n_tokens, n_kept, scrubbed) where
+    ``scrubbed`` is the space-joined surviving tokens.
+
+    Scale shape: spans collapse to one array per doc (bounded by
+    tokens-per-doc, same key as the doc row — one hash agg + one
+    equi-join on doc_id), then token filtering is a pure Catalyst
+    higher-order expression per row; no extra shuffle beyond the two
+    doc_id-keyed ones and nothing driver-side."""
+    from .text import tokens
+
+    spans = duplicate_spans(df, text_col, id_col, n, min_count)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    joined = docs.join(per_doc, "doc_id", "left").withColumn(
+        "__spans",
+        F.coalesce(
+            F.col("__spans"),
+            F.array().cast("array<struct<span_start:int,span_end:int>>"),
+        ),
+    )
+    idx = F.when(
+        F.size("__toks") > 0,
+        F.sequence(F.lit(0), F.size("__toks") - F.lit(1)),
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at("__toks", i + F.lit(1))),
+            " ",
+        ).alias("scrubbed"),
+    )
+
+
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """32-bit SimHash: bit j of the signature is set iff the sum over
     tokens of ±1 (sign of bit j of the token hash) is positive."""

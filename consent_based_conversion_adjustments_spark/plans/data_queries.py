@@ -1719,6 +1719,123 @@ ORDER BY c.doc_id
 )
 
 
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (word-level Lee et al. 2022):
+    maximal token ranges covered by corpus-duplicated 3-gram shingles.
+    Shingle-hash equi-join + per-doc gaps-and-islands — never a suffix
+    array, never doc×doc (operators.dedup.duplicate_spans)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.duplicate_spans(docs, "text", "doc_id").orderBy(
+        "doc_id", "span_start"
+    )
+
+
+# gaps-and-islands twin: WHERE filters before the window, the NULL first
+# lag falls to the ELSE branch exactly like Spark's when/otherwise
+_SPANS_CORE = """
+g AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, greatest(len({toks}) - 2, 1) + 1),
+               i -> {gram_hash}) AS grams
+    FROM documents
+), e AS (
+    SELECT doc_id,
+           unnest(range(0, len(grams))) AS pos,
+           unnest(grams) AS sh
+    FROM g
+), dup AS (
+    SELECT sh FROM e GROUP BY sh HAVING count(*) >= 2
+), fl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos)
+                    OVER (PARTITION BY doc_id ORDER BY pos) <= 3
+                THEN 0 ELSE 1 END AS nw
+    FROM e WHERE sh IN (SELECT sh FROM dup)
+), isl AS (
+    SELECT doc_id, pos,
+           sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM fl
+), spans AS (
+    SELECT doc_id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 3 AS INT) AS span_end,
+           CAST(max(pos) + 3 - min(pos) AS INT) AS span_tokens
+    FROM isl
+    GROUP BY doc_id, island
+)
+""".format(
+    toks=_TOKS.format(c="text"),
+    gram_hash=_sql_hash(
+        "array_to_string(" + _TOKS.format(c="text") + "[i : i + 2], ' ')"
+    ),
+)
+
+DUP_SPANS_SQL = (
+    "WITH "
+    + _SPANS_CORE
+    + """
+SELECT doc_id, span_start, span_end, span_tokens
+FROM spans
+ORDER BY doc_id, span_start
+"""
+)
+
+
+def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring scrub: every duplicated span's tokens removed,
+    doc rebuilt (operators.dedup.scrub_duplicate_spans). The scrubbed
+    text is returned as its polynomial hash so the driver's value
+    compare is exact without shipping full texts."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = D.scrub_duplicate_spans(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_kept",
+        X.string_hash(F.col("scrubbed")).alias("scrubbed_hash"),
+    ).orderBy("doc_id")
+
+
+DUP_SCRUB_SQL = (
+    "WITH "
+    + _SPANS_CORE
+    + """
+, sp AS (
+    SELECT doc_id,
+           list({{'s': span_start, 'e': span_end}}) AS sps
+    FROM spans GROUP BY doc_id
+), d AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+), j AS (
+    SELECT d.doc_id, d.toks, sp.sps
+    FROM d LEFT JOIN sp USING (doc_id)
+), k AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           list_transform(
+               list_filter(
+                   range(0, len(toks)),
+                   i -> coalesce(
+                       len(list_filter(sps,
+                           s -> i >= s.s AND i < s.e)) = 0,
+                       TRUE)),
+               i -> toks[i + 1]) AS kept
+    FROM j
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(len(kept) AS INT) AS n_kept,
+       {scrub_hash} AS scrubbed_hash
+FROM k
+ORDER BY doc_id
+""".format(
+        toks=_TOKS.format(c="text"),
+        scrub_hash=_sql_hash("array_to_string(kept, ' ')"),
+    )
+)
+
+
 def embedding_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup-family): embedding near-dup pair graph
     (exact block-pair BLAS at this low threshold) → connected components →
@@ -1767,6 +1884,8 @@ ORDER BY v.vec_id
 
 QUERIES: dict[str, tuple] = {
     "corpus_dup_coverage": (corpus_dup_coverage, DUP_COVERAGE_SQL),
+    "dup_spans": (dup_spans, DUP_SPANS_SQL),
+    "dup_span_scrub": (dup_span_scrub, DUP_SCRUB_SQL),
     "embedding_dedup_ids": (embedding_dedup_ids, EMBEDDING_DEDUP_SQL),
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "doc_model_quality": (doc_model_quality, MODEL_QUALITY_SQL),

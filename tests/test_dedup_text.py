@@ -643,3 +643,43 @@ def test_incremental_dedup_reingestion_no_self_pair(spark):
     } - has_partner
     assert replayed_unique, "fixture needs at least one unique replayed doc"
     assert not (replayed_unique & rejected)
+
+
+SPAN_DOCS = [
+    (1, "x1 x2 x3 s1 s2 s3 s4 y1 y2 y3"),  # shared run at tokens [3,7)
+    (2, "s1 s2 s3 s4 z1 z2 z3"),           # same run at tokens [0,4)
+    (3, "r1 r2 r3 q r1 r2 r3"),            # within-doc repeat -> 2 spans
+    (4, "u1 u2 u3 u4 u5"),                 # all unique -> no spans
+    (5, "aa bb"),                          # whole-doc dup shorter than n
+    (6, "aa bb"),
+]
+
+
+def test_duplicate_spans_planted(spark):
+    df = spark.createDataFrame(SPAN_DOCS, ["doc_id", "text"])
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in D.duplicate_spans(df, "text", "doc_id", n=3).collect()
+    }
+    assert spans == {
+        (1, 3, 7, 4),   # exactly the shared run, boundary shingles unique
+        (2, 0, 4, 4),
+        (3, 0, 3, 3),   # internal repeat: two islands (gap 4 > n)
+        (3, 4, 7, 3),
+        (5, 0, 3, 3),   # whole-short-doc shingle; end exceeds token count
+        (6, 0, 3, 3),
+    }
+
+
+def test_scrub_duplicate_spans_planted(spark):
+    df = spark.createDataFrame(SPAN_DOCS, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["scrubbed"])
+        for r in D.scrub_duplicate_spans(df, "text", "doc_id", n=3).collect()
+    }
+    assert out[1] == (10, 6, "x1 x2 x3 y1 y2 y3")
+    assert out[2] == (7, 3, "z1 z2 z3")
+    assert out[3] == (7, 1, "q")
+    assert out[4] == (5, 5, "u1 u2 u3 u4 u5")  # untouched doc survives whole
+    assert out[5] == (2, 0, "")  # span end clamps to the short doc's length
+    assert out[6] == (2, 0, "")
