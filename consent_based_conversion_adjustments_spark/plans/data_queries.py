@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import sql_round, stable_round
+from ..operators import cluster as C
 from ..operators import dedup as D
 from ..operators import text as X
 from ..operators.multimodal import binary_metadata
@@ -1318,6 +1319,20 @@ def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully distributed Lloyd's k-means (k=8, 3 iterations) over the
+    embeddings table — assignment is an unrolled zero-shuffle codegen
+    expression, each update one map-side-combinable hash agg; only the
+    k×(dim+1) centroid table crosses the driver per iteration
+    (operators.cluster.kmeans_assign). The oracle replays init, every
+    assignment and every rounded centroid update as chained CTEs."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return C.kmeans_assign(emb, k=8, iters=3).orderBy("vec_id")
+
+
+KMEANS_SQL = C.kmeans_sql(k=8, iters=3, dim=64)
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid fit — the building block behind IVF coarse
     quantization, as a pure two-level aggregation: posexplode to
@@ -1925,6 +1940,7 @@ QUERIES: dict[str, tuple] = {
     "events_retention": (events_retention, EVENTS_RETENTION_SQL),
     "events_peak_attribution": (events_peak_attribution, EVENTS_PEAK_SQL),
     "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
+    "kmeans_clusters": (kmeans_clusters, KMEANS_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
     "audio_features": (audio_features, _audio_sql),
     "image_phash_dedup": (image_phash_dedup, _image_phash_sql),

@@ -516,3 +516,53 @@ def test_audio_compressed_codec_guard():
     got_rate, got_n, feat = decode_audio(buf.getvalue())
     assert (got_rate, got_n) == (rate, n)
     assert len(feat) == 8 and all(f > 0.1 for f in feat)
+
+
+def test_kmeans_separates_planted_blobs(spark):
+    """Three well-separated blobs in 4-d: every blob lands in one
+    cluster, distinct blobs in distinct clusters, assignment is
+    deterministic across runs."""
+    from consent_based_conversion_adjustments_spark.operators.cluster import (
+        kmeans_assign,
+    )
+
+    rows = []
+    for b, center in enumerate([[0.0, 0.0], [10.0, 10.0], [-10.0, 5.0]]):
+        for i in range(12):
+            # deterministic jitter in [-0.4, 0.4)
+            j1 = ((i * 7) % 8) / 10.0 - 0.4
+            j2 = ((i * 3) % 8) / 10.0 - 0.4
+            rows.append(
+                (b * 100 + i, [center[0] + j1, center[1] + j2, 1.0, -1.0])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out1 = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, k=3, iters=4).collect()
+    }
+    out2 = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, k=3, iters=4).collect()
+    }
+    assert out1 == out2  # deterministic
+    blobs = {}
+    for vid, c in out1.items():
+        blobs.setdefault(vid // 100, set()).add(c)
+    assert all(len(cs) == 1 for cs in blobs.values())  # blob purity
+    assert len({next(iter(cs)) for cs in blobs.values()}) == 3
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k larger than the number of distinct points: surplus clusters go
+    empty and must keep their init centroid without crashing; every
+    point still gets a valid assignment."""
+    from consent_based_conversion_adjustments_spark.operators.cluster import (
+        kmeans_assign,
+    )
+
+    rows = [(i, [float(i % 2), 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, k=5, iters=2).collect()
+    assert len(out) == 6
+    assert all(0 <= r["cluster"] < 5 for r in out)
+    assert len({r["cluster"] for r in out}) == 2  # two distinct points
