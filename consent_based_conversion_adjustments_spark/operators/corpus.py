@@ -381,6 +381,60 @@ def shuffled_position(id_col: str = "doc_id") -> Column:
     return split_bucket(id_col, 1_000_000_000)
 
 
+ES_MULT = 2654435761
+ES_MOD = 9007199254740881  # < 2^53: id·mult stays int64-exact cross-engine
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, IPL 2006): item i gets key u_i^(1/w_i)
+    with u_i uniform in (0,1); the k largest keys are distributed
+    exactly like sequential weighted draws without replacement. We rank
+    by the monotone transform ln(u)/w (u < 1 so both are maximized
+    together), skipping the pow. This is the principled way to take a
+    "quality-weighted" or "length-weighted" subsample of a corpus —
+    ``source_quota_sample`` keeps the top-ranked rows, this keeps a
+    *randomized* sample whose inclusion probability tracks the weight.
+
+    Deterministic and replayable: u derives from the Knuth-mixed id
+    (same family as split_bucket/shuffled_position), not ``rand()``, so
+    the sample is stable across runs, partitionings, and engines.
+    Non-positive weights are clamped to 1e-12 → effectively never
+    sampled (A-ES requires w > 0).
+
+    Scale: global mode (``by=None``) is orderBy+limit, which Spark
+    executes as TakeOrderedAndProject — per-partition top-k heaps merged
+    once, never a single-partition global sort. Grouped mode is one
+    row_number window keyed on ``by`` (heavy-hitter caveat shared with
+    source_quota_sample: pre-thin hot groups before ranking)."""
+    u = (
+        (F.col(id_col) * F.lit(ES_MULT)) % F.lit(ES_MOD) + F.lit(0.5)
+    ) / F.lit(float(ES_MOD))
+    key = F.log(u) / F.greatest(
+        F.col(weight_col).cast("double"), F.lit(1e-12)
+    )
+    ranked = docs.withColumn("__esk", key)
+    if by is None:
+        return (
+            ranked.orderBy(F.col("__esk").desc(), F.col(id_col))
+            .limit(k)
+            .drop("__esk")
+        )
+    w = Window.partitionBy(by).orderBy(F.col("__esk").desc(), F.col(id_col))
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__esk", "__rn")
+    )
+
+
 def pack_chunks(
     chunks: DataFrame,
     id_col: str = "doc_id",

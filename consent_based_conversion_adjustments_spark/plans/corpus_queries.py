@@ -106,6 +106,35 @@ WHERE rn <= 10
 """
 
 
+def weighted_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample without replacement, 20 docs per source
+    (Efraimidis–Spirakis keys off the Knuth-mixed doc id — fully
+    deterministic, so the oracle replays the exact key formula)."""
+    docs = read_table(spark, sf_dir, "documents")
+    kept = C.weighted_sample(
+        docs, "n_chars", 20, id_col="doc_id", by="source"
+    )
+    return kept.select("source", "doc_id").orderBy("source", "doc_id")
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH w AS (
+    SELECT source, doc_id,
+           ln((((doc_id * {C.ES_MULT}) % {C.ES_MOD}) + 0.5)
+               / {C.ES_MOD}.0)
+           / greatest(CAST(n_chars AS DOUBLE), 1e-12) AS esk
+    FROM documents
+)
+SELECT source, doc_id
+FROM (
+    SELECT source, doc_id, row_number() OVER (
+        PARTITION BY source ORDER BY esk DESC, doc_id) AS rn
+    FROM w)
+WHERE rn <= 20
+ORDER BY source, doc_id
+"""
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 32-token chunks (8-token overlap); chunk text compared
     by polynomial hash to keep the oracle diff compact."""
@@ -611,6 +640,7 @@ QUERIES: dict[str, tuple] = {
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "corpus_split_summary": (corpus_split_summary, SPLIT_SUMMARY_SQL),
     "source_quota_sample": (source_quota_sample, SOURCE_QUOTA_SQL),
+    "weighted_source_sample": (weighted_source_sample, WEIGHTED_SAMPLE_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "source_temperature_mix": (source_temperature_mix, TEMPERATURE_MIX_SQL),

@@ -449,3 +449,67 @@ def test_vocab_heavy_hitters_subfloor_support_stays_exact(spark):
         for r in C.vocab_heavy_hitters(df, support=5e-5).collect()
     }
     assert got["needle"] == 3
+
+
+def test_weighted_sample_matches_python_oracle(spark):
+    """A-ES keys replayed in Python select the identical id set, and a
+    dominant-weight item is always chosen."""
+    import math
+
+    from consent_based_conversion_adjustments_spark.operators.corpus import (
+        ES_MOD,
+        ES_MULT,
+        weighted_sample,
+    )
+
+    rows = [(i, 10 ** 6 if i == 7 else (i % 5) + 1) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def key(i, w):
+        u = ((i * ES_MULT) % ES_MOD + 0.5) / float(ES_MOD)
+        return math.log(u) / max(float(w), 1e-12)
+
+    expect = {
+        i for i, _ in sorted(
+            rows, key=lambda r: (-key(r[0], r[1]), r[0])
+        )[:10]
+    }
+    got = {
+        r["doc_id"]
+        for r in weighted_sample(df, "w", 10, id_col="doc_id").collect()
+    }
+    assert got == expect
+    assert 7 in got  # the ~10^6-weight item is effectively certain
+
+
+def test_weighted_sample_global_plan_is_take_ordered(spark):
+    """Global mode must be per-partition top-k (TakeOrderedAndProject),
+    never a global single-partition sort."""
+    from consent_based_conversion_adjustments_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    plan = weighted_sample(df, "w", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_grouped_respects_k_and_determinism(spark):
+    from consent_based_conversion_adjustments_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("src"),
+        (F.col("id") % 9 + 1).alias("w"),
+    )
+    a = weighted_sample(df, "w", 6, by="src").collect()
+    b = weighted_sample(df, "w", 6, by="src").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per = {}
+    for r in a:
+        per[r["src"]] = per.get(r["src"], 0) + 1
+    assert all(v == 6 for v in per.values()) and len(per) == 4
