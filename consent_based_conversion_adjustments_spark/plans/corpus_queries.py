@@ -484,6 +484,83 @@ ORDER BY split_a, split_b
 """
 
 
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX for what split_leakage_pairs audits: assign train/val/test
+    by the near-dup CLUSTER representative, not the doc id, so every
+    near-duplicate pair lands in the same split by construction (dedup-
+    aware splitting — the standard ordering modern corpus pipelines use:
+    cluster first, split on the cluster key). Composition: MinHash graph
+    → connected components → split_key = component min-id (docs with no
+    near-dup keep their own id) → the same Fibonacci-mixed hash split as
+    assign_split, keyed on split_key.
+
+    Scale: adds nothing beyond the dedup_clusters pipeline it reuses —
+    one extra doc_id-keyed left join and a stateless hash map."""
+    from ..operators import dedup as D
+    from .data_queries import JACCARD_THRESHOLD
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup(
+        docs, "text", "doc_id", threshold=JACCARD_THRESHOLD
+    )
+    cc = D.connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    keyed = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("split_key"),
+        )
+    )
+    return (
+        C.assign_split(keyed, "split_key")
+        .select("doc_id", "split_key", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _split_case_for(col: str) -> str:
+    """The assign_split CASE on an arbitrary int column (int64-exact)."""
+    bucket = (
+        f"((({_sql_hash(f'CAST({col} AS VARCHAR)')}) * 2654435761)"
+        f" % 4294967296) * {C.SPLIT_BUCKETS} // 4294967296"
+    )
+    return f"""CASE
+    WHEN {bucket} < {C.TRAIN_UPPER} THEN 'train'
+    WHEN {bucket} < {C.VAL_UPPER} THEN 'val'
+    ELSE 'test' END"""
+
+
+def _leakage_safe_splits_sql() -> str:
+    from .data_queries import _minhash_sql
+
+    return f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) mp),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM p
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM p
+),
+comp(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, c.label
+    FROM comp c JOIN edges e ON e.src = c.node
+),
+labels AS (
+    SELECT node, min(label) AS component FROM comp GROUP BY node
+),
+r AS (
+    SELECT d.doc_id, coalesce(l.component, d.doc_id) AS split_key
+    FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+)
+SELECT doc_id, split_key, {_split_case_for('split_key')} AS split
+FROM r
+ORDER BY doc_id
+"""
+
+
 def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters through a sketch-prefilter cascade: freqItems
     (bounded-state KPS counter sketch, superset guarantee) proposes
@@ -636,6 +713,7 @@ QUERIES: dict[str, tuple] = {
     "vocab_heavy_hitters": (vocab_heavy_hitters, HEAVY_HITTERS_SQL),
     "dsir_importance": (dsir_importance, DSIR_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
+    "leakage_safe_splits": (leakage_safe_splits, _leakage_safe_splits_sql()),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "corpus_split_summary": (corpus_split_summary, SPLIT_SUMMARY_SQL),

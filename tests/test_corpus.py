@@ -513,3 +513,44 @@ def test_weighted_sample_grouped_respects_k_and_determinism(spark):
     for r in a:
         per[r["src"]] = per.get(r["src"], 0) + 1
     assert all(v == 6 for v in per.values()) and len(per) == 4
+
+
+def test_leakage_safe_splits_no_straddling_pairs(spark):
+    """The invariant the operator exists for: zero near-dup pairs
+    straddle splits (split_leakage_pairs' audit comes back clean when
+    splitting on the cluster key)."""
+    from consent_based_conversion_adjustments_spark.operators import dedup as D
+
+    base = "common shared tokens alpha beta gamma delta epsilon zeta eta"
+    docs = [(i, f"{base} tail{i % 3}") for i in range(30)] + [
+        (100 + i, f"unique doc number {i} with its own words entirely{i}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = D.minhash_neardup(df, "text", "doc_id", threshold=0.8)
+    cc = D.connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    keyed = (
+        df.select("doc_id")
+        .join(cc, df["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("split_key")
+        )
+    )
+    splits = C.assign_split(keyed, "split_key").select("doc_id", "split")
+    j = (
+        pairs.join(
+            splits.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "split", "sa"
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "split", "sb"
+            ),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    assert pairs.count() > 0, "fixture must contain near-dup pairs"
+    assert j.count() == 0
