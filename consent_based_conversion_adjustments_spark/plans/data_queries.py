@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import sql_round, stable_round
 from ..operators import cluster as C
 from ..operators import dedup as D
+from ..operators import linalg as L
 from ..operators import text as X
 from ..operators.multimodal import binary_metadata
 from ..operators.similarity_search import (
@@ -1319,6 +1320,82 @@ def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the embedding columns from ONE
+    Arrow-batched partial-Gram pass (operators.linalg.gram_stats): each
+    partition ships a dim×dim BLAS accumulation, the combine is a hash
+    agg on the cell index, and the mean/count corrections are 1-row /
+    dim-row broadcast attaches — nothing scales with table rows except
+    the single scan."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    g = L.gram_stats(emb, "embedding")
+    n = g.filter((F.col("d1") == -1) & (F.col("d2") == -1)).select(
+        F.col("s").alias("__n")
+    )
+    mu = g.filter((F.col("d2") == -1) & (F.col("d1") >= 0))
+    cells = g.filter((F.col("d1") >= 0) & (F.col("d2") >= 0))
+    return (
+        cells.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(
+                mu.select(F.col("d1").alias("__da"), F.col("s").alias("__s1"))
+            ),
+            F.col("d1") == F.col("__da"),
+        )
+        .join(
+            F.broadcast(
+                mu.select(F.col("d1").alias("__db"), F.col("s").alias("__s2"))
+            ),
+            F.col("d2") == F.col("__db"),
+        )
+        .select(
+            "d1",
+            "d2",
+            stable_round(
+                F.col("s") / F.col("__n")
+                - (F.col("__s1") / F.col("__n"))
+                * (F.col("__s2") / F.col("__n")),
+                6,
+            ).alias("cov"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+EMBEDDING_COV_SQL = """
+WITH e AS (
+    SELECT vec_id,
+           unnest(range(0, 64)) AS d,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+    FROM embeddings
+), m AS (
+    SELECT d, sum(x) / count(*) AS mu FROM e GROUP BY d
+), j AS (
+    SELECT a.d AS d1, b.d AS d2, sum(a.x * b.x) / count(*) AS exy
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+    GROUP BY a.d, b.d
+)
+SELECT CAST(j.d1 AS INT) AS d1, CAST(j.d2 AS INT) AS d2,
+       {c} AS cov
+FROM j
+JOIN m ma ON ma.d = j.d1
+JOIN m mb ON mb.d = j.d2
+ORDER BY d1, d2
+""".format(c=sql_round("j.exy - ma.mu * mb.mu", 6))
+
+
+def embedding_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened top-4 principal coordinates per vector: distributed
+    covariance fit (one Gram pass) → driver-side 64×64 eigh (bounded,
+    deterministic sign convention) → unrolled codegen projection.
+    Genuinely non-SQL-expressible (eigendecomposition) — registered
+    rows-only; numpy-parity and whitening-variance pytests carry the
+    value check."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    mean, comps, vars_ = L.pca_fit(emb, 4)
+    return L.pca_project(emb, mean, comps, whiten_by=vars_).orderBy("vec_id")
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully distributed Lloyd's k-means (k=8, 3 iterations) over the
     embeddings table — assignment is an unrolled zero-shuffle codegen
@@ -1941,6 +2018,8 @@ QUERIES: dict[str, tuple] = {
     "events_peak_attribution": (events_peak_attribution, EVENTS_PEAK_SQL),
     "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "kmeans_clusters": (kmeans_clusters, KMEANS_SQL),
+    "embedding_covariance": (embedding_covariance, EMBEDDING_COV_SQL),
+    "embedding_pca_coords": (embedding_pca_coords, None),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
     "audio_features": (audio_features, _audio_sql),
     "image_phash_dedup": (image_phash_dedup, _image_phash_sql),

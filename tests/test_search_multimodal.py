@@ -566,3 +566,57 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert len(out) == 6
     assert all(0 <= r["cluster"] < 5 for r in out)
     assert len({r["cluster"] for r in out}) == 2  # two distinct points
+
+
+def test_gram_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from consent_based_conversion_adjustments_spark.operators.linalg import (
+        covariance_fit,
+    )
+
+    rng = [
+        [((i * 7 + d * 3) % 11) / 11.0 + (d % 2) * ((i % 5) / 5.0)
+         for d in range(6)]
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<float>",
+    )
+    mean, cov, n = covariance_fit(df)
+    x = np.array(rng, dtype=np.float32).astype(np.float64)
+    assert n == 40
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(x, rowvar=False, bias=True), atol=1e-9)
+
+
+def test_pca_project_matches_numpy_and_whitens(spark):
+    import numpy as np
+
+    from consent_based_conversion_adjustments_spark.operators.linalg import (
+        pca_fit,
+        pca_project,
+    )
+
+    # planted 2-factor structure in 5-d
+    rows = []
+    for i in range(60):
+        a = ((i * 13) % 17) / 17.0 - 0.5
+        b = ((i * 5) % 13) / 13.0 - 0.5
+        rows.append(
+            (i, [3 * a, 3 * a + 0.1 * b, b, -b + 0.05 * a, 0.01 * a])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mean, comps, vars_ = pca_fit(df, 2)
+    assert vars_[0] >= vars_[1] > 0
+    assert abs(float(np.dot(comps[0], comps[1]))) < 1e-8  # orthogonal
+    out = pca_project(
+        df, mean, comps, whiten_by=vars_, scale=9
+    ).orderBy("vec_id")
+    got = np.array([[r["pc0"], r["pc1"]] for r in out.collect()])
+    x = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    want = (x - np.array(mean)) @ np.array(comps).T / np.sqrt(vars_)
+    assert np.allclose(got, want, atol=1e-6)
+    # whitened coords have unit variance
+    assert np.allclose(got.var(axis=0), 1.0, atol=1e-6)
