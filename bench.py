@@ -56,6 +56,10 @@ HEADLINE = [
     ("vocab_heavy_hitters", corpus_queries.vocab_heavy_hitters),
     ("dsir_importance", corpus_queries.dsir_importance),
     ("incremental_dedup_admission", data_queries.incremental_dedup_admission),
+    ("dup_spans", data_queries.dup_spans),
+    ("dup_span_scrub", data_queries.dup_span_scrub),
+    ("kmeans_clusters", data_queries.kmeans_clusters),
+    ("weighted_source_sample", corpus_queries.weighted_source_sample),
     # The checkpoint-heavy queries run LAST: their localCheckpoint
     # blocks are freed by the ContextCleaner only after driver-side GC, and
     # even with the drain below a residue of that cleanup can land in the

@@ -6,23 +6,35 @@ sampling). Unlike ``similarity_search.ivf_topk``'s coarse quantizer —
 which fits driver-side on a bounded sample — this is the full
 distributed fit: every assignment pass and every centroid update runs
 on the cluster; only the k×(dim+1) running-centroid table crosses the
-driver per iteration (k=8, dim=64 → ~4 KB), which is the same bounded
-shape as a broadcast-variable update on any Spark ML iteration.
+driver per iteration (k=8, dim=64 → ~4 KB), the same bounded shape as a
+broadcast-variable update on any Spark ML iteration.
 
-Scale design, per iteration:
+Physical strategy — the assignment is an Arrow-batched NumPy kernel
+(mapInPandas), the same decision as the kNN join's BLAS kernel and for
+the same measured reason: a k·dim unrolled Catalyst expression for the
+distances falls out of whole-stage codegen (the argmin needs the k
+distances twice, or a higher-order function to let-bind them — HOFs are
+interpreted, and the fallback interpreter walks ~4k expression nodes
+per row). Measured per assignment pass over 128k×64-d rows: 65 s
+(transform-let form), 13 s (duplicated array_position/least form),
+<1 s (NumPy kernel). The kernel emits per-batch PARTIAL per-cluster
+sums (cell, count, Σx) — k rows per Arrow batch — so the centroid
+update shuffles k·n_batches tiny rows, never the vectors; the final
+labeling pass emits (id, cluster) rows only.
 
-- **Assignment is zero-shuffle.** Centroids are baked into one unrolled
-  Catalyst expression (k·dim fused multiply-adds in whole-stage
-  codegen, summed left-to-right so the float order is reproducible) —
-  no N×k pair explosion, no crossJoin, no window. Argmin ties break to
-  the lowest cluster id via a first-match when-chain.
-- **The update is one map-side-combinable hash agg**: per-cluster count
-  + dim column sums (k rows × dim+1 cols per partition partial), then
-  the new means are rounded to a fixed decimal scale so the next
-  iteration's literals are reproducible across summation orders —
-  which is exactly what makes the DuckDB oracle replay bit-exact.
-- Empty clusters keep their previous centroid (mirrored in the oracle
-  via a LEFT JOIN + coalesce against the prior centroid table).
+Per iteration: one corpus scan, zero vector shuffles, one k·n_batches-
+row hash agg. Empty clusters keep their previous centroid (mirrored in
+the oracle via LEFT JOIN + coalesce against the prior centroid table).
+
+Cross-engine exactness: centroids are rounded to a fixed decimal scale
+each iteration, so the DuckDB oracle replays init + every update from
+identical inputs. Distances inside one pass are NumPy float64 (pairwise
+summation) vs the oracle's sequential list_sum — bit-differences can
+flip an argmin only when two centroids are within float error of
+EXACTLY equidistant, which for distinct rounded centroids on real data
+is measure-zero; true ties (duplicate vectors) resolve to the lowest
+cluster id in both engines (np.argmin and ORDER BY dist, cell both take
+the first minimum).
 
 Deterministic init: the k vectors with the smallest Knuth-mixed id hash
 (``(id·2654435761) mod 2^53-ish``), tie-broken by id — spread like a
@@ -35,47 +47,72 @@ extensions).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
+from typing import Iterator
 
-from .similarity_search import _cast_double
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 INIT_MULT = 2654435761
 INIT_MOD = 9007199254740881  # < 2^53: id·mult stays integer-exact in SQL
 ROUND_SCALE = 6
 
 
-def _assign_expr(vec: str, cents: str, k: int, dim: int) -> Column:
-    """Argmin cluster id: first centroid (lowest id) achieving the
-    minimum unrolled squared-L2 distance, terms summed left-to-right
-    (index order) so Spark and the SQL twin add the same doubles in the
-    same order and distances compare bit-identically. Ties resolve like
-    the oracle's ``ORDER BY dist, cell`` row_number (array_position
-    returns the FIRST index of the minimum).
+def _dists(x, cents):
+    import numpy as np
 
-    Three driver-cost traps, all measured on the k=8/dim=64 fit:
-    - the k·dim distance terms appear in the plan exactly ONCE — the
-      distance array is let-bound (transform-over-1-array) and the
-      argmin reads the lambda variable; a least(...)/when-chain form
-      re-embeds the whole k·dim subtree per branch (76 s of driver
-      analysis per fit);
-    - the expression is built as ONE generated SQL string → a single
-      py4j call, instead of ~k·dim·4 Python Column operator calls each
-      paying a py4j round-trip (the dominant cost at ~2,000 nodes);
-    - the centroids arrive as a COLUMN (1-row broadcast attach), not as
-      literals, so the generated code is byte-identical across Lloyd
-      iterations and both the analyzer and the codegen cache see a
-      repeated, already-compiled shape."""
-    dist = lambda j: " + ".join(  # noqa: E731
-        f"(element_at({vec},{d})-element_at(element_at({cents},{j}),{d}))"
-        f"*(element_at({vec},{d})-element_at(element_at({cents},{j}),{d}))"
-        for d in range(1, dim + 1)
+    # explicit (x - c)^2 per centroid: k small, keeps memory at
+    # batch×dim and matches the oracle's formula term-for-term
+    return np.stack(
+        [np.square(x - c).sum(axis=1) for c in cents], axis=1
     )
-    arr = "array(" + ",".join(dist(j) for j in range(1, k + 1)) + ")"
-    return F.expr(
-        f"CAST(transform(array({arr}), "
-        "a -> array_position(a, array_min(a)) - 1)[0] AS INT)"
-    )
+
+
+def _partials_kernel(cents, id_col: str, vec_col: str):
+    """Per Arrow batch: assign, then emit k partial rows
+    (cell, cnt, per-dim sum) — the vectors never leave the executor."""
+    import numpy as np
+
+    c = np.asarray(cents, dtype=np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cell = np.argmin(_dists(x, c), axis=1)
+            cells, inv = np.unique(cell, return_inverse=True)
+            cnt = np.bincount(inv)
+            sums = np.zeros((len(cells), x.shape[1]))
+            np.add.at(sums, inv, x)
+            yield pd.DataFrame(
+                {
+                    "cell": cells.astype("int32"),
+                    "cnt": cnt.astype("int64"),
+                    "s": list(sums),
+                }
+            )
+
+    return run
+
+
+def _cells_kernel(cents, id_col: str, vec_col: str):
+    import numpy as np
+
+    c = np.asarray(cents, dtype=np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cell = np.argmin(_dists(x, c), axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cluster": cell.astype("int32")}
+            )
+
+    return run
 
 
 def kmeans_assign(
@@ -96,50 +133,45 @@ def kmeans_assign(
             [], f"{id_col} long, cluster int"
         )
     dim = len(first[0])
-    v = df.select(F.col(id_col), _cast_double(vec_col).alias("__v"))
+    v = df.select(F.col(id_col), F.col(vec_col))
 
     init_key = (F.col(id_col) * F.lit(INIT_MULT)) % F.lit(INIT_MOD)
     cents: list[list[float]] = [
-        [float(x) for x in r["__v"]]
+        [float(x) for x in r[vec_col]]  # float32 -> exact float64
         for r in v.orderBy(init_key, F.col(id_col)).limit(k).collect()
     ]
     k = len(cents)  # degenerate inputs: fewer vectors than k
-    spark = df.sparkSession
-
-    def with_cells(cent_vals: list[list[float]]) -> DataFrame:
-        # 1-row broadcast attach keeps the generated assignment code
-        # byte-identical across iterations (codegen cache hit)
-        cdf = spark.createDataFrame(
-            [(cent_vals,)], "__cents array<array<double>>"
-        )
-        return v.crossJoin(F.broadcast(cdf)).withColumn(
-            "cell", _assign_expr("__v", "__cents", k, dim)
-        )
 
     for _ in range(iters):
-        sums = (
-            with_cells(cents)
-            .groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                *[
-                    F.sum(F.element_at("__v", d + 1)).alias(f"s{d}")
-                    for d in range(dim)
-                ],
+        parts = v.mapInPandas(
+            _partials_kernel(cents, id_col, vec_col),
+            "cell int, cnt long, s array<double>",
+        )
+        agg = (
+            parts.select(
+                "cell", "cnt", F.posexplode("s").alias("d", "x")
             )
+            .groupBy("cell", "d")
+            .agg(F.sum("x").alias("sx"), F.sum("cnt").alias("cnt"))
             .collect()
         )
         new = [list(c) for c in cents]  # empty cluster keeps its centroid
-        for r in sums:
-            cnt = r["cnt"]
-            new[r["cell"]] = [
-                round(r[f"s{d}"] / cnt - 1e-9, scale) + 0.0
+        by_cell: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in agg:
+            by_cell.setdefault(r["cell"], {})[r["d"]] = r["sx"]
+            counts[r["cell"]] = r["cnt"]
+        for cell, sums in by_cell.items():
+            cnt = counts[cell]
+            new[cell] = [
+                round(sums[d] / cnt - 1e-9, scale) + 0.0
                 for d in range(dim)
             ]
         cents = new
 
-    return with_cells(cents).select(
-        F.col(id_col), F.col("cell").alias("cluster")
+    return v.mapInPandas(
+        _cells_kernel(cents, id_col, vec_col),
+        f"{id_col} long, cluster int",
     )
 
 
