@@ -1656,6 +1656,66 @@ FROM orders
 """
 
 
+def customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO customer: a CDC-style source derived from orders —
+    per-customer spend becomes the updated balance, every 13th ordering
+    customer is a delete, and every 7th reappears as a shifted-key
+    insert (exercising all three MERGE clauses). One full-outer
+    equi-join on the key; AQE broadcast-promotes the batch side
+    (operators.merge.merge_upsert)."""
+    from ..operators.merge import merge_upsert
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    agg = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(stable_round(F.sum("o_totalprice") / 1000, 2).alias("__bal"))
+    )
+    updates = agg.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("__bal").alias("c_acctbal"),
+        (F.col("o_custkey") % 13 == 0).alias("__del"),
+    )
+    inserts = agg.filter(F.col("o_custkey") % 7 == 0).select(
+        (F.col("o_custkey") + 1000000).alias("c_custkey"),
+        F.col("__bal").alias("c_acctbal"),
+        F.lit(False).alias("__del"),
+    )
+    merged = merge_upsert(
+        cust,
+        updates.unionByName(inserts),
+        ["c_custkey"],
+        delete_col="__del",
+    )
+    return merged.orderBy("c_custkey")
+
+
+MERGE_UPSERT_SQL = """
+WITH agg AS (
+    SELECT o_custkey, {bal} AS bal
+    FROM orders GROUP BY o_custkey
+), src AS (
+    SELECT o_custkey AS c_custkey, bal AS c_acctbal,
+           (o_custkey % 13 = 0) AS del
+    FROM agg
+    UNION ALL
+    SELECT o_custkey + 1000000, bal, FALSE
+    FROM agg WHERE o_custkey % 7 = 0
+)
+SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+       t.c_name AS c_name,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+            ELSE t.c_acctbal END AS c_acctbal,
+       t.c_mktsegment AS c_mktsegment
+FROM customer t
+FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+WHERE NOT (s.c_custkey IS NOT NULL AND s.del)
+ORDER BY c_custkey
+""".format(bal=sql_round("sum(o_totalprice) / 1000", 2))
+
+
 QUERIES: dict[str, tuple] = {
     "orders_global_rank": (orders_global_rank, GLOBAL_RANK_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
@@ -1697,5 +1757,5 @@ QUERIES: dict[str, tuple] = {
     "window_rolling_7d_revenue": (window_rolling_7d_revenue, WINDOW_ROLLING_SQL),
     "order_gaps": (order_gaps, ORDER_GAPS_SQL),
     "distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_SQL),
-    "pivot_nation_segments": (pivot_nation_segments, PIVOT_SQL),
+    "pivot_nation_segments": (pivot_nation_segments, PIVOT_SQL),    "customer_merge_upsert": (customer_merge_upsert, MERGE_UPSERT_SQL),
 }

@@ -43,3 +43,61 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_merge_upsert_three_clauses(spark):
+    """All MERGE clauses on a hand-checkable fixture: matched update,
+    matched delete, not-matched insert, target-only pass-through, and
+    source-only delete as a no-op."""
+    import pyspark.sql.functions as F
+
+    from consent_based_conversion_adjustments_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, bal double",
+    )
+    source = spark.createDataFrame(
+        [
+            (2, 99.0, False),   # matched update
+            (3, 0.0, True),     # matched delete
+            (5, 55.0, False),   # insert
+            (6, 0.0, True),     # source-only delete -> no-op
+        ],
+        "k long, bal double, del boolean",
+    )
+    got = {
+        r["k"]: (r["name"], r["bal"])
+        for r in merge_upsert(
+            target, source, ["k"], delete_col="del"
+        ).collect()
+    }
+    assert got == {
+        1: ("a", 10.0),   # untouched
+        2: ("b", 99.0),   # updated bal, kept name
+        4: ("d", 40.0),   # untouched
+        5: (None, 55.0),  # inserted; target-only col null
+    }
+
+
+def test_merge_upsert_idempotent_reapply(spark):
+    """Re-applying the same CDC batch is a fixed point (upsert, not
+    append): second merge leaves the table unchanged."""
+    from consent_based_conversion_adjustments_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, bal double"
+    )
+    source = spark.createDataFrame(
+        [(i, 100.0 + i, i % 5 == 0) for i in range(0, 30, 2)],
+        "k long, bal double, del boolean",
+    )
+    once = merge_upsert(target, source, ["k"], delete_col="del")
+    twice = merge_upsert(once, source, ["k"], delete_col="del")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
