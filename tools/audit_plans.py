@@ -245,6 +245,35 @@ def main() -> int:
         "ResolvedHint" not in analyzed_of(nd16),
     )
 
+    # Round-7 operators. dup_spans: duplicated-position marking must be a
+    # (left-)semi equi-join against the dup-shingle aggregate — never a
+    # cartesian/nested-loop pass — and the island windows key on doc_id.
+    sp = data_queries.dup_spans(spark, SF)
+    p = plan_of(sp)
+    check(
+        "dup_spans: semi-join marking, no quadratic join",
+        ("LeftSemi" in p or "Semi" in p)
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    )
+    # k-means: assignment is the Arrow kernel (vectors never shuffle);
+    # exactly the scan feeds it — no Exchange below the kernel.
+    km = data_queries.kmeans_clusters(spark, SF)
+    check(
+        "kmeans: Arrow kernel labeling, no vector shuffle",
+        "MapInPandas" in plan_of(km),
+    )
+    # MERGE upsert: one equi-join (SMJ/SHJ/BHJ all fine), nothing
+    # quadratic; the conditional projection stays Catalyst-side.
+    mu = relational.customer_merge_upsert(spark, SF)
+    p = plan_of(mu)
+    check(
+        "merge upsert: single equi-join, no quadratic join",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "FullOuter" in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
