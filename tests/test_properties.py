@@ -205,3 +205,74 @@ def test_global_rank_is_the_window_rank(spark, seed, n, n_parts):
         ).collect()
     }
     assert got == want
+
+
+def _py_duplicate_spans(docs, n=3, min_count=2):
+    """Pure-Python reference for duplicate_spans (same polynomial hash)."""
+
+    def h(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % 1_000_000_007
+        return acc
+
+    pos = {}  # doc -> [(p, shingle_hash)]
+    counts = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        n_sh = max(len(toks) - (n - 1), 1)
+        pos[doc_id] = []
+        for p in range(n_sh):
+            sh = h(" ".join(toks[p : p + n]))
+            pos[doc_id].append((p, sh))
+            counts[sh] = counts.get(sh, 0) + 1
+    spans = []
+    for doc_id, plist in pos.items():
+        dup = [p for p, sh in plist if counts[sh] >= min_count]
+        start = prev = None
+        for p in dup:
+            if prev is not None and p - prev <= n:
+                prev = p
+                continue
+            if start is not None:
+                spans.append((doc_id, start, prev + n))
+            start = prev = p
+        if start is not None:
+            spans.append((doc_id, start, prev + n))
+    return sorted(spans)
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_duplicate_spans_match_python_reference(spark, seed):
+    from consent_based_conversion_adjustments_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> many collisions
+    docs = [
+        (
+            i,
+            " ".join(
+                vocab[rng.randint(len(vocab))]
+                for _ in range(rng.randint(1, 25))
+            ),
+        )
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, "text", "doc_id", n=3).collect()
+    )
+    assert got == _py_duplicate_spans(docs)
+    # structural invariants: spans at least n tokens; per-doc spans
+    # disjoint with gaps > n (else they would have merged)
+    per_doc = {}
+    for d, a, b in got:
+        assert b - a >= 3
+        per_doc.setdefault(d, []).append((a, b))
+    for ss in per_doc.values():
+        for (a1, b1), (a2, b2) in zip(ss, ss[1:]):
+            assert a2 - (b1 - 3) > 3  # next start vs last shingle pos
