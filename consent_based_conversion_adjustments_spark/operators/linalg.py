@@ -67,14 +67,12 @@ def gram_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return parts.groupBy("d1", "d2").agg(F.sum("s").alias("s"))
 
 
-def covariance_fit(
-    df: DataFrame, vec_col: str = "embedding"
-) -> tuple[list[float], list[list[float]], int]:
-    """Collect the bounded gram_stats result (dim·(dim+3)/2 + 1 rows)
-    and assemble (mean, covariance, n) driver-side."""
+def assemble_cov(rows) -> tuple[list[float], list[list[float]], int]:
+    """Assemble (mean, covariance, n) from collected gram_stats cells —
+    shared by the batch fit and the streaming RunningStatsStore (the
+    partials are additive, so the same assembly serves both)."""
     import numpy as np
 
-    rows = gram_stats(df, vec_col).collect()
     n = int(next(r["s"] for r in rows if r["d1"] == -1 and r["d2"] == -1))
     sums = {r["d1"]: r["s"] for r in rows if r["d2"] == -1 and r["d1"] >= 0}
     dim = len(sums)
@@ -86,6 +84,14 @@ def covariance_fit(
             g[r["d2"], r["d1"]] = r["s"]
     cov = g / n - np.outer(mean, mean)
     return mean.tolist(), cov.tolist(), n
+
+
+def covariance_fit(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[list[float]], int]:
+    """Collect the bounded gram_stats result (dim·(dim+3)/2 + 1 rows)
+    and assemble (mean, covariance, n) driver-side."""
+    return assemble_cov(gram_stats(df, vec_col).collect())
 
 
 def pca_fit(
