@@ -1151,6 +1151,32 @@ ORDER BY doc_id
 """
 
 
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle counts over the MinHash near-dup graph
+    (operators.dedup.triangle_counts): the cohesion signal that
+    separates tight duplicate nests from borderline-match chains."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup(
+        docs, "text", "doc_id", threshold=JACCARD_THRESHOLD
+    )
+    return D.triangle_counts(pairs)
+
+
+def _triangles_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+tri AS (
+    SELECT w.a, w.b, w.c FROM w
+    WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c)
+),
+n AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+SELECT doc_id, count(*) AS n_triangles
+FROM n GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def corpus_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-detected-language corpus profile: composes the per-doc
     text_stats pass with one aggregation over the predicted language —
@@ -1512,6 +1538,103 @@ GROUP BY 1, 2
 ORDER BY 1
 """.format(
     tv=sql_round("sum(value)", 3), pv=sql_round("sum(e.value)", 3)
+)
+
+
+def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: each user's event
+    stream regularized onto an hourly grid spanning their first→last
+    hour, carrying the last observed value across gaps (the standard
+    gap-fill before joining irregular telemetry against anything
+    gridded).
+
+    Scale shape: events reduce to one row per (user, hour) FIRST (hash
+    agg + per-hour window), the grid explodes only span-hours per user
+    (never events × hours), and the fill is one last_value(ignorenulls)
+    window keyed on user — a single user-keyed shuffle. Long-lived hot
+    users inherit the per-source window caveat (range-partition by
+    (user, time bucket) and fill per bucket with a carried seed)."""
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+    wlast = Window.partitionBy("user_id", "hour_ts").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = h.select(
+        "user_id",
+        "hour_ts",
+        "value",
+        F.row_number().over(wlast).alias("__rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id", "hour_ts"))
+        .alias("__cnt"),
+    )
+    per_hour = ranked.filter(F.col("__rn") == 1).select(
+        "user_id",
+        "hour_ts",
+        F.col("value").alias("__v"),
+        F.col("__cnt").alias("n_events"),
+    )
+    spans = h.groupBy("user_id").agg(
+        F.min("hour_ts").alias("__h0"), F.max("hour_ts").alias("__h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("__h0", "__h1", F.expr("interval 1 hour"))
+        ).alias("hour_ts"),
+    )
+    joined = grid.join(per_hour, ["user_id", "hour_ts"], "left")
+    wff = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour_ts",
+        stable_round(F.last("__v", ignorenulls=True).over(wff), 6).alias(
+            "value_ff"
+        ),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    ).orderBy("user_id", "hour_ts")
+
+
+EVENTS_RESAMPLE_SQL = """
+WITH h AS (
+    SELECT user_id, date_trunc('hour', ts) AS hour_ts, ts, event_id, value
+    FROM events
+), ranked AS (
+    SELECT user_id, hour_ts, value,
+           row_number() OVER (PARTITION BY user_id, hour_ts
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id, hour_ts) AS cnt
+    FROM h
+), ph AS (
+    SELECT user_id, hour_ts, value AS v, cnt AS n_events
+    FROM ranked WHERE rn = 1
+), spans AS (
+    SELECT user_id, min(hour_ts) AS h0, max(hour_ts) AS h1
+    FROM h GROUP BY user_id
+), grid AS (
+    SELECT user_id,
+           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+    FROM spans
+), joined AS (
+    SELECT g.user_id, g.hour_ts, ph.v,
+           coalesce(ph.n_events, 0) AS n_events
+    FROM grid g LEFT JOIN ph USING (user_id, hour_ts)
+)
+SELECT user_id, hour_ts,
+       {v} AS value_ff,
+       CAST(n_events AS BIGINT) AS n_events
+FROM joined
+ORDER BY user_id, hour_ts
+""".format(
+    v=sql_round(
+        "last_value(v IGNORE NULLS) OVER ("
+        "PARTITION BY user_id ORDER BY hour_ts ROWS UNBOUNDED PRECEDING)",
+        6,
+    )
 )
 
 
@@ -1999,6 +2122,7 @@ QUERIES: dict[str, tuple] = {
         _streaming_admission_sql,
     ),
     "dedup_clusters": (dedup_clusters, _clusters_sql()),
+    "neardup_triangles": (neardup_triangles, _triangles_sql()),
     "corpus_canonical_ids": (corpus_canonical_ids, _canonical_sql()),
     "corpus_language_profile": (corpus_language_profile, _language_profile_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
@@ -2015,6 +2139,7 @@ QUERIES: dict[str, tuple] = {
     "events_value_quantiles_approx": (events_value_quantiles_approx, None),
     "events_value_anomalies": (events_value_anomalies, EVENTS_ANOMALIES_SQL),
     "events_retention": (events_retention, EVENTS_RETENTION_SQL),
+    "events_resample_hourly": (events_resample_hourly, EVENTS_RESAMPLE_SQL),
     "events_peak_attribution": (events_peak_attribution, EVENTS_PEAK_SQL),
     "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "kmeans_clusters": (kmeans_clusters, KMEANS_SQL),

@@ -683,3 +683,22 @@ def test_scrub_duplicate_spans_planted(spark):
     assert out[4] == (5, 5, "u1 u2 u3 u4 u5")  # untouched doc survives whole
     assert out[5] == (2, 0, "")  # span end clamps to the short doc's length
     assert out[6] == (2, 0, "")
+
+
+def test_triangle_counts_known_graph(spark):
+    """Hand-checkable graph: K4 on 1-4 (each node in C(3,2)=3 triangles),
+    a triangle 5-6-7, a chain 8-9-10 (triangle-free), an isolated edge."""
+    edges = []
+    k4 = [1, 2, 3, 4]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            edges.append((k4[i], k4[j]))
+    edges += [(5, 6), (5, 7), (6, 7)]
+    edges += [(8, 9), (9, 10)]
+    edges += [(11, 12)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in D.triangle_counts(df).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1, 7: 1}
