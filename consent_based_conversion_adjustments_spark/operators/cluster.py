@@ -175,6 +175,75 @@ def kmeans_assign(
     )
 
 
+def pq_codes(
+    df: DataFrame,
+    n_subspaces: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al., TPAMI 2011 — the IVF-PQ
+    compression standard): the vector splits into ``n_subspaces``
+    contiguous slices, each slice gets its own k-means codebook
+    (``kmeans_assign`` — the Arrow-kernel Lloyd fit), and a vector's
+    code is its per-subspace centroid ids — dim·4 bytes compress to
+    n_subspaces·log2(k) bits (64·4B → 3B at the defaults).
+
+    Scale shape: each sub-fit inherits kmeans_assign's costs (scan-bound
+    passes, k×(dim/m+1) driver rows); the final code table assembles via
+    id-keyed joins of the m assignment frames. Fits are independent —
+    at cluster scale submit them as concurrent jobs."""
+    dim = len(df.select(vec_col).first()[0])
+    width = dim // n_subspaces
+    out = None
+    for j in range(n_subspaces):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * width + 1, width).alias(vec_col),
+        )
+        codes = kmeans_assign(
+            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        ).withColumnRenamed("cluster", f"code_{j}")
+        out = codes if out is None else out.join(codes, id_col)
+    return out.orderBy(id_col)
+
+
+def pq_sql(
+    n_subspaces: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``pq_codes``: one full kmeans replay per subspace
+    (sliced vector expression), joined on the id."""
+    width = dim // n_subspaces
+    subs = []
+    for j in range(n_subspaces):
+        sliced = f"{vec_col}[{j * width + 1} : {j * width + width}]"
+        inner = kmeans_sql(
+            k=k,
+            iters=iters,
+            dim=width,
+            table=table,
+            id_col=id_col,
+            vec_col=sliced,
+        )
+        subs.append(
+            f"(SELECT {id_col}, cluster AS code_{j} FROM ({inner}) s{j})"
+        )
+    joins = subs[0] + " v0"
+    for j in range(1, n_subspaces):
+        joins += f" JOIN {subs[j]} v{j} USING ({id_col})"
+    cols = ", ".join(f"code_{j}" for j in range(n_subspaces))
+    return f"SELECT {id_col}, {cols} FROM {joins} ORDER BY {id_col}"
+
+
 def kmeans_sql(
     k: int = 8,
     iters: int = 3,

@@ -1346,6 +1346,18 @@ def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (8 subspaces × 8 centroids, 2 Lloyd
+    iterations each): the IVF-PQ compression step — 64×4 B vectors
+    become 8 3-bit codes. Each subspace is an independent Arrow-kernel
+    k-means fit; the oracle replays all eight (operators.cluster.pq_codes)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return C.pq_codes(emb, n_subspaces=8, k=8, iters=2)
+
+
+PQ_SQL = C.pq_sql(n_subspaces=8, k=8, iters=2, dim=64)
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle covariance of the embedding columns from ONE
     Arrow-batched partial-Gram pass (operators.linalg.gram_stats): each
@@ -2144,6 +2156,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "kmeans_clusters": (kmeans_clusters, KMEANS_SQL),
     "embedding_covariance": (embedding_covariance, EMBEDDING_COV_SQL),
+    "embedding_pq_codes": (embedding_pq_codes, PQ_SQL),
     "embedding_pca_coords": (embedding_pca_coords, None),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
     "audio_features": (audio_features, _audio_sql),

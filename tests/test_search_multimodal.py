@@ -620,3 +620,40 @@ def test_pca_project_matches_numpy_and_whitens(spark):
     assert np.allclose(got, want, atol=1e-6)
     # whitened coords have unit variance
     assert np.allclose(got.var(axis=0), 1.0, atol=1e-6)
+
+
+def test_pq_codes_compress_and_reconstruct(spark):
+    """PQ sanity: codes are deterministic, bounded by k, and the
+    codebook reconstruction error is well below the raw signal energy
+    (quantization actually captures structure)."""
+    import numpy as np
+
+    from consent_based_conversion_adjustments_spark.operators.cluster import (
+        kmeans_assign,
+        pq_codes,
+    )
+
+    rng = [
+        [((i * 11 + d * 5) % 17) / 17.0 for d in range(8)] for i in range(64)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<float>",
+    )
+    a = pq_codes(df, n_subspaces=4, k=4, iters=2).collect()
+    b = pq_codes(df, n_subspaces=4, k=4, iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    codes = {r["vec_id"]: [r[f"code_{j}"] for j in range(4)] for r in a}
+    assert all(0 <= c < 4 for cs in codes.values() for c in cs)
+
+    # reconstruction: per-subspace centroid means of assigned members
+    x = np.array(rng)
+    err = 0.0
+    for j in range(4):
+        sub = x[:, j * 2 : j * 2 + 2]
+        assign = np.array([codes[i][j] for i in range(64)])
+        for c in set(assign):
+            m = sub[assign == c].mean(axis=0)
+            err += float(((sub[assign == c] - m) ** 2).sum())
+    energy = float(((x - x.mean(axis=0)) ** 2).sum())
+    assert err < 0.5 * energy
