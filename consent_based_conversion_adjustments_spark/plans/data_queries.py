@@ -1434,6 +1434,58 @@ def embedding_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.pca_project(emb, mean, comps, whiten_by=vars_).orderBy("vec_id")
 
 
+def streaming_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming stats store end-to-end: three micro-batches
+    (vec_id % 3) flow through ``RunningStatsStore.process_batch`` — the
+    exact ``foreachBatch`` body — against an epoch-partitioned parquet
+    table in a fresh temp dir, and the assembled covariance cells are
+    read back. Because Gram partials are additive, the stream result
+    equals the batch fit EXACTLY, so the oracle is the same SQL as
+    `embedding_covariance` — the strongest batch≡stream check in the
+    registry (value-identical, not just semantics-equivalent). The
+    readStream→sink wiring is exercised in tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming.stats import RunningStatsStore
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    store = RunningStatsStore(tempfile.mkdtemp(prefix="cocoa_gram_store_"))
+    for epoch in range(3):
+        store.process_batch(emb.filter(F.col("vec_id") % 3 == epoch), epoch)
+    g = store.totals(spark).localCheckpoint()
+    n = g.filter((F.col("d1") == -1) & (F.col("d2") == -1)).select(
+        F.col("s").alias("__n")
+    )
+    mu = g.filter((F.col("d2") == -1) & (F.col("d1") >= 0))
+    cells = g.filter((F.col("d1") >= 0) & (F.col("d2") >= 0))
+    return (
+        cells.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(
+                mu.select(F.col("d1").alias("__da"), F.col("s").alias("__s1"))
+            ),
+            F.col("d1") == F.col("__da"),
+        )
+        .join(
+            F.broadcast(
+                mu.select(F.col("d1").alias("__db"), F.col("s").alias("__s2"))
+            ),
+            F.col("d2") == F.col("__db"),
+        )
+        .select(
+            "d1",
+            "d2",
+            stable_round(
+                F.col("s") / F.col("__n")
+                - (F.col("__s1") / F.col("__n"))
+                * (F.col("__s2") / F.col("__n")),
+                6,
+            ).alias("cov"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully distributed Lloyd's k-means (k=8, 3 iterations) over the
     embeddings table — assignment is an unrolled zero-shuffle codegen
@@ -2157,6 +2209,7 @@ QUERIES: dict[str, tuple] = {
     "kmeans_clusters": (kmeans_clusters, KMEANS_SQL),
     "embedding_covariance": (embedding_covariance, EMBEDDING_COV_SQL),
     "embedding_pq_codes": (embedding_pq_codes, PQ_SQL),
+    "streaming_covariance": (streaming_covariance, EMBEDDING_COV_SQL),
     "embedding_pca_coords": (embedding_pca_coords, None),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
     "audio_features": (audio_features, _audio_sql),
