@@ -1151,7 +1151,10 @@ def hamming_pairs_grouped(
 
 
 def triangle_counts(
-    edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    orient_by_degree: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected edge list with
     ``a < b`` per row (the near-dup pair contract) — the standard
@@ -1159,33 +1162,171 @@ def triangle_counts(
     tight duplicate nests, triangle-free ones are chains of borderline
     matches that a canonical-pick may over-merge.
 
-    Compact-forward enumeration: each triangle a<b<c is found exactly
-    once by joining (a,b)⋈(b,c) on the middle node and closing (a,c)
-    against the edge set — two equi-joins, no direction blowup. At
-    scale this is the node-iterator algorithm; for power-law graphs,
-    pre-orient edges by (degree, id) instead of raw id so the join
-    fan-out is bounded by arboricity rather than max degree (the
-    standard compact-forward refinement; raw id order is exact too,
-    just hotter on high-degree hubs)."""
-    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    Compact-forward enumeration (Latapy 2008): orient every edge from
+    the lower to the higher endpoint under the (degree, id) total
+    order, build wedges by self-joining out-edges on their source, and
+    close each wedge against the oriented edge set — every triangle is
+    found exactly once at its lowest-ordered apex. The degree
+    orientation is what makes this scale-safe: out-degrees under
+    degree order are bounded by O(√m) on ANY graph (vs max-degree
+    fan-out under raw id order), which on the near-clique components a
+    dup-dense corpus produces is the difference between Σ deg² wedge
+    blowup and Σ outdeg² — measured at the 64× rung: the id-ordered
+    variant burned >190 CPU-minutes without finishing; degree-ordered
+    completes in seconds-to-minutes (PERF.md). ``orient_by_degree=
+    False`` keeps the raw-id orientation for small graphs / A-B runs.
+    Results are orientation-invariant (same triangles either way).
+
+    Cost shape: one degree agg + two degree-attach joins + one wedge
+    self-join + one closing semi-join — all equi-joins on node keys.
+
+    APPLICABILITY BOUND — exact counting enumerates every triangle, and
+    a graph's triangle count is the floor on any exact algorithm's
+    work: on near-clique components (exactly what a dup-dense near-dup
+    graph produces) that is Θ(Σ C(s,3)) ≈ cubic in component size — at
+    the 64× rung the id-ordered variant burned >190 CPU-minutes before
+    being killed, and no orientation fixes an output-size bound. Use
+    this operator on sparse relation graphs; on dup graphs use
+    ``triangle_counts_sampled`` (DOULION) or compute cohesion as
+    component edge-density (|E| vs C(s,2) — linear)."""
+    e0 = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    if orient_by_degree:
+        deg = (
+            e0.select(F.explode(F.array("a", "b")).alias("n"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        ed = (
+            e0.join(
+                deg.select(
+                    F.col("n").alias("a"), F.col("d").alias("__da")
+                ),
+                "a",
+            )
+            .join(
+                deg.select(
+                    F.col("n").alias("b"), F.col("d").alias("__db")
+                ),
+                "b",
+            )
+        )
+        a_first = (F.col("__da") < F.col("__db")) | (
+            (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+        )
+        e = ed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias(
+                "__dv"
+            ),
+        )
+    else:
+        # raw-id orientation: a < b already holds
+        e = e0.select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.col("b").alias("__dv"),  # id doubles as the order key
+        )
     wedges = (
         e.alias("e1")
         .join(
-            e.alias("e2").select(
-                F.col("a").alias("b"), F.col("b").alias("c")
+            e.select(
+                F.col("u").alias("__u2"),
+                F.col("v").alias("w"),
+                F.col("__dv").alias("__dw"),
             ),
-            "b",
+            F.col("u") == F.col("__u2"),
         )
-        .select("a", "b", "c")
+        .filter(
+            (F.col("__dv") < F.col("__dw"))
+            | ((F.col("__dv") == F.col("__dw")) & (F.col("v") < F.col("w")))
+        )
+        .select("u", "v", "w")
     )
     tri = wedges.join(
-        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+        e.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"],
+        "left_semi",
     )
-    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+    nodes = tri.select(F.explode(F.array("u", "v", "w")).alias("doc_id"))
     return (
         nodes.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("doc_id")
+    )
+
+
+TRI_MULT_A = 2654435761
+TRI_MULT_B = 40503
+
+
+def triangle_counts_sampled(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    q: int = 8,
+) -> DataFrame:
+    """DOULION triangle estimation (Tsourakakis et al., KDD 2009): keep
+    each edge with probability 1/q, count triangles exactly on the
+    sparsified graph, scale by q³. This is the triangle signal that
+    SURVIVES dup-dense graphs — the sparsified near-cliques have their
+    triangle mass cut by q³, turning an enumeration-infeasible output
+    (see triangle_counts' applicability bound) into a tractable one
+    with an unbiased global estimate.
+
+    Deterministic: the coin is a Knuth-mixed hash of the edge's
+    endpoint pair (int64-exact, replayed verbatim in the SQL oracle),
+    so the estimate is stable across runs/partitions/engines. Returns
+    per-node (doc_id, n_sampled, est_triangles = n_sampled·q³);
+    per-node estimates carry the usual DOULION variance — aggregate
+    over components/corpus for tight estimates."""
+    mixed = (
+        F.col(a_col) * F.lit(TRI_MULT_A) + F.col(b_col) * F.lit(TRI_MULT_B)
+    ) % F.lit(BAND_KEY_MOD)
+    kept = edges.filter(mixed % F.lit(q) == 0)
+    counts = triangle_counts(kept, a_col, b_col)
+    return counts.select(
+        "doc_id",
+        F.col("n_triangles").alias("n_sampled"),
+        (F.col("n_triangles") * F.lit(q**3)).alias("est_triangles"),
+    )
+
+
+def component_density(
+    edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Per-component cohesion as edge density — the LINEAR-cost cohesion
+    metric for dup graphs where triangle enumeration is output-bound:
+    density = |E| / C(s,2) is 1.0 for a perfect duplicate nest and →0
+    for chains of borderline matches, computed from one connected-
+    components pass + two component-keyed aggs (no per-triangle work).
+    Returns (component, n_nodes, n_edges, density)."""
+    cc = connected_components(edges, a_col=a_col, b_col=b_col)
+    nodes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+    lab = cc.select(
+        F.col("node").alias(a_col), F.col("component").alias("__comp")
+    )
+    edge_comp = edges.join(lab, a_col).groupBy("__comp").agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+    from ..functions.rounding import stable_round
+
+    return (
+        nodes.join(
+            edge_comp, nodes["component"] == edge_comp["__comp"]
+        )
+        .select(
+            "component",
+            "n_nodes",
+            "n_edges",
+            stable_round(
+                F.col("n_edges")
+                * 2.0
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                6,
+            ).alias("density"),
+        )
+        .orderBy("component")
     )
 
 

@@ -1177,6 +1177,81 @@ FROM n GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def neardup_triangles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION triangle estimation over the near-dup graph (q=4): the
+    scale-surviving variant — exact enumeration is output-bound on
+    dup-dense graphs (operators.dedup.triangle_counts docstring). The
+    hash coin is int64-exact, so the oracle replays the sampled graph
+    and the counts verbatim."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup(
+        docs, "text", "doc_id", threshold=JACCARD_THRESHOLD
+    )
+    return D.triangle_counts_sampled(pairs, q=4)
+
+
+def _triangles_sampled_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+e AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    WHERE ((doc_a * {D.TRI_MULT_A} + doc_b * {D.TRI_MULT_B})
+           % {D.BAND_KEY_MOD}) % 4 = 0
+),
+w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+tri AS (
+    SELECT w.a, w.b, w.c FROM w
+    WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c)
+),
+n AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+SELECT doc_id, count(*) AS n_sampled,
+       count(*) * 64 AS est_triangles
+FROM n GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def neardup_component_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component edge density over the near-dup graph — the
+    linear-cost cohesion metric (1.0 = perfect duplicate nest, →0 =
+    borderline-match chain); the production replacement for triangle
+    counting on dup-dense graphs."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup(
+        docs, "text", "doc_id", threshold=JACCARD_THRESHOLD
+    )
+    return D.component_density(pairs)
+
+
+def _component_density_sql() -> str:
+    d = sql_round("n_edges * 2.0 / (n_nodes * (n_nodes - 1))", 6)
+    return f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) mp),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM p
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM p
+),
+comp(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, c.label
+    FROM comp c JOIN edges e ON e.src = c.node
+),
+labels AS (SELECT node, min(label) AS component FROM comp GROUP BY node),
+nn AS (SELECT component, count(*) AS n_nodes FROM labels GROUP BY component),
+ec AS (
+    SELECT l.component, count(*) AS n_edges
+    FROM p JOIN labels l ON l.node = p.doc_a
+    GROUP BY l.component
+)
+SELECT component, n_nodes, n_edges,
+       {d} AS density
+FROM nn JOIN ec USING (component)
+ORDER BY component
+"""
+
+
 def corpus_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-detected-language corpus profile: composes the per-doc
     text_stats pass with one aggregation over the predicted language —
@@ -2187,6 +2262,14 @@ QUERIES: dict[str, tuple] = {
     ),
     "dedup_clusters": (dedup_clusters, _clusters_sql()),
     "neardup_triangles": (neardup_triangles, _triangles_sql()),
+    "neardup_triangles_sampled": (
+        neardup_triangles_sampled,
+        _triangles_sampled_sql(),
+    ),
+    "neardup_component_density": (
+        neardup_component_density,
+        _component_density_sql(),
+    ),
     "corpus_canonical_ids": (corpus_canonical_ids, _canonical_sql()),
     "corpus_language_profile": (corpus_language_profile, _language_profile_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),

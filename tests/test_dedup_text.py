@@ -702,3 +702,40 @@ def test_triangle_counts_known_graph(spark):
         for r in D.triangle_counts(df).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1, 7: 1}
+
+
+def test_component_density_clique_vs_chain(spark):
+    """Density separates a perfect nest (K4, density 1.0) from a chain
+    (4-path, density 0.5)."""
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]  # K4
+    edges += [(10, 11), (11, 12), (12, 13)]  # chain of 4
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["component"]: (r["n_nodes"], r["n_edges"], r["density"])
+        for r in D.component_density(df).collect()
+    }
+    assert got[1] == (4, 6, 1.0)
+    assert got[10] == (4, 3, 0.5)
+
+
+def test_triangle_sampling_deterministic_and_subset(spark):
+    """The DOULION coin is a pure hash: two runs agree, q=1 keeps every
+    edge (estimate == exact count), larger q keeps a subset."""
+    import itertools
+
+    nodes = list(range(12))
+    edges = [(a, b) for a, b in itertools.combinations(nodes, 2)]  # K12
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    exact = {
+        r["doc_id"]: r["n_triangles"]
+        for r in D.triangle_counts(df).collect()
+    }
+    assert all(v == 55 for v in exact.values())  # C(11,2) per node in K12
+    full = {
+        r["doc_id"]: r["est_triangles"]
+        for r in D.triangle_counts_sampled(df, q=1).collect()
+    }
+    assert full == exact
+    a = sorted(map(tuple, D.triangle_counts_sampled(df, q=3).collect()))
+    b = sorted(map(tuple, D.triangle_counts_sampled(df, q=3).collect()))
+    assert a == b and len(a) <= len(exact)
