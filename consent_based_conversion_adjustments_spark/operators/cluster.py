@@ -115,7 +115,21 @@ def _cells_kernel(cents, id_col: str, vec_col: str):
     return run
 
 
-def kmeans_assign(
+def kmeans_label(
+    df: DataFrame,
+    cents: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Label rows against fixed centroids (one Arrow kernel pass)."""
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _cells_kernel(cents, id_col, vec_col),
+        f"{id_col} long, cluster int",
+    )
+
+
+def kmeans_fit(
     df: DataFrame,
     k: int = 8,
     iters: int = 3,
@@ -123,15 +137,11 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = ROUND_SCALE,
-) -> DataFrame:
-    """Fit k-means with ``iters`` Lloyd updates and return the final
-    assignment (id_col, cluster). Cluster identity is the deterministic
-    init ordering, so results are stable run-to-run and cross-engine."""
+) -> list[list[float]]:
+    """Run the Lloyd loop and return the final (rounded) centroids."""
     first = df.select(vec_col).first()
     if first is None:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, cluster int"
-        )
+        return []
     dim = len(first[0])
     v = df.select(F.col(id_col), F.col(vec_col))
 
@@ -169,10 +179,29 @@ def kmeans_assign(
             ]
         cents = new
 
-    return v.mapInPandas(
-        _cells_kernel(cents, id_col, vec_col),
-        f"{id_col} long, cluster int",
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = ROUND_SCALE,
+) -> DataFrame:
+    """Fit k-means with ``iters`` Lloyd updates and return the final
+    assignment (id_col, cluster). Cluster identity is the deterministic
+    init ordering, so results are stable run-to-run and cross-engine."""
+    cents = kmeans_fit(
+        df, k, iters, id_col=id_col, vec_col=vec_col, scale=scale
     )
+    if not cents:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster int"
+        )
+    return kmeans_label(df, cents, id_col=id_col, vec_col=vec_col)
 
 
 def pq_codes(
@@ -195,19 +224,144 @@ def pq_codes(
     passes, k×(dim/m+1) driver rows); the final code table assembles via
     id-keyed joins of the m assignment frames. Fits are independent —
     at cluster scale submit them as concurrent jobs."""
+    return pq_fit_codes(
+        df, n_subspaces, k, iters, id_col=id_col, vec_col=vec_col
+    )[1].orderBy(id_col)
+
+
+def pq_fit_codes(
+    df: DataFrame,
+    n_subspaces: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[list[float]]], DataFrame]:
+    """Fit the per-subspace codebooks and label every row: returns
+    (centroids[m][k][width], codes frame with code_0..code_{m-1})."""
     dim = len(df.select(vec_col).first()[0])
     width = dim // n_subspaces
+    cents_all: list[list[list[float]]] = []
     out = None
     for j in range(n_subspaces):
         sub = df.select(
             F.col(id_col),
             F.slice(F.col(vec_col), j * width + 1, width).alias(vec_col),
         )
-        codes = kmeans_assign(
+        cents = kmeans_fit(
             sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        cents_all.append(cents)
+        codes = kmeans_label(
+            sub, cents, id_col=id_col, vec_col=vec_col
         ).withColumnRenamed("cluster", f"code_{j}")
         out = codes if out is None else out.join(codes, id_col)
-    return out.orderBy(id_col)
+    return cents_all, out
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    n_subspaces: int = 8,
+    n_cents: int = 8,
+    iters: int = 2,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate nearest neighbors (asymmetric distance
+    computation, Jégou et al. 2011): fit PQ codebooks on the
+    candidates, precompute each query's m×k distance table driver-side
+    (queries are the bounded side, like every ANN entry point here),
+    then score candidates by m table lookups per row in an Arrow kernel
+    that emits only its BATCH-LOCAL top-k per query — the global window
+    ranks n_batches·n_queries·k rows, never the full candidate set.
+    Approximate squared-L2 (codebook-quantized); exact re-rank of the
+    shortlist is one join away when needed.
+
+    Scale: the per-row cost is m integer lookups + adds (vectorized
+    fancy-indexing over the whole batch), the only full-table pass is
+    the scan, and nothing pairwise survives past the per-batch top-k."""
+    import numpy as np
+
+    from ..functions.rounding import stable_round
+
+    cents_all, codes = pq_fit_codes(
+        candidates,
+        n_subspaces,
+        n_cents,
+        iters,
+        id_col=cand_id,
+        vec_col=vec_col,
+    )
+    width = len(cents_all[0][0])
+    m = n_subspaces
+    qrows = queries.select(query_id, vec_col).collect()
+    qids = np.asarray([r[query_id] for r in qrows])
+    qv = np.asarray(
+        [[float(x) for x in r[vec_col]] for r in qrows], dtype=np.float64
+    )
+    n_c = max(len(c) for c in cents_all)
+    tables = np.zeros((len(qids), m, n_c))
+    for j, cents in enumerate(cents_all):
+        c = np.asarray(cents, dtype=np.float64)
+        sub = qv[:, j * width : (j + 1) * width]
+        for ci in range(c.shape[0]):
+            tables[:, j, ci] = np.square(sub - c[ci]).sum(axis=1)
+    code_cols = [f"code_{j}" for j in range(m)]
+    kk = int(k)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_np = pdf[code_cols].to_numpy()
+            acc = np.zeros((len(qids), len(pdf)))
+            for j in range(m):
+                acc += tables[:, j, codes_np[:, j]]
+            cand = pdf[cand_id].to_numpy()
+            outs = []
+            for qi in range(len(qids)):
+                idx = np.nonzero(cand != qids[qi])[0]
+                if not len(idx):
+                    continue
+                order = np.lexsort((cand[idx], acc[qi, idx]))[:kk]
+                sel = idx[order]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            query_id: qids[qi],
+                            cand_id: cand[sel],
+                            "pq_dist": acc[qi, sel],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    local = codes.mapInPandas(
+        run, f"{query_id} long, {cand_id} long, pq_dist double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("pq_dist"), F.col(cand_id)
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            cand_id,
+            stable_round("pq_dist", 6).alias("pq_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
 
 
 def pq_sql(
@@ -253,10 +407,13 @@ def kmeans_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = ROUND_SCALE,
+    emit: str = "assign",
 ) -> str:
     """DuckDB twin of ``kmeans_assign``: replays init, every assignment
     (same left-to-right float sums via list_sum) and every rounded
-    centroid update as chained CTEs."""
+    centroid update as chained CTEs. ``emit="cents"`` returns the final
+    centroid table (cell, v) instead of the assignment — the
+    ``kmeans_fit`` twin used by the ADC oracle."""
     rng = f"range(1, {dim} + 1)"
 
     def assign(src: str, cents: str, out_cols: str) -> str:
@@ -298,9 +455,89 @@ u{i} AS (
     FROM {prev} p LEFT JOIN n{i} USING (cell)
 )"""
         )
+    if emit == "cents":
+        return (
+            "WITH "
+            + ",\n".join(parts)
+            + f"\nSELECT cell, v FROM c{iters}"
+        )
     final = assign("v", f"c{iters}", f"{id_col}, CAST(cell AS INT) AS cluster")
     return (
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT * FROM {final} ORDER BY {id_col}"
     )
+
+
+def pq_topk_sql(
+    k_out: int,
+    n_subspaces: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id % 100 = 0",
+) -> str:
+    """DuckDB twin of ``pq_topk``: replays every subspace's codebook fit
+    twice (codes + final centroids), then computes the ADC distance for
+    ALL (query, candidate) pairs and ranks — batch-local top-k on the
+    Spark side preserves the global top-k, so the full ranking is the
+    exact oracle."""
+    width = dim // n_subspaces
+    code_joins = []
+    cent_joins = []
+    dist_terms = []
+    for j in range(n_subspaces):
+        sliced = f"{vec_col}[{j * width + 1} : {j * width + width}]"
+        codes_j = kmeans_sql(
+            k=k, iters=iters, dim=width, table=table,
+            id_col=id_col, vec_col=sliced,
+        )
+        cents_j = kmeans_sql(
+            k=k, iters=iters, dim=width, table=table,
+            id_col=id_col, vec_col=sliced, emit="cents",
+        )
+        code_joins.append(
+            f"(SELECT {id_col}, cluster AS code_{j} FROM ({codes_j}) s{j})"
+            f" cd{j}"
+        )
+        cent_joins.append(
+            f"JOIN ({cents_j}) ct{j} ON ct{j}.cell = codes.code_{j}"
+        )
+        dist_terms.append(
+            f"list_sum(list_transform(range(1, {width} + 1), "
+            f"d -> (q.qv[{j * width} + d] - ct{j}.v[d])"
+            f" * (q.qv[{j * width} + d] - ct{j}.v[d])))"
+        )
+    codes_sql = (
+        f"SELECT * FROM {code_joins[0]} "
+        + " ".join(
+            f"JOIN {code_joins[j]} USING ({id_col})"
+            for j in range(1, n_subspaces)
+        )
+    )
+    dist = " + ".join(dist_terms)
+    return f"""
+WITH q AS (
+    SELECT {id_col} AS query_id,
+           list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS qv
+    FROM {table} WHERE {query_pred}
+), codes AS ({codes_sql}),
+pairs AS (
+    SELECT q.query_id, codes.{id_col} AS cand_id, {dist} AS pq_dist
+    FROM codes CROSS JOIN q
+    {' '.join(cent_joins)}
+    WHERE codes.{id_col} <> q.query_id
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY pq_dist, cand_id) AS rank
+    FROM pairs
+)
+SELECT query_id, cand_id,
+       round((pq_dist) - 1e-9, 6) + 0.0 AS pq_dist, rank
+FROM ranked WHERE rank <= {k_out}
+ORDER BY query_id, rank
+"""

@@ -1509,6 +1509,19 @@ def embedding_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.pca_project(emb, mean, comps, whiten_by=vars_).orderBy("vec_id")
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate nearest neighbors (8×8 codebooks, 2 Lloyd
+    iterations): candidates scored by m table lookups in an Arrow
+    kernel that keeps only batch-local top-k — the full candidate set
+    never reaches the ranking window. Oracle replays every codebook fit
+    and ranks the complete ADC distance set (operators.cluster.pq_topk)."""
+    queries, candidates = _query_candidates(spark, sf_dir)
+    return C.pq_topk(queries, candidates, ANN_K)
+
+
+PQ_TOPK_SQL = C.pq_topk_sql(ANN_K, n_subspaces=8, k=8, iters=2, dim=64)
+
+
 def streaming_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming stats store end-to-end: three micro-batches
     (vec_id % 3) flow through ``RunningStatsStore.process_batch`` — the
@@ -2293,6 +2306,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_covariance": (embedding_covariance, EMBEDDING_COV_SQL),
     "embedding_pq_codes": (embedding_pq_codes, PQ_SQL),
     "streaming_covariance": (streaming_covariance, EMBEDDING_COV_SQL),
+    "ann_pq_topk": (ann_pq_topk, PQ_TOPK_SQL),
     "embedding_pca_coords": (embedding_pca_coords, None),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
     "audio_features": (audio_features, _audio_sql),

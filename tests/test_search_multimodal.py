@@ -657,3 +657,43 @@ def test_pq_codes_compress_and_reconstruct(spark):
             err += float(((sub[assign == c] - m) ** 2).sum())
     energy = float(((x - x.mean(axis=0)) ** 2).sum())
     assert err < 0.5 * energy
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """ADC shortlist recall against exact L2 on clustered data: with
+    per-cluster structure the quantized distances must recover most of
+    the true neighbors; also deterministic across runs."""
+    import numpy as np
+
+    from consent_based_conversion_adjustments_spark.operators.cluster import (
+        pq_topk,
+    )
+
+    rows = []
+    for i in range(160):
+        blob = i % 4
+        base = [(blob * 7 + d) % 5 * 2.0 for d in range(16)]
+        jitter = [((i * 13 + d * 3) % 7) / 7.0 for d in range(16)]
+        rows.append((i, [b + j for b, j in zip(base, jitter)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = df.select(F.col("vec_id").alias("cand_id"), "embedding")
+    got = pq_topk(
+        queries, cands, 10, n_subspaces=4, n_cents=8, iters=2
+    ).collect()
+    got2 = pq_topk(
+        queries, cands, 10, n_subspaces=4, n_cents=8, iters=2
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+    x = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    recalls = []
+    for q in [0, 40, 80, 120]:
+        d = np.square(x - x[q]).sum(axis=1)
+        d[q] = np.inf
+        exact = set(np.argsort(d)[:10])
+        approx = {r["cand_id"] for r in got if r["query_id"] == q}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5
