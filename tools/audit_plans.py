@@ -263,6 +263,16 @@ def main() -> int:
         "kmeans: Arrow kernel labeling, no vector shuffle",
         "MapInPandas" in plan_of(km),
     )
+    # PQ-ADC search: scoring is the Arrow kernel with batch-local top-k;
+    # no pairwise join materializes the candidate set.
+    pq = data_queries.ann_pq_topk(spark, SF)
+    p = plan_of(pq)
+    check(
+        "pq-adc topk: Arrow kernel scoring, no quadratic join",
+        "MapInPandas" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    )
     # MERGE upsert: one equi-join (SMJ/SHJ/BHJ all fine), nothing
     # quadratic; the conditional projection stays Catalyst-side.
     mu = relational.customer_merge_upsert(spark, SF)
