@@ -709,7 +709,103 @@ GROUP BY rg.doc_id
 )
 
 
+_BPE_MERGES = 8
+
+
+def _bpe_parts(n_merges: int) -> str:
+    """Shared CTE chain replaying BPE training exactly (operators.tokenizer
+    .bpe_learn): v0 = char-split word vocab with corpus counts; per
+    iteration, pair counts via zipped parallel unnests, the deterministic
+    argmax (cnt DESC, la, rb LIMIT 1), and the greedy left-to-right merge
+    as a ``list_reduce`` string-fold over a unit-separator-joined symbol
+    string — provably identical to the Spark array-fold (a just-merged
+    element never re-triggers because la||rb != la for non-empty rb)."""
+    sep = "chr(31)"
+    parts = [
+        """v0 AS (
+    SELECT word, count(*) AS n, string_split(word, '') AS syms
+    FROM (SELECT unnest({toks}) AS word FROM documents)
+    GROUP BY word
+)""".format(toks=_TOKS.format(c="text"))
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+    SELECT la, rb, sum(n) AS cnt FROM (
+        SELECT unnest(syms[1:len(syms) - 1]) AS la,
+               unnest(syms[2:len(syms)]) AS rb, n
+        FROM {prev} WHERE len(syms) >= 2)
+    GROUP BY la, rb
+), b{i} AS (
+    SELECT la, rb, cnt FROM p{i} ORDER BY cnt DESC, la, rb LIMIT 1
+), v{i} AS (
+    SELECT word, n,
+           string_split(list_reduce(syms, (acc, x) -> CASE
+               WHEN (acc = b.la OR ends_with(acc, {sep} || b.la))
+                    AND x = b.rb
+               THEN acc || b.rb
+               ELSE acc || {sep} || x END), {sep}) AS syms
+    FROM {prev} CROSS JOIN b{i} b
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (step, la, rb, merged, cnt) over the corpus
+    — distributed tokenizer induction (Sennrich et al. 2016). Beyond-
+    reference LLM-pipeline operator; scale story on operators.tokenizer."""
+    from ..operators import tokenizer as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges, _ = T.bpe_learn(docs, "text", n_merges=_BPE_MERGES)
+    return merges
+
+
+BPE_MERGES_SQL = (
+    "WITH "
+    + _bpe_parts(_BPE_MERGES)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS step, la, rb, la || rb AS merged,"
+        f" CAST(cnt AS BIGINT) AS cnt FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    + "\nORDER BY step"
+)
+
+
+def bpe_encoded_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword counts under the 8-merge BPE vocab learned on
+    the same corpus — the encoder side of tokenizer induction (token
+    explode ⋈ vocab hash join, AQE decides the strategy)."""
+    from ..operators import tokenizer as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    _, vocab = T.bpe_learn(docs, "text", n_merges=_BPE_MERGES)
+    return T.encoded_lengths(docs, vocab).orderBy("doc_id")
+
+
+BPE_ENCODED_SQL = (
+    "WITH "
+    + _bpe_parts(_BPE_MERGES)
+    + f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(len(syms)) AS BIGINT) AS n_subwords
+FROM (SELECT doc_id, unnest({_TOKS.format(c="text")}) AS word
+      FROM documents) t
+JOIN v{_BPE_MERGES} USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "bpe_merges": (bpe_merges, BPE_MERGES_SQL),
+    "bpe_encoded_lengths": (bpe_encoded_lengths, BPE_ENCODED_SQL),
     "vocab_heavy_hitters": (vocab_heavy_hitters, HEAVY_HITTERS_SQL),
     "dsir_importance": (dsir_importance, DSIR_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
