@@ -313,6 +313,94 @@ def dsir_importance_weights(
     )
 
 
+def _token_positions(df: DataFrame, text_col: str, *keep: Column) -> DataFrame:
+    """Explode ``text_col`` into ``(keep..., pos, prev, cur)`` rows —
+    1-based positions, ``prev`` NULL at pos 1, zero-token docs drop out.
+
+    The token array is let-bound (text.let) so the document is tokenized
+    ONCE, not once per position; the ``size > 0`` guard matters because
+    Spark's ``sequence(1, 0)`` is DESCENDING, not empty."""
+    pairs = let(
+        tokens(text_col),
+        lambda tk: F.when(
+            F.size(tk) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.element_at(tk, i).alias("cur"),
+                    F.when(i > 1, F.element_at(tk, i - 1)).alias("prev"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,cur:string,prev:string>>")),
+    )
+    return df.select(*keep, F.explode(pairs).alias("__t")).select(
+        *keep, "__t.*"
+    )
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document cross-entropy under an add-α smoothed bigram language
+    model trained on ``ref_docs`` — the CCNet-family quality signal
+    (Wenzek et al. 2020 score documents by LM perplexity against a clean
+    reference corpus; low cross-entropy = "looks like the reference").
+
+    Model over the reference vocabulary V (distinct reference unigrams,
+    N total tokens):  P(w₁) = (c₁(w₁)+α)/(N+αV),
+    P(wᵢ|wᵢ₋₁) = (c₂(wᵢ₋₁,wᵢ)+α)/(c₁(wᵢ₋₁)+αV); out-of-vocabulary
+    words fall through to the α mass via coalesce(·, 0). Output:
+    ``(id, n_tokens, cross_entropy)`` with cross_entropy =
+    −(ln P(w₁) + Σ ln P(wᵢ|wᵢ₋₁)) / n_tokens.
+
+    Plan at scale: two bounded count tables over the reference (unigram,
+    bigram — map-side-combinable hash aggs, persisted because each feeds
+    two consumers), scalar N/V attached as a 1-row broadcast aggregate,
+    then three equi-joins of the exploded corpus positions against the
+    count tables and one per-doc aggregation. Linear in corpus size,
+    never doc×doc; the model tables are reusable across scoring runs.
+    """
+    uni = (
+        ref_docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()
+    )
+    big = _token_positions(ref_docs, text_col).where(F.col("pos") > 1).groupBy(
+        "prev", "cur"
+    ).agg(F.count(F.lit(1)).alias("c2"))
+    scal = uni.agg(
+        F.sum("c1").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    t = _token_positions(docs, text_col, F.col(id_col))
+    a = F.lit(float(alpha))
+    av = a * F.col("__v")
+    joined = (
+        t.join(uni.select(F.col("word").alias("cur"), F.col("c1").alias("__cc")), "cur", "left")
+        .join(uni.select(F.col("word").alias("prev"), F.col("c1").alias("__pc")), "prev", "left")
+        .join(big.select("prev", "cur", "c2"), ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(scal))
+    )
+    lp = F.when(
+        F.col("pos") == 1,
+        F.log((F.coalesce("__cc", F.lit(0)) + a) / (F.col("__n") + av)),
+    ).otherwise(
+        F.log(
+            (F.coalesce("c2", F.lit(0)) + a)
+            / (F.coalesce("__pc", F.lit(0)) + av)
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum(lp) / F.count(F.lit(1))).alias("cross_entropy"),
+    )
+
+
 def temperature_sample_quotas(
     docs: DataFrame,
     source_col: str = "source",

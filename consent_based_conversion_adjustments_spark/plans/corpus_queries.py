@@ -709,6 +709,63 @@ GROUP BY rg.doc_id
 )
 
 
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scores: add-α bigram cross-entropy of every
+    document against a model trained on the `src0` reference slice
+    (Wenzek et al. 2020). Beyond-reference LLM-pipeline operator; plan
+    shape documented on operators.corpus.lm_cross_entropy."""
+    docs = read_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    out = C.lm_cross_entropy(docs, ref, "text", "doc_id", alpha=0.5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        stable_round("cross_entropy", 6).alias("cross_entropy"),
+    )
+
+
+LM_PERPLEXITY_SQL = """
+WITH toks AS (
+    SELECT doc_id, source, {toks} AS tk FROM documents
+), t AS (
+    SELECT doc_id, source, tk,
+           unnest(range(1, len(tk) + 1)) AS pos, unnest(tk) AS cur
+    FROM toks WHERE len(tk) > 0
+), tp AS (
+    SELECT doc_id, source, pos, cur,
+           CASE WHEN pos > 1 THEN tk[pos - 1] END AS prev
+    FROM t
+), uni AS (
+    SELECT cur AS word, count(*) AS c1 FROM tp WHERE source = 'src0'
+    GROUP BY cur
+), big AS (
+    SELECT prev, cur, count(*) AS c2 FROM tp
+    WHERE source = 'src0' AND pos > 1 GROUP BY prev, cur
+), scal AS (
+    SELECT sum(c1) AS n, count(*) AS v FROM uni
+), lp AS (
+    SELECT tp.doc_id,
+           CASE WHEN tp.pos = 1
+                THEN ln((coalesce(uc.c1, 0) + 0.5) / (scal.n + 0.5 * scal.v))
+                ELSE ln((coalesce(big.c2, 0) + 0.5)
+                        / (coalesce(pc.c1, 0) + 0.5 * scal.v))
+           END AS lp
+    FROM tp
+    LEFT JOIN uni uc ON tp.cur = uc.word
+    LEFT JOIN uni pc ON tp.prev = pc.word
+    LEFT JOIN big ON tp.prev = big.prev AND tp.cur = big.cur
+    CROSS JOIN scal
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       {r} AS cross_entropy
+FROM lp GROUP BY doc_id
+""".format(
+    toks=_TOKS.format(c="text"),
+    r=sql_round("-sum(lp) / count(*)", 6),
+)
+
+
 _BPE_MERGES = 8
 
 
@@ -804,6 +861,7 @@ ORDER BY doc_id
 
 
 QUERIES: dict[str, tuple] = {
+    "doc_lm_perplexity": (doc_lm_perplexity, LM_PERPLEXITY_SQL),
     "bpe_merges": (bpe_merges, BPE_MERGES_SQL),
     "bpe_encoded_lengths": (bpe_encoded_lengths, BPE_ENCODED_SQL),
     "vocab_heavy_hitters": (vocab_heavy_hitters, HEAVY_HITTERS_SQL),

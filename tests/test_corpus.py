@@ -554,3 +554,41 @@ def test_leakage_safe_splits_no_straddling_pairs(spark):
     )
     assert pairs.count() > 0, "fixture must contain near-dup pairs"
     assert j.count() == 0
+
+
+def test_lm_cross_entropy_matches_python_reference(spark):
+    ref_texts = ["the cat sat", "the cat ran", "the dog sat"]
+    all_texts = ref_texts + ["the cat sat", "zebra quark flux"]
+    df = spark.createDataFrame(
+        [(i, t, "ref" if i < 3 else "other") for i, t in enumerate(all_texts)],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.cross_entropy)
+        for r in C.lm_cross_entropy(
+            df, df.filter(F.col("source") == "ref"), "text", "doc_id"
+        ).collect()
+    }
+
+    # pure-Python twin
+    a = 0.5
+    uni, big = {}, {}
+    for t in ref_texts:
+        ws = t.split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for p, c in zip(ws, ws[1:]):
+            big[(p, c)] = big.get((p, c), 0) + 1
+    n, v = sum(uni.values()), len(uni)
+    for i, t in enumerate(all_texts):
+        ws = t.split()
+        lp = math_log((uni.get(ws[0], 0) + a) / (n + a * v))
+        for p, c in zip(ws, ws[1:]):
+            lp += math_log((big.get((p, c), 0) + a) / (uni.get(p, 0) + a * v))
+        want = -lp / len(ws)
+        got_n, got_ce = out[i]
+        assert got_n == len(ws)
+        assert abs(got_ce - want) < 1e-9, (i, got_ce, want)
+
+    # in-domain text scores strictly better than OOV gibberish
+    assert out[3][1] < out[4][1]
