@@ -2249,7 +2249,222 @@ ORDER BY v.vec_id
 """.format(pairs=EMBEDDING_NEARDUP_SQL)
 
 
+# --- Z-order data layout -----------------------------------------------------
+
+_ZBITS = 4  # 16 buckets per dimension, 16 files after the >> 4 tile shift
+
+
+def _zorder_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem with bucket / z-key / file-assignment columns. Bounds are
+    a 1-row broadcast scalar attach; everything else is a stateless map
+    (operators.layout). file_z = z >> 4 keeps the top two bits of each
+    dimension — a deterministic 4×4-tile assignment, no sort (the
+    sampling-based zorder_repartition is the production write path and is
+    covered by tests instead)."""
+    from ..operators import layout as L
+
+    li = read_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").alias("pk_lo"),
+        F.max("l_partkey").alias("pk_hi"),
+        F.min("l_suppkey").alias("sk_lo"),
+        F.max("l_suppkey").alias("sk_hi"),
+    )
+    b = (
+        li.select("l_partkey", "l_suppkey")
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bp",
+            L.int_bucket(
+                F.col("l_partkey"), F.col("pk_lo"), F.col("pk_hi"), _ZBITS
+            ),
+        )
+        .withColumn(
+            "bs",
+            L.int_bucket(
+                F.col("l_suppkey"), F.col("sk_lo"), F.col("sk_hi"), _ZBITS
+            ),
+        )
+    )
+    z = L.zorder_key([F.col("bp"), F.col("bs")], _ZBITS)
+    return b.withColumn("file_z", F.shiftright(z, _ZBITS)).withColumn(
+        "file_lin", F.col("bp")
+    )
+
+
+_ZB_SQL = {
+    "bp": f"(((l_partkey - pk_lo) * {1 << _ZBITS}) // (pk_hi - pk_lo + 1))",
+    "bs": f"(((l_suppkey - sk_lo) * {1 << _ZBITS}) // (sk_hi - sk_lo + 1))",
+}
+
+
+def _zorder_base_sql() -> str:
+    from ..operators.layout import zorder_key_sql
+
+    z = zorder_key_sql([_ZB_SQL["bp"], _ZB_SQL["bs"]], _ZBITS)
+    return f"""bounds AS (
+    SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+           min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+    FROM lineitem
+), zb AS (
+    SELECT l_partkey, l_suppkey,
+           {_ZB_SQL['bp']} AS bp,
+           {_ZB_SQL['bs']} AS bs,
+           ({z} >> {_ZBITS}) AS file_z,
+           {_ZB_SQL['bp']} AS file_lin
+    FROM lineitem CROSS JOIN bounds
+)"""
+
+
+def lineitem_zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file stats table under the Z-order layout — what a lakehouse
+    records for min/max file skipping. Beyond-reference layout operator;
+    design on operators.layout."""
+    return (
+        _zorder_base(spark, sf_dir)
+        .groupBy(F.col("file_z").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"),
+            F.max("l_suppkey").alias("sk_max"),
+        )
+        .orderBy("file_id")
+    )
+
+
+ZORDER_FILES_SQL = (
+    "WITH "
+    + _zorder_base_sql()
+    + """
+SELECT file_z AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+       min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+FROM zb GROUP BY file_z ORDER BY file_id
+"""
+)
+
+# predicate box in bucket space: the middle quarter of each dimension
+_BOX_LO, _BOX_HI = 6, 9
+
+
+def zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head file-skipping comparison: Z-order layout vs a
+    single-column sort, same file count, three predicate shapes (2-D box,
+    partkey-only, suppkey-only). A file is scanned when its min/max
+    bucket range overlaps the predicate box — exactly the lakehouse
+    min/max pruning rule. The linear layout wins nothing on partkey,
+    scans EVERYTHING on suppkey-only; Z-order prunes both."""
+    base = _zorder_base(spark, sf_dir).persist()
+    stats = (
+        base.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("zorder").alias("layout"),
+                        F.col("file_z").alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("linear").alias("layout"),
+                        F.col("file_lin").alias("file_id"),
+                    ),
+                )
+            ).alias("a"),
+            "bp",
+            "bs",
+        )
+        .select("a.layout", "a.file_id", "bp", "bs")
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("bp").alias("bp_min"),
+            F.max("bp").alias("bp_max"),
+            F.min("bs").alias("bs_min"),
+            F.max("bs").alias("bs_max"),
+        )
+    )
+    hit_pk = (F.col("bp_min") <= _BOX_HI) & (F.col("bp_max") >= _BOX_LO)
+    hit_sk = (F.col("bs_min") <= _BOX_HI) & (F.col("bs_max") >= _BOX_LO)
+
+    def scanned(cond, col=None):
+        return F.sum(
+            F.when(cond, F.col(col) if col else F.lit(1)).otherwise(0)
+        )
+
+    per_layout = stats.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        scanned(hit_pk & hit_sk).alias("files_scanned_both"),
+        scanned(hit_pk & hit_sk, "n_rows").alias("rows_scanned_both"),
+        scanned(hit_pk).alias("files_scanned_pk"),
+        scanned(hit_pk, "n_rows").alias("rows_scanned_pk"),
+        scanned(hit_sk).alias("files_scanned_sk"),
+        scanned(hit_sk, "n_rows").alias("rows_scanned_sk"),
+    )
+    in_pk = F.col("bp").between(_BOX_LO, _BOX_HI)
+    in_sk = F.col("bs").between(_BOX_LO, _BOX_HI)
+    truth = base.agg(
+        F.sum(F.when(in_pk & in_sk, 1).otherwise(0)).alias("rows_match_both"),
+        F.sum(F.when(in_pk, 1).otherwise(0)).alias("rows_match_pk"),
+        F.sum(F.when(in_sk, 1).otherwise(0)).alias("rows_match_sk"),
+    )
+    out = per_layout.crossJoin(F.broadcast(truth)).orderBy("layout")
+    base.unpersist()
+    return out
+
+
+ZORDER_PRUNING_SQL = (
+    "WITH "
+    + _zorder_base_sql()
+    + f""",
+files AS (
+    SELECT layout, file_id,
+           count(*) AS n_rows,
+           min(bp) AS bp_min, max(bp) AS bp_max,
+           min(bs) AS bs_min, max(bs) AS bs_max
+    FROM (
+        SELECT 'zorder' AS layout, file_z AS file_id, bp, bs FROM zb
+        UNION ALL
+        SELECT 'linear' AS layout, file_lin AS file_id, bp, bs FROM zb)
+    GROUP BY layout, file_id
+), per_layout AS (
+    SELECT layout,
+        CAST(count(*) AS BIGINT) AS n_files,
+        CAST(sum(CASE WHEN bp_min <= {_BOX_HI} AND bp_max >= {_BOX_LO}
+                       AND bs_min <= {_BOX_HI} AND bs_max >= {_BOX_LO}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned_both,
+        CAST(sum(CASE WHEN bp_min <= {_BOX_HI} AND bp_max >= {_BOX_LO}
+                       AND bs_min <= {_BOX_HI} AND bs_max >= {_BOX_LO}
+                 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned_both,
+        CAST(sum(CASE WHEN bp_min <= {_BOX_HI} AND bp_max >= {_BOX_LO}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned_pk,
+        CAST(sum(CASE WHEN bp_min <= {_BOX_HI} AND bp_max >= {_BOX_LO}
+                 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned_pk,
+        CAST(sum(CASE WHEN bs_min <= {_BOX_HI} AND bs_max >= {_BOX_LO}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned_sk,
+        CAST(sum(CASE WHEN bs_min <= {_BOX_HI} AND bs_max >= {_BOX_LO}
+                 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned_sk
+    FROM files GROUP BY layout
+), truth AS (
+    SELECT
+        CAST(sum(CASE WHEN bp BETWEEN {_BOX_LO} AND {_BOX_HI}
+                       AND bs BETWEEN {_BOX_LO} AND {_BOX_HI}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS rows_match_both,
+        CAST(sum(CASE WHEN bp BETWEEN {_BOX_LO} AND {_BOX_HI}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS rows_match_pk,
+        CAST(sum(CASE WHEN bs BETWEEN {_BOX_LO} AND {_BOX_HI}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS rows_match_sk
+    FROM zb
+)
+SELECT * FROM per_layout CROSS JOIN truth ORDER BY layout
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "lineitem_zorder_files": (lineitem_zorder_files, ZORDER_FILES_SQL),
+    "zorder_pruning_gain": (zorder_pruning_gain, ZORDER_PRUNING_SQL),
     "corpus_dup_coverage": (corpus_dup_coverage, DUP_COVERAGE_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "dup_span_scrub": (dup_span_scrub, DUP_SCRUB_SQL),
