@@ -284,6 +284,38 @@ def main() -> int:
         and "FullOuter" in p,
     )
 
+    # LM perplexity: three equi-joins against bounded model tables + one
+    # 1-row broadcast scalar attach; never doc×doc.
+    from consent_based_conversion_adjustments_spark.plans import corpus_queries
+
+    lm = corpus_queries.doc_lm_perplexity(spark, SF)
+    p = plan_of(lm)
+    check(
+        "lm perplexity: equi-joins only, scalar attach broadcast",
+        "CartesianProduct" not in p
+        and p.count("BroadcastNestedLoopJoin") <= 1,  # the 1-row N/V attach
+    )
+    # BPE pair counting: one hash agg per round over the vocab — the
+    # expensive argmax must be TakeOrdered, not a global sort.
+    from consent_based_conversion_adjustments_spark.operators import (
+        tokenizer as T,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pc = T._pair_counts(T.word_vocab(docs))
+    check(
+        "bpe pair counts: partial hash agg, no join",
+        "HashAggregate" in plan_of(pc) and "Join" not in plan_of(pc),
+    )
+    # Z-order: bucket+interleave is a stateless map over the scan — the
+    # only join anywhere is the 1-row bounds broadcast.
+    zf = data_queries.lineitem_zorder_files(spark, SF)
+    p = plan_of(zf)
+    check(
+        "zorder file stats: scalar-attach broadcast + hash agg only",
+        p.count("Join") == 1 and "CartesianProduct" not in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
