@@ -401,6 +401,63 @@ def lm_cross_entropy(
     )
 
 
+def bigram_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation extraction: pointwise mutual information of adjacent
+    word bigrams, PMI(a,b) = ln( (c₂(a,b)/N₂) / ((c₁(a)/N₁)·(c₁(b)/N₁)) )
+    — the classic association score for multi-word expressions (Church &
+    Hanks 1990). ``min_count`` filters the unstable low-frequency tail
+    BEFORE the joins (PMI of rare pairs is noise, and the filter keeps
+    the scored table small).
+
+    Plan at scale: bigram + unigram count tables are map-side-combinable
+    hash aggs (persisted — each feeds its scalar total and a join);
+    scalar totals 1-row broadcast attaches; then two equi-joins of the
+    frequency-filtered pair table against the unigram table. Linear in
+    corpus size; output bounded by distinct surviving bigrams.
+
+    Output: ``(prev, cur, pair_count, pmi)``.
+    """
+    pos = _token_positions(docs, text_col)
+    pairs = (
+        pos.where(F.col("pos") > 1)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .persist()
+    )
+    uni = (
+        pos.groupBy(F.col("cur").alias("word"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()
+    )
+    scal = (
+        pairs.agg(F.sum("pair_count").alias("__n2"))
+        .crossJoin(F.broadcast(uni.agg(F.sum("c1").alias("__n1"))))
+    )
+    out = (
+        pairs.where(F.col("pair_count") >= min_count)
+        .join(uni.select(F.col("word").alias("prev"), F.col("c1").alias("__ca")), "prev")
+        .join(uni.select(F.col("word").alias("cur"), F.col("c1").alias("__cb")), "cur")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "prev",
+            "cur",
+            "pair_count",
+            F.log(
+                (F.col("pair_count") / F.col("__n2"))
+                / (
+                    (F.col("__ca") / F.col("__n1"))
+                    * (F.col("__cb") / F.col("__n1"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return out
+
+
 def temperature_sample_quotas(
     docs: DataFrame,
     source_col: str = "source",

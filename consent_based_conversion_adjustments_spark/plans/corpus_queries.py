@@ -766,6 +766,56 @@ FROM lp GROUP BY doc_id
 )
 
 
+def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by PMI (Church & Hanks 1990)
+    with the deterministic (pmi DESC, prev, cur) tie-break — TakeOrdered,
+    no global sort. Beyond-reference corpus-analysis operator."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = C.bigram_pmi(docs, "text", min_count=5)
+    return (
+        out.select(
+            "prev", "cur", "pair_count", stable_round("pmi", 6).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), "prev", "cur")
+        .limit(20)
+    )
+
+
+COLLOCATION_SQL = """
+WITH toks AS (
+    SELECT {toks} AS tk FROM documents
+), t AS (
+    SELECT tk, unnest(range(1, len(tk) + 1)) AS pos, unnest(tk) AS cur
+    FROM toks WHERE len(tk) > 0
+), tp AS (
+    SELECT pos, cur, CASE WHEN pos > 1 THEN tk[pos - 1] END AS prev FROM t
+), pairs AS (
+    SELECT prev, cur, count(*) AS pair_count FROM tp WHERE pos > 1
+    GROUP BY prev, cur
+), uni AS (
+    SELECT cur AS word, count(*) AS c1 FROM tp GROUP BY cur
+), scal AS (
+    SELECT (SELECT sum(pair_count) FROM pairs) AS n2,
+           (SELECT sum(c1) FROM uni) AS n1
+)
+SELECT p.prev, p.cur, p.pair_count, {r} AS pmi
+FROM pairs p
+JOIN uni ua ON p.prev = ua.word
+JOIN uni ub ON p.cur = ub.word
+CROSS JOIN scal
+WHERE p.pair_count >= 5
+ORDER BY pmi DESC, p.prev, p.cur
+LIMIT 20
+""".format(
+    toks=_TOKS.format(c="text"),
+    r=sql_round(
+        "ln((p.pair_count / CAST(scal.n2 AS DOUBLE)) / "
+        "((ua.c1 / CAST(scal.n1 AS DOUBLE)) * (ub.c1 / CAST(scal.n1 AS DOUBLE))))",
+        6,
+    ),
+)
+
+
 _BPE_MERGES = 8
 
 
@@ -862,6 +912,7 @@ ORDER BY doc_id
 
 QUERIES: dict[str, tuple] = {
     "doc_lm_perplexity": (doc_lm_perplexity, LM_PERPLEXITY_SQL),
+    "collocation_pmi_topk": (collocation_pmi_topk, COLLOCATION_SQL),
     "bpe_merges": (bpe_merges, BPE_MERGES_SQL),
     "bpe_encoded_lengths": (bpe_encoded_lengths, BPE_ENCODED_SQL),
     "vocab_heavy_hitters": (vocab_heavy_hitters, HEAVY_HITTERS_SQL),

@@ -592,3 +592,38 @@ def test_lm_cross_entropy_matches_python_reference(spark):
 
     # in-domain text scores strictly better than OOV gibberish
     assert out[3][1] < out[4][1]
+
+
+def test_bigram_pmi_matches_python_reference(spark):
+    texts = [
+        "new york new york city hall",
+        "city hall new york is big",
+        "the big apple is new york",
+    ] * 3  # tile so pairs clear min_count
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.prev, r.cur): (r.pair_count, r.pmi)
+        for r in C.bigram_pmi(df, "text", min_count=3).collect()
+    }
+
+    uni, pairs = {}, {}
+    for t in texts:
+        ws = t.split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for p, c in zip(ws, ws[1:]):
+            pairs[(p, c)] = pairs.get((p, c), 0) + 1
+    n1, n2 = sum(uni.values()), sum(pairs.values())
+    want = {
+        k: (c, math_log((c / n2) / ((uni[k[0]] / n1) * (uni[k[1]] / n1))))
+        for k, c in pairs.items()
+        if c >= 3
+    }
+    assert set(got) == set(want)
+    for k, (c, pmi) in want.items():
+        assert got[k][0] == c
+        assert abs(got[k][1] - pmi) < 1e-9
+    # the fused collocation scores above independence, function words below
+    assert got[("new", "york")][1] > 0
