@@ -60,6 +60,10 @@ HEADLINE = [
     ("dup_span_scrub", data_queries.dup_span_scrub),
     ("kmeans_clusters", data_queries.kmeans_clusters),
     ("weighted_source_sample", corpus_queries.weighted_source_sample),
+    ("bpe_merges", corpus_queries.bpe_merges),
+    ("doc_lm_perplexity", corpus_queries.doc_lm_perplexity),
+    ("collocation_pmi_topk", corpus_queries.collocation_pmi_topk),
+    ("zorder_pruning_gain", data_queries.zorder_pruning_gain),
     # The checkpoint-heavy queries run LAST: their localCheckpoint
     # blocks are freed by the ContextCleaner only after driver-side GC, and
     # even with the drain below a residue of that cleanup can land in the
