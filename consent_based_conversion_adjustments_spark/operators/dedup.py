@@ -1330,6 +1330,121 @@ def component_density(
     )
 
 
+def pagerank(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    damping: float = 0.85,
+    iters: int = 3,
+    scale: int = 9,
+) -> DataFrame:
+    """PageRank over the (undirected) near-dup pair graph → ``(node,
+    pr)`` — the centrality signal that ranks which documents sit at the
+    CORE of a duplication nest versus its periphery (useful for picking
+    canonical representatives by linkage rather than min-id, and for
+    prioritizing dup-cluster review). Standard power iteration with
+    symmetrized edges, so every node has out-degree ≥ 1 and there is no
+    dangling mass.
+
+    Cross-engine exactness: each iteration's rank is stable-rounded to
+    ``scale`` decimals (the kmeans-oracle precedent) so the DuckDB replay
+    — identical arithmetic per round, including the ``(1.0 - d)/n``
+    subexpression shape — hash-matches despite engine-order float sums
+    (per-node sums have degree-bounded terms, error ≪ the 1e-9 shift).
+
+    Plan at scale: the degree-annotated out-edge list is built once and
+    persisted; each iteration is ONE equi-join of the current rank table
+    against it plus a map-side-combinable sum — the canonical distributed
+    PageRank shape. Rank state is localCheckpointed per round (the
+    iterative-lineage lesson on connected_components), previous snapshot
+    unpersisted, so storage holds ≤ 2 rank tables + the edge list.
+    Driver traffic: the single node-count scalar.
+    """
+    from ..functions.rounding import stable_round
+
+    half = pairs.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    )
+    edges = half.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(half.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = edges.join(deg, "src").persist()
+    n = out_edges.select("src").distinct().count()
+    ranks = (
+        out_edges.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("node"),
+            stable_round(F.lit(1.0) / F.lit(float(n)), scale).alias("pr"),
+        )
+        .localCheckpoint()
+    )
+    d = float(damping)
+    for _ in range(iters):
+        contrib = (
+            out_edges.join(
+                ranks.select(F.col("node").alias("src"), "pr"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("__s"))
+        )
+        new = contrib.select(
+            F.col("dst").alias("node"),
+            stable_round(
+                (F.lit(1.0) - F.lit(d)) / F.lit(float(n))
+                + F.lit(d) * F.col("__s"),
+                scale,
+            ).alias("pr"),
+        )
+        old, ranks = ranks, new.localCheckpoint()
+        old.unpersist()
+    out_edges.unpersist()
+    return ranks
+
+
+def pagerank_sql(
+    pairs_sql: str,
+    damping: float = 0.85,
+    iters: int = 3,
+    scale: int = 9,
+) -> str:
+    """DuckDB twin of ``pagerank`` — generated by the same parameters so
+    per-round arithmetic (including the ``(1.0 - d)/n`` shape and the
+    stable rounding) can never drift."""
+    d = repr(float(damping))
+    rounds = []
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        rounds.append(
+            f"""r{i} AS (
+    SELECT e.dst AS node,
+           round((1.0 - {d}) / n.n + {d} * sum(r.pr / e.deg)
+                 - 1e-9, {scale}) + 0.0 AS pr
+    FROM oe e JOIN {prev} r ON e.src = r.node CROSS JOIN n
+    GROUP BY e.dst, n.n
+)"""
+        )
+    return f"""
+WITH pairs AS ({pairs_sql}),
+e AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+oe AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg ON e.src = deg.src),
+n AS (SELECT count(*) AS n FROM deg),
+r0 AS (
+    SELECT src AS node, round(1.0 / n.n - 1e-9, {scale}) + 0.0 AS pr
+    FROM deg CROSS JOIN n
+),
+{",".join(rounds)}
+SELECT node AS doc_id, pr FROM r{iters} ORDER BY doc_id
+"""
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

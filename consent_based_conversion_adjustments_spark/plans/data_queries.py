@@ -1210,6 +1210,23 @@ FROM n GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash near-dup graph
+    (operators.dedup.pagerank): ranks documents by how central they sit
+    in their duplication nest — a linkage-based canonical-pick signal.
+    Oracle replays all 3 power-iteration rounds with identical per-round
+    stable rounding."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup(
+        docs, "text", "doc_id", threshold=JACCARD_THRESHOLD
+    )
+    return (
+        D.pagerank(pairs, damping=0.85, iters=3)
+        .select(F.col("node").alias("doc_id"), "pr")
+        .orderBy("doc_id")
+    )
+
+
 def neardup_component_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-component edge density over the near-dup graph — the
     linear-cost cohesion metric (1.0 = perfect duplicate nest, →0 =
@@ -2490,6 +2507,10 @@ QUERIES: dict[str, tuple] = {
     ),
     "dedup_clusters": (dedup_clusters, _clusters_sql()),
     "neardup_triangles": (neardup_triangles, _triangles_sql()),
+    "neardup_pagerank": (
+        neardup_pagerank,
+        D.pagerank_sql(_minhash_sql(), damping=0.85, iters=3),
+    ),
     "neardup_triangles_sampled": (
         neardup_triangles_sampled,
         _triangles_sampled_sql(),

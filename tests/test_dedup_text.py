@@ -739,3 +739,39 @@ def test_triangle_sampling_deterministic_and_subset(spark):
     a = sorted(map(tuple, D.triangle_counts_sampled(df, q=3).collect()))
     b = sorted(map(tuple, D.triangle_counts_sampled(df, q=3).collect()))
     assert a == b and len(a) <= len(exact)
+
+
+def test_pagerank_invariants_and_python_parity(spark):
+    """Star graph 1-(2,3,4) + separate edge 5-6: center outranks leaves,
+    symmetric pair ties, total mass ≈ 1, and values match a pure-Python
+    power iteration with the same per-round rounding."""
+    edges = [(1, 2), (1, 3), (1, 4), (5, 6)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.node: r.pr for r in D.pagerank(df, iters=3).collect()}
+
+    # pure-Python twin (identical arithmetic incl. stable rounding)
+    adj, deg = {}, {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for k, v in adj.items():
+        deg[k] = len(v)
+    n = len(adj)
+    r = {k: round(1.0 / n - 1e-9, 9) for k in adj}
+    for _ in range(3):
+        r = {
+            k: round(
+                (1.0 - 0.85) / n
+                + 0.85 * sum(r[j] / deg[j] for j in adj[k])
+                - 1e-9,
+                9,
+            )
+            for k in adj
+        }
+    assert set(got) == set(r)
+    for k in r:
+        assert abs(got[k] - r[k]) < 1e-12, (k, got[k], r[k])
+    assert got[1] > got[2]                      # hub outranks leaves
+    assert got[2] == got[3] == got[4]           # symmetric leaves tie
+    assert got[5] == got[6]                     # symmetric pair ties
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved (no dangling)
