@@ -1716,7 +1716,35 @@ ORDER BY c_custkey
 """.format(bal=sql_round("sum(o_totalprice) / 1000", 2))
 
 
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts under (minimize p_retailprice, maximize
+    p_size) — the preference-query operator Spark lacks, distributed via
+    the profile-collapse + range-partition + prefix-max shape
+    (operators.skyline). The quadratic NOT EXISTS lives ONLY in the
+    oracle."""
+    from ..operators.skyline import skyline_2d
+
+    part = read_table(spark, sf_dir, "part")
+    return (
+        skyline_2d(part, "p_retailprice", "p_size")
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+PART_SKYLINE_SQL = """
+SELECT p_partkey, p_size, p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+ORDER BY p_partkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "part_skyline": (part_skyline, PART_SKYLINE_SQL),
     "orders_global_rank": (orders_global_rank, GLOBAL_RANK_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),
