@@ -316,6 +316,26 @@ def main() -> int:
         p.count("Join") == 1 and "CartesianProduct" not in p,
     )
 
+    # Skyline: the quadratic NOT EXISTS must live only in the oracle —
+    # the Spark plan is profile agg + Arrow prefix pass + one equi-join.
+    sk = relational.part_skyline(spark, SF)
+    p = plan_of(sk)
+    check(
+        "skyline: Arrow prefix pass + equi-join, no quadratic join",
+        "MapInPandas" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    )
+    # PageRank: per-round contribution join is an equi-join; nothing
+    # quadratic anywhere in the 3-round plan.
+    pr = data_queries.neardup_pagerank(spark, SF)
+    p = plan_of(pr)
+    check(
+        "pagerank: equi-join rounds only, no quadratic join",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
