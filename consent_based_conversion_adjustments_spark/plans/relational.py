@@ -1743,8 +1743,85 @@ ORDER BY p_partkey
 """
 
 
+_HIST_BUCKETS = 8
+_HIST_QS = [i / _HIST_BUCKETS for i in range(1, _HIST_BUCKETS)]
+_HIST_QS_SQL = "[" + ", ".join(repr(q) for q in _HIST_QS) + "]"
+
+
+def orders_custkey_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of orders.o_custkey — the ANALYZE-style
+    column statistic (operators.colstats): exact-percentile boundaries
+    baked as literals, stateless bucket map, one hash-agg rollup."""
+    from ..operators import colstats as S
+
+    orders = read_table(spark, sf_dir, "orders")
+    bounds = S.equi_depth_boundaries(orders, "o_custkey", _HIST_BUCKETS)
+    return S.equi_depth_histogram(orders, "o_custkey", bounds).orderBy(
+        "bucket"
+    )
+
+
+ORDERS_HISTOGRAM_SQL = f"""
+WITH bnds AS (
+    SELECT quantile_cont(o_custkey, {_HIST_QS_SQL}) AS bl FROM orders
+)
+SELECT len(list_filter(bl, x -> o_custkey > x)) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       min(o_custkey) AS lo, max(o_custkey) AS hi
+FROM orders CROSS JOIN bnds
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based equi-join cardinality estimate vs ground truth for
+    orders ⋈ customer on custkey — the System-R containment estimator
+    over two bounded histogram tables; everything past the scans is
+    O(n_buckets)."""
+    from ..operators import colstats as S
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    bounds = S.equi_depth_boundaries(orders, "o_custkey", _HIST_BUCKETS)
+    ha = S.equi_depth_histogram(orders, "o_custkey", bounds)
+    hb = S.equi_depth_histogram(customer, "c_custkey", bounds)
+    est = S.estimate_equijoin_rows(ha, hb)
+    actual = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).agg(F.count(F.lit(1)).alias("actual_rows"))
+    return est.crossJoin(F.broadcast(actual)).select(
+        stable_round("est_rows", 3).alias("est_rows"), "actual_rows"
+    )
+
+
+JOIN_CARD_SQL = f"""
+WITH bnds AS (
+    SELECT quantile_cont(o_custkey, {_HIST_QS_SQL}) AS bl FROM orders
+), ha AS (
+    SELECT len(list_filter(bl, x -> o_custkey > x)) AS bucket,
+           count(*) AS na, count(DISTINCT o_custkey) AS da
+    FROM orders CROSS JOIN bnds GROUP BY bucket
+), hb AS (
+    SELECT len(list_filter(bl, x -> c_custkey > x)) AS bucket,
+           count(*) AS nb, count(DISTINCT c_custkey) AS db
+    FROM customer CROSS JOIN bnds GROUP BY bucket
+), est AS (
+    SELECT sum(na * nb / CAST(greatest(da, db) AS DOUBLE)) AS est_rows
+    FROM ha JOIN hb USING (bucket)
+), actual AS (
+    SELECT CAST(count(*) AS BIGINT) AS actual_rows
+    FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT {sql_round('est_rows', 3)} AS est_rows, actual_rows
+FROM est CROSS JOIN actual
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "part_skyline": (part_skyline, PART_SKYLINE_SQL),
+    "orders_custkey_histogram": (orders_custkey_histogram, ORDERS_HISTOGRAM_SQL),
+    "join_cardinality_estimate": (join_cardinality_estimate, JOIN_CARD_SQL),
     "orders_global_rank": (orders_global_rank, GLOBAL_RANK_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),
