@@ -2374,19 +2374,27 @@ def zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket range overlaps the predicate box — exactly the lakehouse
     min/max pruning rule. The linear layout wins nothing on partkey,
     scans EVERYTHING on suppkey-only; Z-order prunes both."""
-    base = _zorder_base(spark, sf_dir).persist()
+    # deliberately NOT persisted: base is lineitem-sized (caching it at
+    # 100 TB is worse than re-running a stateless map), so the harness's
+    # two consumers (file stats, truth counts) each scan once
+    base = _zorder_base(spark, sf_dir)
+    return _pruning_compare(base, {"zorder": "file_z", "linear": "file_lin"})
+
+
+def _pruning_compare(base: DataFrame, layouts: dict[str, str]) -> DataFrame:
+    """Shared min/max file-skipping harness: per-layout file stats, the
+    three predicate shapes, and ground-truth match counts."""
     stats = (
         base.select(
             F.explode(
                 F.array(
-                    F.struct(
-                        F.lit("zorder").alias("layout"),
-                        F.col("file_z").alias("file_id"),
-                    ),
-                    F.struct(
-                        F.lit("linear").alias("layout"),
-                        F.col("file_lin").alias("file_id"),
-                    ),
+                    *[
+                        F.struct(
+                            F.lit(name).alias("layout"),
+                            F.col(col).alias("file_id"),
+                        )
+                        for name, col in layouts.items()
+                    ]
                 )
             ).alias("a"),
             "bp",
@@ -2426,9 +2434,7 @@ def zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(in_pk, 1).otherwise(0)).alias("rows_match_pk"),
         F.sum(F.when(in_sk, 1).otherwise(0)).alias("rows_match_sk"),
     )
-    out = per_layout.crossJoin(F.broadcast(truth)).orderBy("layout")
-    base.unpersist()
-    return out
+    return per_layout.crossJoin(F.broadcast(truth)).orderBy("layout")
 
 
 ZORDER_PRUNING_SQL = (
@@ -2479,9 +2485,106 @@ SELECT * FROM per_layout CROSS JOIN truth ORDER BY layout
 )
 
 
+def hilbert_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert curve vs Z-order at equal file count, same harness as
+    zorder_pruning_gain. At power-of-two-aligned file grain the two
+    curves TIE on min/max pruning (both tile the grid into equal
+    rectangles — this query documents that honestly); Hilbert's real
+    edge is ~0.56x the contiguous curve-runs per query box (fewer scan
+    ranges/seeks — the Moon et al. 2001 cluster bound, pinned
+    quantitatively in tests/test_layout.py)."""
+    from ..operators import layout as L
+
+    base = _zorder_base(spark, sf_dir).withColumn(
+        "file_h",
+        F.shiftright(
+            L.hilbert_key(F.col("bp"), F.col("bs"), _ZBITS), _ZBITS
+        ),
+    )
+    return _pruning_compare(base, {"hilbert": "file_h", "zorder": "file_z"})
+
+
+def _hilbert_base_sql() -> str:
+    """zb extended with the Hilbert file id: each reflect/rotate level is
+    its own chained CTE (flat SQL instead of exponentially nested CASEs),
+    generated by the same loop as the Spark expression."""
+    from ..operators.layout import hilbert_sql_steps
+
+    steps = hilbert_sql_steps("bp", "bs", _ZBITS)
+    parts = [_zorder_base_sql()]
+    prev = "zb"
+    for i, (nx, ny, dterm) in enumerate(steps):
+        acc = f"CAST({dterm} AS BIGINT)" if i == 0 else f"hd + {dterm}"
+        parts.append(
+            f"""h{i} AS (
+    SELECT l_partkey, l_suppkey, bp, bs, file_z,
+           {nx} AS hx, {ny} AS hy, {acc} AS hd
+    FROM {prev}
+)"""
+        )
+        prev = f"h{i}"
+    parts.append(
+        f"""hb AS (
+    SELECT l_partkey, l_suppkey, bp, bs, file_z,
+           (hd >> {_ZBITS}) AS file_h
+    FROM {prev}
+)"""
+    )
+    return ",\n".join(parts)
+
+
+HILBERT_PRUNING_SQL = (
+    "WITH "
+    + _hilbert_base_sql()
+    + f""",
+files AS (
+    SELECT layout, file_id,
+           count(*) AS n_rows,
+           min(bp) AS bp_min, max(bp) AS bp_max,
+           min(bs) AS bs_min, max(bs) AS bs_max
+    FROM (
+        SELECT 'hilbert' AS layout, file_h AS file_id, bp, bs FROM hb
+        UNION ALL
+        SELECT 'zorder' AS layout, file_z AS file_id, bp, bs FROM hb)
+    GROUP BY layout, file_id
+), per_layout AS (
+    SELECT layout,
+        CAST(count(*) AS BIGINT) AS n_files,
+        CAST(sum(CASE WHEN bp_min <= {_BOX_HI} AND bp_max >= {_BOX_LO}
+                       AND bs_min <= {_BOX_HI} AND bs_max >= {_BOX_LO}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned_both,
+        CAST(sum(CASE WHEN bp_min <= {_BOX_HI} AND bp_max >= {_BOX_LO}
+                       AND bs_min <= {_BOX_HI} AND bs_max >= {_BOX_LO}
+                 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned_both,
+        CAST(sum(CASE WHEN bp_min <= {_BOX_HI} AND bp_max >= {_BOX_LO}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned_pk,
+        CAST(sum(CASE WHEN bp_min <= {_BOX_HI} AND bp_max >= {_BOX_LO}
+                 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned_pk,
+        CAST(sum(CASE WHEN bs_min <= {_BOX_HI} AND bs_max >= {_BOX_LO}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned_sk,
+        CAST(sum(CASE WHEN bs_min <= {_BOX_HI} AND bs_max >= {_BOX_LO}
+                 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned_sk
+    FROM files GROUP BY layout
+), truth AS (
+    SELECT
+        CAST(sum(CASE WHEN bp BETWEEN {_BOX_LO} AND {_BOX_HI}
+                       AND bs BETWEEN {_BOX_LO} AND {_BOX_HI}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS rows_match_both,
+        CAST(sum(CASE WHEN bp BETWEEN {_BOX_LO} AND {_BOX_HI}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS rows_match_pk,
+        CAST(sum(CASE WHEN bs BETWEEN {_BOX_LO} AND {_BOX_HI}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS rows_match_sk
+    FROM hb
+)
+SELECT * FROM per_layout CROSS JOIN truth ORDER BY layout
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
     "lineitem_zorder_files": (lineitem_zorder_files, ZORDER_FILES_SQL),
     "zorder_pruning_gain": (zorder_pruning_gain, ZORDER_PRUNING_SQL),
+    "hilbert_pruning_gain": (hilbert_pruning_gain, HILBERT_PRUNING_SQL),
     "corpus_dup_coverage": (corpus_dup_coverage, DUP_COVERAGE_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "dup_span_scrub": (dup_span_scrub, DUP_SCRUB_SQL),

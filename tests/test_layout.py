@@ -98,3 +98,125 @@ def test_pruning_gain_invariants(spark):
         assert r.rows_scanned_both >= r.rows_match_both
         assert r.rows_scanned_pk >= r.rows_match_pk
         assert r.rows_scanned_sk >= r.rows_match_sk
+
+
+def _hilbert_py(x, y, bits):
+    d = 0
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = (x >> level) & 1
+        ry = (y >> level) & 1
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+    return d
+
+
+def test_hilbert_matches_reference_and_is_bijective(spark):
+    grid = (
+        spark.range(16)
+        .selectExpr("id AS x")
+        .crossJoin(spark.range(16).selectExpr("id AS y"))
+    )
+    rows = grid.select(
+        "x", "y", L.hilbert_key(F.col("x"), F.col("y"), 4).alias("d")
+    ).collect()
+    got = {(r.x, r.y): r.d for r in rows}
+    for (x, y), d in got.items():
+        assert d == _hilbert_py(x, y, 4), (x, y)
+    assert sorted(got.values()) == list(range(256))
+
+
+def test_hilbert_consecutive_cells_are_grid_adjacent(spark):
+    # THE defining curve property (Z-order lacks it): |Δx| + |Δy| = 1
+    # between consecutive indices.
+    inv = {}
+    for x in range(16):
+        for y in range(16):
+            inv[_hilbert_py(x, y, 4)] = (x, y)
+    spark_inv = {}
+    grid = (
+        spark.range(16)
+        .selectExpr("id AS x")
+        .crossJoin(spark.range(16).selectExpr("id AS y"))
+    )
+    for r in grid.select(
+        "x", "y", L.hilbert_key(F.col("x"), F.col("y"), 4).alias("d")
+    ).collect():
+        spark_inv[r.d] = (r.x, r.y)
+    assert spark_inv == inv
+    for d in range(255):
+        (x1, y1), (x2, y2) = spark_inv[d], spark_inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_sql_twin_matches_spark(spark):
+    import duckdb
+
+    steps = L.hilbert_sql_steps("x", "y", 4)
+    parts = ["g AS (SELECT a.range AS x, b.range AS y FROM range(16) a, range(16) b)"]
+    prev = "g"
+    for i, (nx, ny, dt) in enumerate(steps):
+        acc = f"CAST({dt} AS BIGINT)" if i == 0 else f"hd + {dt}"
+        parts.append(
+            f"h{i} AS (SELECT x, y, {nx} AS hx, {ny} AS hy, {acc} AS hd "
+            f"FROM {prev})"
+        )
+        # rebind: later steps reference hx/hy, but x/y survive for output
+        parts[-1] = parts[-1].replace("SELECT x, y,", "SELECT x, y,") if i == 0 else parts[-1]
+        prev = f"h{i}"
+    sql = (
+        "WITH " + ",\n".join(parts) + f"\nSELECT x, y, hd FROM {prev}"
+    )
+    # steps>0 reference hx/hy: rename pass-throughs accordingly
+    got = {(x, y): d for x, y, d in duckdb.sql(sql).fetchall()}
+    for (x, y), d in got.items():
+        assert d == _hilbert_py(x, y, 4), (x, y)
+
+
+def test_hilbert_fewer_clusters_than_zorder(spark):
+    """The quantitative Hilbert advantage (Moon et al. 2001): a query
+    rectangle intersects FEWER maximal contiguous curve-index runs
+    ("clusters") under Hilbert than under Z-order — fewer contiguous
+    scan ranges / seeks for the same predicate. On power-of-two-aligned
+    full grids segment bounding boxes TIE (both curves tile into equal
+    rectangles — why the file-count query shows parity at coarse grain);
+    the cluster count is where the curves genuinely differ. Keys come
+    from the Spark expressions."""
+    import random
+
+    grid = (
+        spark.range(32)
+        .selectExpr("id AS x")
+        .crossJoin(spark.range(32).selectExpr("id AS y"))
+        .select(
+            "x",
+            "y",
+            L.hilbert_key(F.col("x"), F.col("y"), 5).alias("h"),
+            L.zorder_key([F.col("x"), F.col("y")], 5).alias("z"),
+        )
+        .collect()
+    )
+    hkey = {(r.x, r.y): r.h for r in grid}
+    zkey = {(r.x, r.y): r.z for r in grid}
+
+    def clusters(key, box):
+        x0, x1, y0, y1 = box
+        ds = sorted(
+            key[(x, y)]
+            for x in range(x0, x1 + 1)
+            for y in range(y0, y1 + 1)
+        )
+        return 1 + sum(1 for a, b in zip(ds, ds[1:]) if b != a + 1)
+
+    rng = random.Random(1)
+    hs = zs = 0
+    for _ in range(100):
+        x0, y0 = rng.randint(0, 20), rng.randint(0, 20)
+        w, h = rng.randint(4, 11), rng.randint(4, 11)
+        box = (x0, min(31, x0 + w), y0, min(31, y0 + h))
+        hs += clusters(hkey, box)
+        zs += clusters(zkey, box)
+    assert hs < zs * 0.75, (hs, zs)  # measured ~0.56x
