@@ -1818,8 +1818,134 @@ FROM est CROSS JOIN actual
 """
 
 
+def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff the customer table against its
+    post-MERGE image (the same CDC batch customer_merge_upsert applies),
+    proving exactly which keys the batch added / removed / changed
+    (operators.merge.table_diff — one full-outer equi-join, NULL-safe
+    column compare, unchanged mass filtered in-stage)."""
+    from ..operators.merge import merge_upsert, table_diff
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    agg = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(stable_round(F.sum("o_totalprice") / 1000, 2).alias("__bal"))
+    )
+    updates = agg.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("__bal").alias("c_acctbal"),
+        (F.col("o_custkey") % 13 == 0).alias("__del"),
+    )
+    inserts = agg.filter(F.col("o_custkey") % 7 == 0).select(
+        (F.col("o_custkey") + 1000000).alias("c_custkey"),
+        F.col("__bal").alias("c_acctbal"),
+        F.lit(False).alias("__del"),
+    )
+    merged = merge_upsert(
+        cust,
+        updates.unionByName(inserts),
+        ["c_custkey"],
+        delete_col="__del",
+    )
+    return table_diff(cust, merged, ["c_custkey"]).orderBy("c_custkey")
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH agg AS (
+    SELECT o_custkey, {bal} AS bal
+    FROM orders GROUP BY o_custkey
+), src AS (
+    SELECT o_custkey AS c_custkey, bal AS c_acctbal,
+           (o_custkey % 13 = 0) AS del
+    FROM agg
+    UNION ALL
+    SELECT o_custkey + 1000000, bal, FALSE
+    FROM agg WHERE o_custkey % 7 = 0
+), new AS (
+    SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+           t.c_name AS c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
+           t.c_mktsegment AS c_mktsegment
+    FROM customer t
+    FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    WHERE NOT (s.c_custkey IS NOT NULL AND s.del)
+), d AS (
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           o.c_custkey IS NOT NULL AS in_l,
+           n.c_custkey IS NOT NULL AS in_r,
+           list_filter([
+               CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                    THEN 'c_acctbal' END,
+               CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                    THEN 'c_mktsegment' END,
+               CASE WHEN o.c_name IS DISTINCT FROM n.c_name
+                    THEN 'c_name' END], x -> x IS NOT NULL) AS changed
+    FROM customer o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT c_custkey,
+       CASE WHEN NOT in_l THEN 'added'
+            WHEN NOT in_r THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       CAST(CASE WHEN in_l AND in_r THEN len(changed) ELSE 0 END
+            AS BIGINT) AS n_changed,
+       CASE WHEN in_l AND in_r THEN list_aggregate(changed, 'string_agg', ',')
+            ELSE '' END AS changed_cols
+FROM d
+WHERE (NOT in_l) OR (NOT in_r) OR len(changed) > 0
+ORDER BY c_custkey
+""".format(bal=sql_round("sum(o_totalprice) / 1000", 2))
+
+
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of each user's event_type from the events
+    change log: change-point compression + versioned validity intervals
+    (operators.merge.scd2_history — one hash shuffle on user_id, two
+    in-partition window passes)."""
+    from ..operators.merge import scd2_history
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    hist = scd2_history(ev, "user_id", "ts", "event_type", "event_id")
+    # open versions closed with a Kimball-style high date (2200-01-01,
+    # inside the ns-timestamp range Arrow transports)
+    # (keeps the checkable output NULL-free for cross-engine compare)
+    return hist.withColumn(
+        "valid_to",
+        F.coalesce("valid_to", F.lit("2200-01-01").cast("timestamp")),
+    ).orderBy("user_id", "version")
+
+
+SCD2_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+), cp AS (
+    SELECT user_id, ts, event_id, event_type FROM ordered
+    WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       event_type AS state,
+       ts AS valid_from,
+       coalesce(lead(ts) OVER w, TIMESTAMP '2200-01-01') AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM cp
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "part_skyline": (part_skyline, PART_SKYLINE_SQL),
+    "customer_snapshot_diff": (customer_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "user_state_history": (user_state_history, SCD2_SQL),
     "orders_custkey_histogram": (orders_custkey_histogram, ORDERS_HISTOGRAM_SQL),
     "join_cardinality_estimate": (join_cardinality_estimate, JOIN_CARD_SQL),
     "orders_global_rank": (orders_global_rank, GLOBAL_RANK_SQL),

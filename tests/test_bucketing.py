@@ -101,3 +101,112 @@ def test_merge_upsert_idempotent_reapply(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+def test_table_diff_classification(spark):
+    """added / removed / changed / unchanged on a hand-checkable fixture,
+    with NULL-safe column comparison in every direction."""
+    from consent_based_conversion_adjustments_spark.operators.merge import (
+        table_diff,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, "a", 10.0),     # unchanged -> dropped
+            (2, "b", 20.0),     # bal changes
+            (3, "c", None),     # NULL -> value (changed)
+            (4, "d", 40.0),     # removed
+            (6, None, 60.0),    # NULL == NULL -> unchanged -> dropped
+        ],
+        "k long, name string, bal double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 99.0),
+            (3, "c", 3.0),
+            (5, "e", 50.0),     # added
+            (6, None, 60.0),
+        ],
+        "k long, name string, bal double",
+    )
+    got = {
+        r["k"]: (r["change_type"], r["n_changed"], r["changed_cols"])
+        for r in table_diff(left, right, ["k"]).collect()
+    }
+    assert got == {
+        2: ("changed", 1, "bal"),
+        3: ("changed", 1, "bal"),
+        4: ("removed", 0, ""),
+        5: ("added", 0, ""),
+    }
+
+
+def test_table_diff_merge_roundtrip(spark):
+    """Diffing a table against its merge_upsert image recovers exactly
+    the CDC batch's effect: updates -> changed, deletes -> removed,
+    inserts -> added."""
+    from consent_based_conversion_adjustments_spark.operators.merge import (
+        merge_upsert,
+        table_diff,
+    )
+
+    target = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, bal double"
+    )
+    source = spark.createDataFrame(
+        [(2, 99.0, False), (3, 0.0, True), (11, 1.0, False)],
+        "k long, bal double, del boolean",
+    )
+    merged = merge_upsert(target, source, ["k"], delete_col="del")
+    got = {
+        r["k"]: r["change_type"]
+        for r in table_diff(target, merged, ["k"]).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 11: "added"}
+
+
+def test_scd2_history_change_points(spark):
+    """Change-point compression + validity chaining: consecutive equal
+    states collapse, valid_to chains to the next change, exactly one
+    current version per key, and a same-timestamp tie resolves by the
+    tiebreak column."""
+    from datetime import datetime
+
+    from consent_based_conversion_adjustments_spark.operators.merge import (
+        scd2_history,
+    )
+
+    t = lambda d: datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        (1, t(1), "A", 10),
+        (1, t(2), "A", 11),   # no change -> collapsed
+        (1, t(3), "B", 12),
+        (1, t(5), "A", 13),   # back to A -> NEW version (not merged)
+        (2, t(1), "X", 20),
+        (2, t(1), "Y", 21),   # same ts, higher tiebreak -> second
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, state string, event_id long"
+    )
+    hist = scd2_history(df, "user_id", "ts", "state", "event_id")
+    got = sorted(
+        (
+            r["user_id"],
+            r["version"],
+            r["state"],
+            r["valid_from"],
+            r["valid_to"],
+            r["is_current"],
+        )
+        for r in hist.collect()
+    )
+    assert got == [
+        (1, 1, "A", t(1), t(3), False),
+        (1, 2, "B", t(3), t(5), False),
+        (1, 3, "A", t(5), None, True),
+        (2, 1, "X", t(1), t(1), False),
+        (2, 2, "Y", t(1), None, True),
+    ]
+    # exactly one open version per key
+    assert sum(1 for g in got if g[5]) == 2
