@@ -108,6 +108,87 @@ def tfidf_top_terms(
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson et al., TREC-3): the top-``k``
+    documents for a bag-of-terms query — the relevance-scoring step of a
+    quality-targeted corpus subselect ("find the docs most like this
+    probe") and the classic full-text-search primitive.
+
+    idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))
+    score(d) = Σ_t idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Plan at scale: the query-term filter is pushed BELOW the (doc, term)
+    hash-agg, so only postings for the |Q| query terms survive the
+    explode stage — the corpus-wide term space is never shuffled. df
+    comes from those same postings (one tiny agg, ≤ |Q| rows,
+    broadcast); N/avgdl is a 1-row agg crossJoined broadcast (the
+    documented scalar-attach idiom, no driver collect). Doc length
+    attaches by an equi-join on the id (AQE promotes the postings side
+    when small). The final top-k is orderBy+limit = TakeOrderedAndProject
+    — per-partition heaps, never a single-partition sort. Ties break on
+    the ROUNDED score (6 dp) then id, so the cutoff is deterministic and
+    engine-independent.
+    """
+    toks = tokens(text_col)
+    dl = docs.select(
+        F.col(id_col), F.size(toks).cast("double").alias("__dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    postings = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    df_ = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    from ..functions.rounding import stable_round
+
+    scored = (
+        postings.join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__c",
+            F.log(
+                1
+                + (F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5)
+            )
+            * F.col("__tf")
+            * (k1 + 1)
+            / (
+                F.col("__tf")
+                + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            stable_round(F.sum("__c"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
 def source_quota_sample(
     docs: DataFrame,
     source_col: str = "source",

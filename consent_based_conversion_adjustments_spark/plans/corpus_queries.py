@@ -910,7 +910,52 @@ ORDER BY doc_id
 )
 
 
+_BM25_TERMS = ["hash", "join", "spark", "vector"]
+_BM25_K = 25
+
+
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over documents for a 4-term probe
+    query (operators.corpus.bm25_topk): query-term filter pushed below
+    the postings agg, broadcast df/N/avgdl attaches, TakeOrdered top-k."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.bm25_topk(docs, _BM25_TERMS, "text", "doc_id", k=_BM25_K)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+BM25_SQL = f"""
+WITH dl AS (
+    SELECT doc_id, CAST(len({{toks}}) AS DOUBLE) AS dl FROM documents
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+), postings AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT doc_id, unnest({{toks}}) AS term FROM documents)
+    WHERE term IN ({_BM25_TERMS_SQL})
+    GROUP BY doc_id, term
+), df_ AS (
+    SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY term
+)
+SELECT doc_id,
+       {{r}} AS score,
+       CAST(count(*) AS BIGINT) AS n_matched_terms
+FROM postings JOIN df_ USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {_BM25_K}
+""".format(
+    toks="{toks}",
+    r=sql_round(
+        f"""sum(
+        ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * ({C.BM25_K1} + 1)
+        / (tf + {C.BM25_K1} * (1 - {C.BM25_B} + {C.BM25_B} * dl / avgdl)))""",
+        6,
+    ),
+).format(toks=_TOKS.format(c="text"))
+
+
 QUERIES: dict[str, tuple] = {
+    "bm25_search_topk": (bm25_search_topk, BM25_SQL),
     "doc_lm_perplexity": (doc_lm_perplexity, LM_PERPLEXITY_SQL),
     "collocation_pmi_topk": (collocation_pmi_topk, COLLOCATION_SQL),
     "bpe_merges": (bpe_merges, BPE_MERGES_SQL),

@@ -627,3 +627,61 @@ def test_bigram_pmi_matches_python_reference(spark):
         assert abs(got[k][1] - pmi) < 1e-9
     # the fused collocation scores above independence, function words below
     assert got[("new", "york")][1] > 0
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25_topk vs a literal pure-Python Okapi BM25 on a hand fixture:
+    scores, ranking, and the n_matched_terms column."""
+    from math import log
+
+    texts = [
+        "hash join hash join hash",        # high tf, short
+        "hash join scan scan scan scan scan scan scan scan",  # long
+        "join vector",
+        "scan filter sort group window",   # no query term -> absent
+        "hash",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    q = ["hash", "join"]
+    got = {
+        r.doc_id: (r.score, r.n_matched_terms)
+        for r in C.bm25_topk(df, q, "text", "doc_id", k=10).collect()
+    }
+
+    docs = [t.split() for t in texts]
+    n = float(len(docs))
+    avgdl = sum(len(d) for d in docs) / n
+    dfreq = {t: sum(1 for d in docs if t in d) for t in q}
+    k1, b = 1.2, 0.75
+    want = {}
+    for i, d in enumerate(docs):
+        s, m = 0.0, 0
+        for t in q:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            m += 1
+            idf = log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(d) / avgdl))
+        if m:
+            want[i] = (round(s - 1e-9, 6) + 0.0, m)
+    assert got == want
+    # retrieval invariants: doc 0 (dense, short) beats doc 1 (sparse, long)
+    assert got[0][0] > got[1][0]
+    # n_matched_terms: docs 0/1 hit both query terms, docs 2/4 just one
+    assert {i: got[i][1] for i in got} == {0: 2, 1: 2, 2: 1, 4: 1}
+
+
+def test_bm25_topk_cutoff_is_deterministic(spark):
+    """Equal-score ties at the k-cutoff break by doc_id ascending."""
+    # 6 identical docs -> identical scores; k=3 must keep ids 0,1,2
+    df = spark.createDataFrame(
+        [(i, "hash join") for i in range(6)], "doc_id long, text string"
+    )
+    got = [
+        r.doc_id
+        for r in C.bm25_topk(df, ["hash"], "text", "doc_id", k=3).collect()
+    ]
+    assert got == [0, 1, 2]
