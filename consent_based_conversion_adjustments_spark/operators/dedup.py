@@ -811,6 +811,83 @@ def minhash_neardup(
     )
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    threshold: float = 0.6,
+    key_chars: int = 24,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup (Hernández & Stolfo, SIGMOD 1995):
+    sort the corpus by a blocking key — the first ``key_chars`` of the
+    lowercased text — slide a width-``window`` rank window, and verify
+    every in-window pair with exact hashed-token Jaccard ≥ ``threshold``.
+    Output ``(doc_a, doc_b, jaccard)`` with ``doc_a < doc_b``.
+
+    The classic complement to LSH banding: recall is bounded by the sort
+    key (only pairs within ``window − 1`` ranks are candidates — by
+    design; duplicates whose first bytes differ are missed), but the
+    candidate volume is EXACTLY ≤ N·(window − 1) — linear in the corpus
+    and independent of key-collision skew. No hot band key can go
+    quadratic, which is the failure mode LSH has to engineer around
+    (cf. the phash small-key-space caveat). Use it when a cheap prefix
+    of the record is a strong sort key (URLs, titles, names).
+
+    Scale shape: ONE range shuffle — ``global_rank``'s distributed
+    total-order rank over (key, id), never a single-partition window —
+    then candidates via an OVERLAPPING-BUCKET equi-join: with
+    ``bucket = (rank−1) // (window−1)``, any pair within window−1 ranks
+    lies in the same or adjacent buckets, so exploding the lower-ranked
+    side into {bucket, bucket+1} co-locates every qualifying pair at
+    exactly one join key (≤ 2 rows per doc through the exchange, no
+    rank-inequality theta-join). The verify tail is the shared exact
+    Jaccard stage (bitmap or sorted-array route, size prefilter in-row).
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2 (a 1-window has no pairs)")
+    from .corpus import global_rank
+
+    d = window - 1
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(
+            F.lower(F.trim(F.col(text_col))), 1, key_chars
+        ).alias("__snk"),
+    )
+    ranked = global_rank(keyed, ["__snk", "doc_id"], rank_col="__r")
+    base = ranked.select(
+        "doc_id",
+        "__r",
+        F.floor((F.col("__r") - 1) / d).cast("long").alias("__b"),
+    )
+    lo = base.select(
+        F.col("doc_id").alias("__id_lo"),
+        F.col("__r").alias("__r_lo"),
+        F.explode(
+            F.array(F.col("__b"), F.col("__b") + F.lit(1))
+        ).alias("__bk"),
+    )
+    hi = base.select(
+        F.col("doc_id").alias("__id_hi"),
+        F.col("__r").alias("__r_hi"),
+        F.col("__b").alias("__bk"),
+    )
+    cands = (
+        lo.join(hi, "__bk")
+        .filter((F.col("__r_hi") - F.col("__r_lo")).between(1, d))
+        .select(
+            F.least("__id_lo", "__id_hi").alias("doc_a"),
+            F.greatest("__id_lo", "__id_hi").alias("doc_b"),
+        )
+    )
+    hashes = _token_hash_set(df, text_col, id_col)
+    return _verify_pairs_jaccard(
+        cands, hashes, hashes, "doc_a", "doc_b", threshold,
+        vocab_source=hashes,
+    )
+
+
 def dup_shingle_coverage(
     df: DataFrame,
     text_col: str,

@@ -335,6 +335,50 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_neardup(docs, "text", "doc_id", threshold=JACCARD_THRESHOLD)
 
 
+_SNM_WINDOW = 8
+_SNM_KEY_CHARS = 24
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup (operators.dedup
+    .sorted_neighborhood_pairs): distributed total-order rank on a text
+    prefix, overlapping-bucket equi-join for in-window candidates
+    (≤ N·(window−1), skew-independent), shared exact-Jaccard verify."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.sorted_neighborhood_pairs(
+        docs,
+        "text",
+        "doc_id",
+        window=_SNM_WINDOW,
+        threshold=JACCARD_THRESHOLD,
+        key_chars=_SNM_KEY_CHARS,
+    )
+
+
+_SNM_JAC = (
+    "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)"
+    " / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))"
+)
+DEDUP_SNM_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           list_distinct(list_transform({_DTOKS.format(c='text')},
+               tk -> {_sql_hash('tk')})) AS toks,
+           substr(lower(trim(text)), 1, {_SNM_KEY_CHARS}) AS snk
+    FROM documents
+), r AS (
+    SELECT doc_id, toks,
+           row_number() OVER (ORDER BY snk, doc_id) AS rnk
+    FROM t
+)
+SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       greatest(a.doc_id, b.doc_id) AS doc_b,
+       {_SNM_JAC} AS jaccard
+FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND {_SNM_WINDOW - 1}
+WHERE {_SNM_JAC} >= {JACCARD_THRESHOLD}
+"""
+
+
 def _minhash_sql(src: str = "documents") -> str:
     sig_exprs = ",\n           ".join(
         f"min((h0 * {D.perm_params(i)[0]} + {D.perm_params(i)[1]}) % 1000000007)"
@@ -2599,6 +2643,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash": (dedup_minhash, _minhash_sql()),
+    "dedup_sorted_neighborhood": (dedup_sorted_neighborhood, DEDUP_SNM_SQL),
     "incremental_dedup_admission": (
         incremental_dedup_admission,
         _incremental_dedup_sql,

@@ -775,3 +775,63 @@ def test_pagerank_invariants_and_python_parity(spark):
     assert got[2] == got[3] == got[4]           # symmetric leaves tie
     assert got[5] == got[6]                     # symmetric pair ties
     assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved (no dangling)
+
+
+def test_sorted_neighborhood_matches_python_reference(spark):
+    """sorted_neighborhood_pairs vs a literal Python SNM (sort by prefix
+    key, all pairs within the rank window, exact distinct-token Jaccard):
+    same pairs, same jaccard values — including pairs that straddle the
+    overlapping-bucket boundary."""
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta zeta",      # near-dup of 0, adjacent key
+        "zebra yak xylophone wombat",
+        "alpha beta gamma delta epsilon",   # exact dup of 0
+        "mango kiwi papaya",
+        "alpha beta gamma delta epsilon x", # near-dup, same prefix
+        "zebra yak xylophone wombat extra",
+    ] + [f"filler {i} unique words here {i}" for i in range(40)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    window, thr, kc = 5, 0.5, 10
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.sorted_neighborhood_pairs(
+            df, "text", "doc_id", window=window, threshold=thr, key_chars=kc
+        ).collect()
+    }
+
+    order = sorted(rows, key=lambda r: (r[1].lower().strip()[:kc], r[0]))
+    want = {}
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + window, len(order))):
+            a, b = order[i], order[j]
+            sa, sb = set(a[1].split()), set(b[1].split())
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= thr:
+                want[(min(a[0], b[0]), max(a[0], b[0]))] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
+    # the fixture exercises real matches, not an empty intersection
+    assert (0, 3) in want and want[(0, 3)] == 1.0
+
+
+def test_sorted_neighborhood_candidates_linear_and_unique(spark):
+    """The overlapping-bucket join emits each in-window pair exactly once
+    and never more than N*(window-1) candidates total (skew-independent
+    bound) — checked by running with threshold=0 so the verify keeps
+    every candidate."""
+    n, window = 100, 6
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = D.sorted_neighborhood_pairs(
+        df, "text", "doc_id", window=window, threshold=0.0, key_chars=24
+    ).collect()
+    keys = [(r.doc_a, r.doc_b) for r in pairs]
+    assert len(keys) == len(set(keys))          # exactly-once emission
+    assert len(keys) <= n * (window - 1)        # linear candidate bound
+    # interior ranks see a full window on both sides
+    assert len(keys) == n * (window - 1) - (window - 1) * window // 2
