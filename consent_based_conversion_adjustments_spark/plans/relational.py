@@ -1818,6 +1818,30 @@ FROM est CROSS JOIN actual
 """
 
 
+def supplier_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join on supplier names
+    (operators.fuzzy.edit_distance_pairs): q-gram prefix-filter
+    candidates (rare-grams-first canonical order, equi-joins only) +
+    exact levenshtein verify; the quadratic pass lives ONLY in the
+    oracle. max_dist=1 pairs serial-numbered names differing in a single
+    digit substitution."""
+    from ..operators.fuzzy import edit_distance_pairs
+
+    sup = read_table(spark, sf_dir, "supplier")
+    return edit_distance_pairs(
+        sup, "s_name", "s_suppkey", max_dist=1, q=3
+    ).orderBy("s_suppkey_a", "s_suppkey_b")
+
+
+SUPPLIER_FUZZY_SQL = """
+SELECT a.s_suppkey AS s_suppkey_a, b.s_suppkey AS s_suppkey_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS distance
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+ORDER BY s_suppkey_a, s_suppkey_b
+"""
+
+
 def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation: diff the customer table against its
     post-MERGE image (the same CDC batch customer_merge_upsert applies),
@@ -1945,6 +1969,7 @@ ORDER BY user_id, version
 QUERIES: dict[str, tuple] = {
     "part_skyline": (part_skyline, PART_SKYLINE_SQL),
     "customer_snapshot_diff": (customer_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "supplier_fuzzy_matches": (supplier_fuzzy_matches, SUPPLIER_FUZZY_SQL),
     "user_state_history": (user_state_history, SCD2_SQL),
     "orders_custkey_histogram": (orders_custkey_histogram, ORDERS_HISTOGRAM_SQL),
     "join_cardinality_estimate": (join_cardinality_estimate, JOIN_CARD_SQL),

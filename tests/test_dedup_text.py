@@ -835,3 +835,68 @@ def test_sorted_neighborhood_candidates_linear_and_unique(spark):
     assert len(keys) <= n * (window - 1)        # linear candidate bound
     # interior ranks see a full window on both sides
     assert len(keys) == n * (window - 1) - (window - 1) * window // 2
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_python_reference(spark):
+    """edit_distance_pairs vs brute-force DP levenshtein over all pairs:
+    substitutions, insertions, and deletions all in range; the prefix
+    filter must lose nothing (recall 1.0 is the operator's contract)."""
+    from consent_based_conversion_adjustments_spark.operators.fuzzy import (
+        edit_distance_pairs,
+    )
+
+    names = [
+        "warehouse-unit-0001",
+        "warehouse-unit-0002",   # 1 sub from 0001
+        "warehouse-unit-00012",  # 1 insert from 0001
+        "warehouse-unit-001",    # 1 delete from 0001
+        "warehouse-unit-9999",
+        "distribution-hub-77",
+        "distribution-hub-78",
+        "completely different",
+    ]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, name string"
+    )
+    for d in (1, 2):
+        got = {
+            (r.id_a, r.id_b): r.distance
+            for r in edit_distance_pairs(
+                df, "name", "id", max_dist=d, q=3
+            ).collect()
+        }
+        want = {
+            (i, j): _lev(names[i], names[j])
+            for i in range(len(names))
+            for j in range(i + 1, len(names))
+            if _lev(names[i], names[j]) <= d
+        }
+        assert got == want, f"max_dist={d}"
+    # the fixture exercises each edit kind at d=1
+    assert (0, 1) in want and (0, 2) in want and (0, 3) in want
+
+
+def test_edit_distance_pairs_short_string_guard(spark):
+    """Inputs below q*(max_dist+1) chars make the q-gram bound vacuous;
+    the operator must refuse loudly instead of silently losing pairs."""
+    from consent_based_conversion_adjustments_spark.operators.fuzzy import (
+        edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "abcdefgh"), (1, "tiny")], "id long, name string"
+    )
+    with pytest.raises(ValueError, match="len >= 9"):
+        edit_distance_pairs(df, "name", "id", max_dist=2, q=3)
