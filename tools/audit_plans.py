@@ -336,6 +336,57 @@ def main() -> int:
         and "BroadcastNestedLoopJoin" not in p,
     )
 
+    # Table diff: exactly one join (the full-outer on the key); the
+    # NULL-safe column compare and unchanged-filter are in-row.
+    td = relational.customer_snapshot_diff(spark, SF)
+    p = plan_of(td)
+    check(
+        "table diff: full-outer equi-joins only, in-row compare",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "FullOuter" in p,
+    )
+    # SCD2: both window passes key on the entity — no empty-partitionBy
+    # (single-partition) window anywhere.
+    sc = relational.user_state_history(spark, SF)
+    p = plan_of(sc)
+    check(
+        "scd2: entity-keyed windows, one hash exchange, no join",
+        "windowspecdefinition(user_id#" in p
+        and p.count("Exchange hashpartitioning") == 1
+        and "Join" not in p,
+    )
+    # BM25: term filter pushed below the postings agg (appears in the
+    # scan's pushed filters), df/N attaches broadcast, top-k is
+    # TakeOrdered (never a global sort).
+    bm = corpus_queries.bm25_search_topk(spark, SF)
+    p = plan_of(bm)
+    check(
+        "bm25: TakeOrdered top-k + broadcast attaches",
+        "TakeOrderedAndProject" in p
+        and "CartesianProduct" not in p
+        and "SortMergeJoin" not in p,
+    )
+    # SNM: candidates via the overlapping-bucket equi-join; the only
+    # nested-loop anywhere would be a quadratic bug.
+    snm = data_queries.dedup_sorted_neighborhood(spark, SF)
+    p = plan_of(snm)
+    check(
+        "sorted-neighborhood: equi-join candidates, Arrow rank pass",
+        "MapInPandas" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    )
+    # Fuzzy join: prefix-gram equi-join + verify; quadratic only in the
+    # oracle.
+    fz = relational.supplier_fuzzy_matches(spark, SF)
+    p = plan_of(fz)
+    check(
+        "edit-distance join: prefix-gram equi-joins, no quadratic join",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
