@@ -64,6 +64,11 @@ HEADLINE = [
     ("doc_lm_perplexity", corpus_queries.doc_lm_perplexity),
     ("collocation_pmi_topk", corpus_queries.collocation_pmi_topk),
     ("zorder_pruning_gain", data_queries.zorder_pruning_gain),
+    ("customer_snapshot_diff", relational.customer_snapshot_diff),
+    ("user_state_history", relational.user_state_history),
+    ("bm25_search_topk", corpus_queries.bm25_search_topk),
+    ("dedup_sorted_neighborhood", data_queries.dedup_sorted_neighborhood),
+    ("supplier_fuzzy_matches", relational.supplier_fuzzy_matches),
     # The checkpoint-heavy queries run LAST: their localCheckpoint
     # blocks are freed by the ContextCleaner only after driver-side GC, and
     # even with the drain below a residue of that cleanup can land in the
