@@ -881,7 +881,12 @@ def sorted_neighborhood_pairs(
             F.greatest("__id_lo", "__id_hi").alias("doc_b"),
         )
     )
-    hashes = _token_hash_set(df, text_col, id_col)
+    # persisted for the same reason as minhash_neardup: the verify joins
+    # read the token table on both pair sides (and the bitmap probe may
+    # scan it once more) — one tokenize pass, not three
+    hashes = _token_hash_set(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return _verify_pairs_jaccard(
         cands, hashes, hashes, "doc_a", "doc_b", threshold,
         vocab_source=hashes,

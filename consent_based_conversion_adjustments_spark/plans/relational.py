@@ -1818,6 +1818,53 @@ FROM est CROSS JOIN actual
 """
 
 
+def order_window_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (streaming.events
+    .interval_overlap_pairs): per-customer order processing windows
+    [orderdate, orderdate + 1 + key%28 days) that overlap — candidates
+    from ONE equi-join on (custkey, time bin), exactly-once emission via
+    bin ownership, never an inequality nested loop."""
+    from ..streaming.events import interval_overlap_pairs
+
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1990-01-01").cast("date")
+            ).alias("__start"),
+        )
+        .withColumn(
+            "__end", F.col("__start") + 1 + F.col("o_orderkey") % 28
+        )
+    )
+    return interval_overlap_pairs(
+        o, "o_orderkey", "__start", "__end", bin_size=32,
+        keys=["o_custkey"],
+    ).orderBy("o_custkey", "o_orderkey_a", "o_orderkey_b")
+
+
+ORDER_OVERLAP_SQL = """
+WITH w AS (
+    SELECT o_custkey, o_orderkey,
+           datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+               AS s
+    FROM orders
+), w2 AS (
+    SELECT o_custkey, o_orderkey, s, s + 1 + o_orderkey % 28 AS e FROM w
+)
+SELECT a.o_custkey AS o_custkey,
+       a.o_orderkey AS o_orderkey_a,
+       b.o_orderkey AS o_orderkey_b,
+       CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap
+FROM w2 a JOIN w2 b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.s < b.e AND b.s < a.e
+ORDER BY a.o_custkey, o_orderkey_a, o_orderkey_b
+"""
+
+
 def supplier_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity self-join on supplier names
     (operators.fuzzy.edit_distance_pairs): q-gram prefix-filter
@@ -1970,6 +2017,7 @@ QUERIES: dict[str, tuple] = {
     "part_skyline": (part_skyline, PART_SKYLINE_SQL),
     "customer_snapshot_diff": (customer_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "supplier_fuzzy_matches": (supplier_fuzzy_matches, SUPPLIER_FUZZY_SQL),
+    "order_window_overlaps": (order_window_overlaps, ORDER_OVERLAP_SQL),
     "user_state_history": (user_state_history, SCD2_SQL),
     "orders_custkey_histogram": (orders_custkey_histogram, ORDERS_HISTOGRAM_SQL),
     "join_cardinality_estimate": (join_cardinality_estimate, JOIN_CARD_SQL),

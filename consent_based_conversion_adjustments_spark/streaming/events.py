@@ -253,6 +253,89 @@ def interval_bin_join(
     )
 
 
+def interval_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bin_size: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval-interval overlap self-join: all pairs of half-open
+    integer intervals ``[start, end)`` with a non-empty intersection
+    (``id_a < id_b``), plus the overlap length — the temporal-conflict /
+    concurrency primitive (double bookings, concurrent orders,
+    co-occurring sessions) that a naive inequality join plans as a
+    quadratic nested loop.
+
+    ``start_col``/``end_col`` must be INTEGER units (days, seconds,
+    micros — caller's choice); integer bin math keeps every boundary
+    case exact, mirroring ``interval_bin_join``. ``keys`` (optional)
+    scopes overlaps within a partition key (e.g. per customer).
+
+    Scale shape: both sides explode to the ``bin_size``-wide bins they
+    cover, candidates come from ONE equi-join on (keys…, bin), and a
+    pair is emitted EXACTLY ONCE without any distinct pass via bin
+    ownership: only the bin containing ``max(start_a, start_b)`` counts
+    the pair — overlap guarantees both intervals cover that bin (for
+    half-open intervals, ``max(start) <= min(end) - 1``), and it is
+    unique per pair. Pick ``bin_size`` near the median interval length
+    so most intervals explode to 1–2 bins; AQE skew-join splitting
+    handles a hot bin.
+    """
+    keys = list(keys or [])
+    s, e = F.col("__s"), F.col("__e")
+    base = df.select(
+        *keys,
+        F.col(id_col).alias("__id"),
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+    ).filter(s < e)
+    binned = base.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(s / F.lit(bin_size)).cast("long"),
+                F.floor((e - 1) / F.lit(bin_size)).cast("long"),
+            )
+        ),
+    )
+    a = binned.select(
+        *keys,
+        F.col("__id").alias("__id_a"),
+        F.col("__s").alias("__s_a"),
+        F.col("__e").alias("__e_a"),
+        "__bin",
+    )
+    b = binned.select(
+        *keys,
+        F.col("__id").alias("__id_b"),
+        F.col("__s").alias("__s_b"),
+        F.col("__e").alias("__e_b"),
+        "__bin",
+    )
+    own = F.floor(
+        F.greatest("__s_a", "__s_b") / F.lit(bin_size)
+    ).cast("long")
+    return (
+        a.join(b, [*keys, "__bin"])
+        .filter(
+            (F.col("__id_a") < F.col("__id_b"))
+            & (F.col("__s_a") < F.col("__e_b"))
+            & (F.col("__s_b") < F.col("__e_a"))
+            & (F.col("__bin") == own)
+        )
+        .select(
+            *keys,
+            F.col("__id_a").alias(f"{id_col}_a"),
+            F.col("__id_b").alias(f"{id_col}_b"),
+            (
+                F.least("__e_a", "__e_b") - F.greatest("__s_a", "__s_b")
+            ).alias("overlap"),
+        )
+    )
+
+
 def _parse_gap_seconds(gap: str) -> float:
     qty, unit = gap.split()
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,

@@ -774,3 +774,54 @@ def test_streaming_covariance_equals_batch(spark, tmp_path):
     mean_r, cov_r, n_r = store2.covariance(spark)
     assert n_r == 90
     assert np.allclose(cov_r, cov_b, atol=1e-9)
+
+
+def test_interval_overlap_pairs_matches_brute_force(spark):
+    """interval_overlap_pairs vs the quadratic predicate on a random-ish
+    keyed fixture: exact pair set + overlap lengths, exactly-once
+    emission, across bin-straddling and boundary-touching intervals."""
+    from consent_based_conversion_adjustments_spark.streaming.events import (
+        interval_overlap_pairs,
+    )
+
+    rows = []
+    rid = 0
+    for key in (1, 2):
+        for i in range(30):
+            s = (i * 37) % 101            # scattered starts
+            ln = 1 + (i * 13) % 25        # lengths 1..25, some span bins
+            rows.append((key, rid, s, s + ln))
+            rid += 1
+    # adjacent (touching) intervals must NOT overlap: [0,10) vs [10,20)
+    rows += [(3, 900, 0, 10), (3, 901, 10, 20), (3, 902, 9, 11)]
+    df = spark.createDataFrame(rows, "k int, id long, s long, e long")
+
+    got = {
+        (r.k, r.id_a, r.id_b): r.overlap
+        for r in interval_overlap_pairs(
+            df, "id", "s", "e", bin_size=16, keys=["k"]
+        ).collect()
+    }
+    want = {}
+    for ka, ia, sa, ea in rows:
+        for kb, ib, sb, eb in rows:
+            if ka == kb and ia < ib and sa < eb and sb < ea:
+                want[(ka, ia, ib)] = min(ea, eb) - max(sa, sb)
+    assert got == want
+    assert (3, 900, 901) not in got          # touching != overlapping
+    assert got[(3, 900, 902)] == 1 and got[(3, 901, 902)] == 1
+
+
+def test_interval_overlap_exactly_once_across_bins(spark):
+    """A pair sharing MANY bins is still emitted once (bin ownership):
+    two long co-extensive intervals spanning 10 bins."""
+    from consent_based_conversion_adjustments_spark.streaming.events import (
+        interval_overlap_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0, 160), (1, 5, 155)], "id long, s long, e long"
+    )
+    out = interval_overlap_pairs(df, "id", "s", "e", bin_size=16).collect()
+    assert len(out) == 1
+    assert (out[0].id_a, out[0].id_b, out[0].overlap) == (0, 1, 150)

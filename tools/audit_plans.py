@@ -387,6 +387,16 @@ def main() -> int:
         and "BroadcastNestedLoopJoin" not in p,
     )
 
+    # Interval overlap: candidates from ONE equi-join on (key, bin) —
+    # an inequality-only formulation would show up as a nested loop.
+    ov = relational.order_window_overlaps(spark, SF)
+    p = plan_of(ov)
+    check(
+        "interval overlap: (key, bin) equi-join, no inequality nested loop",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 

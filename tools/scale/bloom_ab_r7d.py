@@ -1,0 +1,77 @@
+"""A/B: Spark runtime bloom-filter join pruning on a beyond-broadcast
+selective join (li64, 38.4M-row probe side).
+
+Shape under test: lineitem ⋈ dim on l_orderkey where dim keeps 20% of
+the key space (l_orderkey % 5 = 0) and is forced beyond the broadcast
+threshold, so the join is shuffle-based and 80% of probe rows are
+droppable before the exchange. Runtime bloom filtering
+(spark.sql.optimizer.runtime.bloomFilter.*) injects a might_contain
+filter on the probe side built from the creation side at runtime —
+exactly the row-level semi-join pushdown a 100 TB fact-dim join needs
+when the dim outgrows broadcast.
+
+Fresh JVM per leg, two repetitions, noop sink. Results printed as JSON
+lines; adjudicate into PERF.md.
+"""
+import json
+import subprocess
+
+SNIPPET = r'''
+import time, sys
+sys.path.insert(0, "/root/repo")
+import pyspark.sql.functions as F
+from consent_based_conversion_adjustments_spark.session import get_spark
+spark = get_spark("bloom-ab", extra_conf={{
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "{flag}",
+    "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}})
+li = spark.read.parquet("/tmp/scale64/li64/lineitem.parquet")
+dim = (
+    li.select("l_orderkey").distinct()
+    .filter(F.col("l_orderkey") % 5 == 0)
+    .withColumn("dim_payload", F.col("l_orderkey") * 2)
+)
+# materialize dim once so both legs time only the probe join
+dim.write.mode("overwrite").parquet("/tmp/scale64/bloom_dim.parquet")
+dimr = spark.read.parquet("/tmp/scale64/bloom_dim.parquet")
+t0 = time.time()
+out = (
+    li.join(dimr, "l_orderkey")
+    .agg(F.sum("l_extendedprice").alias("rev"), F.count("*").alias("n"))
+)
+out.write.format("noop").mode("overwrite").save()
+print("RESULT %.3f" % (time.time() - t0))
+p = out._jdf.queryExecution().executedPlan().toString()
+print("BLOOM", "might_contain" in p)
+'''
+
+
+def run(flag: str) -> dict:
+    out = subprocess.run(
+        ["python", "-c", SNIPPET.format(flag=flag)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    rec = {"bloom": flag}
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            rec["sec"] = float(line.split()[1])
+        elif line.startswith("BLOOM"):
+            rec["plan_has_bloom"] = line.split()[1] == "true" or line.split()[1] == "True"
+    if "sec" not in rec:
+        rec["error"] = out.stderr[-1500:]
+    return rec
+
+
+if __name__ == "__main__":
+    rows = []
+    for rep in range(2):
+        for flag in ("false", "true"):
+            rec = run(flag)
+            rec["rep"] = rep
+            print(json.dumps(rec))
+            rows.append(rec)
+    with open("/root/repo/tools/scale/results_bloom_ab.json", "w") as f:
+        json.dump(rows, f, indent=1)

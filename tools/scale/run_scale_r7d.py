@@ -115,11 +115,16 @@ else:
 
 
 def run(name: str, sf: str) -> dict:
+    # scale-runner protocol (PERF.md round 6): 64x shuffle volume on
+    # tmpfs local dirs competes with the JVM heap and identical legs
+    # measured 261-746 s — pin local dirs to disk for scale rungs.
+    env = dict(os.environ, SPARK_LOCAL_DIRS="/tmp/spark-local-scale")
     out = subprocess.run(
-        ["python", "-c", SNIPPET.format(name=name, sf=sf)],
+        ["python", "-u", "-c", SNIPPET.format(name=name, sf=sf)],
         capture_output=True,
         text=True,
         timeout=3600,
+        env=env,
     )
     rec: dict = {"name": name, "sf": sf}
     for line in out.stdout.splitlines():
@@ -149,7 +154,7 @@ if __name__ == "__main__":
         ("lineitem_table_diff", "/tmp/scale64/li64"),
     ]:
         rec = run(name, sf)
-        print(json.dumps(rec))
+        print(json.dumps(rec), flush=True)
         rows.append(rec)
     with open("/root/repo/tools/scale/results_r7d.json", "w") as f:
         json.dump(rows, f, indent=1)
