@@ -539,6 +539,147 @@ def bigram_pmi(
     return out
 
 
+def frequent_item_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket pair mining (A-Priori, Agrawal & Srikant VLDB 1994):
+    all DISTINCT-token pairs co-occurring in ≥ ``min_support`` documents,
+    with their support count — term-association mining over a corpus
+    (which topics travel together), the level-2 frequent-itemset pass.
+
+    The A-Priori pruning step is what makes this scale: a pair can only
+    be frequent if BOTH items are frequent (support is anti-monotone),
+    so the per-document pair explode — the quadratic-per-row step — runs
+    over each document's FREQUENT tokens only. Infrequent vocabulary
+    (the long tail, the overwhelming majority at corpus scale) never
+    reaches the pair generator.
+
+    Plan: one explode + hash-agg for item supports → semi-join tokens
+    down to frequent ones (equi-join on token; AQE broadcasts the item
+    table when small) → per-doc sorted collect_list → in-row pair
+    explode (k·(k−1)/2 per doc, k = frequent tokens in that doc) → one
+    (a, b)-keyed hash agg with the ≥ min_support HAVING. Map-side
+    partial aggregation halves the pair volume before the only
+    pair-keyed shuffle. A document stuffed with thousands of distinct
+    frequent tokens makes k² blow up — cap it upstream (doc length
+    caps / quality gates) as a corpus pipeline already does.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("item"),
+    )
+    support = toks.groupBy("item").agg(
+        F.count(F.lit(1)).alias("__sup")
+    )
+    frequent = support.filter(F.col("__sup") >= min_support).select("item")
+    kept = toks.join(frequent, "item")
+    baskets = kept.groupBy("__id").agg(
+        F.array_sort(F.collect_list("item")).alias("__items")
+    )
+    # in-row pair explode over the sorted frequent-item basket:
+    # (i, j) index pairs with i < j keep each pair ordered + unique
+    pairs = baskets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("__items"),
+                        lambda a, i: F.transform(
+                            F.col("__items"),
+                            lambda b, j: F.when(
+                                j > i, F.struct(a.alias("a"), b.alias("b"))
+                            ),
+                        ),
+                    )
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("__p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
+        .filter(F.col("pair_support") >= min_support)
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    bucket_col: str = "ntile",
+) -> DataFrame:
+    """Scale-safe NTILE over a TOTAL order: ``ntile(n) OVER (ORDER BY
+    …)`` plans as a single-partition window (every row through one
+    task); this derives the identical bucket from ``global_rank`` —
+    range exchange + per-partition Arrow counter — with SQL NTILE's
+    exact remainder semantics (the first ``N % n`` buckets get
+    ``⌈N/n⌉`` rows). Pass a tie-breaking unique key in ``order_cols``
+    for a deterministic result, as with any NTILE.
+    """
+    ranked = global_rank(df, order_cols, rank_col="__gr")
+    total = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    base, rem = F.floor(F.col("__n") / n), F.col("__n") % n
+    pivot = (base + 1) * rem  # rows in the ⌈N/n⌉-sized buckets
+    r0 = F.col("__gr") - 1
+    bucket = F.when(
+        r0 < pivot, F.floor(r0 / (base + 1))
+    ).otherwise(rem + F.floor((r0 - pivot) / base))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(bucket_col, (bucket + 1).cast("long"))
+        .drop("__gr", "__n")
+    )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Spearman rank correlation between two columns, distributed:
+    both columns ranked with ``global_rank`` (never a single-partition
+    window), then one Pearson-over-ranks aggregate. ``tiebreak_col``
+    (a unique key) makes both rank orders total — this is the
+    deterministic row_number convention rather than average-rank tie
+    handling; with heavy ties prefer the exact average-rank variant
+    (rank + count per value via one extra hash agg).
+
+    Returns a 1-row frame (spearman_rho, n). Two range shuffles + two
+    Arrow rank passes + one scalar agg; no joins at all — the second
+    rank pass carries the first rank column through. Because both rank
+    vectors are tie-free permutations of 1..N, rho uses the exact
+    difference formula 1 − 6·Σd²/(N(N²−1)): each d² is int64-exact and
+    Σd² accumulates as decimal(38,0) (Spark decimal sums are exact;
+    Σd² < N³ overflows int64 past ~2M rows), so the result is one
+    double division over exact integers — deterministic across engines
+    and partitionings, no floating co-moment accumulation.
+    """
+    rx = global_rank(df, [col_x, tiebreak_col], rank_col="__rx")
+    rxy = global_rank(rx, [col_y, tiebreak_col], rank_col="__ry")
+    d = F.col("__rx") - F.col("__ry")
+    stats = rxy.agg(
+        F.sum((d * d).cast("decimal(38,0)")).alias("__sd2"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    n = F.col("__n").cast("double")
+    return stats.select(
+        (
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.col("__sd2").cast("double")
+            / (n * (n * n - F.lit(1.0)))
+        ).alias("spearman_rho"),
+        F.col("__n").cast("long").alias("n"),
+    )
+
+
 def temperature_sample_quotas(
     docs: DataFrame,
     source_col: str = "source",

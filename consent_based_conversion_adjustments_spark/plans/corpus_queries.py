@@ -910,6 +910,37 @@ ORDER BY doc_id
 )
 
 
+_PAIR_MIN_SUPPORT = 50
+
+
+def token_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Priori frequent token-pair mining (operators.corpus
+    .frequent_item_pairs): items filtered to frequent BEFORE the
+    per-document pair explode, pair supports from one map-side-combined
+    hash agg."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.frequent_item_pairs(
+        docs, "text", "doc_id", min_support=_PAIR_MIN_SUPPORT
+    )
+
+
+TOKEN_PAIRS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, unnest(list_distinct({{toks}})) AS item FROM documents
+), freq AS (
+    SELECT item FROM t GROUP BY item
+    HAVING count(*) >= {_PAIR_MIN_SUPPORT}
+), k AS (
+    SELECT doc_id, item FROM t JOIN freq USING (item)
+)
+SELECT a.item AS item_a, b.item AS item_b,
+       CAST(count(*) AS BIGINT) AS pair_support
+FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.item < b.item
+GROUP BY 1, 2
+HAVING count(*) >= {_PAIR_MIN_SUPPORT}
+""".format(toks=_TOKS.format(c="text"))
+
+
 _BM25_TERMS = ["hash", "join", "spark", "vector"]
 _BM25_K = 25
 
@@ -956,6 +987,7 @@ LIMIT {_BM25_K}
 
 QUERIES: dict[str, tuple] = {
     "bm25_search_topk": (bm25_search_topk, BM25_SQL),
+    "token_pair_mining": (token_pair_mining, TOKEN_PAIRS_SQL),
     "doc_lm_perplexity": (doc_lm_perplexity, LM_PERPLEXITY_SQL),
     "collocation_pmi_topk": (collocation_pmi_topk, COLLOCATION_SQL),
     "bpe_merges": (bpe_merges, BPE_MERGES_SQL),

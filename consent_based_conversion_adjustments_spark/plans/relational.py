@@ -1818,6 +1818,80 @@ FROM est CROSS JOIN actual
 """
 
 
+def orders_price_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe NTILE (corpus.global_ntile): identical buckets to
+    ``ntile(8) OVER (ORDER BY price, key)`` — which plans as a
+    single-partition window — via distributed global rank + the exact
+    remainder arithmetic, summarized per bucket."""
+    from ..operators.corpus import global_ntile
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = global_ntile(orders, ["o_totalprice", "o_orderkey"], 8)
+    return (
+        t.groupBy("ntile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("ntile")
+    )
+
+
+NTILE_SQL = """
+WITH t AS (
+    SELECT o_totalprice,
+           ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS ntile
+    FROM orders
+)
+SELECT ntile, CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM t GROUP BY ntile ORDER BY ntile
+"""
+
+
+def lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price over
+    lineitem (corpus.spearman_correlation): two distributed global
+    ranks + the exact Σd² difference formula — deterministic to the
+    bit, no floating co-moments."""
+    from ..operators.corpus import spearman_correlation
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        "l_extendedprice",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("__tb"),
+    )
+    out = spearman_correlation(li, "l_quantity", "l_extendedprice", "__tb")
+    return out.select(
+        stable_round("spearman_rho", 9).alias("spearman_rho"), "n"
+    )
+
+
+SPEARMAN_SQL = """
+WITH src AS (
+    SELECT l_quantity, l_extendedprice,
+           l_orderkey * 8 + l_linenumber AS tb
+    FROM lineitem
+), r AS (
+    SELECT row_number() OVER (ORDER BY l_quantity, tb) AS rx,
+           row_number() OVER (ORDER BY l_extendedprice, tb) AS ry
+    FROM src
+)
+SELECT {rho} AS spearman_rho, CAST(count(*) AS BIGINT) AS n
+FROM r
+""".format(
+    rho=sql_round(
+        "1.0 - 6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE)"
+        " / (CAST(count(*) AS DOUBLE)"
+        " * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0))",
+        9,
+    )
+)
+
+
 def order_window_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap self-join (streaming.events
     .interval_overlap_pairs): per-customer order processing windows
@@ -2018,6 +2092,8 @@ QUERIES: dict[str, tuple] = {
     "customer_snapshot_diff": (customer_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "supplier_fuzzy_matches": (supplier_fuzzy_matches, SUPPLIER_FUZZY_SQL),
     "order_window_overlaps": (order_window_overlaps, ORDER_OVERLAP_SQL),
+    "orders_price_ntile": (orders_price_ntile, NTILE_SQL),
+    "lineitem_spearman": (lineitem_spearman, SPEARMAN_SQL),
     "user_state_history": (user_state_history, SCD2_SQL),
     "orders_custkey_histogram": (orders_custkey_histogram, ORDERS_HISTOGRAM_SQL),
     "join_cardinality_estimate": (join_cardinality_estimate, JOIN_CARD_SQL),

@@ -685,3 +685,100 @@ def test_bm25_topk_cutoff_is_deterministic(spark):
         for r in C.bm25_topk(df, ["hash"], "text", "doc_id", k=3).collect()
     ]
     assert got == [0, 1, 2]
+
+
+def test_frequent_item_pairs_matches_python(spark):
+    """A-Priori pair mining vs literal Python counting, including the
+    item-level pruning semantics (pairs of frequent-but-never-co-
+    occurring items absent; pairs involving infrequent items absent even
+    when the PAIR would meet support through duplicates)."""
+    texts = [
+        "a b c",
+        "a b d",
+        "a b e rare1",
+        "c d e",
+        "a c rare2",
+        "b c d e",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ms = 3
+    got = {
+        (r.item_a, r.item_b): r.pair_support
+        for r in C.frequent_item_pairs(
+            df, "text", "doc_id", min_support=ms
+        ).collect()
+    }
+    support = {}
+    baskets = [sorted(set(t.split())) for t in texts]
+    for b in baskets:
+        for it in b:
+            support[it] = support.get(it, 0) + 1
+    freq = {it for it, s in support.items() if s >= ms}
+    want = {}
+    for b in baskets:
+        kept = [it for it in b if it in freq]
+        for i in range(len(kept)):
+            for j in range(i + 1, len(kept)):
+                want[(kept[i], kept[j])] = want.get((kept[i], kept[j]), 0) + 1
+    want = {k: v for k, v in want.items() if v >= ms}
+    assert got == want
+    assert ("rare1", "rare2") not in got and len(want) > 0
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile == ntile() OVER (ORDER BY ...) including the
+    remainder buckets, on an N not divisible by n."""
+    from pyspark.sql import Window
+
+    n_rows, n_buckets = 103, 8
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(n_rows)], "id long, v long"
+    )
+    got = {
+        r.id: r.ntile
+        for r in C.global_ntile(df, ["v", "id"], n_buckets).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r.id: r.nt
+        for r in df.withColumn(
+            "nt", F.ntile(n_buckets).over(w)
+        ).collect()
+    }
+    assert got == want
+    sizes = {}
+    for b in got.values():
+        sizes[b] = sizes.get(b, 0) + 1
+    # 103 = 8*12 + 7: first 7 buckets get 13, the last gets 12
+    assert sorted(sizes.values(), reverse=True) == [13] * 7 + [12]
+
+
+def test_spearman_correlation_matches_python(spark):
+    """Exact Σd² Spearman vs a literal Python computation; monotone
+    transform gives rho == 1, reversal gives rho == -1."""
+    # (i*7) % 40 is a bijection on 0..39 (gcd(7,40)=1) -> tie-free x
+    vals = [(i, float((i * 7) % 40), float(((i * 7) % 40) ** 3), i)
+            for i in range(40)]
+    df = spark.createDataFrame(vals, "id long, x double, y double, tb long")
+    r = C.spearman_correlation(df, "x", "y", "tb").collect()[0]
+    assert r.n == 40
+    assert abs(r.spearman_rho - 1.0) < 1e-12  # y = x^3 is monotone in x
+
+    df2 = df.withColumn("y", -F.col("y"))
+    r2 = C.spearman_correlation(df2, "x", "y", "tb").collect()[0]
+    assert abs(r2.spearman_rho + 1.0) < 1e-12
+
+    # general case vs Python (tie-free by the tiebreak convention)
+    rows = [(i, float((i * 13) % 17), float((i * 5) % 11), i)
+            for i in range(30)]
+    df3 = spark.createDataFrame(rows, "id long, x double, y double, tb long")
+    r3 = C.spearman_correlation(df3, "x", "y", "tb").collect()[0]
+    xs = sorted(range(30), key=lambda i: (rows[i][1], rows[i][3]))
+    ys = sorted(range(30), key=lambda i: (rows[i][2], rows[i][3]))
+    rx = {i: k + 1 for k, i in enumerate(xs)}
+    ry = {i: k + 1 for k, i in enumerate(ys)}
+    sd2 = sum((rx[i] - ry[i]) ** 2 for i in range(30))
+    want = 1.0 - 6.0 * sd2 / (30 * (30 * 30 - 1))
+    assert abs(r3.spearman_rho - want) < 1e-12

@@ -87,20 +87,30 @@ bench.warmup(spark)
 name, sf = "{name}", "{sf}"
 import __spark_entry__ as e
 if name == "lineitem_table_diff":
+    # the synthetic lineitem does NOT have unique (l_orderkey,
+    # l_linenumber) — even at base sf0.1 only 457k of 600k are distinct
+    # — and table_diff (like MERGE) requires key uniqueness per side, so
+    # the diff runs on a materialized unique row id (written once; both
+    # sides read the SAME table so ids agree row-for-row).
+    import os
     from consent_based_conversion_adjustments_spark.operators.merge import (
         table_diff)
-    li = spark.read.parquet(sf + "/lineitem.parquet")
-    keys = ["l_orderkey", "l_linenumber"]
+    rid_path = "/tmp/scale64/rid_" + sf.replace("/", "_")
+    if not os.path.exists(rid_path):
+        (spark.read.parquet(sf + "/lineitem.parquet")
+         .withColumn("rid", F.monotonically_increasing_id())
+         .write.mode("overwrite").parquet(rid_path))
+    li = spark.read.parquet(rid_path)
     mutated = (
-        li.filter(F.col("l_orderkey") % 20 != 1)
+        li.filter(F.col("rid") % 20 != 1)
         .withColumn(
             "l_quantity",
-            F.when(F.col("l_orderkey") % 10 == 0,
+            F.when(F.col("rid") % 10 == 0,
                    F.col("l_quantity") + 1).otherwise(F.col("l_quantity")),
         )
     )
     t0 = time.time()
-    out = table_diff(li, mutated, keys)
+    out = table_diff(li, mutated, ["rid"])
     out.write.format("noop").mode("overwrite").save()
     print("RESULT %.3f" % (time.time() - t0))
     print("VOLUME rows", li.count())
@@ -139,8 +149,19 @@ def run(name: str, sf: str) -> dict:
 
 
 if __name__ == "__main__":
+    import sys
+
+    only = set(sys.argv[1:])
     build_tiles()
     rows = []
+    if only and os.path.exists("/root/repo/tools/scale/results_r7d.json"):
+        rows = [
+            r
+            for r in json.load(
+                open("/root/repo/tools/scale/results_r7d.json")
+            )
+            if r["name"] not in only
+        ]
     for name, sf in [
         ("dedup_sorted_neighborhood", "/root/testdata/sf0.1"),
         ("dedup_sorted_neighborhood", "/tmp/scale64/sf6.4"),
@@ -153,6 +174,8 @@ if __name__ == "__main__":
         ("lineitem_table_diff", "/root/testdata/sf0.1"),
         ("lineitem_table_diff", "/tmp/scale64/li64"),
     ]:
+        if only and name not in only:
+            continue
         rec = run(name, sf)
         print(json.dumps(rec), flush=True)
         rows.append(rec)
