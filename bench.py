@@ -69,6 +69,10 @@ HEADLINE = [
     ("bm25_search_topk", corpus_queries.bm25_search_topk),
     ("dedup_sorted_neighborhood", data_queries.dedup_sorted_neighborhood),
     ("supplier_fuzzy_matches", relational.supplier_fuzzy_matches),
+    ("order_window_overlaps", relational.order_window_overlaps),
+    ("token_pair_mining", corpus_queries.token_pair_mining),
+    ("orders_price_ntile", relational.orders_price_ntile),
+    ("lineitem_spearman", relational.lineitem_spearman),
     # The checkpoint-heavy queries run LAST: their localCheckpoint
     # blocks are freed by the ContextCleaner only after driver-side GC, and
     # even with the drain below a residue of that cleanup can land in the

@@ -397,6 +397,35 @@ def main() -> int:
         and "BroadcastNestedLoopJoin" not in p,
     )
 
+    # NTILE: the whole point is NO single-partition window — assert no
+    # empty-partition windowspec and the Arrow rank pass is present.
+    nt = relational.orders_price_ntile(spark, SF)
+    p = plan_of(nt)
+    check(
+        "global ntile: no single-partition window, Arrow rank pass",
+        "windowspecdefinition(o_totalprice" not in p
+        and "MapInPandas" in p,
+    )
+    # Spearman: two Arrow rank passes, a scalar agg, zero joins.
+    sp_ = relational.lineitem_spearman(spark, SF)
+    p = plan_of(sp_)
+    # (the first rank pass hides behind global_rank's localCheckpoint —
+    # lineage truncation leaves one visible MapInPandas + an RDD scan)
+    check(
+        "spearman: rank passes + scalar agg, no join",
+        p.count("MapInPandas") >= 1 and "Join" not in p,
+    )
+    # Pair mining: the item-support semi-join is the only join; the pair
+    # explode is in-row (no pair-keyed join anywhere).
+    pm = corpus_queries.token_pair_mining(spark, SF)
+    p = plan_of(pm)
+    check(
+        "pair mining: single item equi-join, in-row pair explode",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Generate explode" in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 

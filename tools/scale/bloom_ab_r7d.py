@@ -14,6 +14,7 @@ Fresh JVM per leg, two repetitions, noop sink. Results printed as JSON
 lines; adjudicate into PERF.md.
 """
 import json
+import os
 import subprocess
 
 SNIPPET = r'''
@@ -48,11 +49,14 @@ print("BLOOM", "might_contain" in p)
 
 
 def run(flag: str) -> dict:
+    # scale protocol: 64x shuffle volume goes to disk, not tmpfs
+    env = dict(os.environ, SPARK_LOCAL_DIRS="/tmp/spark-local-scale")
     out = subprocess.run(
-        ["python", "-c", SNIPPET.format(flag=flag)],
+        ["python", "-u", "-c", SNIPPET.format(flag=flag)],
         capture_output=True,
         text=True,
         timeout=1800,
+        env=env,
     )
     rec = {"bloom": flag}
     for line in out.stdout.splitlines():
