@@ -2065,6 +2065,43 @@ def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "version")
 
 
+def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING SCD2 maintenance path (streaming.scd2.SCD2Store):
+    three ts-ranged micro-batches flow through the exact foreachBatch
+    body — per-batch change-point compression, cross-batch carry-in
+    filter against the store's latest state, per-epoch delta write —
+    and the history read back must equal the one-shot batch operator,
+    so the ORACLE IS THE SAME SQL as user_state_history. The
+    readStream→sink wiring (file source, availableNow, ordered epochs)
+    is exercised in tests/test_streaming.py; this query pins the sink
+    body's semantics and store layout."""
+    import tempfile
+
+    from ..streaming.scd2 import SCD2Store
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    store = SCD2Store(
+        tempfile.mkdtemp(prefix="cocoa_scd2_store_"),
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+    )
+    t1, t2 = "2024-01-11", "2024-01-21"
+    store.process_batch(ev.filter(F.col("ts") < t1), 0)
+    store.process_batch(
+        ev.filter((F.col("ts") >= t1) & (F.col("ts") < t2)), 1
+    )
+    store.process_batch(ev.filter(F.col("ts") >= t2), 2)
+    hist = store.history(spark).localCheckpoint()
+    return hist.withColumn(
+        "valid_to",
+        F.coalesce("valid_to", F.lit("2200-01-01").cast("timestamp")),
+    ).orderBy("user_id", "version")
+
+
 SCD2_SQL = """
 WITH ordered AS (
     SELECT user_id, event_id, ts, event_type,
@@ -2094,6 +2131,7 @@ QUERIES: dict[str, tuple] = {
     "order_window_overlaps": (order_window_overlaps, ORDER_OVERLAP_SQL),
     "orders_price_ntile": (orders_price_ntile, NTILE_SQL),
     "lineitem_spearman": (lineitem_spearman, SPEARMAN_SQL),
+    "streaming_scd2_history": (streaming_scd2_history, SCD2_SQL),
     "user_state_history": (user_state_history, SCD2_SQL),
     "orders_custkey_histogram": (orders_custkey_histogram, ORDERS_HISTOGRAM_SQL),
     "join_cardinality_estimate": (join_cardinality_estimate, JOIN_CARD_SQL),

@@ -825,3 +825,165 @@ def test_interval_overlap_exactly_once_across_bins(spark):
     out = interval_overlap_pairs(df, "id", "s", "e", bin_size=16).collect()
     assert len(out) == 1
     assert (out[0].id_a, out[0].id_b, out[0].overlap) == (0, 1, 150)
+
+
+def _scd2_events(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for u in range(6):
+        for i in range(12):
+            state = ["A", "A", "B", "C", "C", "B"][(i + u) % 6]
+            rows.append(
+                (u, t0 + datetime.timedelta(hours=i * 3 + u), state, eid)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, state string, event_id long"
+    )
+
+
+def test_scd2_store_matches_batch_operator(spark, tmp_path):
+    """Three ts-ranged micro-batches through the foreachBatch body ==
+    the one-shot batch operator over the concatenated input (carry-in
+    states filtered, compression idempotent across boundaries)."""
+    import datetime
+
+    from consent_based_conversion_adjustments_spark.operators.merge import (
+        scd2_history,
+    )
+    from consent_based_conversion_adjustments_spark.streaming.scd2 import (
+        SCD2Store,
+    )
+
+    ev = _scd2_events(spark)
+    store = SCD2Store(
+        str(tmp_path / "scd2"), "user_id", "ts", "state", "event_id"
+    )
+    cut1 = datetime.datetime(2024, 3, 1, 13)
+    cut2 = datetime.datetime(2024, 3, 2, 4)
+    store.process_batch(ev.filter(F.col("ts") < cut1), 0)
+    store.process_batch(
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)), 1
+    )
+    store.process_batch(ev.filter(F.col("ts") >= cut2), 2)
+    got = sorted(
+        map(tuple, store.history(spark).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            scd2_history(ev, "user_id", "ts", "state", "event_id").collect(),
+        )
+    )
+    assert got == want and len(got) > 6
+
+
+def test_scd2_store_replay_idempotent(spark, tmp_path):
+    """Re-running an epoch (crash-replay: same id, same rows) rewrites
+    its own delta instead of appending — history unchanged."""
+    import datetime
+
+    from consent_based_conversion_adjustments_spark.streaming.scd2 import (
+        SCD2Store,
+    )
+
+    ev = _scd2_events(spark)
+    store = SCD2Store(
+        str(tmp_path / "scd2"), "user_id", "ts", "state", "event_id"
+    )
+    cut = datetime.datetime(2024, 3, 1, 13)
+    b0, b1 = ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
+    store.process_batch(b0, 0)
+    store.process_batch(b1, 1)
+    once = sorted(map(tuple, store.history(spark).collect()))
+    store.process_batch(b1, 1)  # replay
+    twice = sorted(map(tuple, store.history(spark).collect()))
+    assert once == twice
+
+
+def test_scd2_store_out_of_order_raises(spark, tmp_path):
+    """A batch at or before a key's stored high-water mark must raise
+    loudly (silent acceptance would corrupt change points)."""
+    import datetime
+
+    from consent_based_conversion_adjustments_spark.streaming.scd2 import (
+        SCD2Store,
+    )
+
+    ev = _scd2_events(spark)
+    store = SCD2Store(
+        str(tmp_path / "scd2"), "user_id", "ts", "state", "event_id"
+    )
+    cut = datetime.datetime(2024, 3, 1, 13)
+    store.process_batch(ev.filter(F.col("ts") >= cut), 0)
+    with pytest.raises(ValueError, match="out-of-order"):
+        store.process_batch(ev.filter(F.col("ts") < cut), 1)
+
+
+def test_scd2_stream_end_to_end(spark, tmp_path):
+    """Real wiring: file-source stream, one ts-ranged file per
+    micro-batch (mtimes force the source's pickup order), availableNow,
+    foreachBatch -> SCD2Store; final history == batch operator."""
+    import datetime
+    import os
+    import time as _time
+
+    import pyarrow
+    import pyarrow.parquet as pq
+
+    from consent_based_conversion_adjustments_spark.operators.merge import (
+        scd2_history,
+    )
+    from consent_based_conversion_adjustments_spark.streaming.scd2 import (
+        SCD2Store,
+    )
+
+    ev = _scd2_events(spark)
+    cut1 = datetime.datetime(2024, 3, 1, 13)
+    cut2 = datetime.datetime(2024, 3, 2, 4)
+    parts = [
+        ev.filter(F.col("ts") < cut1),
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        ev.filter(F.col("ts") >= cut2),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    now = _time.time()
+    for i, p in enumerate(parts):
+        path = str(in_dir / f"batch_{i}.parquet")
+        pq.write_table(
+            pyarrow.Table.from_pandas(p.toPandas(), preserve_index=False),
+            path,
+            coerce_timestamps="us",  # the session reads nanos as long
+        )
+        os.utime(path, (now + 30 * i, now + 30 * i))
+
+    store = SCD2Store(
+        str(tmp_path / "scd2"), "user_id", "ts", "state", "event_id"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: store.process_batch(b, e)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(map(tuple, store.history(spark).collect()))
+    want = sorted(
+        map(
+            tuple,
+            scd2_history(ev, "user_id", "ts", "state", "event_id").collect(),
+        )
+    )
+    assert got == want

@@ -24,21 +24,27 @@ import pyspark.sql.functions as F
 from consent_based_conversion_adjustments_spark.session import get_spark
 spark = get_spark("bloom-ab", extra_conf={{
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "{flag}",
-    "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+    # defaults gate injection on >10GB application-side scans and <10MB
+    # creation sides — neither matches a 64x local tile, so open both
+    # gates to measure the mechanism itself at this scale
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "256MB",
     "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
 }})
 li = spark.read.parquet("/tmp/scale64/li64/lineitem.parquet")
+# the injection rule (InjectRuntimeFilter) requires a SELECTIVE
+# predicate on the creation side's plan — keep the filter in-plan
+# (a pre-materialized dim read back from parquet never qualifies)
 dim = (
-    li.select("l_orderkey").distinct()
-    .filter(F.col("l_orderkey") % 5 == 0)
+    spark.read.parquet("/tmp/scale64/li64/lineitem.parquet")
+    .select("l_orderkey").distinct()
+    .filter(F.col("l_orderkey") % 50 == 0)
     .withColumn("dim_payload", F.col("l_orderkey") * 2)
 )
-# materialize dim once so both legs time only the probe join
-dim.write.mode("overwrite").parquet("/tmp/scale64/bloom_dim.parquet")
-dimr = spark.read.parquet("/tmp/scale64/bloom_dim.parquet")
 t0 = time.time()
 out = (
-    li.join(dimr, "l_orderkey")
+    li.join(dim, "l_orderkey")
     .agg(F.sum("l_extendedprice").alias("rev"), F.count("*").alias("n"))
 )
 out.write.format("noop").mode("overwrite").save()
