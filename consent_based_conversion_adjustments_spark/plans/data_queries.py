@@ -1583,6 +1583,45 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_TOPK_SQL = C.pq_topk_sql(ANN_K, n_subspaces=8, k=8, iters=2, dim=64)
 
 
+_HLL_START, _HLL_END = "2024-01-05", "2024-01-25"
+
+
+def distinct_users_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of the HLL cube range query: distinct users over the
+    same date window, one hash agg (the baseline the sketch replaces at
+    scale — this rescans the log, the cube touches #days rows)."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    return ev.filter(
+        (day >= F.lit(_HLL_START).cast("date"))
+        & (day <= F.lit(_HLL_END).cast("date"))
+    ).agg(
+        F.count_distinct("user_id").cast("long").alias("n_distinct_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+DISTINCT_WINDOW_SQL = f"""
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{_HLL_START}' AND DATE '{_HLL_END}'
+"""
+
+
+def distinct_users_window_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable distinct-count cube (streaming.stats
+    .daily_distinct_sketches): per-day HLL sketches unioned over the
+    window — #days rows aggregated instead of an event-log rescan.
+    DataSketches has no DuckDB twin → rows-only; pytest pins the error
+    envelope vs exact and merged-daily ≡ direct-range sketching."""
+    from ..streaming.stats import daily_distinct_sketches, distinct_over_days
+
+    ev = read_table(spark, sf_dir, "events")
+    cube = daily_distinct_sketches(ev)
+    return distinct_over_days(cube, _HLL_START, _HLL_END)
+
+
 def streaming_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming stats store end-to-end: three micro-batches
     (vec_id % 3) flow through ``RunningStatsStore.process_batch`` — the
@@ -2690,6 +2729,8 @@ QUERIES: dict[str, tuple] = {
     "embedding_covariance": (embedding_covariance, EMBEDDING_COV_SQL),
     "embedding_pq_codes": (embedding_pq_codes, PQ_SQL),
     "streaming_covariance": (streaming_covariance, EMBEDDING_COV_SQL),
+    "distinct_users_window": (distinct_users_window, DISTINCT_WINDOW_SQL),
+    "distinct_users_window_hll": (distinct_users_window_hll, None),
     "ann_pq_topk": (ann_pq_topk, PQ_TOPK_SQL),
     "embedding_pca_coords": (embedding_pca_coords, None),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),

@@ -84,3 +84,53 @@ class RunningStatsStore:
         """(mean, covariance, n) over everything ingested so far —
         identical assembly to the batch ``covariance_fit``."""
         return L.assemble_cov(self.totals(spark).collect())
+
+
+# -- mergeable distinct-count cube (HLL sketches) -----------------------------
+
+
+def daily_distinct_sketches(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-day HLL sketches (Apache DataSketches, ``hll_sketch_agg``) —
+    the mergeable distinct-count cube: any date range is answered by
+    UNIONING its days' sketches (one tiny agg over #days binary rows)
+    instead of rescanning the event log. Sketch rows are additive state
+    exactly like the Gram partials above, so the same per-epoch parquet
+    + overwrite sink streams the cube with exactly-once replay; at
+    100 TB the cube is #days × 2^lgk bytes — effectively free — and the
+    one full scan that builds it is map-side combined (sketches merge
+    inside the partial aggregate, only binary sketches cross the
+    exchange, never keys).
+
+    DuckDB has no DataSketches twin, so the registered range query is
+    rows-only; pytest pins (a) the estimate within HLL's error envelope
+    of the exact count and (b) merged-daily == direct-range sketching.
+    """
+    return events.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def distinct_over_days(
+    sketches: DataFrame, start_day: str, end_day: str
+) -> DataFrame:
+    """Distinct-key estimate for [start_day, end_day] from the cube:
+    filter days (partition-prunable at scale), union, estimate."""
+    return (
+        sketches.filter(
+            (F.col("day") >= F.lit(start_day).cast("date"))
+            & (F.col("day") <= F.lit(end_day).cast("date"))
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_distinct"
+            ),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+    )

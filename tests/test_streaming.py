@@ -987,3 +987,40 @@ def test_scd2_stream_end_to_end(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_hll_cube_envelope_and_mergeability(spark):
+    """The mergeable distinct-count cube: (a) union-of-daily-sketches
+    estimate within HLL's error envelope of the exact distinct count,
+    (b) merging daily sketches ≡ sketching the whole range directly
+    (the property that makes the cube answer ANY range correctly)."""
+    from consent_based_conversion_adjustments_spark.streaming.stats import (
+        daily_distinct_sketches,
+        distinct_over_days,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    lo, hi = "2024-01-05", "2024-01-25"
+    cube = daily_distinct_sketches(ev)
+    merged = distinct_over_days(cube, lo, hi).collect()[0]
+
+    day = F.to_date("ts")
+    in_range = ev.filter(
+        (day >= F.lit(lo).cast("date")) & (day <= F.lit(hi).cast("date"))
+    )
+    exact = in_range.select(
+        F.count_distinct("user_id").alias("d"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    # lgK=12 -> relative standard error ~1.04/sqrt(2^12) ≈ 1.6%; 5 sigma
+    assert abs(merged.approx_distinct - exact.d) <= max(0.08 * exact.d, 5)
+    assert merged.n_events == exact.n
+    assert merged.n_days == 21
+
+    direct = (
+        in_range.agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("d")
+        ).collect()[0]
+    )
+    assert merged.approx_distinct == direct.d  # merge ≡ direct
