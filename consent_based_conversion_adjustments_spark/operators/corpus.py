@@ -915,6 +915,82 @@ def funnel_counts(
     )
 
 
+def event_path_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    length: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Path analysis: the top-``k`` most common length-``length`` event
+    sequences across users (consecutive events in per-user time order) —
+    the "what do users do next" primitive behind funnel discovery.
+
+    Plan: one hash shuffle on the user + a lead-window pass builds each
+    length-``length`` sliding path IN ROW (no per-user collect_list —
+    a heavy user never materializes a giant array), then one
+    map-side-combined hash agg on the path string and TakeOrdered for
+    the top-k (count desc, path asc — deterministic cutoff). Heavy-key
+    caveat is the window one, shared with sessionization.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, length)
+    ]
+    paths = events.select(
+        F.when(
+            steps[-1].isNotNull(), F.concat_ws(">", *steps)
+        ).alias("path")
+    ).filter(F.col("path").isNotNull())
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(k)
+    )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    col: str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+) -> DataFrame:
+    """Percentile winsorization (outlier clipping), the standard numeric
+    data-cleaning pass: values below the ``lower_q`` quantile / above
+    the ``upper_q`` quantile are clamped to those quantiles. Returns
+    per-side clip counts plus the clipped column's min/max — the audit
+    row a cleaning pipeline logs.
+
+    Two-pass shape shared with the percentile radius join: one exact
+    percentile aggregate (bounded driver traffic — two doubles), bounds
+    re-enter the plan as LITERALS, so the clip itself is a stateless
+    whole-stage-codegen map with no second shuffle. The clipped column
+    expression (``clipped_col``) is also usable directly for a
+    write-back pass.
+    """
+    row = df.agg(
+        F.percentile(F.col(col), F.array(F.lit(lower_q), F.lit(upper_q)))
+        .alias("b")
+    ).first()
+    lo, hi = float(row["b"][0]), float(row["b"][1])
+    c = F.col(col)
+    clipped = F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+    return df.agg(
+        F.lit(lo).alias("lower_bound"),
+        F.lit(hi).alias("upper_bound"),
+        F.sum((c < F.lit(lo)).cast("long")).alias("n_clipped_low"),
+        F.sum((c > F.lit(hi)).cast("long")).alias("n_clipped_high"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(clipped).alias("clipped_min"),
+        F.max(clipped).alias("clipped_max"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

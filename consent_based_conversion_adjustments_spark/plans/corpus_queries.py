@@ -910,6 +910,70 @@ ORDER BY doc_id
 )
 
 
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-event user paths (operators.corpus.event_path_counts):
+    lead-window sliding paths built in-row (no per-user arrays), one
+    hash agg, TakeOrdered cutoff."""
+    ev = read_table(spark, sf_dir, "events")
+    return C.event_path_counts(ev, length=3, k=20)
+
+
+EVENT_PATHS_SQL = """
+WITH s AS (
+    SELECT event_type AS e1,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_paths DESC, path ASC
+LIMIT 20
+"""
+
+
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization audit (operators.corpus.winsorize_stats):
+    exact p1/p99 bounds as literals, stateless clip map, one agg."""
+    ev = read_table(spark, sf_dir, "events")
+    out = C.winsorize_stats(ev, "value", 0.01, 0.99)
+    return out.select(
+        stable_round("lower_bound", 6).alias("lower_bound"),
+        stable_round("upper_bound", 6).alias("upper_bound"),
+        "n_clipped_low",
+        "n_clipped_high",
+        "n_rows",
+        stable_round("clipped_min", 6).alias("clipped_min"),
+        stable_round("clipped_max", 6).alias("clipped_max"),
+    )
+
+
+WINSORIZE_SQL = """
+WITH b AS (
+    SELECT quantile_cont(value, 0.01) AS lo,
+           quantile_cont(value, 0.99) AS hi
+    FROM events
+)
+SELECT {rlo} AS lower_bound, {rhi} AS upper_bound,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_low,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_high,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {rmin} AS clipped_min,
+       {rmax} AS clipped_max
+FROM events CROSS JOIN b
+""".format(
+    rlo=sql_round("any_value(lo)", 6),
+    rhi=sql_round("any_value(hi)", 6),
+    rmin=sql_round("min(least(greatest(value, lo), hi))", 6),
+    rmax=sql_round("max(least(greatest(value, lo), hi))", 6),
+)
+
+
 _PAIR_MIN_SUPPORT = 50
 
 
@@ -988,6 +1052,8 @@ LIMIT {_BM25_K}
 QUERIES: dict[str, tuple] = {
     "bm25_search_topk": (bm25_search_topk, BM25_SQL),
     "token_pair_mining": (token_pair_mining, TOKEN_PAIRS_SQL),
+    "user_event_paths": (user_event_paths, EVENT_PATHS_SQL),
+    "events_value_winsorized": (events_value_winsorized, WINSORIZE_SQL),
     "doc_lm_perplexity": (doc_lm_perplexity, LM_PERPLEXITY_SQL),
     "collocation_pmi_topk": (collocation_pmi_topk, COLLOCATION_SQL),
     "bpe_merges": (bpe_merges, BPE_MERGES_SQL),

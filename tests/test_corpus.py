@@ -782,3 +782,49 @@ def test_spearman_correlation_matches_python(spark):
     sd2 = sum((rx[i] - ry[i]) ** 2 for i in range(30))
     want = 1.0 - 6.0 * sd2 / (30 * (30 * 30 - 1))
     assert abs(r3.spearman_rho - want) < 1e-12
+
+
+def test_event_path_counts_matches_python(spark):
+    """Sliding 3-paths per user vs a literal Python count, with the
+    deterministic (count desc, path asc) cutoff."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 5, 1)
+    seqs = {1: "ABCABC", 2: "ABCD", 3: "AB", 4: "CABCA"}
+    rows, eid = [], 0
+    for u, s in seqs.items():
+        for i, ch in enumerate(s):
+            rows.append((u, t0 + datetime.timedelta(minutes=i), ch, eid))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = [
+        (r.path, r.n_paths)
+        for r in C.event_path_counts(ev, length=3, k=5).collect()
+    ]
+    want = {}
+    for s in seqs.values():
+        for i in range(len(s) - 2):
+            p = ">".join(s[i : i + 3])
+            want[p] = want.get(p, 0) + 1
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == top
+    assert got[0] == ("A>B>C", 4)  # appears in users 1 (x2), 2, 4
+
+
+def test_winsorize_stats_golden(spark):
+    """Clip counts and bounds on a hand-checkable 1..100 column: p10/p90
+    interpolated bounds, 9 clipped low / 9 high (strict inequality),
+    clipped min/max equal the bounds."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id long, v double"
+    )
+    r = C.winsorize_stats(df, "v", 0.10, 0.90).collect()[0]
+    # exact interpolated percentiles of 1..100: p10 = 10.9, p90 = 90.1
+    assert abs(r.lower_bound - 10.9) < 1e-9
+    assert abs(r.upper_bound - 90.1) < 1e-9
+    assert r.n_clipped_low == 10 and r.n_clipped_high == 10
+    assert r.n_rows == 100
+    assert abs(r.clipped_min - 10.9) < 1e-9
+    assert abs(r.clipped_max - 90.1) < 1e-9
