@@ -73,6 +73,9 @@ HEADLINE = [
     ("token_pair_mining", corpus_queries.token_pair_mining),
     ("orders_price_ntile", relational.orders_price_ntile),
     ("lineitem_spearman", relational.lineitem_spearman),
+    ("user_event_paths", corpus_queries.user_event_paths),
+    ("events_value_winsorized", corpus_queries.events_value_winsorized),
+    ("distinct_users_window_hll", data_queries.distinct_users_window_hll),
     # The checkpoint-heavy queries run LAST: their localCheckpoint
     # blocks are freed by the ContextCleaner only after driver-side GC, and
     # even with the drain below a residue of that cleanup can land in the

@@ -426,6 +426,33 @@ def main() -> int:
         and "Generate explode" in p,
     )
 
+    # Path mining: the window keys on the user (no single-partition
+    # window), the cutoff is TakeOrdered.
+    pe = corpus_queries.user_event_paths(spark, SF)
+    p = plan_of(pe)
+    check(
+        "event paths: user-keyed window + TakeOrdered, no join",
+        "windowspecdefinition(user_id#" in p
+        and "TakeOrderedAndProject" in p
+        and "Join" not in p,
+    )
+    # Winsorize: bounds are literals — the clip agg must contain no
+    # join and no exchange beyond the single final aggregate pair.
+    wz = corpus_queries.events_value_winsorized(spark, SF)
+    p = plan_of(wz)
+    check(
+        "winsorize: literal bounds, single agg, no join",
+        "Join" not in p and p.count("HashAggregate") == 2,
+    )
+    # HLL cube range query: sketches merge inside partial aggregates
+    # (map-side combine), nothing but binary sketches cross the exchange.
+    hq = data_queries.distinct_users_window_hll(spark, SF)
+    p = plan_of(hq)
+    check(
+        "hll cube: partial sketch aggregation, no join",
+        "Join" not in p and p.count("ObjectHashAggregate") >= 2,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
