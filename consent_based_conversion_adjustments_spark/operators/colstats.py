@@ -29,6 +29,8 @@ __all__ = [
     "bucket_of",
     "equi_depth_histogram",
     "estimate_equijoin_rows",
+    "quantile_grid",
+    "quantile_calibrate",
 ]
 
 
@@ -96,4 +98,56 @@ def estimate_equijoin_rows(hist_a: DataFrame, hist_b: DataFrame) -> Column:
             * F.col("nb")
             / F.greatest(F.col("da"), F.col("db")).cast("double")
         ).alias("est_rows")
+    )
+
+
+def quantile_grid(df: DataFrame, col: str, n_points: int = 101) -> list[float]:
+    """Exact quantile grid (0, 1/(n−1), …, 1) of ``col`` — one
+    aggregate, n_points doubles of driver traffic."""
+    qs = [i / (n_points - 1) for i in range(n_points)]
+    row = df.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(q) for q in qs])).alias("g")
+    ).first()
+    return [float(v) for v in row.g]
+
+
+def quantile_calibrate(
+    src: DataFrame,
+    src_col: str,
+    tiebreak_col: str,
+    ref_grid: list[float],
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Quantile mapping (Q-Q calibration): transform ``src_col`` so its
+    distribution matches the reference distribution summarized by
+    ``ref_grid`` (from ``quantile_grid`` over the reference) — each row
+    maps to the reference value at its own percentile, with linear
+    interpolation between grid points. The score-calibration /
+    distribution-matching primitive for merging heterogeneous quality
+    scores onto one scale.
+
+    Percentiles come from the distributed total-order rank
+    (``corpus.global_rank`` — never a single-partition window; the
+    tiebreak makes rank = row_number = RANK, so ``pct = (r−1)/(N−1)``
+    is exactly SQL ``percent_rank``). The grid enters the plan as a
+    LITERAL array, so the interpolation is a stateless codegen map:
+    ``element_at`` twice + one fma — no join, no second shuffle.
+    """
+    from .corpus import global_rank
+
+    n_points = len(ref_grid)
+    ranked = global_rank(src, [src_col, tiebreak_col], rank_col="__qr")
+    total = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    grid = F.array(*[F.lit(float(v)) for v in ref_grid])
+    pct = (F.col("__qr") - 1) / (F.col("__n") - 1)
+    pos = pct * (n_points - 1)
+    lo = F.least(F.floor(pos).cast("int"), F.lit(n_points - 2))
+    frac = pos - lo
+    interp = F.element_at(grid, lo + 1) * (1 - frac) + F.element_at(
+        grid, lo + 2
+    ) * frac
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, interp)
+        .drop("__qr", "__n")
     )

@@ -1,0 +1,106 @@
+"""Event-stream time-series analytics: time-weighted averages and
+robust (median/MAD) anomaly scanning.
+
+Both are two-shape compositions that avoid the single-partition-window
+and quadratic traps their naive formulations hide: TWAP is a keyed
+lead-window pass (duration weights built in-row), and the MAD scan is
+the agg-then-broadcast two-pass shape shared with the z-score scan —
+per-group medians are tiny aggregates broadcast back onto the stream,
+never a per-group window sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation is
+    weighted by how long it REMAINED CURRENT — the gap to the key's
+    next observation. The last observation per key carries no duration
+    (no successor) and is excluded, the standard left-closed TWAP over
+    an observation window. Keys with a single observation yield no row.
+
+    Output: ``(key, twap, total_seconds, n_intervals)``.
+
+    Scale: ONE hash shuffle on the key + a lead-window pass (duration
+    built in-row), then a map-side-combinable weighted-sum agg. The
+    naive per-key ``collect_list`` + Python loop would materialize
+    whole histories per row; this never does. Heavy-key caveat shared
+    with sessionization.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    dur = (
+        F.unix_micros(F.lead(ts_col).over(w).cast("timestamp_ltz"))
+        - F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    ).cast("double") / 1e6
+    weighted = events.select(
+        F.col(key_col),
+        F.col(value_col).cast("double").alias("__v"),
+        dur.alias("__dur"),
+    ).filter(F.col("__dur").isNotNull())
+    return weighted.groupBy(key_col).agg(
+        (F.sum(F.col("__v") * F.col("__dur")) / F.sum("__dur")).alias(
+            "twap"
+        ),
+        F.sum("__dur").alias("total_seconds"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )
+
+
+MAD_CONSISTENCY = 1.4826  # Φ⁻¹-based factor: MAD·1.4826 ≈ σ for normals
+
+
+def mad_anomalies(
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outliers via the median/MAD rule (Iglewicz &
+    Hoaglin): flag rows with ``|value − median| / (MAD·1.4826) >
+    threshold``. Unlike the mean/σ z-score scan (which heavy outliers
+    inflate, masking themselves), median and MAD have a 50% breakdown
+    point — the robust-statistics variant a cleaning pipeline wants.
+
+    A degenerate group (more than half its values identical) has
+    MAD = 0; there the rule degenerates to "any deviation is infinitely
+    surprising", so such rows get ``robust_z = +inf`` (flagged) and
+    exact-median rows 0 — the standard Iglewicz-Hoaglin fallback, and
+    ANSI-safe (no division by zero).
+
+    Three passes, all scale-safe: per-group exact median (tiny agg),
+    broadcast back to compute |v − med|, per-group MAD (tiny agg),
+    broadcast again for the flag filter. Group cardinality bounds the
+    broadcast sides; the stream is never window-sorted per group.
+    """
+    med = events.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
+    )
+    with_dev = events.join(F.broadcast(med), group_col).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = with_dev.groupBy(group_col).agg(
+        F.percentile(F.col("__adev"), F.lit(0.5)).alias("__mad")
+    )
+    score = F.when(
+        F.col("__mad") == 0,
+        F.when(F.col("__adev") > 0, F.lit(float("inf"))).otherwise(
+            F.lit(0.0)
+        ),
+    ).otherwise(F.col("__adev") / (F.col("__mad") * MAD_CONSISTENCY))
+    return (
+        with_dev.join(F.broadcast(mad), group_col)
+        .withColumn("robust_z", score)
+        .filter(F.col("robust_z") > threshold)
+        .drop("__med", "__adev", "__mad")
+    )

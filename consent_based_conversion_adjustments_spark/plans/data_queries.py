@@ -1583,6 +1583,137 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_TOPK_SQL = C.pq_topk_sql(ANN_K, n_subspaces=8, k=8, iters=2, dim=64)
 
 
+def events_user_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (operators.timeseries
+    .time_weighted_avg): duration weights from one keyed lead-window
+    pass, weighted-sum hash agg — never a per-user array."""
+    from ..operators.timeseries import time_weighted_avg
+
+    ev = read_table(spark, sf_dir, "events")
+    out = time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
+    return out.select(
+        "user_id",
+        stable_round("twap", 6).alias("twap"),
+        stable_round("total_seconds", 3).alias("total_seconds"),
+        "n_intervals",
+    ).orderBy("user_id")
+
+
+EVENTS_TWAP_SQL = """
+WITH d AS (
+    SELECT user_id, value,
+           (epoch_us(lead(ts) OVER w) - epoch_us(ts)) / 1e6 AS dur
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       {twap} AS twap,
+       {tsec} AS total_seconds,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM d WHERE dur IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+""".format(
+    twap=sql_round("sum(value * dur) / sum(dur)", 6),
+    tsec=sql_round("sum(dur)", 3),
+)
+
+
+def events_value_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outliers per event type (operators.timeseries
+    .mad_anomalies): 50%-breakdown-point variant of the z-score scan —
+    tiny per-type aggregates broadcast back, never a per-type window."""
+    from ..operators.timeseries import mad_anomalies
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = mad_anomalies(ev, "event_type", "value", threshold=3.5)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        stable_round("robust_z", 6).alias("robust_z"),
+    ).orderBy("event_id")
+
+
+MAD_ANOMALIES_SQL = """
+WITH med AS (
+    SELECT event_type, median(value) AS med FROM events GROUP BY 1
+), mad AS (
+    SELECT e.event_type, median(abs(value - med)) AS mad
+    FROM events e JOIN med USING (event_type) GROUP BY 1
+), scored AS (
+    SELECT event_id, e.event_type AS event_type, value,
+           CASE WHEN mad = 0 THEN
+                    CASE WHEN abs(value - med) > 0
+                         THEN 'infinity'::DOUBLE ELSE 0.0 END
+                ELSE abs(value - med) / (mad * 1.4826) END AS rz
+    FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+)
+SELECT event_id, event_type, value, {rz} AS robust_z
+FROM scored
+WHERE rz > 3.5
+ORDER BY event_id
+""".format(rz=sql_round("rz", 6))
+
+
+_QQ_POINTS = 101
+
+
+def click_value_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q quantile calibration (operators.colstats.quantile_calibrate):
+    click values remapped onto the purchase-value distribution — the
+    score-calibration primitive. Percentiles from the distributed
+    global rank; the reference grid enters as a literal array so the
+    interpolation is a zero-shuffle codegen map."""
+    from ..operators.colstats import quantile_calibrate, quantile_grid
+
+    ev = read_table(spark, sf_dir, "events")
+    grid = quantile_grid(
+        ev.filter(F.col("event_type") == "purchase"), "value", _QQ_POINTS
+    )
+    src = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "value"
+    )
+    out = quantile_calibrate(src, "value", "event_id", grid)
+    return out.select(
+        "event_id",
+        "value",
+        stable_round("calibrated", 6).alias("calibrated"),
+    ).orderBy("event_id")
+
+
+_QQ_GRID_SQL = "[" + ", ".join(
+    repr(i / (_QQ_POINTS - 1)) for i in range(_QQ_POINTS)
+) + "]"
+QQ_CALIBRATE_SQL = f"""
+WITH g AS (
+    SELECT quantile_cont(value, {_QQ_GRID_SQL}) AS grid
+    FROM events WHERE event_type = 'purchase'
+), r AS (
+    SELECT event_id, value,
+           percent_rank() OVER (ORDER BY value, event_id) AS pct
+    FROM events WHERE event_type = 'click'
+), m AS (
+    SELECT event_id, value,
+           pct * {_QQ_POINTS - 1} AS pos,
+           least(floor(pct * {_QQ_POINTS - 1}),
+                 {_QQ_POINTS - 2}) AS lo
+    FROM r
+)
+SELECT event_id, value,
+       {{interp}} AS calibrated
+FROM m CROSS JOIN g
+ORDER BY event_id
+""".format(
+    interp=sql_round(
+        "grid[CAST(lo AS INT) + 1] * (1 - (pos - lo))"
+        " + grid[CAST(lo AS INT) + 2] * (pos - lo)",
+        6,
+    )
+)
+
+
 _HLL_START, _HLL_END = "2024-01-05", "2024-01-25"
 
 
@@ -2730,6 +2861,12 @@ QUERIES: dict[str, tuple] = {
     "embedding_pq_codes": (embedding_pq_codes, PQ_SQL),
     "streaming_covariance": (streaming_covariance, EMBEDDING_COV_SQL),
     "distinct_users_window": (distinct_users_window, DISTINCT_WINDOW_SQL),
+    "events_user_twap": (events_user_twap, EVENTS_TWAP_SQL),
+    "events_value_mad_anomalies": (
+        events_value_mad_anomalies,
+        MAD_ANOMALIES_SQL,
+    ),
+    "click_value_calibrated": (click_value_calibrated, QQ_CALIBRATE_SQL),
     "distinct_users_window_hll": (distinct_users_window_hll, None),
     "ann_pq_topk": (ann_pq_topk, PQ_TOPK_SQL),
     "embedding_pca_coords": (embedding_pca_coords, None),

@@ -43,3 +43,43 @@ def test_estimator_reasonable_on_skew(spark):
     actual = fact.join(dim, "k").count()
     assert actual > 0
     assert actual / 3 <= est <= actual * 3, (est, actual)
+
+
+def test_quantile_calibrate_matches_reference_distribution(spark):
+    """Q-Q mapping: calibrating a uniform source onto a reference grid
+    is monotone, hits the reference min/max at the rank extremes, and a
+    self-calibration (source onto its own grid) is the identity on the
+    grid points."""
+    from consent_based_conversion_adjustments_spark.operators.colstats import (
+        quantile_calibrate,
+        quantile_grid,
+    )
+
+    # source: 0..100 uniform; reference: squared scale 0..10000
+    src = spark.createDataFrame(
+        [(i, float(i)) for i in range(101)], "id long, v double"
+    )
+    ref = spark.createDataFrame(
+        [(i, float(i * i)) for i in range(101)], "id long, v double"
+    )
+    grid = quantile_grid(ref, "v", 101)
+    out = {
+        r.id: r.calibrated
+        for r in quantile_calibrate(src, "v", "id", grid).collect()
+    }
+    vals = [out[i] for i in range(101)]
+    assert vals == sorted(vals)                    # monotone
+    assert abs(vals[0] - 0.0) < 1e-9               # min -> ref min
+    assert abs(vals[-1] - 10000.0) < 1e-9          # max -> ref max
+    # with 101 source rows on a 101-point grid, row i sits exactly at
+    # grid point i -> calibrated == i^2 exactly
+    for i in (10, 50, 90):
+        assert abs(out[i] - i * i) < 1e-9
+
+    self_grid = quantile_grid(src, "v", 101)
+    ident = {
+        r.id: r.calibrated
+        for r in quantile_calibrate(src, "v", "id", self_grid).collect()
+    }
+    for i in range(101):
+        assert abs(ident[i] - float(i)) < 1e-9     # identity

@@ -828,3 +828,85 @@ def test_winsorize_stats_golden(spark):
     assert r.n_rows == 100
     assert abs(r.clipped_min - 10.9) < 1e-9
     assert abs(r.clipped_max - 90.1) < 1e-9
+
+
+def test_time_weighted_avg_golden(spark):
+    """TWAP on a hand fixture: value 10 held 30s then 20 held 10s ->
+    (10*30 + 20*10)/40 = 12.5; the last observation carries no weight;
+    single-observation keys yield no row."""
+    import datetime
+
+    from consent_based_conversion_adjustments_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    t0 = datetime.datetime(2024, 6, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        (1, at(0), 10.0, 0),
+        (1, at(30), 20.0, 1),
+        (1, at(40), 99.0, 2),   # last -> excluded
+        (2, at(0), 5.0, 3),     # lone observation -> no row
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    got = {
+        r.user_id: (r.twap, r.total_seconds, r.n_intervals)
+        for r in time_weighted_avg(
+            df, "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert set(got) == {1}
+    twap, total, n = got[1]
+    assert abs(twap - 12.5) < 1e-9 and total == 40.0 and n == 2
+
+
+def test_mad_anomalies_flags_exactly_the_outliers(spark):
+    """Median/MAD rule on a MAD=1 fixture: exactly the two planted
+    outliers flag (robust_z = |v-10|/1.4826), nothing in the base band;
+    scores match the literal formula."""
+    from consent_based_conversion_adjustments_spark.operators.timeseries import (
+        mad_anomalies,
+    )
+
+    base = [float(v) for v in (9, 10, 11, 12, 8, 10, 9, 11, 12, 8)] * 5
+    vals = base + [1000.0, -400.0]
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    got = {
+        r.event_id: r.robust_z
+        for r in mad_anomalies(df, "event_type", "value").collect()
+    }
+    assert set(got) == {len(vals) - 2, len(vals) - 1}
+    # median 10, MAD 1 -> robust_z = |v - 10| / 1.4826
+    assert abs(got[len(vals) - 2] - 990 / 1.4826) < 1e-9
+    assert abs(got[len(vals) - 1] - 410 / 1.4826) < 1e-9
+
+
+def test_mad_anomalies_degenerate_zero_mad(spark):
+    """A group with >half identical values has MAD=0: the rule
+    degenerates to 'any deviation flags' (robust_z = +inf) without an
+    ANSI division error."""
+    import math
+
+    from consent_based_conversion_adjustments_spark.operators.timeseries import (
+        mad_anomalies,
+    )
+
+    vals = [10.0] * 8 + [10.5, 99.0]
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    got = {
+        r.event_id: r.robust_z
+        for r in mad_anomalies(df, "event_type", "value").collect()
+    }
+    assert set(got) == {8, 9}
+    assert all(math.isinf(z) for z in got.values())
