@@ -76,6 +76,9 @@ HEADLINE = [
     ("user_event_paths", corpus_queries.user_event_paths),
     ("events_value_winsorized", corpus_queries.events_value_winsorized),
     ("distinct_users_window_hll", data_queries.distinct_users_window_hll),
+    ("events_user_twap", data_queries.events_user_twap),
+    ("events_value_mad_anomalies", data_queries.events_value_mad_anomalies),
+    ("click_value_calibrated", data_queries.click_value_calibrated),
     # The checkpoint-heavy queries run LAST: their localCheckpoint
     # blocks are freed by the ContextCleaner only after driver-side GC, and
     # even with the drain below a residue of that cleanup can land in the

@@ -453,6 +453,34 @@ def main() -> int:
         "Join" not in p and p.count("ObjectHashAggregate") >= 2,
     )
 
+    # TWAP: one user-keyed window + hash agg, no join anywhere.
+    tw = data_queries.events_user_twap(spark, SF)
+    p = plan_of(tw)
+    check(
+        "twap: keyed lead window + hash agg, no join",
+        "windowspecdefinition(user_id#" in p and "Join" not in p,
+    )
+    # MAD scan: the two stat attaches are broadcast joins; no window.
+    md = data_queries.events_value_mad_anomalies(spark, SF)
+    p = plan_of(md)
+    # (3 BHJs: the MAD aggregate's subtree re-derives the median attach)
+    check(
+        "mad anomalies: broadcast stat attaches, no per-group window",
+        p.count("BroadcastHashJoin") >= 2
+        and "SortMergeJoin" not in p
+        and "Window" not in p,
+    )
+    # Q-Q calibration: literal-grid interpolation — no join beyond the
+    # 1-row count attach, no single-partition window.
+    qq = data_queries.click_value_calibrated(spark, SF)
+    p = plan_of(qq)
+    check(
+        "qq calibration: rank pass + scalar attach, literal grid",
+        "MapInPandas" in p
+        and p.count("BroadcastNestedLoopJoin") <= 1
+        and "windowspecdefinition" not in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
