@@ -1102,6 +1102,140 @@ def global_rank(
     return parts.mapInPandas(add_rank, out_schema).drop("__pid")
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    sum_col: str = "running_sum",
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed inclusive prefix sum over a TOTAL order — the
+    scale-safe replacement for ``sum(x) OVER (ORDER BY …)``, which (like
+    its row_number sibling) Catalyst plans as a single-partition window.
+    Emits both the running sum of ``value_col`` and the global rank
+    (one pass; rank is the running sum of 1s). This is the primitive
+    under CDFs, Lorenz curves, KS distances, and quota cutoffs.
+
+    Same shape as ``global_rank`` (which it generalizes): range
+    exchange + in-partition sort, ONE materialization barrier
+    (localCheckpoint — range boundaries are sampled per execution, see
+    global_rank), a bounded per-partition totals collect (#partitions
+    rows), and an Arrow pass adding the exclusive partition offsets to
+    in-partition cumulative sums. Deterministic when ``order_cols`` is
+    a total order; float values accumulate partition-locally then get
+    one exact offset add, so the summation ORDER is fixed by the sort,
+    not the scheduler — reruns are bit-identical.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", F.col(value_col).cast("double"))
+        .localCheckpoint()
+    )
+    sizes = sorted(
+        (r["__pid"], r["__n"], r["__s"])
+        for r in parts.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.coalesce("__v", F.lit(0.0))).alias("__s"),
+        )
+        .collect()
+    )
+    offsets: dict[int, tuple[int, float]] = {}
+    acc_n, acc_s = 0, 0.0
+    for pid, cnt, s in sizes:
+        offsets[pid] = (acc_n, acc_s)
+        acc_n += cnt
+        acc_s += s
+    boff = spark.sparkContext.broadcast(offsets)
+    out_schema = StructType(
+        parts.schema.fields
+        + [
+            StructField(rank_col, LongType(), False),
+            StructField(sum_col, DoubleType(), False),
+        ]
+    )
+
+    def add_scan(batches):
+        local_n, local_s = 0, 0.0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base_n, base_s = boff.value[int(pdf["__pid"].iloc[0])]
+            start = base_n + local_n + 1
+            pdf[rank_col] = range(start, start + len(pdf))
+            cs = pdf["__v"].fillna(0.0).cumsum()
+            pdf[sum_col] = cs + (base_s + local_s)
+            local_n += len(pdf)
+            local_s += float(cs.iloc[-1])
+            yield pdf
+
+    return (
+        parts.mapInPandas(add_scan, out_schema)
+        .drop("__pid", "__v")
+    )
+
+
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance: ``D = max_v |F_a(v) −
+    F_b(v)|`` over the empirical CDFs — the drift / distribution-shift
+    detector (is this week's score distribution still last week's?),
+    companion to Q-Q calibration.
+
+    Exact tie handling: CDFs are right-continuous, so D is evaluated at
+    the LAST union row of each distinct value (one hash agg per value
+    after the scan), never at intra-tie partial positions. Shape: one
+    distributed prefix scan over the tagged union (global_running_sum)
+    + one value-keyed hash agg + a scalar aggregate. Returns one row
+    ``(ks_d, n_a, n_b)``.
+    """
+    a = df_a.select(
+        F.col(col).alias("__x"),
+        F.lit(1.0).alias("__tag"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    b = df_b.select(
+        F.col(col).alias("__x"),
+        F.lit(0.0).alias("__tag"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    # CDFs are over observed values: NULLs drop (mirrored in oracles)
+    u = a.unionByName(b).filter(F.col("__x").isNotNull())
+    scanned = global_running_sum(
+        u, ["__x", "__tag", "__tb"], "__tag", sum_col="__ca"
+    )
+    per_value = scanned.groupBy("__x").agg(
+        F.max("__ca").alias("__ca"), F.max("rank").alias("__r")
+    )
+    counts = u.agg(
+        F.sum("__tag").alias("__na"),
+        (F.count(F.lit(1)) - F.sum("__tag")).alias("__nb"),
+    )
+    d = F.abs(
+        F.col("__ca") / F.col("__na")
+        - (F.col("__r") - F.col("__ca")) / F.col("__nb")
+    )
+    return (
+        per_value.crossJoin(F.broadcast(counts))
+        .agg(
+            F.max(d).alias("ks_d"),
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+        )
+    )
+
+
 def vocab_heavy_hitters(
     docs: DataFrame,
     support: float = 0.02,

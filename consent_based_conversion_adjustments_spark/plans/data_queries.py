@@ -1714,6 +1714,87 @@ ORDER BY event_id
 )
 
 
+def click_purchase_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance between click and purchase value
+    distributions (operators.corpus.ks_statistic): distributed prefix
+    scan over the tagged union — never a single-partition window —
+    with exact right-continuous tie handling."""
+    from ..operators.corpus import ks_statistic
+
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    out = ks_statistic(a, b, "value", "event_id")
+    return out.select(
+        stable_round("ks_d", 9).alias("ks_d"), "n_a", "n_b"
+    )
+
+
+KS_SQL = """
+WITH u AS (
+    SELECT value AS x,
+           CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS tag,
+           event_id AS tb
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+), s AS (
+    SELECT x,
+           sum(tag) OVER (ORDER BY x, tag, tb) AS ca,
+           row_number() OVER (ORDER BY x, tag, tb) AS r
+    FROM u
+), pv AS (
+    SELECT x, max(ca) AS ca, max(r) AS r FROM s GROUP BY x
+), n AS (
+    SELECT sum(tag) AS na, count(*) - sum(tag) AS nb FROM u
+)
+SELECT {ks} AS ks_d,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b
+FROM pv CROSS JOIN n
+""".format(ks=sql_round("max(abs(ca / na - (r - ca) / nb))", 9))
+
+
+def lineitem_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of line revenue — the inequality statistic over
+    a sorted column, from the distributed global rank (never a
+    single-partition window): G = 2·Σ r·x / (n·Σx) − (n+1)/n."""
+    from ..operators.corpus import global_rank
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("__x"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("__tb"),
+    )
+    ranked = global_rank(li, ["__x", "__tb"], rank_col="__r")
+    return ranked.agg(
+        stable_round(
+            (2.0 * F.sum(F.col("__r") * F.col("__x")))
+            / (F.count(F.lit(1)) * F.sum("__x"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+GINI_SQL = """
+WITH r AS (
+    SELECT l_extendedprice AS x,
+           row_number() OVER (
+               ORDER BY l_extendedprice,
+                        l_orderkey * 8 + l_linenumber) AS rk
+    FROM lineitem
+)
+SELECT {g} AS gini, CAST(count(*) AS BIGINT) AS n
+FROM r
+""".format(
+    g=sql_round(
+        "2.0 * sum(rk * x) / (count(*) * sum(x))"
+        " - (count(*) + 1.0) / count(*)",
+        6,
+    )
+)
+
+
 _HLL_START, _HLL_END = "2024-01-05", "2024-01-25"
 
 
@@ -2867,6 +2948,8 @@ QUERIES: dict[str, tuple] = {
         MAD_ANOMALIES_SQL,
     ),
     "click_value_calibrated": (click_value_calibrated, QQ_CALIBRATE_SQL),
+    "click_purchase_ks": (click_purchase_ks, KS_SQL),
+    "lineitem_revenue_gini": (lineitem_revenue_gini, GINI_SQL),
     "distinct_users_window_hll": (distinct_users_window_hll, None),
     "ann_pq_topk": (ann_pq_topk, PQ_TOPK_SQL),
     "embedding_pca_coords": (embedding_pca_coords, None),

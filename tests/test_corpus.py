@@ -910,3 +910,71 @@ def test_mad_anomalies_degenerate_zero_mad(spark):
     }
     assert set(got) == {8, 9}
     assert all(math.isinf(z) for z in got.values())
+
+
+def test_global_running_sum_matches_window(spark):
+    """Distributed prefix scan == sum() OVER (ORDER BY ...) on a fixture
+    spanning many partitions, including NULL values (treated as 0) and
+    the co-emitted rank."""
+    from pyspark.sql import Window
+
+    rows = [
+        (i, float((i * 37) % 101) if i % 11 else None, i) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, tb long")
+    got = {
+        r.id: (r.rank, r.running_sum)
+        for r in C.global_running_sum(
+            df, ["v", "tb"], "v", num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("tb").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r.id: (r.rk, r.rs)
+        for r in df.withColumn(
+            "rs", F.sum(F.coalesce("v", F.lit(0.0))).over(w)
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("v").asc(), F.col("tb").asc())
+            ),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_ks_statistic_matches_scipy_free_python(spark):
+    """KS distance vs a literal Python two-sample computation with
+    right-continuous tie handling; identical samples give D == 0 and a
+    disjoint shift gives D == 1."""
+    xa = [float(v % 13) for v in range(40)]
+    xb = [float((v * 3) % 17) for v in range(60)]
+    a = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xa)], "id long, v double"
+    )
+    b = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xb)], "id long, v double"
+    )
+    r = C.ks_statistic(a, b, "v", "id").collect()[0]
+    assert (r.n_a, r.n_b) == (40, 60)
+
+    def cdf(xs, v):
+        return sum(1 for x in xs if x <= v) / len(xs)
+
+    want = max(
+        abs(cdf(xa, v) - cdf(xb, v)) for v in sorted(set(xa) | set(xb))
+    )
+    assert abs(r.ks_d - want) < 1e-12
+
+    same = C.ks_statistic(a, a.withColumnRenamed("id", "id"), "v", "id")
+    assert abs(same.collect()[0].ks_d) < 1e-12
+    shifted = b.withColumn("v", F.col("v") + 100.0)
+    far = C.ks_statistic(a, shifted, "v", "id").collect()[0]
+    assert abs(far.ks_d - 1.0) < 1e-12
