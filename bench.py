@@ -79,6 +79,8 @@ HEADLINE = [
     ("events_user_twap", data_queries.events_user_twap),
     ("events_value_mad_anomalies", data_queries.events_value_mad_anomalies),
     ("click_value_calibrated", data_queries.click_value_calibrated),
+    ("click_purchase_ks", data_queries.click_purchase_ks),
+    ("lineitem_revenue_gini", data_queries.lineitem_revenue_gini),
     # The checkpoint-heavy queries run LAST: their localCheckpoint
     # blocks are freed by the ContextCleaner only after driver-side GC, and
     # even with the drain below a residue of that cleanup can land in the

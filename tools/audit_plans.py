@@ -481,6 +481,22 @@ def main() -> int:
         and "windowspecdefinition" not in p,
     )
 
+    # KS: the prefix scan replaces the single-partition sum-over window;
+    # the only windows allowed are none at all.
+    ks = data_queries.click_purchase_ks(spark, SF)
+    p = plan_of(ks)
+    check(
+        "ks distance: Arrow prefix scan, no single-partition window",
+        "MapInPandas" in p and "windowspecdefinition" not in p,
+    )
+    # Gini: rank-only derivation — one scalar agg above the rank pass.
+    gn = data_queries.lineitem_revenue_gini(spark, SF)
+    p = plan_of(gn)
+    check(
+        "gini: rank pass + scalar agg, no join, no window",
+        "Join" not in p and "windowspecdefinition" not in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
