@@ -81,6 +81,8 @@ HEADLINE = [
     ("click_value_calibrated", data_queries.click_value_calibrated),
     ("click_purchase_ks", data_queries.click_purchase_ks),
     ("lineitem_revenue_gini", data_queries.lineitem_revenue_gini),
+    ("lineitem_weighted_price_quantiles",
+     data_queries.lineitem_weighted_price_quantiles),
     # The checkpoint-heavy queries run LAST: their localCheckpoint
     # blocks are freed by the ContextCleaner only after driver-side GC, and
     # even with the drain below a residue of that cleanup can land in the

@@ -1236,6 +1236,56 @@ def ks_statistic(
     )
 
 
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact weighted quantiles (lower-bound convention): for each
+    ``q`` the smallest value whose cumulative weight reaches ``q·W`` —
+    e.g. the price below which half of all SHIPPED QUANTITY falls,
+    rather than half of all rows. The importance-weighted statistic a
+    sampling/reweighting pipeline needs (DSIR weights, quality scores),
+    which ``percentile(col)`` cannot express.
+
+    Shape: one distributed prefix scan over (value, tiebreak)
+    (global_running_sum — never a single-partition window), a 1-row
+    total-weight broadcast attach, then per-q one min_by aggregate over
+    the rows at-or-past the threshold. Deterministic: the scan order is
+    total and the threshold test uses the exact running sums.
+    Non-positive weights must be filtered by the caller (they make
+    cumulative weight non-monotone, and no quantile convention is
+    meaningful over them).
+    """
+    scanned = global_running_sum(
+        df.select(
+            F.col(value_col).alias("__x"),
+            F.col(weight_col).cast("double").alias("__w"),
+            F.col(tiebreak_col).alias("__tb"),
+        ),
+        ["__x", "__tb"],
+        "__w",
+        sum_col="__cw",
+    )
+    total = scanned.agg(F.sum("__w").alias("__tw"))
+    j = scanned.crossJoin(F.broadcast(total))
+    return j.agg(
+        *[
+            F.min_by(
+                "__x",
+                F.when(
+                    F.col("__cw") >= F.lit(q) * F.col("__tw"),
+                    F.col("rank"),
+                ),
+            ).alias(f"wq_{str(q).replace('.', '_')}")
+            for q in qs
+        ],
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 def vocab_heavy_hitters(
     docs: DataFrame,
     support: float = 0.02,

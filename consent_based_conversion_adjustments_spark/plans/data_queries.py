@@ -1714,6 +1714,42 @@ ORDER BY event_id
 )
 
 
+def lineitem_weighted_price_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact quantity-weighted price quantiles (operators.corpus
+    .weighted_quantile): the price below which 25/50/90% of shipped
+    QUANTITY falls — prefix scan + threshold min_by, never a
+    single-partition window. Integer-valued weights keep every running
+    sum float-exact, so the threshold crossings are engine-independent."""
+    from ..operators.corpus import weighted_quantile
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        "l_quantity",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("__tb"),
+    )
+    return weighted_quantile(
+        li, "l_extendedprice", "l_quantity", [0.25, 0.5, 0.9], "__tb"
+    )
+
+
+WEIGHTED_QUANTILE_SQL = """
+WITH s AS (
+    SELECT l_extendedprice AS x,
+           sum(l_quantity) OVER (
+               ORDER BY l_extendedprice,
+                        l_orderkey * 8 + l_linenumber) AS cw
+    FROM lineitem
+), t AS (SELECT sum(l_quantity) AS tw FROM lineitem)
+SELECT min(CASE WHEN cw >= 0.25 * tw THEN x END) AS wq_0_25,
+       min(CASE WHEN cw >= 0.5 * tw THEN x END) AS wq_0_5,
+       min(CASE WHEN cw >= 0.9 * tw THEN x END) AS wq_0_9,
+       CAST(count(*) AS BIGINT) AS n
+FROM s CROSS JOIN t
+"""
+
+
 def click_purchase_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS distance between click and purchase value
     distributions (operators.corpus.ks_statistic): distributed prefix
@@ -2949,6 +2985,10 @@ QUERIES: dict[str, tuple] = {
     ),
     "click_value_calibrated": (click_value_calibrated, QQ_CALIBRATE_SQL),
     "click_purchase_ks": (click_purchase_ks, KS_SQL),
+    "lineitem_weighted_price_quantiles": (
+        lineitem_weighted_price_quantiles,
+        WEIGHTED_QUANTILE_SQL,
+    ),
     "lineitem_revenue_gini": (lineitem_revenue_gini, GINI_SQL),
     "distinct_users_window_hll": (distinct_users_window_hll, None),
     "ann_pq_topk": (ann_pq_topk, PQ_TOPK_SQL),

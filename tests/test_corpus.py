@@ -978,3 +978,31 @@ def test_ks_statistic_matches_scipy_free_python(spark):
     shifted = b.withColumn("v", F.col("v") + 100.0)
     far = C.ks_statistic(a, shifted, "v", "id").collect()[0]
     assert abs(far.ks_d - 1.0) < 1e-12
+
+
+def test_weighted_quantile_matches_python(spark):
+    """Lower-bound weighted quantiles vs a literal Python computation;
+    uniform weights reduce to the plain lower-bound quantile."""
+    rows = [(i, float((i * 37) % 101), float(1 + (i * 13) % 9), i)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x double, w double, tb long")
+    qs = [0.25, 0.5, 0.9]
+    r = C.weighted_quantile(df, "x", "w", qs, "tb").collect()[0]
+    assert r.n == 200
+
+    srt = sorted(rows, key=lambda t: (t[1], t[3]))
+    tw = sum(t[2] for t in rows)
+    for q in qs:
+        cw = 0.0
+        for t in srt:
+            cw += t[2]
+            if cw >= q * tw:
+                want = t[1]
+                break
+        got = getattr(r, f"wq_{str(q).replace('.', '_')}")
+        assert got == want, q
+
+    ones = df.withColumn("w", F.lit(1.0))
+    r1 = C.weighted_quantile(ones, "x", "w", [0.5], "tb").collect()[0]
+    xs = sorted(t[1] for t in rows)
+    assert r1.wq_0_5 == xs[99]  # cw >= 100 at the 100th row (1-based)
