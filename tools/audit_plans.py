@@ -497,6 +497,17 @@ def main() -> int:
         "Join" not in p and "windowspecdefinition" not in p,
     )
 
+    # Weighted quantiles: the prefix scan + threshold agg — no window,
+    # the only nested-loop is the 1-row total attach.
+    wq = data_queries.lineitem_weighted_price_quantiles(spark, SF)
+    p = plan_of(wq)
+    check(
+        "weighted quantiles: Arrow scan + threshold agg, no window",
+        "MapInPandas" in p
+        and "windowspecdefinition" not in p
+        and p.count("BroadcastNestedLoopJoin") <= 1,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
