@@ -1870,6 +1870,60 @@ def distinct_users_window_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_over_days(cube, _HLL_START, _HLL_END)
 
 
+def value_quantiles_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of the KLL quantile cube's range query: p25/p50/p90 of
+    value over the same date window (the baseline the sketch replaces —
+    this rescans the log, the cube merges #days sketch rows)."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    return (
+        ev.filter(
+            (day >= F.lit(_HLL_START).cast("date"))
+            & (day <= F.lit(_HLL_END).cast("date"))
+        )
+        .agg(
+            stable_round(
+                F.percentile("value", F.lit(0.25)), 6
+            ).alias("q_0_25"),
+            stable_round(F.percentile("value", F.lit(0.5)), 6).alias(
+                "q_0_5"
+            ),
+            stable_round(F.percentile("value", F.lit(0.9)), 6).alias(
+                "q_0_9"
+            ),
+            F.count("value").cast("long").alias("n_values"),
+        )
+    )
+
+
+VALUE_QUANTILES_WINDOW_SQL = f"""
+SELECT {sql_round("quantile_cont(value, 0.25)", 6)} AS q_0_25,
+       {sql_round("quantile_cont(value, 0.5)", 6)} AS q_0_5,
+       {sql_round("quantile_cont(value, 0.9)", 6)} AS q_0_9,
+       CAST(count(value) AS BIGINT) AS n_values
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{_HLL_START}' AND DATE '{_HLL_END}'
+"""
+
+
+def value_quantiles_window_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable QUANTILE cube (streaming.stats
+    .daily_value_sketches): per-day KLL sketches merged over the window
+    — #days binary rows instead of a log rescan. DataSketches has no
+    DuckDB twin → rows-only; pytest pins the rank-error envelope vs the
+    exact twin."""
+    from ..streaming.stats import (
+        daily_value_sketches,
+        value_quantiles_over_days,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    cube = daily_value_sketches(ev)
+    return value_quantiles_over_days(
+        cube, _HLL_START, _HLL_END, [0.25, 0.5, 0.9]
+    )
+
+
 def streaming_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming stats store end-to-end: three micro-batches
     (vec_id % 3) flow through ``RunningStatsStore.process_batch`` — the
@@ -2991,6 +3045,11 @@ QUERIES: dict[str, tuple] = {
     ),
     "lineitem_revenue_gini": (lineitem_revenue_gini, GINI_SQL),
     "distinct_users_window_hll": (distinct_users_window_hll, None),
+    "value_quantiles_window": (
+        value_quantiles_window,
+        VALUE_QUANTILES_WINDOW_SQL,
+    ),
+    "value_quantiles_window_kll": (value_quantiles_window_kll, None),
     "ann_pq_topk": (ann_pq_topk, PQ_TOPK_SQL),
     "embedding_pca_coords": (embedding_pca_coords, None),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),

@@ -134,3 +134,54 @@ def distinct_over_days(
             F.count(F.lit(1)).cast("long").alias("n_days"),
         )
     )
+
+
+def daily_value_sketches(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: int = 800,
+) -> DataFrame:
+    """Per-day KLL quantile sketches (DataSketches,
+    ``kll_sketch_agg_double``) — the mergeable QUANTILE cube: latency /
+    value percentiles over ANY date range from a union of #days binary
+    rows, the pattern behind every SLA dashboard. Same additive-state
+    contract as the HLL cube above (per-epoch parquet + overwrite sink
+    streams it exactly-once); ``k`` trades sketch size for rank error
+    (~1.7%/√(k/200))."""
+    return events.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.kll_sketch_agg_double(value_col, F.lit(k)).alias("sketch"),
+        F.count(value_col).alias("n_values"),
+    )
+
+
+def value_quantiles_over_days(
+    sketches: DataFrame,
+    start_day: str,
+    end_day: str,
+    qs: list[float],
+) -> DataFrame:
+    """Quantile estimates for [start_day, end_day] from the cube:
+    filter days, one merge aggregate, per-q lookups on the merged
+    sketch (all driver-free — the sketch never leaves the plan)."""
+    merged = (
+        sketches.filter(
+            (F.col("day") >= F.lit(start_day).cast("date"))
+            & (F.col("day") <= F.lit(end_day).cast("date"))
+        )
+        .agg(
+            F.kll_merge_agg_double("sketch").alias("__m"),
+            F.sum("n_values").cast("long").alias("n_values"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+    )
+    return merged.select(
+        *[
+            F.kll_sketch_get_quantile_double(F.col("__m"), F.lit(q)).alias(
+                f"q_{str(q).replace('.', '_')}"
+            )
+            for q in qs
+        ],
+        "n_values",
+        "n_days",
+    )

@@ -1024,3 +1024,32 @@ def test_hll_cube_envelope_and_mergeability(spark):
         ).collect()[0]
     )
     assert merged.approx_distinct == direct.d  # merge ≡ direct
+
+
+def test_kll_cube_rank_error_envelope(spark):
+    """The mergeable quantile cube: each merged-sketch quantile's true
+    RANK (fraction of in-range values at or below it) is within KLL's
+    rank-error envelope of the requested q — the guarantee KLL states
+    (rank error, not value error)."""
+    from consent_based_conversion_adjustments_spark.streaming.stats import (
+        daily_value_sketches,
+        value_quantiles_over_days,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    lo, hi = "2024-01-05", "2024-01-25"
+    qs = [0.25, 0.5, 0.9]
+    cube = daily_value_sketches(ev)
+    est = value_quantiles_over_days(cube, lo, hi, qs).collect()[0]
+
+    day = F.to_date("ts")
+    in_range = ev.filter(
+        (day >= F.lit(lo).cast("date")) & (day <= F.lit(hi).cast("date"))
+    ).filter(F.col("value").isNotNull())
+    n = in_range.count()
+    assert est.n_values == n and est.n_days == 21
+    for q in qs:
+        v = getattr(est, f"q_{str(q).replace('.', '_')}")
+        true_rank = in_range.filter(F.col("value") <= v).count() / n
+        # k=800 -> normalized rank error ~0.85%; allow 5x slack
+        assert abs(true_rank - q) < 0.05, (q, v, true_rank)
