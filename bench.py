@@ -76,6 +76,7 @@ HEADLINE = [
     ("user_event_paths", corpus_queries.user_event_paths),
     ("events_value_winsorized", corpus_queries.events_value_winsorized),
     ("distinct_users_window_hll", data_queries.distinct_users_window_hll),
+    ("value_quantiles_window_kll", data_queries.value_quantiles_window_kll),
     ("events_user_twap", data_queries.events_user_twap),
     ("events_value_mad_anomalies", data_queries.events_value_mad_anomalies),
     ("click_value_calibrated", data_queries.click_value_calibrated),
