@@ -1286,6 +1286,48 @@ def weighted_quantile(
     )
 
 
+def grouped_weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group exact weighted median (lower-bound convention): for
+    each group, the smallest value whose cumulative weight reaches half
+    the group's total. Unlike the global ``weighted_quantile`` (which
+    needs the distributed scan), the per-group form is a KEYED
+    cumulative window — partitioned by the group, so it parallelizes
+    across groups and never funnels through one task. Heavy-hitter
+    caveat shared with every keyed window.
+
+    Output: ``(group, weighted_median, total_weight, n_rows)``.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__x").asc(), F.col("__tb").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy(group_col)
+    scanned = df.select(
+        F.col(group_col),
+        F.col(value_col).alias("__x"),
+        F.col(weight_col).cast("double").alias("__w"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).withColumn("__cw", F.sum("__w").over(w)).withColumn(
+        "__tw", F.sum("__w").over(wt)
+    )
+    return scanned.groupBy(group_col).agg(
+        F.min_by(
+            "__x",
+            F.when(
+                F.col("__cw") >= 0.5 * F.col("__tw"),
+                F.struct("__x", "__tb"),
+            ),
+        ).alias("weighted_median"),
+        F.max("__tw").alias("total_weight"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
 def vocab_heavy_hitters(
     docs: DataFrame,
     support: float = 0.02,

@@ -1750,6 +1750,43 @@ FROM s CROSS JOIN t
 """
 
 
+def flag_weighted_median_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-returnflag quantity-weighted median price (operators.corpus
+    .grouped_weighted_median): the KEYED cumulative-window form —
+    parallel across groups, never a single-partition stage; integer
+    weights keep the threshold crossings float-exact."""
+    from ..operators.corpus import grouped_weighted_median
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("__tb"),
+    )
+    return grouped_weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", "__tb"
+    ).orderBy("l_returnflag")
+
+
+FLAG_WEIGHTED_MEDIAN_SQL = """
+WITH s AS (
+    SELECT l_returnflag AS g, l_extendedprice AS x,
+           sum(l_quantity) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey * 8 + l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cw,
+           sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+    FROM lineitem
+)
+SELECT g AS l_returnflag,
+       min(CASE WHEN cw >= 0.5 * tw THEN x END) AS weighted_median,
+       max(tw) AS total_weight,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM s GROUP BY g ORDER BY g
+"""
+
+
 def click_purchase_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS distance between click and purchase value
     distributions (operators.corpus.ks_statistic): distributed prefix
@@ -3042,6 +3079,10 @@ QUERIES: dict[str, tuple] = {
     "lineitem_weighted_price_quantiles": (
         lineitem_weighted_price_quantiles,
         WEIGHTED_QUANTILE_SQL,
+    ),
+    "flag_weighted_median_price": (
+        flag_weighted_median_price,
+        FLAG_WEIGHTED_MEDIAN_SQL,
     ),
     "lineitem_revenue_gini": (lineitem_revenue_gini, GINI_SQL),
     "distinct_users_window_hll": (distinct_users_window_hll, None),

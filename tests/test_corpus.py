@@ -1006,3 +1006,29 @@ def test_weighted_quantile_matches_python(spark):
     r1 = C.weighted_quantile(ones, "x", "w", [0.5], "tb").collect()[0]
     xs = sorted(t[1] for t in rows)
     assert r1.wq_0_5 == xs[99]  # cw >= 100 at the 100th row (1-based)
+
+
+def test_grouped_weighted_median_matches_python(spark):
+    """Per-group lower-bound weighted median vs literal Python, on
+    groups with even/odd totals and a weight-skewed group where the
+    unweighted median would differ."""
+    rows = []
+    rid = 0
+    for g, pairs in {
+        "a": [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0)],           # plain median 2
+        "b": [(1.0, 10.0), (2.0, 1.0), (3.0, 1.0)],          # weight-skew -> 1
+        "c": [(5.0, 2.0), (7.0, 2.0)],                       # tie at half -> 5
+    }.items():
+        for x, w in pairs:
+            rows.append((g, x, w, rid))
+            rid += 1
+    df = spark.createDataFrame(rows, "g string, x double, w double, tb long")
+    got = {
+        r.g: (r.weighted_median, r.total_weight, r.n_rows)
+        for r in C.grouped_weighted_median(df, "g", "x", "w", "tb").collect()
+    }
+    assert got == {
+        "a": (2.0, 3.0, 3),   # cw: 1,2,3; 0.5*3=1.5 -> first cw>=1.5 is x=2
+        "b": (1.0, 12.0, 3),  # cw: 10 >= 6 at x=1
+        "c": (5.0, 4.0, 2),   # cw: 2 >= 2 at x=5 (lower-bound convention)
+    }
