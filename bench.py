@@ -84,6 +84,7 @@ HEADLINE = [
     ("lineitem_revenue_gini", data_queries.lineitem_revenue_gini),
     ("lineitem_weighted_price_quantiles",
      data_queries.lineitem_weighted_price_quantiles),
+    ("flag_weighted_median_price", data_queries.flag_weighted_median_price),
     # The checkpoint-heavy queries run LAST: their localCheckpoint
     # blocks are freed by the ContextCleaner only after driver-side GC, and
     # even with the drain below a residue of that cleanup can land in the

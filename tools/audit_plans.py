@@ -508,6 +508,15 @@ def main() -> int:
         and p.count("BroadcastNestedLoopJoin") <= 1,
     )
 
+    # Grouped weighted median: KEYED windows only (partitionBy the
+    # group), never an empty-partition window.
+    gm = data_queries.flag_weighted_median_price(spark, SF)
+    p = plan_of(gm)
+    check(
+        "grouped weighted median: keyed windows, no join",
+        "windowspecdefinition(l_returnflag#" in p and "Join" not in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
