@@ -954,6 +954,48 @@ def event_path_counts(
     )
 
 
+def event_transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition model over per-user event streams:
+    P(next_state | state) estimated from consecutive event pairs — the
+    user-behavior model behind next-action prediction and funnel
+    simulation. Output: ``(state, next_state, n_transitions, prob)``
+    with per-state probabilities summing to 1.
+
+    Shape: the same keyed lead-window pass as event_path_counts (pairs
+    built in-row, no per-user arrays), one hash agg on the pair, and the
+    per-state normalizer attached by a broadcast join on the BOUNDED
+    state table (cardinality = #event types, never #events).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("state"),
+            F.lead(type_col).over(w).alias("next_state"),
+        )
+        .filter(F.col("next_state").isNotNull())
+        .groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("state").agg(
+        F.sum("n_transitions").alias("__tot")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "state")
+        .withColumn(
+            "prob", F.col("n_transitions") / F.col("__tot")
+        )
+        .drop("__tot")
+    )
+
+
 def winsorize_stats(
     df: DataFrame,
     col: str,

@@ -935,6 +935,40 @@ LIMIT 20
 """
 
 
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams
+    (operators.corpus.event_transition_matrix): keyed lead-window pairs,
+    one hash agg, bounded-state broadcast normalizer."""
+    ev = read_table(spark, sf_dir, "events")
+    out = C.event_transition_matrix(ev)
+    return out.select(
+        "state",
+        "next_state",
+        "n_transitions",
+        stable_round("prob", 9).alias("prob"),
+    ).orderBy("state", "next_state")
+
+
+TRANSITION_SQL = """
+WITH p AS (
+    SELECT event_type AS state,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_state
+    FROM events
+), c AS (
+    SELECT state, next_state, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM p WHERE next_state IS NOT NULL
+    GROUP BY state, next_state
+), t AS (
+    SELECT state, sum(n_transitions) AS tot FROM c GROUP BY state
+)
+SELECT c.state AS state, next_state, n_transitions,
+       {pr} AS prob
+FROM c JOIN t USING (state)
+ORDER BY state, next_state
+""".format(pr=sql_round("n_transitions / tot", 9))
+
+
 def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile winsorization audit (operators.corpus.winsorize_stats):
     exact p1/p99 bounds as literals, stateless clip map, one agg."""
@@ -1053,6 +1087,7 @@ QUERIES: dict[str, tuple] = {
     "bm25_search_topk": (bm25_search_topk, BM25_SQL),
     "token_pair_mining": (token_pair_mining, TOKEN_PAIRS_SQL),
     "user_event_paths": (user_event_paths, EVENT_PATHS_SQL),
+    "event_transition_probs": (event_transition_probs, TRANSITION_SQL),
     "events_value_winsorized": (events_value_winsorized, WINSORIZE_SQL),
     "doc_lm_perplexity": (doc_lm_perplexity, LM_PERPLEXITY_SQL),
     "collocation_pmi_topk": (collocation_pmi_topk, COLLOCATION_SQL),

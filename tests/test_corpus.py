@@ -1032,3 +1032,42 @@ def test_grouped_weighted_median_matches_python(spark):
         "b": (1.0, 12.0, 3),  # cw: 10 >= 6 at x=1
         "c": (5.0, 4.0, 2),   # cw: 2 >= 2 at x=5 (lower-bound convention)
     }
+
+
+def test_event_transition_matrix_matches_python(spark):
+    """Transition probabilities vs literal Python counting; rows per
+    state sum to 1; cross-user boundaries contribute no transition."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 7, 1)
+    seqs = {1: "AABAC", 2: "BC", 3: "A"}
+    rows, eid = [], 0
+    for u, s in seqs.items():
+        for i, ch in enumerate(s):
+            rows.append((u, t0 + datetime.timedelta(minutes=i), ch, eid))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {
+        (r.state, r.next_state): (r.n_transitions, r.prob)
+        for r in C.event_transition_matrix(ev).collect()
+    }
+    want_counts = {}
+    for s in seqs.values():
+        for a, b in zip(s, s[1:]):
+            want_counts[(a, b)] = want_counts.get((a, b), 0) + 1
+    tots = {}
+    for (a, _), c in want_counts.items():
+        tots[a] = tots.get(a, 0) + c
+    assert set(got) == set(want_counts)
+    for k, c in want_counts.items():
+        assert got[k][0] == c
+        assert abs(got[k][1] - c / tots[k[0]]) < 1e-9
+    # per-state rows sum to 1
+    by_state = {}
+    for (a, _), (_, p) in got.items():
+        by_state[a] = by_state.get(a, 0.0) + p
+    assert all(abs(v - 1.0) < 1e-9 for v in by_state.values())
+    # user 3's lone event and the 1->2 user boundary produce nothing
+    assert ("C", "B") not in got
