@@ -27,6 +27,10 @@ gram frequencies → equi-join back on gram → two keyed windows (occ index
 on (id, gram); prefix rank on id) → prefix self-equi-join → hash-agg
 distinct pairs → verify. All shuffles key on high-cardinality columns
 (gram, id, pair); nothing quadratic, nothing driver-side.
+
+reference: no analog — record-linkage primitive for the north-star
+relational surface (SURVEY.md §7 step 7), sibling of the dedup family's
+prefix-filter AllPairs join.
 """
 
 from __future__ import annotations

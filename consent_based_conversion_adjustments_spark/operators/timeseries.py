@@ -7,6 +7,10 @@ lead-window pass (duration weights built in-row), and the MAD scan is
 the agg-then-broadcast two-pass shape shared with the z-score scan —
 per-group medians are tiny aggregates broadcast back onto the stream,
 never a per-group window sort.
+
+reference: no analog — event-analytics operators for the north-star
+surface (SURVEY.md §7 step 7), siblings of the events family in
+plans/data_queries.py.
 """
 
 from __future__ import annotations
