@@ -1333,7 +1333,6 @@ def grouped_weighted_median(
     group_col: str,
     value_col: str,
     weight_col: str,
-    tiebreak_col: str,
 ) -> DataFrame:
     """Per-group exact weighted median (lower-bound convention): for
     each group, the smallest value whose cumulative weight reaches half
@@ -1344,29 +1343,45 @@ def grouped_weighted_median(
     caveat shared with every keyed window.
 
     Output: ``(group, weighted_median, total_weight, n_rows)``.
+
+    Profile collapse first (the skyline trick): weights pre-aggregate by
+    (group, value) in a map-side-combinable hash agg, so the window runs
+    over DISTINCT values per group, not rows — identical result (the
+    lower-bound median only reads cumulative weight at value
+    boundaries, and collapsing ties lands the same boundary totals).
+    Measured on li64 (38.4M rows, 3 groups): 60.9 s → the windowed rows
+    drop 22x; few-group inputs otherwise serialize the whole table
+    through #groups window tasks (the heavy-hitter caveat made
+    concrete — see PERF.md r7g).
     """
+    collapsed = (
+        df.select(
+            F.col(group_col),
+            F.col(value_col).alias("__x"),
+            F.col(weight_col).cast("double").alias("__w"),
+        )
+        .groupBy(group_col, "__x")
+        .agg(
+            F.sum("__w").alias("__w"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
     w = Window.partitionBy(group_col).orderBy(
-        F.col("__x").asc(), F.col("__tb").asc()
+        F.col("__x").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wt = Window.partitionBy(group_col)
-    scanned = df.select(
-        F.col(group_col),
-        F.col(value_col).alias("__x"),
-        F.col(weight_col).cast("double").alias("__w"),
-        F.col(tiebreak_col).alias("__tb"),
-    ).withColumn("__cw", F.sum("__w").over(w)).withColumn(
-        "__tw", F.sum("__w").over(wt)
-    )
+    scanned = collapsed.withColumn(
+        "__cw", F.sum("__w").over(w)
+    ).withColumn("__tw", F.sum("__w").over(wt))
     return scanned.groupBy(group_col).agg(
         F.min_by(
             "__x",
             F.when(
-                F.col("__cw") >= 0.5 * F.col("__tw"),
-                F.struct("__x", "__tb"),
+                F.col("__cw") >= 0.5 * F.col("__tw"), F.col("__x")
             ),
         ).alias("weighted_median"),
         F.max("__tw").alias("total_weight"),
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("__n").cast("long").alias("n_rows"),
     )
 
 

@@ -1760,29 +1760,29 @@ def flag_weighted_median_price(
     from ..operators.corpus import grouped_weighted_median
 
     li = read_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        "l_extendedprice",
-        "l_quantity",
-        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("__tb"),
+        "l_returnflag", "l_extendedprice", "l_quantity"
     )
     return grouped_weighted_median(
-        li, "l_returnflag", "l_extendedprice", "l_quantity", "__tb"
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
     ).orderBy("l_returnflag")
 
 
 FLAG_WEIGHTED_MEDIAN_SQL = """
-WITH s AS (
+WITH c AS (
     SELECT l_returnflag AS g, l_extendedprice AS x,
-           sum(l_quantity) OVER (PARTITION BY l_returnflag
-               ORDER BY l_extendedprice, l_orderkey * 8 + l_linenumber
+           sum(l_quantity) AS w, count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+), s AS (
+    SELECT g, x, n,
+           sum(w) OVER (PARTITION BY g ORDER BY x
                ROWS UNBOUNDED PRECEDING) AS cw,
-           sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
-    FROM lineitem
+           sum(w) OVER (PARTITION BY g) AS tw
+    FROM c
 )
 SELECT g AS l_returnflag,
        min(CASE WHEN cw >= 0.5 * tw THEN x END) AS weighted_median,
        max(tw) AS total_weight,
-       CAST(count(*) AS BIGINT) AS n_rows
+       CAST(sum(n) AS BIGINT) AS n_rows
 FROM s GROUP BY g ORDER BY g
 """
 

@@ -1025,7 +1025,7 @@ def test_grouped_weighted_median_matches_python(spark):
     df = spark.createDataFrame(rows, "g string, x double, w double, tb long")
     got = {
         r.g: (r.weighted_median, r.total_weight, r.n_rows)
-        for r in C.grouped_weighted_median(df, "g", "x", "w", "tb").collect()
+        for r in C.grouped_weighted_median(df, "g", "x", "w").collect()
     }
     assert got == {
         "a": (2.0, 3.0, 3),   # cw: 1,2,3; 0.5*3=1.5 -> first cw>=1.5 is x=2
