@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import stable_round
 from .text import let, shingle_hashes_in, string_hash, tokens
 
 SPLIT_BUCKETS = 1000
@@ -1444,3 +1445,131 @@ def vocab_heavy_hitters(
             [], "term string, n_occurrences long, frequency double"
         )
     return exact_tail(cands)
+
+
+def token_js_divergence(
+    docs: DataFrame,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence (base-2: bounded in [0, 1]) between the
+    unigram token distributions of two corpus slices — the symmetric,
+    zero-safe drift statistic for "did source/split A's vocabulary shift
+    from B's" (data-mixing and contamination dashboards use it where the
+    numeric columns use the KS distance, `ks_statistic`).
+
+    Shape: one scan of the two slices' token instances into ONE hash agg
+    keyed on the term with conditional per-side sums (map-side partials
+    absorb in-doc repetition), a 1-row broadcast attach of the two
+    totals, and a scalar agg of the per-term JS contributions — zero
+    joins beyond the 1-row attach, work linear in token count, state
+    bounded by vocabulary. Terms absent on one side contribute only the
+    present side's half (p·log2(p/m)), the standard JS zero-handling —
+    no smoothing constant to tune, unlike KL.
+
+    Returns 1 row: (js_divergence, n_terms_a, n_terms_b, tokens_a,
+    tokens_b), the divergence stable-rounded to 6.
+    """
+    lab = F.col("__lab")
+    terms = docs.filter(
+        F.col(label_col).isin([label_a, label_b])
+    ).select(
+        F.col(label_col).alias("__lab"),
+        F.explode(tokens(text_col)).alias("__term"),
+    )
+    counts = terms.groupBy("__term").agg(
+        F.sum(F.when(lab == label_a, 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(lab == label_b, 1).otherwise(0)).alias("__cb"),
+    )
+    totals = counts.agg(
+        F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb")
+    )
+    with_tot = counts.crossJoin(F.broadcast(totals))
+    p = F.col("__ca") / F.col("__ta")
+    q = F.col("__cb") / F.col("__tb")
+    m = (p + q) / 2
+    contrib = F.lit(0.5) * (
+        F.when(F.col("__ca") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("__cb") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    )
+    return with_tot.agg(
+        stable_round(F.sum(contrib), 6).alias("js_divergence"),
+        F.count(F.when(F.col("__ca") > 0, 1)).cast("long").alias("n_terms_a"),
+        F.count(F.when(F.col("__cb") > 0, 1)).cast("long").alias("n_terms_b"),
+        F.sum("__ca").cast("long").alias("tokens_a"),
+        F.sum("__cb").cast("long").alias("tokens_b"),
+    )
+
+
+def token_label_chi2(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 25,
+) -> DataFrame:
+    """Chi-square feature scoring: for each term, the χ² statistic of the
+    (term present in doc) × (doc label) contingency table — the classic
+    supervised feature-selection ranking ("which tokens identify a
+    source/domain"), the discrete-label counterpart of the numeric MAD /
+    KS family.
+
+    The full table per term is 2×L (present/absent × label) and the
+    absent row plus the all-zero cells are NEVER materialized: with
+    E_tℓ = n_t·n_ℓ/N, the present-row sum Σ_ℓ(O−E)²/E telescopes to
+    Σ_ℓ n_tℓ²·N/(n_t·n_ℓ) − n_t (zero cells vanish inside the O² sum),
+    and the absent row to Σ_obs[((n_ℓ−n_tℓ)²−n_ℓ²)·N/((N−n_t)·n_ℓ)]
+    + N²/(N−n_t) − (N−n_t), because the unobserved-ℓ remainder sums in
+    closed form over Σ_ℓ n_ℓ = N. So the whole statistic reads off the
+    OBSERVED (term, label) doc-count table: one explode of per-doc
+    DISTINCT terms, one hash agg on (term, label), one broadcast attach
+    of the L label totals, one per-term agg, one 1-row N attach. Work is
+    linear in corpus token count; state is bounded by vocab × L.
+
+    A term present in EVERY doc has an empty absent row (N−n_t = 0); its
+    χ² is the present-row sum alone — the guard keeps the division out.
+
+    Returns the top_k terms by (χ² stable-rounded to 4, term asc — the
+    deterministic cutoff convention): (term, n_docs, chi2).
+    """
+    n_total = docs.agg(F.count(F.lit(1)).cast("double").alias("__N"))
+    presence = docs.select(
+        F.col(label_col).alias("__lab"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("__term"),
+    )
+    ntl = presence.groupBy("__term", "__lab").agg(
+        F.count(F.lit(1)).cast("double").alias("__ntl")
+    )
+    nl = docs.groupBy(F.col(label_col).alias("__lab")).agg(
+        F.count(F.lit(1)).cast("double").alias("__nl")
+    )
+    cells = ntl.join(F.broadcast(nl), "__lab")
+    per_term = cells.groupBy("__term").agg(
+        F.sum(F.col("__ntl") * F.col("__ntl") / F.col("__nl")).alias("__s1"),
+        F.sum(
+            (
+                (F.col("__nl") - F.col("__ntl"))
+                * (F.col("__nl") - F.col("__ntl"))
+                - F.col("__nl") * F.col("__nl")
+            )
+            / F.col("__nl")
+        ).alias("__s2"),
+        F.sum("__ntl").alias("__nt"),
+    )
+    nn = F.col("__N")
+    nt = F.col("__nt")
+    present_row = nn * F.col("__s1") / nt - nt
+    absent_row = F.when(
+        nt < nn,
+        nn * F.col("__s2") / (nn - nt) + nn * nn / (nn - nt) - (nn - nt),
+    ).otherwise(F.lit(0.0))
+    scored = per_term.crossJoin(F.broadcast(n_total)).select(
+        F.col("__term").alias("term"),
+        F.col("__nt").cast("long").alias("n_docs"),
+        stable_round(present_row + absent_row, 4).alias("chi2"),
+    )
+    return scored.orderBy(F.col("chi2").desc(), F.col("term").asc()).limit(
+        top_k
+    )

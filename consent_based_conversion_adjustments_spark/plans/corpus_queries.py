@@ -1083,7 +1083,95 @@ LIMIT {_BM25_K}
 ).format(toks=_TOKS.format(c="text"))
 
 
+# --- token-distribution statistics: JS drift, chi-square association --------
+
+
+def source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between src0's and src1's unigram token
+    distributions (corpus.token_js_divergence) — the vocabulary-drift
+    statistic for the data-mixing dashboards: one term-keyed hash agg
+    with conditional per-side sums, a 1-row totals attach, a scalar agg."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.token_js_divergence(docs, "source", "src0", "src1", "text")
+
+
+SOURCE_TOKEN_JS_SQL = """
+WITH terms AS (
+    SELECT source AS lab, unnest({toks}) AS term
+    FROM documents WHERE source IN ('src0', 'src1')
+), counts AS (
+    SELECT term,
+           sum(CASE WHEN lab = 'src0' THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN lab = 'src1' THEN 1 ELSE 0 END) AS cb
+    FROM terms GROUP BY term
+), tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM counts)
+SELECT {js} AS js_divergence,
+       CAST(count(CASE WHEN ca > 0 THEN 1 END) AS BIGINT) AS n_terms_a,
+       CAST(count(CASE WHEN cb > 0 THEN 1 END) AS BIGINT) AS n_terms_b,
+       CAST(sum(ca) AS BIGINT) AS tokens_a,
+       CAST(sum(cb) AS BIGINT) AS tokens_b
+FROM counts, tot
+""".format(
+    toks="{toks}",
+    js=sql_round(
+        """sum(0.5 * (
+        CASE WHEN ca > 0 THEN (ca / ta)
+             * log2((ca / ta) / (((ca / ta) + (cb / tb)) / 2)) ELSE 0 END
+      + CASE WHEN cb > 0 THEN (cb / tb)
+             * log2((cb / tb) / (((ca / ta) + (cb / tb)) / 2)) ELSE 0 END))""",
+        6,
+    ),
+).format(toks=_TOKS.format(c="text"))
+
+
+def token_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token↔source feature scoring (corpus.token_label_chi2):
+    top-25 terms whose document presence is most associated with the
+    source label. The 2×L contingency statistic reads off the observed
+    (term, label) doc-count table via the telescoped closed form — the
+    absent row and zero cells never materialize."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.token_label_chi2(docs, "source", "text", "doc_id", top_k=25)
+
+
+TOKEN_CHI2_SQL = """
+WITH n_tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+pres AS (
+    SELECT source AS lab, doc_id, unnest(list_distinct({toks})) AS term
+    FROM documents
+), ntl AS (
+    SELECT term, lab, CAST(count(*) AS DOUBLE) AS ntl
+    FROM pres GROUP BY term, lab
+), nl AS (
+    SELECT source AS lab, CAST(count(*) AS DOUBLE) AS nl
+    FROM documents GROUP BY source
+), per_term AS (
+    SELECT term,
+           sum(ntl.ntl * ntl.ntl / nl.nl) AS s1,
+           sum(((nl.nl - ntl.ntl) * (nl.nl - ntl.ntl) - nl.nl * nl.nl)
+               / nl.nl) AS s2,
+           sum(ntl.ntl) AS nt
+    FROM ntl JOIN nl USING (lab) GROUP BY term
+)
+SELECT term, CAST(nt AS BIGINT) AS n_docs, {chi2} AS chi2
+FROM per_term, n_tot
+ORDER BY chi2 DESC, term ASC
+LIMIT 25
+""".format(
+    toks="{toks}",
+    chi2=sql_round(
+        """(n * s1 / nt - nt)
+        + CASE WHEN nt < n
+               THEN n * s2 / (n - nt) + n * n / (n - nt) - (n - nt)
+               ELSE 0 END""",
+        4,
+    ),
+).format(toks=_TOKS.format(c="text"))
+
+
 QUERIES: dict[str, tuple] = {
+    "source_token_js": (source_token_js, SOURCE_TOKEN_JS_SQL),
+    "token_source_chi2": (token_source_chi2, TOKEN_CHI2_SQL),
     "bm25_search_topk": (bm25_search_topk, BM25_SQL),
     "token_pair_mining": (token_pair_mining, TOKEN_PAIRS_SQL),
     "user_event_paths": (user_event_paths, EVENT_PATHS_SQL),

@@ -3003,7 +3003,126 @@ SELECT * FROM per_layout CROSS JOIN truth ORDER BY layout
 )
 
 
+# --- behavioral analytics: multi-touch attribution, audience overlap ---------
+
+_ATTR_LOOKBACK_S = 24 * 3600
+_ATTR_HALFLIFE_S = 6 * 3600
+
+
+def campaign_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution by campaign (operators.behavior
+    .touch_attribution): every purchase's value credited to the same
+    user's clicks in the prior 24 h under linear and 6 h-halflife
+    time-decay models at once, rolled up to the click's campaign id
+    (parsed from the JSON props payload) — the dimension on which the
+    two models actually disagree. The range join runs as the
+    user+time-bin equi-join (never a nested loop); the oracle is the
+    plain quadratic range join."""
+    from ..operators.behavior import touch_attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    return touch_attribution(
+        ev,
+        lookback_seconds=_ATTR_LOOKBACK_S,
+        halflife_seconds=_ATTR_HALFLIFE_S,
+        group_expr=F.get_json_object("props", "$.k").cast("long") % 10,
+        group_name="campaign",
+    )
+
+
+CAMPAIGN_ATTRIBUTION_SQL = """
+WITH t AS (
+    SELECT user_id AS u,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS g,
+           epoch_us(ts) AS tt
+    FROM events WHERE event_type = 'click'
+), c AS (
+    SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS ct, value AS v
+    FROM events WHERE event_type = 'purchase'
+), p AS (
+    SELECT t.g, c.cid, c.v,
+           pow(2.0, -CAST(c.ct - t.tt AS DOUBLE) / {half_us}) AS w
+    FROM t JOIN c ON t.u = c.u
+     AND t.tt >= c.ct - {look_us} AND t.tt < c.ct
+), pc AS (
+    SELECT cid, count(*) AS n_touch, sum(w) AS w_sum FROM p GROUP BY cid
+)
+SELECT p.g AS campaign,
+       CAST(count(DISTINCT p.cid) AS BIGINT) AS n_conversions,
+       CAST(count(*) AS BIGINT) AS n_touch_pairs,
+       {lin} AS attributed_linear,
+       {dec} AS attributed_decay
+FROM p JOIN pc USING (cid)
+GROUP BY p.g
+ORDER BY campaign
+""".format(
+    half_us=f"{_ATTR_HALFLIFE_S}000000.0",
+    look_us=_ATTR_LOOKBACK_S * 1_000_000,
+    lin=sql_round("sum(v / n_touch)", 4),
+    dec=sql_round("sum(v * w / w_sum)", 4),
+)
+
+# audience overlap runs on the first two days only: over the whole month
+# every synthetic user performs every event type and all overlaps are 1.0
+_AUDIENCE_CUTOFF = "2024-01-03"
+
+
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise audience overlap (operators.behavior
+    .audience_overlap): per unordered event-type pair, user counts and
+    Jaccard overlap. The pair explode happens in-row over each user's
+    bounded distinct-type set — never a user×user or event×event join;
+    the oracle joins two distinct (user, type) tables quadratically."""
+    from ..operators.behavior import audience_overlap
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(_AUDIENCE_CUTOFF).cast("timestamp_ntz")
+    )
+    return audience_overlap(ev)
+
+
+AUDIENCE_OVERLAP_SQL = f"""
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+    WHERE ts < TIMESTAMP '{_AUDIENCE_CUTOFF}'
+), totals AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY event_type
+), overlap AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS users_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, ta.n AS users_a, tb.n AS users_b, users_both,
+       {sql_round('CAST(users_both AS DOUBLE) / (ta.n + tb.n - users_both)', 6)}
+           AS jaccard
+FROM overlap
+JOIN totals ta ON ta.event_type = type_a
+JOIN totals tb ON tb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+def audience_overlap_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch audience overlap (operators.behavior
+    .audience_overlap_theta): the same matrix from mergeable per-type
+    theta sketches of the user set — intersections and differences are
+    sketch-side, the capability HLL lacks. Registered rows-only (no
+    DuckDB sketch twin); the pytest envelope pins exact-regime equality
+    below 2^lgk users and the error bound beyond."""
+    from ..operators.behavior import audience_overlap_theta
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(_AUDIENCE_CUTOFF).cast("timestamp_ntz")
+    )
+    return audience_overlap_theta(ev)
+
+
 QUERIES: dict[str, tuple] = {
+    "campaign_attribution": (campaign_attribution, CAMPAIGN_ATTRIBUTION_SQL),
+    "audience_overlap_matrix": (audience_overlap_matrix, AUDIENCE_OVERLAP_SQL),
+    "audience_overlap_sketched": (audience_overlap_sketched, None),
     "lineitem_zorder_files": (lineitem_zorder_files, ZORDER_FILES_SQL),
     "zorder_pruning_gain": (zorder_pruning_gain, ZORDER_PRUNING_SQL),
     "hilbert_pruning_gain": (hilbert_pruning_gain, HILBERT_PRUNING_SQL),

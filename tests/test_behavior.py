@@ -1,0 +1,254 @@
+"""Tests for the behavioral-analytics operators (multi-touch attribution,
+audience overlap exact + theta-sketched) and the token-distribution
+statistics (JS divergence, chi-square scoring)."""
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from consent_based_conversion_adjustments_spark.operators import behavior as B
+from consent_based_conversion_adjustments_spark.operators import corpus as C
+
+TS = datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, campaign long"
+    )
+
+
+class TestTouchAttribution:
+    def fixture(self, spark):
+        h = 3600
+        rows = [
+            # user 1: two clicks (campaigns 0, 1) then a purchase of 100
+            # 2h and 1h before the conversion
+            (1, 1, TS(2024, 1, 1, 10, 0, 0), "click", 0.0, 0),
+            (2, 1, TS(2024, 1, 1, 11, 0, 0), "click", 0.0, 1),
+            (3, 1, TS(2024, 1, 1, 12, 0, 0), "purchase", 100.0, 9),
+            # user 2: one click exactly at the lookback lower bound
+            # (included: window is [T-W, T)) and one at T (excluded)
+            (4, 2, TS(2024, 1, 1, 0, 0, 0), "click", 0.0, 2),
+            (5, 2, TS(2024, 1, 2, 0, 0, 0), "click", 0.0, 3),
+            (6, 2, TS(2024, 1, 2, 0, 0, 0), "purchase", 50.0, 9),
+            # user 3: purchase with no click in window → unattributed
+            (7, 3, TS(2024, 1, 5, 0, 0, 0), "purchase", 70.0, 9),
+        ]
+        return _events(spark, rows)
+
+    def test_golden_linear_and_decay(self, spark):
+        ev = self.fixture(spark)
+        out = B.touch_attribution(
+            ev,
+            lookback_seconds=24 * 3600,
+            halflife_seconds=3600,
+            group_expr=F.col("campaign"),
+            group_name="campaign",
+        ).collect()
+        by_c = {r["campaign"]: r for r in out}
+        # user 1's purchase splits 50/50 linearly between campaigns 0, 1
+        assert by_c[0]["attributed_linear"] == pytest.approx(50.0)
+        assert by_c[1]["attributed_linear"] == pytest.approx(50.0)
+        # decay with halflife 1h: ages 2h and 1h → weights 1/4 and 1/2
+        # → shares 1/3 and 2/3 of 100
+        assert by_c[0]["attributed_decay"] == pytest.approx(100 / 3, abs=1e-3)
+        assert by_c[1]["attributed_decay"] == pytest.approx(200 / 3, abs=1e-3)
+        # user 2: only the T-W click attributes (sole touch → full 50)
+        assert by_c[2]["attributed_linear"] == pytest.approx(50.0)
+        assert by_c[2]["attributed_decay"] == pytest.approx(50.0)
+        # the click AT the conversion instant is excluded entirely
+        assert 3 not in by_c
+        # user 3's touchless purchase appears nowhere
+        total = sum(r["attributed_linear"] for r in out)
+        assert total == pytest.approx(150.0)
+
+    def test_conservation_across_groups(self, spark):
+        """Both models credit exactly the value of every conversion that
+        has ≥1 in-window touch, regardless of the grouping dimension."""
+        from consent_based_conversion_adjustments_spark.sources.io import read_table
+
+        ev = read_table(spark, "/root/testdata/sf0.001", "events")
+        out = B.touch_attribution(
+            ev,
+            group_expr=F.get_json_object("props", "$.k").cast("long") % 10,
+            group_name="campaign",
+        ).agg(
+            F.sum("attributed_linear").alias("lin"),
+            F.sum("attributed_decay").alias("dec"),
+        ).collect()[0]
+        assert out["lin"] == pytest.approx(out["dec"], rel=1e-6)
+
+    def test_cross_bin_pairs_counted_once(self, spark):
+        """A touch and conversion in different bins still pair exactly
+        once (conversion explodes to both bins; the touch owns one)."""
+        rows = [
+            (1, 1, TS(2024, 1, 1, 23, 0, 0), "click", 0.0, 0),
+            (2, 1, TS(2024, 1, 2, 1, 0, 0), "purchase", 10.0, 9),
+        ]
+        ev = _events(spark, rows)
+        out = B.touch_attribution(
+            ev,
+            lookback_seconds=4 * 3600,
+            bin_seconds=3600,
+            group_expr=F.col("campaign"),
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["n_touch_pairs"] == 1
+        assert out[0]["attributed_linear"] == pytest.approx(10.0)
+
+
+class TestAudienceOverlap:
+    def test_golden_matrix(self, spark):
+        rows = [
+            (1, 1, TS(2024, 1, 1), "a", 0.0, 0),
+            (2, 1, TS(2024, 1, 1), "b", 0.0, 0),
+            (3, 2, TS(2024, 1, 1), "a", 0.0, 0),
+            (4, 2, TS(2024, 1, 1), "a", 0.0, 0),  # dup event, same user
+            (5, 3, TS(2024, 1, 1), "b", 0.0, 0),
+            (6, 4, TS(2024, 1, 1), "c", 0.0, 0),
+        ]
+        out = B.audience_overlap(_events(spark, rows)).collect()
+        m = {(r["type_a"], r["type_b"]): r for r in out}
+        ab = m[("a", "b")]
+        assert (ab["users_a"], ab["users_b"], ab["users_both"]) == (2, 2, 1)
+        assert ab["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+        # pairs with zero overlap produce no row (hash agg over observed
+        # pairs only) — c never co-occurs
+        assert ("a", "c") not in m and ("b", "c") not in m
+
+    def test_theta_exact_regime_matches_exact(self, spark):
+        """Below 2^lgk retained entries a theta sketch is exact: the
+        sketched matrix must equal the exact operator's counts."""
+        from consent_based_conversion_adjustments_spark.sources.io import read_table
+
+        ev = read_table(spark, "/root/testdata/sf0.001", "events")
+        exact = {
+            (r["type_a"], r["type_b"]): r
+            for r in B.audience_overlap(ev).collect()
+        }
+        for r in B.audience_overlap_theta(ev).collect():
+            e = exact[(r["type_a"], r["type_b"])]
+            assert r["est_a"] == pytest.approx(e["users_a"])
+            assert r["est_b"] == pytest.approx(e["users_b"])
+            assert r["est_both"] == pytest.approx(e["users_both"])
+
+    def test_theta_estimation_regime_envelope(self, spark):
+        """Past the nominal 2^lgk entries the sketch samples; the
+        intersection estimate must stay within a loose relative error of
+        the true overlap (two 30k-user segments, 50% overlap, lgk=12)."""
+        n = 30000
+        base = spark.range(n).select(
+            F.col("id").alias("user_id"),
+            F.lit(TS(2024, 1, 1)).alias("ts"),
+        )
+        seg_a = base.withColumn("event_type", F.lit("a"))
+        seg_b = base.filter(F.col("user_id") >= n // 2).withColumn(
+            "event_type", F.lit("b")
+        )
+        ev = seg_a.unionByName(seg_b).withColumn(
+            "event_id", F.col("user_id")
+        ).withColumn("value", F.lit(0.0)).withColumn("campaign", F.lit(0))
+        r = B.audience_overlap_theta(ev, lgk=12).collect()[0]
+        assert r["est_both"] == pytest.approx(n // 2, rel=0.10)
+        assert r["est_union"] == pytest.approx(n, rel=0.10)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+class TestTokenJS:
+    def test_identical_distributions_zero(self, spark):
+        docs = _docs(
+            spark,
+            [(1, "x y z x", "src0"), (2, "x y z x", "src1")],
+        )
+        r = C.token_js_divergence(docs, "source", "src0", "src1").collect()[0]
+        assert r["js_divergence"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_disjoint_vocabularies_one(self, spark):
+        docs = _docs(spark, [(1, "a b c", "src0"), (2, "x y z", "src1")])
+        r = C.token_js_divergence(docs, "source", "src0", "src1").collect()[0]
+        assert r["js_divergence"] == pytest.approx(1.0, abs=1e-9)
+        assert (r["n_terms_a"], r["n_terms_b"]) == (3, 3)
+
+    def test_python_parity(self, spark):
+        a_toks = "a a b c".split()
+        b_toks = "a b b d d".split()
+        docs = _docs(
+            spark, [(1, " ".join(a_toks), "src0"), (2, " ".join(b_toks), "src1")]
+        )
+        r = C.token_js_divergence(docs, "source", "src0", "src1").collect()[0]
+
+        def dist(toks):
+            from collections import Counter
+
+            c = Counter(toks)
+            t = sum(c.values())
+            return {k: v / t for k, v in c.items()}
+
+        p, q = dist(a_toks), dist(b_toks)
+        js = 0.0
+        for term in set(p) | set(q):
+            pi, qi = p.get(term, 0.0), q.get(term, 0.0)
+            m = (pi + qi) / 2
+            if pi > 0:
+                js += 0.5 * pi * math.log2(pi / m)
+            if qi > 0:
+                js += 0.5 * qi * math.log2(qi / m)
+        assert r["js_divergence"] == pytest.approx(js, abs=1e-6)
+
+
+class TestTokenChi2:
+    def test_python_parity_full_table(self, spark):
+        """Brute-force the full 2×L contingency χ² per term and compare
+        with the telescoped closed form the operator computes."""
+        rows = [
+            (1, "alpha beta", "s1"),
+            (2, "alpha beta gamma", "s1"),
+            (3, "beta gamma", "s2"),
+            (4, "gamma delta", "s2"),
+            (5, "delta delta alpha", "s3"),
+        ]
+        docs = _docs(spark, rows)
+        out = {
+            r["term"]: r
+            for r in C.token_label_chi2(
+                docs, "source", "text", "doc_id", top_k=10
+            ).collect()
+        }
+
+        labels = sorted({s for _, _, s in rows})
+        n_l = {ell: sum(1 for r in rows if r[2] == ell) for ell in labels}
+        n = len(rows)
+        terms = sorted({t for _, txt, _ in rows for t in txt.split()})
+        for term in terms:
+            present = {
+                ell: sum(
+                    1
+                    for r in rows
+                    if r[2] == ell and term in r[1].split()
+                )
+                for ell in labels
+            }
+            nt = sum(present.values())
+            chi2 = 0.0
+            for ell in labels:
+                for obs, row_total in (
+                    (present[ell], nt),
+                    (n_l[ell] - present[ell], n - nt),
+                ):
+                    e = row_total * n_l[ell] / n
+                    if e > 0:
+                        chi2 += (obs - e) ** 2 / e
+            assert out[term]["chi2"] == pytest.approx(chi2, abs=1e-3), term
+            assert out[term]["n_docs"] == nt
+
+    def test_all_docs_term_guard(self, spark):
+        docs = _docs(spark, [(1, "x a", "s1"), (2, "x b", "s2")])
+        out = {r["term"]: r for r in C.token_label_chi2(docs, "source").collect()}
+        # x present in every doc: absent row empty, χ² finite (here 0)
+        assert out["x"]["chi2"] == pytest.approx(0.0, abs=1e-9)

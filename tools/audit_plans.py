@@ -517,6 +517,52 @@ def main() -> int:
         "windowspecdefinition(l_returnflag#" in p and "Join" not in p,
     )
 
+    # Multi-touch attribution: the range join must run as the
+    # (user, time-bin) equi-join — never a nested-loop inequality join —
+    # and the touch/conversion type filters must reach the parquet scan.
+    at = data_queries.campaign_attribution(spark, SF)
+    p = plan_of(at)
+    check(
+        "attribution: binned equi-join, no nested loop",
+        "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p,
+    )
+    check(
+        "attribution: event-type filters pushed to the scan",
+        "EqualTo(event_type,click)" in p
+        and "EqualTo(event_type,purchase)" in p,
+    )
+
+    # Audience overlap: the pair explode is in-row over bounded type
+    # sets — no user×user join anywhere; totals attach by broadcast.
+    ao = data_queries.audience_overlap_matrix(spark, SF)
+    p = plan_of(ao)
+    check(
+        "audience overlap: no quadratic join, broadcast totals",
+        "BroadcastNestedLoopJoin" not in p
+        and "CartesianProduct" not in p
+        and "BroadcastHashJoin" in p,
+    )
+
+    # Token JS divergence: ONE term-keyed hash agg with conditional side
+    # sums — no join beyond the 1-row totals attach, no window.
+    js = corpus_queries.source_token_js(spark, SF)
+    p = plan_of(js)
+    check(
+        "token js: single conditional agg + 1-row attach",
+        p.count("BroadcastNestedLoopJoin") <= 1
+        and "SortMergeJoin" not in p
+        and "windowspecdefinition" not in p,
+    )
+
+    # Chi-square scoring: label totals broadcast (L rows), 1-row N
+    # attach — never a shuffle join on the label.
+    c2 = corpus_queries.token_source_chi2(spark, SF)
+    p = plan_of(c2)
+    check(
+        "token chi2: broadcast label totals, no shuffle join",
+        "SortMergeJoin" not in p and "ShuffledHashJoin" not in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
