@@ -108,3 +108,58 @@ def mad_anomalies(
         .filter(F.col("robust_z") > threshold)
         .drop("__med", "__adev", "__mad")
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Per-group OLS trend of a value over TIME: slope (units/day),
+    intercept, R², and the fitted endpoints' delta — the "is this metric
+    drifting and how fast" primitive behind alerting and capacity
+    forecasts.
+
+    Uses Spark's native bivariate regression aggregates (``regr_slope``
+    / ``regr_intercept`` / ``regr_r2``, SQL:2023 — DuckDB implements the
+    same family, so the oracle is a direct mirror): ONE hash aggregate
+    with map-side partials, zero joins, zero windows — the co-moment
+    accumulation is inside the JVM aggregate, never a collected series.
+    The regressor is fractional DAYS since the epoch computed from exact
+    integer microseconds (one double division by 8.64e10), keeping both
+    engines' inputs bit-identical and the slope in interpretable
+    units/day.
+
+    Scale: group count bounds the output; the scan is the whole cost —
+    this composes with the sketch cubes' pattern (run it per day/epoch
+    and the partial regr moments would be additive too, but Spark's
+    regr_* don't expose partial state, so the cube variant would use
+    explicit Σx/Σy/Σxy/Σx²/Σn columns instead).
+    """
+    from ..functions.rounding import stable_round
+
+    x = (
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).cast("double")
+        / F.lit(86_400_000_000.0)
+    )
+    y = F.col(value_col).cast("double")
+    out = df.groupBy(*group_cols).agg(
+        F.count(y).cast("long").alias("n"),
+        F.regr_slope(y, x).alias("__slope"),
+        F.regr_intercept(y, x).alias("__icept"),
+        F.regr_r2(y, x).alias("__r2"),
+        F.min(x).alias("__x0"),
+        F.max(x).alias("__x1"),
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        stable_round(F.col("__slope"), round_scale).alias("slope_per_day"),
+        stable_round(F.col("__icept"), round_scale).alias("intercept"),
+        stable_round(F.col("__r2"), round_scale).alias("r2"),
+        stable_round(
+            F.col("__slope") * (F.col("__x1") - F.col("__x0")), round_scale
+        ).alias("fitted_delta"),
+    ).orderBy(*group_cols)

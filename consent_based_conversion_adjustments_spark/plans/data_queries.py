@@ -3119,7 +3119,147 @@ def audience_overlap_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audience_overlap_theta(ev)
 
 
+# theta retention cube: week 1 of Jan vs week 3
+_RET_A = ("2024-01-01", "2024-01-07")
+_RET_B = ("2024-01-15", "2024-01-21")
+
+
+def retained_users_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of the theta-cube retention query: users active in
+    BOTH date ranges, via one user-keyed hash agg with per-range flags
+    (map-side partials absorb event volume) and a 1-row rollup — the
+    baseline the sketch cube replaces at scale (this rescans the log;
+    the cube touches #days binary rows per side)."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+
+    def flag(rng):
+        return F.max(
+            F.when(
+                (day >= F.lit(rng[0]).cast("date"))
+                & (day <= F.lit(rng[1]).cast("date")),
+                1,
+            ).otherwise(0)
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        flag(_RET_A).alias("__a"), flag(_RET_B).alias("__b")
+    )
+    return per_user.agg(
+        F.sum("__a").cast("long").alias("users_a"),
+        F.sum("__b").cast("long").alias("users_b"),
+        F.sum(F.col("__a") * F.col("__b")).cast("long").alias("retained"),
+        stable_round(
+            F.sum(F.col("__a") * F.col("__b")) / F.sum("__a"), 6
+        ).alias("retention_rate"),
+    )
+
+
+RETAINED_WINDOW_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           max(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '{a0}' AND DATE '{a1}'
+               THEN 1 ELSE 0 END) AS a,
+           max(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '{b0}' AND DATE '{b1}'
+               THEN 1 ELSE 0 END) AS b
+    FROM events GROUP BY user_id
+)
+SELECT CAST(sum(a) AS BIGINT) AS users_a,
+       CAST(sum(b) AS BIGINT) AS users_b,
+       CAST(sum(a * b) AS BIGINT) AS retained,
+       {rate} AS retention_rate
+FROM per_user
+""".format(
+    a0=_RET_A[0],
+    a1=_RET_A[1],
+    b0=_RET_B[0],
+    b1=_RET_B[1],
+    rate=sql_round("CAST(sum(a * b) AS DOUBLE) / sum(a)", 6),
+)
+
+
+def retained_users_window_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable set-algebra cube (streaming.stats
+    .daily_user_theta_sketches): per-day theta sketches of the user set,
+    each range answered by a union agg over its days, retention by a
+    sketch INTERSECTION — the operation HLL cannot express. Rows-only
+    (no DuckDB sketch twin); pytest pins exact-regime equality and the
+    estimation-regime envelope."""
+    from ..streaming.stats import daily_user_theta_sketches, retained_over_ranges
+
+    ev = read_table(spark, sf_dir, "events")
+    cube = daily_user_theta_sketches(ev)
+    return retained_over_ranges(cube, *_RET_A, *_RET_B)
+
+
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of event value over time (timeseries
+    .linear_trend): slope/intercept/R² from the native SQL:2023
+    regression aggregates — one hash agg, no window, no join; the
+    regressor is exact-integer-derived fractional days so both engines
+    regress on identical doubles."""
+    from ..operators.timeseries import linear_trend
+
+    ev = read_table(spark, sf_dir, "events")
+    return linear_trend(ev, ["event_type"], "ts", "value", round_scale=4)
+
+
+EVENTS_TREND_SQL = """
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n,
+       {slope} AS slope_per_day,
+       {icept} AS intercept,
+       {r2} AS r2,
+       {delta} AS fitted_delta
+FROM (
+    SELECT event_type, value,
+           CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 AS x
+    FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+""".format(
+    slope=sql_round("regr_slope(value, x)", 4),
+    icept=sql_round("regr_intercept(value, x)", 4),
+    r2=sql_round("regr_r2(value, x)", 4),
+    delta=sql_round("regr_slope(value, x) * (max(x) - min(x))", 4),
+)
+
+
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL stream-stream state-store join (streaming.joins
+    .click_purchase_pairs_streaming): two watermarked readStream legs off
+    the events file source, purchases ⋈ clicks of the same user within
+    [click, click+1h], availableNow into a memory sink. The engine keeps
+    both sides in the state store with the range bound + watermark
+    limiting retention; the ORACLE is the plain batch range join —
+    an inner time-bounded join's row set is micro-batching-independent."""
+    from ..streaming.joins import click_purchase_pairs_streaming
+
+    return click_purchase_pairs_streaming(spark, sf_dir)
+
+
+STREAM_JOIN_SQL = """
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS micros_between
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY user_id, click_id, purchase_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "streaming_click_purchase_join": (
+        streaming_click_purchase_join,
+        STREAM_JOIN_SQL,
+    ),
+    "events_value_trend": (events_value_trend, EVENTS_TREND_SQL),
+    "retained_users_window": (retained_users_window, RETAINED_WINDOW_SQL),
+    "retained_users_window_theta": (retained_users_window_theta, None),
     "campaign_attribution": (campaign_attribution, CAMPAIGN_ATTRIBUTION_SQL),
     "audience_overlap_matrix": (audience_overlap_matrix, AUDIENCE_OVERLAP_SQL),
     "audience_overlap_sketched": (audience_overlap_sketched, None),

@@ -344,10 +344,12 @@ def _parse_gap_seconds(gap: str) -> float:
 
 
 def stream_events_from_parquet(
-    spark: SparkSession, sf_dir: str, ts_col: str = "ts"
+    spark: SparkSession, sf_dir: str, ts_col: str = "ts", watermark: str | None = "1 day"
 ) -> DataFrame:
     """Replay the events fixture as a file-source stream (for tests /
-    availableNow batch-equivalence runs), watermarked for state cleanup."""
+    availableNow batch-equivalence runs), watermarked for state cleanup.
+    ``watermark=None`` skips the watermark so callers that project/rename
+    first can set their own (Spark disallows redefining one)."""
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(static.schema)
@@ -364,4 +366,6 @@ def stream_events_from_parquet(
         # withWatermark requires TIMESTAMP_LTZ; session tz is UTC, so the
         # cast keeps window boundaries identical to the batch NTZ plan.
         stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
-    return stream.withWatermark(ts_col, "1 day")
+    if watermark is None:
+        return stream
+    return stream.withWatermark(ts_col, watermark)

@@ -185,3 +185,72 @@ def value_quantiles_over_days(
         "n_values",
         "n_days",
     )
+
+
+def daily_user_theta_sketches(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-day THETA sketches of the user set (DataSketches,
+    ``theta_sketch_agg``) — the mergeable SET-ALGEBRA cube. HLL answers
+    only unions; theta sketches intersect and difference, which is what
+    retention/churn questions are made of: "how many of March's users
+    were still here in April" is |union(A-days) ∩ union(B-days)|, one
+    tiny agg over #days binary rows per side instead of two event-log
+    rescans. Same additive-state contract as the HLL/KLL cubes (map-side
+    combined build, per-epoch parquet + overwrite sink streams it
+    exactly-once, #days × 2^lgk·8 bytes at any scale).
+
+    Estimates are exact below the sketch's 2^lgk retention; beyond it
+    the intersection error scales with the inverse overlap fraction —
+    the pytest envelope pins both regimes (same status as the HLL cube).
+    """
+    return events.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.theta_sketch_agg(key_col, F.lit(lgk)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def retained_over_ranges(
+    sketches: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+) -> DataFrame:
+    """Retention between two date ranges from the theta cube: union each
+    range's day sketches, intersect the two unions, estimate. All
+    sketch-side — one filtered agg per range (day filters partition-prune
+    at scale), a 1×1 broadcast cross, binaries never leave the plan.
+
+    Returns 1 row: (est_a, est_b, est_retained, retention_rate) where
+    retention_rate = |A ∩ B| / |A|.
+    """
+
+    def range_sketch(start: str, end: str, alias: str) -> DataFrame:
+        return sketches.filter(
+            (F.col("day") >= F.lit(start).cast("date"))
+            & (F.col("day") <= F.lit(end).cast("date"))
+        ).agg(F.theta_union_agg("sketch").alias(alias))
+
+    a = range_sketch(a_start, a_end, "__a")
+    b = range_sketch(b_start, b_end, "__b")
+    est = F.theta_sketch_estimate
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            est(F.col("__a")).alias("__ea"),
+            est(F.col("__b")).alias("__eb"),
+            est(F.theta_intersection("__a", "__b")).alias("__eboth"),
+        )
+        .select(
+            F.round("__ea", 2).alias("est_a"),
+            F.round("__eb", 2).alias("est_b"),
+            F.round("__eboth", 2).alias("est_retained"),
+            F.round(F.col("__eboth") / F.col("__ea"), 6).alias(
+                "retention_rate"
+            ),
+        )
+    )

@@ -252,3 +252,45 @@ class TestTokenChi2:
         out = {r["term"]: r for r in C.token_label_chi2(docs, "source").collect()}
         # x present in every doc: absent row empty, χ² finite (here 0)
         assert out["x"]["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestLinearTrend:
+    def test_perfect_line(self, spark):
+        from consent_based_conversion_adjustments_spark.operators.timeseries import (
+            linear_trend,
+        )
+
+        # value = 10 * (days since 2024-01-01) + 3, sampled every 6h
+        base = TS(2024, 1, 1)
+        rows = [
+            (i, 1, base + __import__("datetime").timedelta(hours=6 * i),
+             "a", 10.0 * (6 * i) / 24.0 + 3.0, 0)
+            for i in range(20)
+        ]
+        out = linear_trend(_events(spark, rows), ["event_type"], "ts", "value")
+        r = out.collect()[0]
+        assert r["slope_per_day"] == pytest.approx(10.0, abs=1e-4)
+        assert r["r2"] == pytest.approx(1.0, abs=1e-6)
+        # fitted_delta = slope * elapsed days = 10 * (19*6/24)
+        assert r["fitted_delta"] == pytest.approx(10.0 * 19 * 6 / 24, abs=1e-3)
+
+    def test_numpy_parity(self, spark):
+        import numpy as np
+
+        from consent_based_conversion_adjustments_spark.operators.timeseries import (
+            linear_trend,
+        )
+
+        rng = np.random.RandomState(7)
+        base = TS(2024, 1, 1)
+        xs = np.sort(rng.uniform(0, 30, 200))
+        ys = 2.5 * xs + rng.normal(0, 3, 200)
+        rows = [
+            (i, 1, base + __import__("datetime").timedelta(days=float(x)),
+             "a", float(y), 0)
+            for i, (x, y) in enumerate(zip(xs, ys))
+        ]
+        r = linear_trend(_events(spark, rows), ["event_type"], "ts", "value").collect()[0]
+        slope, icept = np.polyfit(xs + (base - TS(1970, 1, 1)).days, ys, 1)
+        assert r["slope_per_day"] == pytest.approx(slope, rel=1e-4)
+        assert r["n"] == 200

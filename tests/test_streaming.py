@@ -1053,3 +1053,94 @@ def test_kll_cube_rank_error_envelope(spark):
         true_rank = in_range.filter(F.col("value") <= v).count() / n
         # k=800 -> normalized rank error ~0.85%; allow 5x slack
         assert abs(true_rank - q) < 0.05, (q, v, true_rank)
+
+
+def test_theta_retention_cube_exact_regime_and_mergeability(spark):
+    """The set-algebra cube: (a) in the exact regime (users ≪ 2^lgk) the
+    sketch retention equals the exact per-user flag computation, (b)
+    unioning daily sketches ≡ sketching each range directly, the
+    property that lets ONE cube answer any (range_a, range_b) pair."""
+    from consent_based_conversion_adjustments_spark.plans.data_queries import (
+        retained_users_window,
+        retained_users_window_theta,
+    )
+    from consent_based_conversion_adjustments_spark.streaming.stats import (
+        daily_user_theta_sketches,
+        retained_over_ranges,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = retained_users_window(spark, sf).collect()[0]
+    est = retained_users_window_theta(spark, sf).collect()[0]
+    assert est.est_a == exact.users_a
+    assert est.est_b == exact.users_b
+    assert est.est_retained == exact.retained
+    assert est.retention_rate == pytest.approx(
+        exact.retention_rate, abs=1e-6
+    )
+
+    # merge ≡ direct: range sketches built from the daily cube equal
+    # sketching the range's events in one pass
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cube = daily_user_theta_sketches(ev)
+    merged = retained_over_ranges(
+        cube, "2024-01-02", "2024-01-09", "2024-01-20", "2024-01-28"
+    ).collect()[0]
+    day = F.to_date("ts")
+
+    def direct(lo, hi):
+        return ev.filter(
+            (day >= F.lit(lo).cast("date")) & (day <= F.lit(hi).cast("date"))
+        ).agg(
+            F.theta_sketch_estimate(
+                F.theta_sketch_agg("user_id", F.lit(12))
+            ).alias("d")
+        ).collect()[0].d
+
+    assert merged.est_a == pytest.approx(direct("2024-01-02", "2024-01-09"))
+    assert merged.est_b == pytest.approx(direct("2024-01-20", "2024-01-28"))
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """The registered stream-stream join (real readStream legs, state-
+    store join, availableNow) must produce exactly the batch range
+    join's rows — micro-batching must not change an inner time-bounded
+    join's result set."""
+    from consent_based_conversion_adjustments_spark.sources.io import read_table
+    from consent_based_conversion_adjustments_spark.streaming.joins import (
+        click_purchase_pairs_streaming,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = click_purchase_pairs_streaming(spark, sf).collect()
+
+    ev = read_table(spark, sf, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = (
+        c.join(p, "u")
+        .filter(
+            (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("interval 1 hour"))
+        )
+        .select(
+            F.col("u").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (
+                F.unix_micros(F.col("pts").cast("timestamp_ltz"))
+                - F.unix_micros(F.col("cts").cast("timestamp_ltz"))
+            ).alias("micros_between"),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+        .collect()
+    )
+    assert got == want and len(want) > 0
