@@ -85,6 +85,19 @@ HEADLINE = [
     ("lineitem_weighted_price_quantiles",
      data_queries.lineitem_weighted_price_quantiles),
     ("flag_weighted_median_price", data_queries.flag_weighted_median_price),
+    ("campaign_attribution", data_queries.campaign_attribution),
+    ("audience_overlap_matrix", data_queries.audience_overlap_matrix),
+    ("retained_users_window_theta", data_queries.retained_users_window_theta),
+    ("events_value_trend", data_queries.events_value_trend),
+    ("source_token_js", corpus_queries.source_token_js),
+    ("token_source_chi2", corpus_queries.token_source_chi2),
+    ("events_value_ewma", data_queries.events_value_ewma),
+    ("lineitem_correlation_matrix", data_queries.lineitem_correlation_matrix),
+    ("orders_benford_audit", data_queries.orders_benford_audit),
+    ("corpus_vocab_growth", corpus_queries.corpus_vocab_growth),
+    ("grouping_sets_order_stats", relational.grouping_sets_order_stats),
+    ("streaming_click_purchase_join",
+     data_queries.streaming_click_purchase_join),
     # The checkpoint-heavy queries run LAST: their localCheckpoint
     # blocks are freed by the ContextCleaner only after driver-side GC, and
     # even with the drain below a residue of that cleanup can land in the

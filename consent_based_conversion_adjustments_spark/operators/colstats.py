@@ -151,3 +151,91 @@ def quantile_calibrate(
         .withColumn(out_col, interp)
         .drop("__qr", "__n")
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns — the
+    profiling/CBO statistic behind "are these columns redundant" and
+    multicollinearity checks before a regression.
+
+    All C(k,2) correlations come from ONE hash aggregate (each ``corr``
+    is a streaming co-moment accumulator with map-side partials — the
+    scan is the whole cost, k² accumulator state is constants), then the
+    1-row result explodes in-plan to tidy (col_a, col_b, corr) rows.
+    Never a collect, never k scans.
+    """
+    from ..functions.rounding import stable_round
+
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    agg = df.agg(
+        *[
+            F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(
+                f"__c_{i}"
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__c_{i}").alias("__corr"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select(
+            F.col("r.col_a").alias("col_a"),
+            F.col("r.col_b").alias("col_b"),
+            stable_round(F.col("r.__corr"), 6).alias("pearson_r"),
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fraud / synthetic-
+    data / unit-mixup detector for naturally-occurring positive
+    magnitudes (amounts, populations, file sizes).
+
+    First digits come from exact integer/log arithmetic
+    (``floor(x / 10^floor(log10(x)))``), zero/negative rows are excluded
+    (Benford applies to positive magnitudes), and the observed digit
+    distribution is compared with log10(1 + 1/d). One stateless map +
+    one 9-bucket hash agg + a 1-row total attach; the per-digit χ²
+    contribution sums to the audit statistic downstream.
+
+    Returns 9 rows: (digit, n, observed_frac, benford_frac,
+    chi2_contrib) — fracs stable-rounded to 6, χ² contribution to 4.
+    """
+    from ..functions.rounding import stable_round
+
+    x = F.col(col).cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("long")
+    counts = (
+        df.filter(x > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = counts.agg(F.sum("n").cast("double").alias("__tot"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "digit",
+            "n",
+            stable_round(F.col("n") / F.col("__tot"), 6).alias(
+                "observed_frac"
+            ),
+            stable_round(expected, 6).alias("benford_frac"),
+            stable_round(
+                F.pow(F.col("n") - expected * F.col("__tot"), F.lit(2.0))
+                / (expected * F.col("__tot")),
+                4,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )

@@ -1573,3 +1573,75 @@ def token_label_chi2(
     return scored.orderBy(F.col("chi2").desc(), F.col("term").asc()).limit(
         top_k
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law: V ≈ K·Nᵝ): cumulative
+    distinct-term count vs cumulative token count at ``n_checkpoints``
+    equal-document checkpoints of the corpus in ``id_col`` order — the
+    diagnostic for "is the corpus still contributing new vocabulary or
+    has it gone repetitive", and the empirical basis for tokenizer vocab
+    sizing.
+
+    Shape: ONLY the doc ids go through `global_ntile`'s range exchange
+    (range exchange + Arrow rank — never a single-partition window over
+    the corpus, and never the text: the assignment frame is two integer
+    columns, so the sort shuffles id-width rows, not documents); per-doc
+    token counts and each term's FIRST document (one min-agg per term)
+    join the bucket assignment back by doc id — equi-joins AQE plans
+    freely. The cumulative rollup runs in a window over the AGGREGATED
+    k-row frame — bounded by n_checkpoints, the same tiny-aggregate
+    exemption as the per-group median broadcasts.
+
+    Returns one row per checkpoint: (checkpoint, n_docs, n_tokens,
+    vocab_size) — all cumulative, exact integers.
+    """
+    buckets = global_ntile(
+        docs.select(F.col(id_col).alias("__doc")),
+        ["__doc"],
+        n_checkpoints,
+        bucket_col="__cp",
+    )
+    toks = docs.select(
+        F.col(id_col).alias("__doc"), tokens(text_col).alias("__toks")
+    )
+    per_doc = toks.select("__doc", F.size("__toks").alias("__n_toks"))
+    per_bucket = (
+        per_doc.join(buckets, "__doc")
+        .groupBy("__cp")
+        .agg(
+            F.count(F.lit(1)).alias("__docs"),
+            F.sum("__n_toks").alias("__tokens"),
+        )
+    )
+    first_doc = (
+        toks.select("__doc", F.explode("__toks").alias("__term"))
+        .groupBy("__term")
+        .agg(F.min("__doc").alias("__first"))
+    )
+    new_terms = (
+        first_doc.join(
+            buckets.select(F.col("__doc").alias("__first"), "__cp"),
+            "__first",
+        )
+        .groupBy("__cp")
+        .agg(F.count(F.lit(1)).alias("__new_terms"))
+    )
+    k_rows = per_bucket.join(new_terms, "__cp", "left").na.fill(
+        0, ["__new_terms"]
+    )
+    w = (
+        Window.orderBy("__cp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return k_rows.select(
+        F.col("__cp").alias("checkpoint"),
+        F.sum("__docs").over(w).cast("long").alias("n_docs"),
+        F.sum("__tokens").over(w).cast("long").alias("n_tokens"),
+        F.sum("__new_terms").over(w).cast("long").alias("vocab_size"),
+    ).orderBy("checkpoint")

@@ -163,3 +163,74 @@ def linear_trend(
             F.col("__slope") * (F.col("__x1") - F.col("__x0")), round_scale
         ).alias("fitted_delta"),
     ).orderBy(*group_cols)
+
+
+def ewma_anomalies(
+    events: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """EWMA control band per group over the DAILY series: each day's
+    average is compared with the exponentially-weighted moving average
+    of the days BEFORE it; deviations beyond ``n_sigma`` × the group's
+    deviation spread are flagged — the classic monitoring smoother,
+    complementing the robust MAD scan (point outliers) with trend-aware
+    drift detection.
+
+    EWMA here is the adjust=True form (pandas ``ewm`` semantics):
+    ewma_t = Σ_j (1−α)^(t−j)·x_j / Σ_j (1−α)^(t−j), computed WITHOUT a
+    sequential recurrence: with u_j = x_j·(1−α)^(−j), the numerator is
+    (1−α)^t · cumsum(u) and the denominator is the geometric closed form
+    (1 − (1−α)^(t+1))/α — two keyed cumulative windows over the
+    AGGREGATED daily frame (rows = #groups × #days, grain-bounded, never
+    event-cardinality; the events collapse in one map-side-combined hash
+    agg first). The (1−α)^(−t) rescaling overflows double once
+    t·ln(1/(1−α)) ≳ 700 — ~5.4 years of daily grain at α=0.3; longer
+    horizons need per-chunk renormalization, which is the documented
+    trade for a recurrence-free distributed form.
+
+    Consecutive ROWS are consecutive steps: calendar gaps are not
+    decay-weighted (grain is the contract, matching the resample
+    family). Flags use the group's stddev of deviations (two-pass
+    agg→broadcast, the MAD-scan shape). Returns (group…, day, daily_avg,
+    ewma, deviation, is_anomaly) — day as an ISO string (the oracle
+    comparator's date convention), floats stable-rounded to 6;
+    deviation/flag NULL on each group's first day (no prior EWMA).
+    """
+    from ..functions.rounding import stable_round
+
+    r = 1.0 - alpha
+    daily = events.groupBy(
+        *group_cols, F.to_date(ts_col).alias("day")
+    ).agg(F.avg(F.col(value_col).cast("double")).alias("__x"))
+    w = Window.partitionBy(*group_cols).orderBy("day")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = F.row_number().over(w) - 1
+    num = F.sum(F.col("__x") * F.pow(F.lit(r), -t)).over(wc) * F.pow(
+        F.lit(r), t
+    )
+    den = (1.0 - F.pow(F.lit(r), t + 1)) / alpha
+    with_ewma = daily.withColumn("__ewma", num / den)
+    dev = F.col("__x") - F.lag("__ewma").over(w)
+    scored = with_ewma.withColumn("__dev", dev)
+    spread = scored.groupBy(*group_cols).agg(
+        F.stddev_samp("__dev").alias("__sd")
+    )
+    return (
+        scored.join(F.broadcast(spread), list(group_cols))
+        .select(
+            *group_cols,
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            stable_round(F.col("__x"), 6).alias("daily_avg"),
+            stable_round(F.col("__ewma"), 6).alias("ewma"),
+            stable_round(F.col("__dev"), 6).alias("deviation"),
+            F.when(
+                F.col("__dev").isNotNull(),
+                F.abs(F.col("__dev")) > F.lit(n_sigma) * F.col("__sd"),
+            ).alias("is_anomaly"),
+        )
+        .orderBy(*group_cols, "day")
+    )

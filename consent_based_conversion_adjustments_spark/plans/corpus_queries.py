@@ -1169,7 +1169,42 @@ LIMIT 25
 ).format(toks=_TOKS.format(c="text"))
 
 
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve (corpus.vocab_growth): cumulative
+    vocab vs cumulative tokens at 10 equal-document checkpoints in doc-id
+    order. Checkpoints come from the scale-safe global NTILE; the only
+    window runs over the aggregated 10-row frame."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.vocab_growth(docs, "text", "doc_id", n_checkpoints=10)
+
+
+VOCAB_GROWTH_SQL = """
+WITH b AS (
+    SELECT doc_id, {toks} AS tk,
+           ntile(10) OVER (ORDER BY doc_id) AS cp
+    FROM documents
+), per_bucket AS (
+    SELECT cp, count(*) AS docs, sum(len(tk)) AS tokens
+    FROM b GROUP BY cp
+), first_doc AS (
+    SELECT term, min(doc_id) AS fd
+    FROM (SELECT doc_id, unnest(tk) AS term FROM b) GROUP BY term
+), newt AS (
+    SELECT b.cp, count(*) AS nt
+    FROM first_doc JOIN b ON b.doc_id = first_doc.fd GROUP BY b.cp
+)
+SELECT cp AS checkpoint,
+       CAST(sum(docs) OVER w AS BIGINT) AS n_docs,
+       CAST(sum(tokens) OVER w AS BIGINT) AS n_tokens,
+       CAST(sum(coalesce(nt, 0)) OVER w AS BIGINT) AS vocab_size
+FROM per_bucket LEFT JOIN newt USING (cp)
+WINDOW w AS (ORDER BY cp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY checkpoint
+""".format(toks=_TOKS.format(c="text"))
+
+
 QUERIES: dict[str, tuple] = {
+    "corpus_vocab_growth": (corpus_vocab_growth, VOCAB_GROWTH_SQL),
     "source_token_js": (source_token_js, SOURCE_TOKEN_JS_SQL),
     "token_source_chi2": (token_source_chi2, TOKEN_CHI2_SQL),
     "bm25_search_topk": (bm25_search_topk, BM25_SQL),

@@ -3226,6 +3226,109 @@ ORDER BY event_type
 )
 
 
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control band per event type over the daily value series
+    (timeseries.ewma_anomalies): recurrence-free adjust=True EWMA via
+    the (1−α)^(−t) rescaling over the grain-bounded daily frame; flags
+    from the group's deviation spread (agg→broadcast two-pass)."""
+    from ..operators.timeseries import ewma_anomalies
+
+    ev = read_table(spark, sf_dir, "events")
+    return ewma_anomalies(ev, ["event_type"], "ts", "value")
+
+
+EVENTS_EWMA_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS x
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), ranked AS (
+    SELECT event_type, day, x,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+    FROM daily
+), s AS (
+    SELECT event_type, day, x, t,
+           sum(x * pow(0.7, -t)) OVER
+               (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+    FROM ranked
+), e AS (
+    SELECT event_type, day, x,
+           (cs * pow(0.7, t)) / ((1 - pow(0.7, t + 1)) / 0.3) AS ewma
+    FROM s
+), d AS (
+    SELECT event_type, day, x, ewma,
+           x - lag(ewma) OVER (PARTITION BY event_type ORDER BY day) AS dev
+    FROM e
+), sd AS (
+    SELECT event_type, stddev_samp(dev) AS sd FROM d GROUP BY event_type
+)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+       {x} AS daily_avg, {ew} AS ewma, {dv} AS deviation,
+       CASE WHEN d.dev IS NULL THEN NULL
+            ELSE abs(d.dev) > 3.0 * sd.sd END AS is_anomaly
+FROM d JOIN sd ON d.event_type = sd.event_type
+ORDER BY d.event_type, d.day
+""".format(
+    x=sql_round("d.x", 6), ew=sql_round("d.ewma", 6), dv=sql_round("d.dev", 6)
+)
+
+
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix over lineitem's numeric columns
+    (colstats.correlation_matrix): all C(4,2) correlations from ONE
+    hash agg of streaming co-moments, exploded in-plan to tidy rows."""
+    from ..operators.colstats import correlation_matrix
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+CORRELATION_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       {sql_round(f'corr({a}, {b})', 6)} AS pearson_r FROM lineitem"""
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+) + "\nORDER BY col_a, col_b"
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (colstats
+    .benford_audit): one stateless digit map + 9-bucket hash agg + 1-row
+    attach; per-digit χ² contributions against log10(1 + 1/d)."""
+    from ..operators.colstats import benford_audit
+
+    orders = read_table(spark, sf_dir, "orders")
+    return benford_audit(orders, "o_totalprice")
+
+
+BENFORD_SQL = """
+WITH d AS (
+    SELECT CAST(floor(o_totalprice
+               / pow(10.0, floor(log10(o_totalprice)))) AS BIGINT) AS digit
+    FROM orders WHERE o_totalprice > 0
+), c AS (
+    SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+), t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+SELECT digit, n,
+       {obs} AS observed_frac,
+       {ben} AS benford_frac,
+       {chi} AS chi2_contrib
+FROM c, t
+ORDER BY digit
+""".format(
+    obs=sql_round("n / tot", 6),
+    ben=sql_round("log10(1.0 + 1.0 / digit)", 6),
+    chi=sql_round(
+        "pow(n - log10(1.0 + 1.0 / digit) * tot, 2.0)"
+        " / (log10(1.0 + 1.0 / digit) * tot)",
+        4,
+    ),
+)
+
+
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL stream-stream state-store join (streaming.joins
     .click_purchase_pairs_streaming): two watermarked readStream legs off
@@ -3253,6 +3356,12 @@ ORDER BY user_id, click_id, purchase_id
 
 
 QUERIES: dict[str, tuple] = {
+    "events_value_ewma": (events_value_ewma, EVENTS_EWMA_SQL),
+    "lineitem_correlation_matrix": (
+        lineitem_correlation_matrix,
+        CORRELATION_SQL,
+    ),
+    "orders_benford_audit": (orders_benford_audit, BENFORD_SQL),
     "streaming_click_purchase_join": (
         streaming_click_purchase_join,
         STREAM_JOIN_SQL,

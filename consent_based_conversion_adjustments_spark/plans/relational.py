@@ -2124,7 +2124,57 @@ ORDER BY user_id, version
 """
 
 
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with a non-hierarchical set list — the case ROLLUP
+    (prefix hierarchy) and CUBE (power set) can't express: totals by
+    (priority, status), by priority alone, and by status alone, with NO
+    grand-total row. ``grouping_id`` disambiguates which set produced a
+    row (both engines use the SQL-standard bit encoding, high bit =
+    first listed column). One shuffle: Spark expands the set list
+    map-side (each input row feeds every set's partial aggregate) and
+    hash-aggregates once — same physical shape as the rollup/cube
+    queries, completing that family."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [
+                ["o_orderpriority", "o_orderstatus"],
+                ["o_orderpriority"],
+                ["o_orderstatus"],
+            ],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus))
+ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "grouping_sets_order_stats": (
+        grouping_sets_order_stats,
+        GROUPING_SETS_SQL,
+    ),
     "part_skyline": (part_skyline, PART_SKYLINE_SQL),
     "customer_snapshot_diff": (customer_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "supplier_fuzzy_matches": (supplier_fuzzy_matches, SUPPLIER_FUZZY_SQL),

@@ -294,3 +294,92 @@ class TestLinearTrend:
         slope, icept = np.polyfit(xs + (base - TS(1970, 1, 1)).days, ys, 1)
         assert r["slope_per_day"] == pytest.approx(slope, rel=1e-4)
         assert r["n"] == 200
+
+
+class TestVocabGrowth:
+    def test_golden_curve(self, spark):
+        # 4 docs, 2 checkpoints: doc order fixes when terms first appear
+        rows = [
+            (1, "a b", "s"),
+            (2, "a c", "s"),
+            (3, "c d a", "s"),
+            (4, "e", "s"),
+        ]
+        out = C.vocab_growth(
+            _docs(spark, rows), "text", "doc_id", n_checkpoints=2
+        ).collect()
+        assert [(r.checkpoint, r.n_docs, r.n_tokens, r.vocab_size) for r in out] == [
+            (1, 2, 4, 3),   # docs 1-2: tokens a b a c, vocab {a,b,c}
+            (2, 4, 8, 5),   # + docs 3-4: vocab adds {d,e}
+        ]
+
+    def test_monotone_and_totals(self, spark):
+        from consent_based_conversion_adjustments_spark.sources.io import read_table
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        out = C.vocab_growth(docs).collect()
+        assert len(out) == 10
+        for a, b in zip(out, out[1:]):
+            assert b.n_docs > a.n_docs
+            assert b.n_tokens > a.n_tokens
+            assert b.vocab_size >= a.vocab_size
+        total_terms = (
+            docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+            .filter(F.col("t") != "")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("t").alias("v"),
+            )
+            .collect()[0]
+        )
+        assert out[-1].n_tokens == total_terms.n
+        assert out[-1].vocab_size == total_terms.v
+
+
+class TestEwmaAnomalies:
+    def test_pandas_ewm_parity(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from consent_based_conversion_adjustments_spark.operators.timeseries import (
+            ewma_anomalies,
+        )
+
+        import datetime as dt
+
+        rng = np.random.RandomState(5)
+        days = [dt.datetime(2024, 1, 1) + dt.timedelta(days=i) for i in range(25)]
+        vals = rng.uniform(10, 20, 25)
+        rows = [
+            (i, 1, d, "a", float(v), 0) for i, (d, v) in enumerate(zip(days, vals))
+        ]
+        out = ewma_anomalies(
+            _events(spark, rows), ["event_type"], "ts", "value", alpha=0.3
+        ).collect()
+        want = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+        for r, w in zip(out, want):
+            assert r.ewma == pytest.approx(w, abs=1e-5)
+        # first day has no prior EWMA -> null deviation and flag
+        assert out[0].deviation is None and out[0].is_anomaly is None
+
+    def test_spike_flagged(self, spark):
+        import datetime as dt
+
+        from consent_based_conversion_adjustments_spark.operators.timeseries import (
+            ewma_anomalies,
+        )
+
+        rows = []
+        for i in range(30):
+            v = 10.0 + (i % 3) * 0.1
+            if i == 20:
+                v = 200.0  # the spike
+            rows.append(
+                (i, 1, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), "a", v, 0)
+            )
+        out = ewma_anomalies(
+            _events(spark, rows), ["event_type"], "ts", "value"
+        ).collect()
+        flags = [r.day for r in out if r.is_anomaly]
+        assert "2024-01-21" in flags  # day index 20
+        assert len(flags) <= 3  # the band recovers after the spike

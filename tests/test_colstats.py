@@ -1,6 +1,7 @@
 """Equi-depth histogram + join-cardinality estimator invariants."""
 import sys
 sys.path.insert(0, "/root/repo")
+import pytest
 from pyspark.sql import functions as F
 from consent_based_conversion_adjustments_spark.operators import colstats as S
 
@@ -83,3 +84,69 @@ def test_quantile_calibrate_matches_reference_distribution(spark):
     }
     for i in range(101):
         assert abs(ident[i] - float(i)) < 1e-9     # identity
+
+
+class TestCorrelationMatrix:
+    def test_numpy_parity_and_sign(self, spark):
+        import numpy as np
+
+        from consent_based_conversion_adjustments_spark.operators.colstats import (
+            correlation_matrix,
+        )
+
+        rng = np.random.RandomState(11)
+        a = rng.normal(0, 1, 500)
+        b = 2 * a + rng.normal(0, 0.5, 500)   # strongly positive
+        c = -a + rng.normal(0, 0.3, 500)      # strongly negative
+        df = spark.createDataFrame(
+            [(float(x), float(y), float(z)) for x, y, z in zip(a, b, c)],
+            "a double, b double, c double",
+        )
+        out = {
+            (r.col_a, r.col_b): r.pearson_r
+            for r in correlation_matrix(df, ["a", "b", "c"]).collect()
+        }
+        assert len(out) == 3
+        for (x, y), got in out.items():
+            want = np.corrcoef(eval(x), eval(y))[0, 1]  # noqa: S307 - test vars
+            assert got == pytest.approx(want, abs=1e-6), (x, y)
+        assert out[("a", "b")] > 0.9 and out[("a", "c")] < -0.9
+
+
+class TestBenfordAudit:
+    def test_golden_counts_and_exclusions(self, spark):
+        from consent_based_conversion_adjustments_spark.operators.colstats import (
+            benford_audit,
+        )
+
+        # values: first digits 1,1,2,9; zero and negative excluded
+        df = spark.createDataFrame(
+            [(1.5,), (123.0,), (0.25,), (9.9,), (0.0,), (-55.0,)],
+            "v double",
+        )
+        out = {r.digit: r for r in benford_audit(df, "v").collect()}
+        assert {d: r.n for d, r in out.items()} == {1: 2, 2: 1, 9: 1}
+        assert out[1].observed_frac == pytest.approx(0.5)
+        assert out[1].benford_frac == pytest.approx(0.30103, abs=1e-5)
+        # chi2 contribution: (n - p*N)^2 / (p*N) with N=4
+        import math
+
+        p = math.log10(2)
+        assert out[1].chi2_contrib == pytest.approx(
+            (2 - p * 4) ** 2 / (p * 4), abs=1e-3
+        )
+
+    def test_benford_like_data_low_chi2(self, spark):
+        """Data generated from a log-uniform magnitude IS Benford: the
+        total χ² stays far below the 5% critical value (15.5, 8 dof)."""
+        import numpy as np
+
+        from consent_based_conversion_adjustments_spark.operators.colstats import (
+            benford_audit,
+        )
+
+        rng = np.random.RandomState(3)
+        vals = 10 ** rng.uniform(0, 5, 20000)
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        total = sum(r.chi2_contrib for r in benford_audit(df, "v").collect())
+        assert total < 15.5

@@ -563,6 +563,55 @@ def main() -> int:
         "SortMergeJoin" not in p and "ShuffledHashJoin" not in p,
     )
 
+    # Vocabulary growth: only ids through the range exchange (the text
+    # never rides the sort) and the lone window runs over the
+    # aggregated k-row frame, after both hash aggs.
+    vg = corpus_queries.corpus_vocab_growth(spark, SF)
+    p = plan_of(vg)
+    check(
+        "vocab growth: Arrow rank pass present, window only on k rows",
+        # one Window node, three cumulative sums sharing its spec (the
+        # plan prints windowspecdefinition once per aggregate)
+        "MapInPandas" in p and p.count("windowspecdefinition") == 3,
+    )
+
+    # EWMA: the keyed windows run over the AGGREGATED daily frame
+    # (events collapse in a hash agg first); one scan feeds everything.
+    ew = data_queries.events_value_ewma(spark, SF)
+    p = plan_of(ew)
+    check(
+        # two scans: the deviation-spread branch recomputes the tiny
+        # daily lineage (the MAD scan's agg->broadcast two-pass shape)
+        "ewma: keyed window over the daily frame, two-pass shape",
+        "windowspecdefinition(event_type" in p
+        and p.count("Scan parquet") == 2,
+    )
+
+    # Correlation matrix: every pairwise corr in ONE aggregate over one
+    # scan — never per-pair scans, never a join.
+    cm = data_queries.lineitem_correlation_matrix(spark, SF)
+    p = plan_of(cm)
+    check(
+        "correlation matrix: single agg, single scan, no join",
+        p.count("Scan parquet") == 1 and "Join" not in p,
+    )
+
+    # Benford: the positivity filter reaches the parquet scan.
+    bf = data_queries.orders_benford_audit(spark, SF)
+    p = plan_of(bf)
+    check(
+        "benford: positivity filter pushed to the scan",
+        "GreaterThan(o_totalprice,0" in p,
+    )
+
+    # Grouping sets: ONE expand + hash aggregate, no union of scans.
+    gs = relational.grouping_sets_order_stats(spark, SF)
+    p = plan_of(gs)
+    check(
+        "grouping sets: single expand + agg, one scan",
+        "Expand" in p and p.count("Scan parquet") == 1 and "Union" not in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
