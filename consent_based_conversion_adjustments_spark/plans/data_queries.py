@@ -3226,6 +3226,58 @@ ORDER BY event_type
 )
 
 
+def events_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance via the general operator
+    (operators.asof.asof_join): for every click, the user's NEXT
+    purchase within 2 hours (timestamp + value; NULL outside the
+    tolerance) — the sorted-union + running-last composition, one
+    shuffle, no inequality join. The oracle is DuckDB's native ASOF
+    JOIN with the tolerance as a post-CASE."""
+    from ..operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "ts",
+        "ts",
+        ["value"],
+        direction="forward",
+        tolerance_seconds=2 * 3600,
+        matched_ts_col="purchase_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_ts"
+        ),
+        F.col("value").alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+NEXT_PURCHASE_SQL = """
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       CASE WHEN p.ts IS NOT NULL AND p.ts <= c.ts + INTERVAL 2 HOUR
+            THEN strftime(p.ts, '%Y-%m-%d %H:%M:%S') END AS purchase_ts,
+       CASE WHEN p.ts IS NOT NULL AND p.ts <= c.ts + INTERVAL 2 HOUR
+            THEN p.value END AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+ORDER BY c.event_id
+"""
+
+
 def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA control band per event type over the daily value series
     (timeseries.ewma_anomalies): recurrence-free adjust=True EWMA via
@@ -3356,6 +3408,7 @@ ORDER BY user_id, click_id, purchase_id
 
 
 QUERIES: dict[str, tuple] = {
+    "events_next_purchase": (events_next_purchase, NEXT_PURCHASE_SQL),
     "events_value_ewma": (events_value_ewma, EVENTS_EWMA_SQL),
     "lineitem_correlation_matrix": (
         lineitem_correlation_matrix,

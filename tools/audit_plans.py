@@ -575,6 +575,16 @@ def main() -> int:
         "MapInPandas" in p and p.count("windowspecdefinition") == 3,
     )
 
+    # General as-of join: sorted-union + running-last — there must be
+    # NO join in the plan at all (the naive inequality formulation
+    # plans a nested loop) and one keyed window.
+    ap = data_queries.events_next_purchase(spark, SF)
+    p = plan_of(ap)
+    check(
+        "asof join: union + running-last window, zero joins",
+        "Join" not in p and "windowspecdefinition(user_id" in p,
+    )
+
     # EWMA: the keyed windows run over the AGGREGATED daily frame
     # (events collapse in a hash agg first); one scan feeds everything.
     ew = data_queries.events_value_ewma(spark, SF)
