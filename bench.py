@@ -105,6 +105,8 @@ HEADLINE = [
     # next timing window — at the tail there is no next window to pollute.
     # (admission_round checkpoints its store frames each admit_batch round.)
     ("admission_round", data_queries.admission_round),
+    ("streaming_attribution_rounds",
+     data_queries.streaming_attribution_rounds),
     ("embedding_dedup_ids", data_queries.embedding_dedup_ids),
     ("dedup_clusters", data_queries.dedup_clusters),
     ("corpus_canonical_ids", data_queries.corpus_canonical_ids),

@@ -867,16 +867,30 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_span_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered three-step funnel: users whose first ``steps[0]`` precedes a
     ``steps[1]`` which precedes a ``steps[2]`` (strict event-time order,
     earliest-qualifying-event semantics at each stage).
+    ``max_span_seconds`` bounds the whole funnel to a conversion window
+    measured from the ENTRY event (the standard product-analytics
+    parameterization: "converted within 7 days of first view") — later
+    steps outside the window don't count; None keeps the unbounded
+    funnel.
 
     Returns one row: entered / reached_2 / reached_3 counts + conversion
     rates. Plan: per-step filters push to the scan; three shuffles on the
     user key (filtered subsets, partial-agg'd); the three 1-row counts
     combine via broadcast crossJoin — nothing collects on the driver.
     """
+
+    def within_span(entry_col):
+        if max_span_seconds is None:
+            return F.lit(True)
+        return F.col(ts_col) <= entry_col + F.expr(
+            f"interval {int(max_span_seconds)} seconds"
+        )
+
     s1 = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
@@ -885,14 +899,15 @@ def funnel_counts(
     s2 = (
         events.filter(F.col(type_col) == steps[1])
         .join(s1, user_col)
-        .filter(F.col(ts_col) > F.col("t1"))
+        .filter((F.col(ts_col) > F.col("t1")) & within_span(F.col("t1")))
         .groupBy(user_col)
-        .agg(F.min(ts_col).alias("t2"))
+        # t1 is constant per user; carry it for the entry-window bound
+        .agg(F.min(ts_col).alias("t2"), F.max("t1").alias("t1"))
     )
     s3 = (
         events.filter(F.col(type_col) == steps[2])
         .join(s2, user_col)
-        .filter(F.col(ts_col) > F.col("t2"))
+        .filter((F.col(ts_col) > F.col("t2")) & within_span(F.col("t1")))
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t3"))
     )

@@ -391,6 +391,50 @@ SELECT (SELECT count(*) FROM s1) AS n_step1,
 """
 
 
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with a 3-day conversion window measured from the entry
+    event (corpus.funnel_counts max_span_seconds) — later steps outside
+    the window don't convert."""
+    events = read_table(spark, sf_dir, "events")
+    out = C.funnel_counts(
+        events, ("view", "click", "purchase"), max_span_seconds=3 * 86400
+    )
+    return out.select(
+        "n_step1",
+        "n_step2",
+        "n_step3",
+        stable_round("rate_12", 6).alias("rate_12"),
+        stable_round("rate_23", 6).alias("rate_23"),
+    )
+
+
+EVENTS_FUNNEL_WINDOWED_SQL = f"""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2, max(s1.t1) AS t1 FROM events e
+    JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+      AND e.ts <= s1.t1 + INTERVAL 3 DAY
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3 FROM events e
+    JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      AND e.ts <= s2.t1 + INTERVAL 3 DAY
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_step1,
+       (SELECT count(*) FROM s2) AS n_step2,
+       (SELECT count(*) FROM s3) AS n_step3,
+       {sql_round('(SELECT count(*) FROM s2) * 1.0'
+                  ' / greatest((SELECT count(*) FROM s1), 1)', 6)} AS rate_12,
+       {sql_round('(SELECT count(*) FROM s3) * 1.0'
+                  ' / greatest((SELECT count(*) FROM s2), 1)', 6)} AS rate_23
+"""
+
+
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition quality signals over the documents table —
     duplicate-bigram fraction and modal-bigram share, rounded for
@@ -1232,4 +1276,8 @@ QUERIES: dict[str, tuple] = {
     "chunk_packing": (chunk_packing, CHUNK_PACKING_SQL),
     "pii_scrub_check": (pii_scrub_check, PII_SCRUB_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "events_funnel_windowed": (
+        events_funnel_windowed,
+        EVENTS_FUNNEL_WINDOWED_SQL,
+    ),
 }

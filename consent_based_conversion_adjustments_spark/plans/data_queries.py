@@ -3226,6 +3226,35 @@ ORDER BY event_type
 )
 
 
+def streaming_attribution_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING attribution path (streaming.attribution
+    .AttributionStore): three ts-ranged micro-batches flow through the
+    exact foreachBatch body — per-epoch touch/credit deltas against a
+    parquet store, conversions crediting across batch boundaries through
+    the store probe — and the rollup must equal the one-shot batch
+    operator, so the ORACLE IS THE SAME SQL as campaign_attribution.
+    The readStream→sink wiring and replay idempotence are exercised in
+    tests/test_streaming.py; this pins the sink body's semantics and
+    store layout."""
+    import tempfile
+
+    from ..streaming.attribution import AttributionStore
+
+    ev = read_table(spark, sf_dir, "events")
+    store = AttributionStore(
+        tempfile.mkdtemp(prefix="cocoa_attr_store_"),
+        lookback_seconds=_ATTR_LOOKBACK_S,
+        halflife_seconds=_ATTR_HALFLIFE_S,
+    )
+    t1, t2 = "2024-01-11", "2024-01-21"
+    store.process_batch(ev.filter(F.col("ts") < t1), 0)
+    store.process_batch(
+        ev.filter((F.col("ts") >= t1) & (F.col("ts") < t2)), 1
+    )
+    store.process_batch(ev.filter(F.col("ts") >= t2), 2)
+    return store.attributed(spark).localCheckpoint()
+
+
 def events_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of with tolerance via the general operator
     (operators.asof.asof_join): for every click, the user's NEXT
@@ -3408,6 +3437,10 @@ ORDER BY user_id, click_id, purchase_id
 
 
 QUERIES: dict[str, tuple] = {
+    "streaming_attribution_rounds": (
+        streaming_attribution_rounds,
+        CAMPAIGN_ATTRIBUTION_SQL,
+    ),
     "events_next_purchase": (events_next_purchase, NEXT_PURCHASE_SQL),
     "events_value_ewma": (events_value_ewma, EVENTS_EWMA_SQL),
     "lineitem_correlation_matrix": (

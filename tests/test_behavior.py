@@ -383,3 +383,36 @@ class TestEwmaAnomalies:
         flags = [r.day for r in out if r.is_anomaly]
         assert "2024-01-21" in flags  # day index 20
         assert len(flags) <= 3  # the band recovers after the spike
+
+
+class TestWindowedFunnel:
+    def test_window_excludes_late_steps(self, spark):
+        import datetime as dt
+
+        from consent_based_conversion_adjustments_spark.operators.corpus import (
+            funnel_counts,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1 converts fully within 1h
+            (1, 1, base, "view", 0.0, 0),
+            (2, 1, base + dt.timedelta(minutes=10), "click", 0.0, 0),
+            (3, 1, base + dt.timedelta(minutes=20), "purchase", 0.0, 0),
+            # user 2 clicks inside but purchases outside the window
+            (4, 2, base, "view", 0.0, 0),
+            (5, 2, base + dt.timedelta(minutes=30), "click", 0.0, 0),
+            (6, 2, base + dt.timedelta(hours=2), "purchase", 0.0, 0),
+            # user 3 clicks outside the window entirely
+            (7, 3, base, "view", 0.0, 0),
+            (8, 3, base + dt.timedelta(hours=3), "click", 0.0, 0),
+        ]
+        ev = _events(spark, rows)
+        bounded = funnel_counts(ev, max_span_seconds=3600).collect()[0]
+        assert (bounded.n_step1, bounded.n_step2, bounded.n_step3) == (3, 2, 1)
+        unbounded = funnel_counts(ev).collect()[0]
+        assert (unbounded.n_step1, unbounded.n_step2, unbounded.n_step3) == (
+            3,
+            3,
+            2,
+        )

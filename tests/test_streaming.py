@@ -1144,3 +1144,125 @@ def test_stream_stream_join_equals_batch(spark):
         .collect()
     )
     assert got == want and len(want) > 0
+
+
+def _attr_store(tmp_path, name="attr"):
+    from consent_based_conversion_adjustments_spark.streaming.attribution import (
+        AttributionStore,
+    )
+
+    return AttributionStore(str(tmp_path / name))
+
+
+def test_attribution_store_matches_batch(spark, tmp_path):
+    """Three ts-ranged epochs through the store == the one-shot batch
+    operator: conversions credit across batch boundaries via the
+    persisted touch table."""
+    from consent_based_conversion_adjustments_spark.operators.behavior import (
+        touch_attribution,
+    )
+    from consent_based_conversion_adjustments_spark.sources.io import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    store = _attr_store(tmp_path)
+    t1, t2 = "2024-01-11", "2024-01-21"
+    store.process_batch(ev.filter(F.col("ts") < t1), 0)
+    store.process_batch(ev.filter((F.col("ts") >= t1) & (F.col("ts") < t2)), 1)
+    store.process_batch(ev.filter(F.col("ts") >= t2), 2)
+    got = sorted(map(tuple, store.attributed(spark).collect()))
+    want = sorted(
+        map(
+            tuple,
+            touch_attribution(
+                ev,
+                group_expr=F.get_json_object("props", "$.k").cast("long") % 10,
+                group_name="campaign",
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_attribution_store_replay_idempotent(spark, tmp_path):
+    """Re-running an epoch (at-least-once replay with the same id)
+    rewrites its own partitions instead of double-crediting."""
+    from consent_based_conversion_adjustments_spark.sources.io import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    store = _attr_store(tmp_path)
+    t1 = "2024-01-15"
+    b0, b1 = ev.filter(F.col("ts") < t1), ev.filter(F.col("ts") >= t1)
+    store.process_batch(b0, 0)
+    store.process_batch(b1, 1)
+    once = sorted(map(tuple, store.attributed(spark).collect()))
+    store.process_batch(b1, 1)  # crash-replay of epoch 1
+    twice = sorted(map(tuple, store.attributed(spark).collect()))
+    assert once == twice
+
+
+def test_attribution_store_out_of_order_raises(spark, tmp_path):
+    from consent_based_conversion_adjustments_spark.sources.io import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    store = _attr_store(tmp_path)
+    t1 = "2024-01-15"
+    store.process_batch(ev.filter(F.col("ts") >= t1), 0)
+    with pytest.raises(ValueError, match="out-of-order"):
+        store.process_batch(ev.filter(F.col("ts") < t1), 1)
+
+
+def test_attribution_stream_end_to_end(spark, tmp_path):
+    """Real wiring: file-source stream, one ts-ranged file per
+    micro-batch, availableNow, foreachBatch -> AttributionStore; the
+    rollup == the batch operator."""
+    import os
+    import time as _time
+
+    import pyarrow
+    import pyarrow.parquet as pq
+
+    from consent_based_conversion_adjustments_spark.operators.behavior import (
+        touch_attribution,
+    )
+    from consent_based_conversion_adjustments_spark.sources.io import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    cut1, cut2 = "2024-01-11", "2024-01-21"
+    parts = [
+        ev.filter(F.col("ts") < cut1),
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        ev.filter(F.col("ts") >= cut2),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    now = _time.time()
+    for i, p in enumerate(parts):
+        path = str(in_dir / f"batch_{i}.parquet")
+        pq.write_table(
+            pyarrow.Table.from_pandas(p.toPandas(), preserve_index=False),
+            path,
+            coerce_timestamps="us",
+        )
+        os.utime(path, (now + 30 * i, now + 30 * i))
+
+    store = _attr_store(tmp_path, "attr_e2e")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(in_dir))
+    )
+    q = store.sink(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    got = sorted(map(tuple, store.attributed(spark).collect()))
+    want = sorted(
+        map(
+            tuple,
+            touch_attribution(
+                ev,
+                group_expr=F.get_json_object("props", "$.k").cast("long") % 10,
+                group_name="campaign",
+            ).collect(),
+        )
+    )
+    assert got == want
