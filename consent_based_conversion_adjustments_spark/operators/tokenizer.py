@@ -176,3 +176,232 @@ def encoded_lengths(
             F.sum("n_syms").alias("n_subwords"),
         )
     )
+
+
+# -- unigram LM tokenizer (SentencePiece-style, Kudo 2018) --------------------
+
+UNIGRAM_MAX_PIECE_LEN = 6
+
+
+def _viterbi(word: str, logp: dict, max_len: int = UNIGRAM_MAX_PIECE_LEN):
+    """Best segmentation of ``word`` under piece log-probs: maximize the
+    sum of piece log-probs; ties break to FEWER pieces, then to the
+    longer last piece — a total, deterministic rule shared verbatim by
+    the Arrow kernel and the pure-Python parity test. Returns the piece
+    list (always succeeds when every character is in ``logp``)."""
+    n = len(word)
+    neg = float("-inf")
+    best = [(neg, 0, 0)] * (n + 1)
+    best[0] = (0.0, 0, 0)
+    for i in range(1, n + 1):
+        for length in range(1, min(max_len, i) + 1):
+            lp = logp.get(word[i - length : i])
+            if lp is None:
+                continue
+            s0, k0, _ = best[i - length]
+            if s0 == neg:
+                continue
+            cand = (s0 + lp, k0 + 1, length)
+            cur = best[i]
+            if cand[0] > cur[0] or (
+                cand[0] == cur[0]
+                and (
+                    cand[1] < cur[1]
+                    or (cand[1] == cur[1] and length > cur[2])
+                )
+            ):
+                best[i] = cand
+    pieces = []
+    i = n
+    while i > 0:
+        length = best[i][2]
+        if length == 0:
+            return None  # unreachable word (a char missing from logp)
+        pieces.append(word[i - length : i])
+        i -= length
+    return pieces[::-1]
+
+
+def _usage_counts(vocab: DataFrame, logp: dict, max_len: int) -> list:
+    """E-step, distributed: Viterbi-segment every DISTINCT word (the
+    reduced table — law 4: iterations never touch the corpus) in an
+    Arrow kernel with the bounded piece table captured in the closure;
+    emit per-batch PARTIAL (piece, usage) rows, hash-agg, collect the
+    bounded result (rows ≤ |pieces|)."""
+    import pandas as pd
+
+    def kernel(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for w, n in zip(pdf["word"], pdf["n"]):
+                for p in _viterbi(w, logp, max_len):
+                    c[p] += int(n)
+            if c:
+                yield pd.DataFrame(
+                    {"piece": list(c.keys()), "usage": list(c.values())}
+                )
+
+    return (
+        vocab.mapInPandas(kernel, "piece string, usage long")
+        .groupBy("piece")
+        .agg(F.sum("usage").alias("usage"))
+        .collect()
+    )
+
+
+def unigram_learn(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 64,
+    n_rounds: int = 3,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    seed_multiplier: int = 4,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (the SentencePiece algorithm family,
+    Kudo 2018), hard-EM variant: pieces are scored by how often the
+    CURRENT best (Viterbi) segmentations of the corpus use them, and the
+    vocabulary shrinks toward ``vocab_size``. Two documented
+    simplifications vs the paper: the E-step uses the Viterbi
+    segmentation (hard counts) rather than full forward-backward
+    expectations, and pruning is lowest-usage-first rather than
+    likelihood-loss-ranked — the distributed SHAPE (which is what this
+    engine demonstrates) is identical either way, since both E-step
+    variants are one kernel pass over the same reduced table.
+
+    Scale shape (law 4 — iterate over the REDUCED table): the corpus is
+    scanned ONCE into the distinct-word vocab table; seed pieces come
+    from one substring explode + hash agg over that table (≤ len²/2
+    rows per distinct word); every EM round is one Arrow kernel pass
+    over the words with the bounded piece table in the closure, one
+    hash agg of partial usage counts, and a bounded driver collect.
+    Single characters are pinned in the vocabulary (with an add-½
+    usage floor so an unused char keeps a finite log-prob), which
+    guarantees every word stays segmentable — the standard coverage
+    invariant.
+
+    Deterministic by construction: seed and final cuts order by
+    (count desc, piece asc); Viterbi ties break structurally. Returns
+    (piece, prob, rank) with prob stable-rounded to 8.
+    """
+    import math
+
+    from ..functions.rounding import stable_round
+
+    vocab = word_vocab(docs, text_col).drop("syms").localCheckpoint()
+    subs = (
+        vocab.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        f"""transform(sequence(1, length(word)), i ->
+                        transform(sequence(1, least({int(max_piece_len)},
+                                                    length(word) - i + 1)),
+                                  l -> substring(word, i, l)))"""
+                    )
+                )
+            ).alias("piece"),
+            F.col("n"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("n").alias("w"))
+    )
+    chars = {
+        r["piece"]: r["w"]
+        for r in subs.filter(F.length("piece") == 1).collect()
+    }
+    n_seed = max(vocab_size * seed_multiplier - len(chars), 0)
+    multi = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.col("w").desc(), F.col("piece").asc())
+        .limit(n_seed)
+        .collect()
+    )
+    weights = {**chars, **{r["piece"]: r["w"] for r in multi}}
+
+    def normalize(usage: dict) -> dict:
+        # pin single chars with an add-1/2 floor; everything else needs
+        # usage > 0 to survive
+        kept = {
+            p: u + (0.5 if len(p) == 1 else 0.0)
+            for p, u in usage.items()
+            if u > 0 or len(p) == 1
+        }
+        for c in chars:
+            kept.setdefault(c, 0.5)
+        total = sum(kept.values())
+        return {p: math.log(u / total) for p, u in kept.items()}
+
+    logp = normalize(weights)
+    for _ in range(n_rounds):
+        usage = {r["piece"]: r["usage"] for r in _usage_counts(
+            vocab, logp, max_piece_len
+        )}
+        logp = normalize(usage)
+
+    # final cut: top vocab_size by (prob desc, piece asc), chars pinned
+    ranked = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    final = [p for p, _ in ranked[: max(vocab_size, len(chars))]]
+    keep = set(final) | set(chars)
+    total = sum(math.exp(logp[p]) for p in keep)
+    spark = docs.sparkSession
+    rows = sorted(
+        ((p, math.exp(logp[p]) / total) for p in keep),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    out = spark.createDataFrame(
+        [(p, pr, i + 1) for i, (p, pr) in enumerate(rows)],
+        "piece string, prob double, rank long",
+    )
+    return out.select(
+        "piece", stable_round(F.col("prob"), 8).alias("prob"), "rank"
+    ).orderBy("rank")
+
+
+def unigram_encoded_lengths(
+    docs: DataFrame,
+    piece_probs: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+) -> DataFrame:
+    """Per-document piece counts under a learned unigram vocabulary.
+
+    Spark-first encode: the Viterbi DP runs ONCE PER DISTINCT WORD (a
+    bounded Arrow pass over the vocab table mapping word → piece count),
+    and documents encode via one equi-join of their exploded words onto
+    that map + a per-doc hash agg — per-occurrence work is a join probe,
+    never a DP. ``piece_probs`` is the (piece, prob) list from
+    ``unigram_learn`` (bounded, closure-captured).
+    """
+    import math
+
+    import pandas as pd
+
+    logp = {p: math.log(pr) for p, pr in piece_probs}
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_pieces": [
+                        len(_viterbi(w, logp, max_piece_len))
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .distinct()
+    )
+    word_len = words.mapInPandas(kernel, "word string, n_pieces long")
+    return (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+        .join(word_len, "word")
+        .groupBy(id_col)
+        .agg(F.sum("n_pieces").cast("long").alias("n_pieces"))
+        .orderBy(id_col)
+    )

@@ -1213,6 +1213,41 @@ LIMIT 25
 ).format(toks=_TOKS.format(c="text"))
 
 
+_UNIGRAM_V, _UNIGRAM_ROUNDS = 48, 3
+
+
+def unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators.tokenizer.unigram_learn,
+    SentencePiece family): substring-seeded vocabulary shrunk by hard-EM
+    rounds — each round ONE Arrow Viterbi pass over the distinct-word
+    table with the bounded piece table in the closure. No SQL oracle (a
+    float EM with DP inside is not SQL-expressible) → rows-only; the
+    pytest suite pins a pure-Python EM replica exactly."""
+    from ..operators import tokenizer as TK
+
+    docs = read_table(spark, sf_dir, "documents")
+    return TK.unigram_learn(
+        docs, vocab_size=_UNIGRAM_V, n_rounds=_UNIGRAM_ROUNDS
+    )
+
+
+def unigram_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc subword counts under the learned unigram vocabulary
+    (operators.tokenizer.unigram_encoded_lengths): the DP runs once per
+    DISTINCT word; documents encode via an equi-join onto that map.
+    Rows-only for the same reason as unigram_vocab."""
+    from ..operators import tokenizer as TK
+
+    docs = read_table(spark, sf_dir, "documents")
+    pieces = [
+        (r["piece"], r["prob"])
+        for r in TK.unigram_learn(
+            docs, vocab_size=_UNIGRAM_V, n_rounds=_UNIGRAM_ROUNDS
+        ).collect()
+    ]
+    return TK.unigram_encoded_lengths(docs, pieces)
+
+
 def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth curve (corpus.vocab_growth): cumulative
     vocab vs cumulative tokens at 10 equal-document checkpoints in doc-id
@@ -1248,6 +1283,8 @@ ORDER BY checkpoint
 
 
 QUERIES: dict[str, tuple] = {
+    "unigram_vocab": (unigram_vocab, None),
+    "unigram_doc_lengths": (unigram_doc_lengths, None),
     "corpus_vocab_growth": (corpus_vocab_growth, VOCAB_GROWTH_SQL),
     "source_token_js": (source_token_js, SOURCE_TOKEN_JS_SQL),
     "token_source_chi2": (token_source_chi2, TOKEN_CHI2_SQL),

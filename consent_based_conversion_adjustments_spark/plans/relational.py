@@ -2170,7 +2170,50 @@ ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 """
 
 
+def lineitem_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of the pivot query: lineitem's
+    numeric measures turn into (measure, value) rows in-plan (Spark's
+    native ``unpivot``/``melt``, an Expand under the hood — one scan, no
+    union of per-column scans), then a per-measure profile aggregates
+    the long form. The long-form profile is what generic data-quality /
+    drift dashboards consume: one row per (flag, measure)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_returnflag, measure,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM (
+    UNPIVOT (
+        SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax
+        FROM lineitem
+    ) ON l_quantity, l_extendedprice, l_discount, l_tax
+    INTO NAME measure VALUE value
+)
+GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "lineitem_unpivot_stats": (lineitem_unpivot_stats, UNPIVOT_SQL),
     "grouping_sets_order_stats": (
         grouping_sets_order_stats,
         GROUPING_SETS_SQL,

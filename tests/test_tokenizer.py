@@ -116,3 +116,126 @@ def test_checkpoint_every_same_result(spark, docs):
     m1, _ = T.bpe_learn(docs, "text", n_merges=5)
     m2, _ = T.bpe_learn(docs, "text", n_merges=5, checkpoint_every=2)
     assert [tuple(r) for r in m1.collect()] == [tuple(r) for r in m2.collect()]
+
+
+class TestUnigram:
+    def test_viterbi_golden_and_ties(self):
+        import math
+
+        from consent_based_conversion_adjustments_spark.operators.tokenizer import (
+            _viterbi,
+        )
+
+        logp = {p: math.log(v) for p, v in
+                {"a": 0.1, "b": 0.1, "ab": 0.3, "ba": 0.3, "aba": 0.02}.items()}
+        # whole-word 0.02 loses to the 2-piece splits (0.3*0.1 = 0.03);
+        # ab+a ties a+ba exactly -> same piece count -> the longer LAST
+        # piece wins: a+ba
+        assert _viterbi("aba", logp) == ["a", "ba"]
+        # higher-prob whole piece wins over char splits
+        assert _viterbi("ab", logp) == ["ab"]
+        # unreachable piece never chosen when chars cover
+        assert _viterbi("bb", logp) == ["b", "b"]
+
+    def test_pure_python_em_parity(self, spark):
+        """The distributed trainer must equal a pure-Python replica of
+        the same seed + hard-EM rounds on a small corpus, exactly."""
+        import math
+        from collections import Counter
+
+        from consent_based_conversion_adjustments_spark.operators.tokenizer import (
+            UNIGRAM_MAX_PIECE_LEN,
+            _viterbi,
+            unigram_learn,
+        )
+
+        texts = [
+            "the cat sat on the mat",
+            "the cat ate the rat",
+            "a mat a rat a cat",
+            "the the the cat cat",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        vocab_size, n_rounds, seed_mult = 20, 3, 4
+        got = {
+            r["piece"]: (r["prob"], r["rank"])
+            for r in unigram_learn(
+                docs, vocab_size=vocab_size, n_rounds=n_rounds
+            ).collect()
+        }
+
+        # ---- pure-Python replica --------------------------------------
+        words = Counter(w for t in texts for w in t.split())
+        subs: Counter = Counter()
+        for w, n in words.items():
+            for i in range(len(w)):
+                for ln in range(1, min(UNIGRAM_MAX_PIECE_LEN, len(w) - i) + 1):
+                    subs[w[i : i + ln]] += n
+        chars = {p: c for p, c in subs.items() if len(p) == 1}
+        n_seed = max(vocab_size * seed_mult - len(chars), 0)
+        multi = sorted(
+            ((p, c) for p, c in subs.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:n_seed]
+        weights = {**chars, **dict(multi)}
+
+        def normalize(usage):
+            kept = {
+                p: u + (0.5 if len(p) == 1 else 0.0)
+                for p, u in usage.items()
+                if u > 0 or len(p) == 1
+            }
+            for c in chars:
+                kept.setdefault(c, 0.5)
+            total = sum(kept.values())
+            return {p: math.log(u / total) for p, u in kept.items()}
+
+        logp = normalize(weights)
+        for _ in range(n_rounds):
+            usage: Counter = Counter()
+            for w, n in words.items():
+                for p in _viterbi(w, logp):
+                    usage[p] += n
+            logp = normalize(usage)
+        ranked = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+        final = [p for p, _ in ranked[: max(vocab_size, len(chars))]]
+        keep = set(final) | set(chars)
+        total = sum(math.exp(logp[p]) for p in keep)
+        want = {
+            p: round(math.exp(logp[p]) / total - 1e-9, 8) + 0.0
+            for p in keep
+        }
+        assert set(got) == set(want)
+        for p in want:
+            assert got[p][0] == pytest.approx(want[p], abs=1e-8), p
+
+    def test_coverage_and_encode_bounds(self, spark):
+        from consent_based_conversion_adjustments_spark.operators.tokenizer import (
+            unigram_encoded_lengths,
+            unigram_learn,
+        )
+        from consent_based_conversion_adjustments_spark.sources.io import read_table
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        pieces = [
+            (r["piece"], r["prob"])
+            for r in unigram_learn(docs, vocab_size=32, n_rounds=2).collect()
+        ]
+        assert all(pr > 0 for _, pr in pieces)
+        lengths = {
+            r["doc_id"]: r["n_pieces"]
+            for r in unigram_encoded_lengths(docs, pieces).collect()
+        }
+        import pyspark.sql.functions as F
+
+        stats = docs.select(
+            "doc_id",
+            F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""))
+            .alias("n_words"),
+            F.length(F.regexp_replace("text", r"\s+", "")).alias("n_chars"),
+        ).collect()
+        for r in stats:
+            # every doc encodable; pieces between n_words and n_chars
+            assert r["n_words"] <= lengths[r["doc_id"]] <= r["n_chars"]
