@@ -92,6 +92,8 @@ HEADLINE = [
     ("source_token_js", corpus_queries.source_token_js),
     ("token_source_chi2", corpus_queries.token_source_chi2),
     ("events_next_purchase", data_queries.events_next_purchase),
+    ("events_wow_change", data_queries.events_wow_change),
+    ("token_association_rules", corpus_queries.token_association_rules),
     ("events_value_ewma", data_queries.events_value_ewma),
     ("lineitem_correlation_matrix", data_queries.lineitem_correlation_matrix),
     ("orders_benford_audit", data_queries.orders_benford_audit),

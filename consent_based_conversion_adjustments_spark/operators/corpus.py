@@ -1660,3 +1660,67 @@ def vocab_growth(
         F.sum("__tokens").over(w).cast("long").alias("n_tokens"),
         F.sum("__new_terms").over(w).cast("long").alias("vocab_size"),
     ).orderBy("checkpoint")
+
+
+def association_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_support: int = 2,
+    top_k: int = 25,
+) -> DataFrame:
+    """Association-rule metrics over the frequent pairs (the level-3
+    output of the A-Priori pass): confidence in both directions and
+    lift for every pair `frequent_item_pairs` surfaces — "docs with a
+    also have b" with the base-rate correction that separates real
+    association from popularity.
+
+    Shape: the pair table from the pruned explode (bounded by the
+    frequent vocabulary), per-item document frequencies from one hash
+    agg over distinct (doc, item) — already computed once for the
+    pruning, recomputed here keyed only on the frequent items — and a
+    1-row N attach. lift = P(ab)/(P(a)·P(b)) over document probability;
+    deterministic cutoff: (lift rounded to 6 desc, item_a, item_b).
+    """
+    pairs = frequent_item_pairs(docs, text_col, id_col, min_support)
+    presence = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("__item"),
+    )
+    item_df = presence.groupBy("__item").agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    n_total = docs.agg(F.count(F.lit(1)).cast("double").alias("__N"))
+    a = item_df.select(
+        F.col("__item").alias("item_a"), F.col("__n_docs").alias("supp_a")
+    )
+    b = item_df.select(
+        F.col("__item").alias("item_b"), F.col("__n_docs").alias("supp_b")
+    )
+    out = (
+        pairs.join(a, "item_a")
+        .join(b, "item_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_support",
+            F.col("supp_a").cast("long").alias("supp_a"),
+            F.col("supp_b").cast("long").alias("supp_b"),
+            stable_round(
+                F.col("pair_support") / F.col("supp_a"), 6
+            ).alias("confidence_ab"),
+            stable_round(
+                F.col("pair_support") / F.col("supp_b"), 6
+            ).alias("confidence_ba"),
+            stable_round(
+                F.col("pair_support")
+                * F.col("__N")
+                / (F.col("supp_a") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(top_k)

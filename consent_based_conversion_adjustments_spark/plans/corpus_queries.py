@@ -1083,6 +1083,55 @@ HAVING count(*) >= {_PAIR_MIN_SUPPORT}
 """.format(toks=_TOKS.format(c="text"))
 
 
+def token_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over the A-Priori frequent pairs
+    (corpus.association_rules): confidence both directions + lift with
+    the document-probability base-rate correction; deterministic
+    (lift desc, pair) top-25 cutoff."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.association_rules(
+        docs, "text", "doc_id", min_support=_PAIR_MIN_SUPPORT, top_k=25
+    )
+
+
+ASSOCIATION_SQL = """
+WITH t AS (
+    SELECT doc_id, unnest(list_distinct({toks})) AS item FROM documents
+), item_df AS (
+    SELECT item, CAST(count(*) AS BIGINT) AS n_docs FROM t GROUP BY item
+), freq AS (
+    SELECT item FROM item_df WHERE n_docs >= {minsup}
+), k AS (
+    SELECT doc_id, item FROM t JOIN freq USING (item)
+), pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(count(*) AS BIGINT) AS pair_support
+    FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.item < b.item
+    GROUP BY 1, 2
+    HAVING count(*) >= {minsup}
+), n_tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT item_a, item_b, pair_support,
+       da.n_docs AS supp_a, db.n_docs AS supp_b,
+       {conf_ab} AS confidence_ab,
+       {conf_ba} AS confidence_ba,
+       {lift} AS lift
+FROM pairs
+JOIN item_df da ON da.item = item_a
+JOIN item_df db ON db.item = item_b
+CROSS JOIN n_tot
+ORDER BY lift DESC, item_a ASC, item_b ASC
+LIMIT 25
+""".format(
+    toks="{toks}",
+    minsup="{minsup}",
+    conf_ab=sql_round("CAST(pair_support AS DOUBLE) / da.n_docs", 6),
+    conf_ba=sql_round("CAST(pair_support AS DOUBLE) / db.n_docs", 6),
+    lift=sql_round(
+        "pair_support * n / (CAST(da.n_docs AS DOUBLE) * db.n_docs)", 6
+    ),
+).format(toks=_TOKS.format(c="text"), minsup=_PAIR_MIN_SUPPORT)
+
+
 _BM25_TERMS = ["hash", "join", "spark", "vector"]
 _BM25_K = 25
 
@@ -1290,6 +1339,7 @@ QUERIES: dict[str, tuple] = {
     "token_source_chi2": (token_source_chi2, TOKEN_CHI2_SQL),
     "bm25_search_topk": (bm25_search_topk, BM25_SQL),
     "token_pair_mining": (token_pair_mining, TOKEN_PAIRS_SQL),
+    "token_association_rules": (token_association_rules, ASSOCIATION_SQL),
     "user_event_paths": (user_event_paths, EVENT_PATHS_SQL),
     "event_transition_probs": (event_transition_probs, TRANSITION_SQL),
     "events_value_winsorized": (events_value_winsorized, WINSORIZE_SQL),

@@ -3226,6 +3226,52 @@ ORDER BY event_type
 )
 
 
+def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change per event type — the period-over-period
+    comparison every metrics dashboard leads with: one hash agg to the
+    (type, week) grain (map-side partials absorb event volume), then a
+    keyed lag window over the AGGREGATED bounded frame. First week's
+    change is NULL, not 0 — no fabricated baseline."""
+    ev = read_table(spark, sf_dir, "events")
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    weekly = ev.groupBy(
+        F.col("event_type"), week.alias("week")
+    ).agg(F.sum("value").alias("__rev"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("__rev").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        stable_round(F.col("__rev"), 2).alias("revenue"),
+        stable_round(prev, 2).alias("prev_revenue"),
+        stable_round((F.col("__rev") - prev) / prev, 6).alias("wow_pct"),
+    ).orderBy("event_type", "week")
+
+
+WOW_SQL = """
+WITH weekly AS (
+    SELECT event_type,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           sum(value) AS rev
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, week,
+       {rev} AS revenue,
+       {prev} AS prev_revenue,
+       {pct} AS wow_pct
+FROM (
+    SELECT event_type, week, rev,
+           lag(rev) OVER (PARTITION BY event_type ORDER BY week) AS prev
+    FROM weekly
+)
+ORDER BY event_type, week
+""".format(
+    rev=sql_round("rev", 2),
+    prev=sql_round("prev", 2),
+    pct=sql_round("(rev - prev) / prev", 6),
+)
+
+
 def streaming_attribution_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING attribution path (streaming.attribution
     .AttributionStore): three ts-ranged micro-batches flow through the
@@ -3437,6 +3483,7 @@ ORDER BY user_id, click_id, purchase_id
 
 
 QUERIES: dict[str, tuple] = {
+    "events_wow_change": (events_wow_change, WOW_SQL),
     "streaming_attribution_rounds": (
         streaming_attribution_rounds,
         CAMPAIGN_ATTRIBUTION_SQL,

@@ -416,3 +416,38 @@ class TestWindowedFunnel:
             3,
             2,
         )
+
+
+class TestAssociationRules:
+    def test_lift_and_confidence_golden(self, spark):
+        from consent_based_conversion_adjustments_spark.operators.corpus import (
+            association_rules,
+        )
+
+        # a and b always co-occur (4 docs), c independent-ish
+        rows = [
+            (1, "a b", "s"),
+            (2, "a b c", "s"),
+            (3, "a b", "s"),
+            (4, "a b c", "s"),
+            (5, "c d", "s"),
+            (6, "c d", "s"),
+        ]
+        out = {
+            (r.item_a, r.item_b): r
+            for r in association_rules(
+                _docs(spark, rows), min_support=2, top_k=25
+            ).collect()
+        }
+        ab = out[("a", "b")]
+        # perfect co-occurrence: conf 1.0 both ways, lift = N/4 = 1.5
+        assert ab.confidence_ab == pytest.approx(1.0)
+        assert ab.confidence_ba == pytest.approx(1.0)
+        assert ab.lift == pytest.approx(6 / 4, abs=1e-6)
+        cd = out[("c", "d")]
+        # c in 4 docs, d in 2, cd in 2: conf c->d = .5, d->c = 1, lift 1.5
+        assert cd.confidence_ab == pytest.approx(0.5)
+        assert cd.confidence_ba == pytest.approx(1.0)
+        assert cd.lift == pytest.approx(6 * 2 / (4 * 2), abs=1e-6)
+        # negative association (a vs d never co-occur) emits no row
+        assert ("a", "d") not in out
