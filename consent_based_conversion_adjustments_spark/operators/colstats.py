@@ -239,3 +239,93 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-call table profile (the ANALYZE-TABLE statistic set): per
+    column — row count, nulls, EXACT distinct count, min/max, and the
+    mean where the column casts to a number. The first thing anyone
+    runs against an unfamiliar table, and the statistics CBO join
+    estimation feeds on (`estimate_equijoin_rows` consumes the
+    histogram variant).
+
+    All columns profile in ONE aggregate pass over one scan: Spark
+    plans the multiple exact count-distincts as a single Expand (k×
+    rows map-side, the grouping-sets mechanism) rather than k scans —
+    the same trade the grouping-sets query documents. Min/max report
+    numerically for number-typed columns and lexically (cast to
+    string) otherwise — dates order chronologically either way; the
+    1-row result explodes in-plan to tidy per-column rows.
+    """
+    from ..functions.rounding import stable_round
+
+    cols = cols or df.columns
+    dtypes = dict(df.dtypes)
+    numeric = {
+        c
+        for c in cols
+        if dtypes[c]
+        in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or dtypes[c].startswith("decimal")
+    }
+    aggs = []
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__n_{i}"),
+            F.count(F.when(col.isNull(), 1)).alias(f"__null_{i}"),
+            F.countDistinct(col).alias(f"__d_{i}"),
+        ]
+        if c in numeric:
+            aggs += [
+                F.min(col).cast("double").alias(f"__min_{i}"),
+                F.max(col).cast("double").alias(f"__max_{i}"),
+                F.avg(col.cast("double")).alias(f"__avg_{i}"),
+            ]
+        else:
+            aggs += [
+                F.min(col.cast("string")).alias(f"__smin_{i}"),
+                F.max(col.cast("string")).alias(f"__smax_{i}"),
+            ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{i}").cast("long").alias("n_values"),
+                F.col(f"__null_{i}").cast("long").alias("n_nulls"),
+                F.col(f"__d_{i}").cast("long").alias("n_distinct"),
+                (
+                    stable_round(F.col(f"__min_{i}"), 6)
+                    if c in numeric
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    stable_round(F.col(f"__max_{i}"), 6)
+                    if c in numeric
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    stable_round(F.col(f"__avg_{i}"), 6)
+                    if c in numeric
+                    else F.lit(None).cast("double")
+                ).alias("mean"),
+                (
+                    F.col(f"__smin_{i}")
+                    if c not in numeric
+                    else F.lit(None).cast("string")
+                ).alias("min_str"),
+                (
+                    F.col(f"__smax_{i}")
+                    if c not in numeric
+                    else F.lit(None).cast("string")
+                ).alias("max_str"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("column")
+    )

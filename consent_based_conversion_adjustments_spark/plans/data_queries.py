@@ -3226,6 +3226,56 @@ ORDER BY event_type
 )
 
 
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call per-column table profile (colstats.table_profile):
+    counts / nulls / EXACT distincts / min-max / means for every orders
+    column in ONE aggregate pass (the multi-count-distinct plans as a
+    single Expand, not k scans)."""
+    from ..operators.colstats import table_profile
+
+    orders = read_table(spark, sf_dir, "orders")
+    return table_profile(orders)
+
+
+def _table_profile_sql() -> str:
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    cols = [
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+    ]
+    parts = []
+    for c in cols:
+        base = (
+            f"SELECT '{c}' AS \"column\", "
+            f"CAST(count({c}) AS BIGINT) AS n_values, "
+            f"CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT)"
+            f" AS n_nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        )
+        if c in numeric:
+            base += (
+                f"{sql_round(f'CAST(min({c}) AS DOUBLE)', 6)} AS min_num, "
+                f"{sql_round(f'CAST(max({c}) AS DOUBLE)', 6)} AS max_num, "
+                f"{sql_round(f'avg(CAST({c} AS DOUBLE))', 6)} AS mean, "
+                "CAST(NULL AS VARCHAR) AS min_str, "
+                "CAST(NULL AS VARCHAR) AS max_str FROM orders"
+            )
+        else:
+            base += (
+                "CAST(NULL AS DOUBLE) AS min_num, "
+                "CAST(NULL AS DOUBLE) AS max_num, "
+                "CAST(NULL AS DOUBLE) AS mean, "
+                f"min(CAST({c} AS VARCHAR)) AS min_str, "
+                f"max(CAST({c} AS VARCHAR)) AS max_str FROM orders"
+            )
+        parts.append(base)
+    return "\nUNION ALL\n".join(parts) + '\nORDER BY "column"'
+
+
 def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week change per event type — the period-over-period
     comparison every metrics dashboard leads with: one hash agg to the
@@ -3483,6 +3533,7 @@ ORDER BY user_id, click_id, purchase_id
 
 
 QUERIES: dict[str, tuple] = {
+    "orders_table_profile": (orders_table_profile, _table_profile_sql()),
     "events_wow_change": (events_wow_change, WOW_SQL),
     "streaming_attribution_rounds": (
         streaming_attribution_rounds,

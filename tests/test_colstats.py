@@ -150,3 +150,29 @@ class TestBenfordAudit:
         df = spark.createDataFrame([(float(v),) for v in vals], "v double")
         total = sum(r.chi2_contrib for r in benford_audit(df, "v").collect())
         assert total < 15.5
+
+
+class TestTableProfile:
+    def test_counts_nulls_types(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 2.0), (2, None, 4.0), (None, "b", None)],
+            "k long, s string, v double",
+        )
+        out = {r.column: r for r in S.table_profile(df).collect()}
+        assert out["k"].n_values == 2 and out["k"].n_nulls == 1
+        assert out["k"].n_distinct == 2
+        assert (out["k"].min_num, out["k"].max_num) == (1.0, 2.0)
+        assert out["k"].min_str is None
+        assert out["s"].min_str == "a" and out["s"].max_str == "b"
+        assert out["s"].min_num is None and out["s"].mean is None
+        assert out["v"].mean == pytest.approx(3.0)
+
+    def test_single_scan_plan(self, spark):
+        df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        p = (
+            S.table_profile(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert p.count("Scan parquet") == 1 and "Expand" in p
