@@ -59,6 +59,13 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    collisions = ({matched_ts_col, *right_value_cols} & set(left.columns))
+    if collisions:
+        raise ValueError(
+            "asof_join output columns collide with left columns: "
+            f"{sorted(collisions)} — alias the right value columns or "
+            "matched_ts_col"
+        )
 
     left_cols = [c for c in left.columns if c not in key_cols]
     r_payload = F.struct(

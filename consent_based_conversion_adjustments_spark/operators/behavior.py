@@ -78,6 +78,11 @@ def touch_attribution(
     Returns per-group rows: (<group>, n_conversions, n_touch_pairs,
     attributed_linear, attributed_decay) — conversions with no touch in
     the window attribute nothing (they are the as-of query's business).
+    ``n_conversions`` counts conversions the GROUP's touches
+    participated in: a conversion touched by two campaigns appears in
+    both rows (its VALUE still splits — only the credit columns are
+    additive across groups; summing n_conversions double-counts by
+    design, the standard participation semantics).
     """
     bin_us = int(bin_seconds or lookback_seconds) * 1_000_000
     look_us = int(lookback_seconds) * 1_000_000

@@ -105,3 +105,14 @@ def test_exact_timestamp_inclusive_and_no_match_null(spark):
     )
     row2 = asof_join(ls2, rs, ["k"], "ts", "ts", ["rv"]).collect()[0]
     assert row2["rv"] is None and row2["asof_ts"] is None
+
+
+def test_output_collision_raises(spark):
+    ls = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 5.0)], "k long, ts timestamp, rv double"
+    )
+    rs = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 7.0)], "k long, ts timestamp, rv double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(ls, rs, ["k"], "ts", "ts", ["rv"])
