@@ -93,6 +93,7 @@ HEADLINE = [
     ("token_source_chi2", corpus_queries.token_source_chi2),
     ("events_next_purchase", data_queries.events_next_purchase),
     ("events_wow_change", data_queries.events_wow_change),
+    ("orders_table_profile", data_queries.orders_table_profile),
     ("token_association_rules", corpus_queries.token_association_rules),
     ("events_value_ewma", data_queries.events_value_ewma),
     ("lineitem_correlation_matrix", data_queries.lineitem_correlation_matrix),
