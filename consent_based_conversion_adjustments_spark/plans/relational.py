@@ -2065,6 +2065,77 @@ def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "version")
 
 
+def purchases_pit_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment — the synthesis of the SCD2 history and
+    the general as-of join: every purchase gets the user's behavioral
+    state in effect IMMEDIATELY BEFORE it (probe at ts − 1 µs; the
+    purchase itself is a change point, so probing AT ts would
+    tautologically return 'purchase'). Because SCD2 validity intervals
+    partition each user's timeline, the interval-containment lookup IS a
+    backward as-of on valid_from — one union + keyed sort, zero joins
+    (plan-audited via the operator), vs the naive range join. Users
+    whose first-ever event is the purchase enrich to NULL — no
+    fabricated prior state."""
+    from ..operators.asof import asof_join
+    from ..operators.merge import scd2_history
+
+    ev = read_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+    ).select("user_id", "valid_from", F.col("state"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts"),
+        (F.col("ts") - F.expr("interval 1 microsecond")).alias("__pit"),
+    )
+    out = asof_join(
+        purchases,
+        hist,
+        ["user_id"],
+        "__pit",
+        "valid_from",
+        ["state"],
+        direction="backward",
+        matched_ts_col="state_since",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("state").alias("prior_state"),
+        F.date_format("state_since", "yyyy-MM-dd HH:mm:ss").alias(
+            "state_since"
+        ),
+    ).orderBy("event_id")
+
+
+PIT_STATE_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+), hist AS (
+    SELECT user_id, ts AS valid_from, event_type AS state
+    FROM ordered WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       h.state AS prior_state,
+       strftime(h.valid_from, '%Y-%m-%d %H:%M:%S') AS state_since
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN hist h
+  ON p.user_id = h.user_id
+ AND h.valid_from <= p.ts - INTERVAL 1 MICROSECOND
+ORDER BY p.event_id
+"""
+
+
 def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING SCD2 maintenance path (streaming.scd2.SCD2Store):
     three ts-ranged micro-batches flow through the exact foreachBatch
@@ -2213,6 +2284,7 @@ ORDER BY l_returnflag, measure
 
 
 QUERIES: dict[str, tuple] = {
+    "purchases_pit_state": (purchases_pit_state, PIT_STATE_SQL),
     "lineitem_unpivot_stats": (lineitem_unpivot_stats, UNPIVOT_SQL),
     "grouping_sets_order_stats": (
         grouping_sets_order_stats,
