@@ -46,6 +46,8 @@ spark = get_spark("skew-leg", extra_conf={{
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "0",
     "spark.sql.adaptive.skewJoin.enabled": "{skew}",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "{thresh}",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "{advisory}",
 }})
 import bench
 bench.warmup(spark)
@@ -60,13 +62,14 @@ print("RESULT %.3f" % (time.time() - t0))
 '''
 
 
-def run(skew: str) -> dict:
+def run(skew: str, thresh: str = "256m", advisory: str = "64m") -> dict:
     env = dict(os.environ, SPARK_LOCAL_DIRS="/tmp/spark-local-scale")
     out = subprocess.run(
-        ["python", "-u", "-c", SNIPPET.format(skew=skew)],
+        ["python", "-u", "-c",
+         SNIPPET.format(skew=skew, thresh=thresh, advisory=advisory)],
         capture_output=True, text=True, timeout=1800, env=env,
     )
-    rec: dict = {"skew_join": skew}
+    rec: dict = {"skew_join": skew, "threshold": thresh}
     for line in out.stdout.splitlines():
         if line.startswith("RESULT"):
             rec["sec"] = float(line.split()[1])
@@ -86,9 +89,13 @@ if __name__ == "__main__":
     )
     print(prep.stdout[-300:])
     rows = []
-    for skew in ("false", "true"):
+    for skew, thresh, advisory in (
+        ("false", "256m", "64m"),
+        ("true", "256m", "64m"),   # defaults: hot partition under threshold
+        ("true", "8m", "4m"),      # forced: the split itself, measured
+    ):
         for rep in range(2):
-            rec = {**run(skew), "rep": rep}
+            rec = {**run(skew, thresh, advisory), "rep": rep}
             print(json.dumps(rec), flush=True)
             rows.append(rec)
     with open("/root/repo/tools/scale/results_skew_ab.json", "w") as f:
