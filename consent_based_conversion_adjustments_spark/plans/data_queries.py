@@ -3226,6 +3226,40 @@ ORDER BY event_type
 )
 
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4): the JSON
+    props payload parses ONCE into the binary variant encoding
+    (`parse_json`) and fields extract with `variant_get` path
+    expressions — the modern replacement for per-access JSON string
+    re-parsing (`get_json_object` re-tokenizes the string every call;
+    variant decodes a typed binary). Aggregates k's per-type profile
+    plus a derived bucket, all from variant extractions."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select(F.col("event_type"), k.alias("__k"))
+        .groupBy("event_type", (F.col("__k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+EVENTS_VARIANT_SQL = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, k_bucket
+"""
+
+
 def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call per-column table profile (colstats.table_profile):
     counts / nulls / EXACT distincts / min-max / means for every orders
@@ -3533,6 +3567,7 @@ ORDER BY user_id, click_id, purchase_id
 
 
 QUERIES: dict[str, tuple] = {
+    "events_props_variant": (events_props_variant, EVENTS_VARIANT_SQL),
     "orders_table_profile": (orders_table_profile, _table_profile_sql()),
     "events_wow_change": (events_wow_change, WOW_SQL),
     "streaming_attribution_rounds": (
