@@ -96,6 +96,8 @@ HEADLINE = [
     ("orders_table_profile", data_queries.orders_table_profile),
     ("purchases_pit_state", relational.purchases_pit_state),
     ("events_props_variant", data_queries.events_props_variant),
+    ("events_interarrival_stats", data_queries.events_interarrival_stats),
+    ("vocab_zipf_fit", corpus_queries.vocab_zipf_fit),
     ("token_association_rules", corpus_queries.token_association_rules),
     ("events_value_ewma", data_queries.events_value_ewma),
     ("lineitem_correlation_matrix", data_queries.lineitem_correlation_matrix),

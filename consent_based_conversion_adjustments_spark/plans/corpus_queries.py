@@ -9,12 +9,12 @@ across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import sql_round, stable_round
 from ..operators import corpus as C
-from ..operators.text import string_hash
+from ..operators.text import string_hash, tokens
 from ..sources.io import read_table
 from .data_queries import _DTOKS, _TOKS, _sql_hash  # noqa: F401
 
@@ -1262,6 +1262,54 @@ LIMIT 25
 ).format(toks=_TOKS.format(c="text"))
 
 
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the token frequency distribution: OLS slope of
+    log(frequency) on log(rank) over the ranked vocabulary (natural
+    corpora land near −1; synthetic or templated text drifts shallow —
+    a one-number corpus-naturalness diagnostic pairing with the
+    Heaps-law growth curve). One hash agg to the vocab table, then the
+    scale-safe global rank (range exchange + Arrow pass — a web-scale
+    vocabulary never funnels through one window task; ties broken by
+    term for determinism), one regr_slope/regr_r2 aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = C.global_rank(
+        counts.withColumn("__negn", -F.col("n")), ["__negn", "term"],
+        rank_col="r",
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        stable_round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        stable_round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+VOCAB_ZIPF_SQL = """
+WITH counts AS (
+    SELECT term, count(*) AS n
+    FROM (SELECT unnest({toks}) AS term FROM documents)
+    GROUP BY term
+), ranked AS (
+    SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS r
+    FROM counts
+)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       {slope} AS zipf_slope,
+       {r2} AS r2
+FROM ranked
+""".format(
+    toks="{toks}",
+    slope=sql_round("regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE)))", 6),
+    r2=sql_round("regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE)))", 6),
+).format(toks=_TOKS.format(c="text"))
+
+
 _UNIGRAM_V, _UNIGRAM_ROUNDS = 48, 3
 
 
@@ -1332,6 +1380,7 @@ ORDER BY checkpoint
 
 
 QUERIES: dict[str, tuple] = {
+    "vocab_zipf_fit": (vocab_zipf_fit, VOCAB_ZIPF_SQL),
     "unigram_vocab": (unigram_vocab, None),
     "unigram_doc_lengths": (unigram_doc_lengths, None),
     "corpus_vocab_growth": (corpus_vocab_growth, VOCAB_GROWTH_SQL),

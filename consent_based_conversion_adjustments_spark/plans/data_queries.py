@@ -3226,6 +3226,57 @@ ORDER BY event_type
 )
 
 
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis: per event type, the distribution (p50 /
+    p90 / mean) of same-user gaps between consecutive events of that
+    type — the arrival-process statistic behind rate limiting, session
+    gap tuning, and bot detection (machine traffic shows unnaturally
+    tight gaps). One keyed lag window on the high-cardinality
+    (user, type) key — never a global sort — then one exact-percentile
+    hash agg per type; gaps in exact integer microseconds before the
+    seconds division, so both engines aggregate identical doubles."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gap = (us - F.lag(us).over(w)).cast("double") / 1e6
+    gaps = ev.withColumn("__gap", gap).filter(F.col("__gap").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            stable_round(F.percentile("__gap", 0.5), 4).alias("p50_s"),
+            stable_round(F.percentile("__gap", 0.9), 4).alias("p90_s"),
+            stable_round(F.avg("__gap"), 4).alias("mean_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+INTERARRIVAL_SQL = """
+WITH g AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS DOUBLE) / 1e6 AS gap
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       {p50} AS p50_s,
+       {p90} AS p90_s,
+       {mean} AS mean_s
+FROM g WHERE gap IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""".format(
+    p50=sql_round("quantile_cont(gap, 0.5)", 4),
+    p90=sql_round("quantile_cont(gap, 0.9)", 4),
+    mean=sql_round("avg(gap)", 4),
+)
+
+
 def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access via the VARIANT type (Spark 4): the JSON
     props payload parses ONCE into the binary variant encoding
@@ -3567,6 +3618,10 @@ ORDER BY user_id, click_id, purchase_id
 
 
 QUERIES: dict[str, tuple] = {
+    "events_interarrival_stats": (
+        events_interarrival_stats,
+        INTERARRIVAL_SQL,
+    ),
     "events_props_variant": (events_props_variant, EVENTS_VARIANT_SQL),
     "orders_table_profile": (orders_table_profile, _table_profile_sql()),
     "events_wow_change": (events_wow_change, WOW_SQL),
