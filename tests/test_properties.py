@@ -276,3 +276,47 @@ def test_duplicate_spans_match_python_reference(spark, seed):
     for ss in per_doc.values():
         for (a1, b1), (a2, b2) in zip(ss, ss[1:]):
             assert a2 - (b1 - 3) > 3  # next start vs last shingle pos
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_asof_join_matches_bruteforce(spark, seed):
+    """Property: for random keyed event sets, asof_join(backward) equals
+    the brute-force per-left-row argmax of right_ts <= left_ts, with
+    the unmatched rows NULL — under any partitioning."""
+    import datetime as dt
+
+    import numpy as np
+
+    from consent_based_conversion_adjustments_spark.operators.asof import (
+        asof_join,
+    )
+
+    rng = np.random.RandomState(seed)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(n):
+        rows = []
+        seen = set()
+        for i in range(n):
+            k = int(rng.randint(0, 4))
+            t = int(rng.randint(0, 5000))
+            if (k, t) in seen:  # unique (key, ts): the documented contract
+                continue
+            seen.add((k, t))
+            rows.append((k, base + dt.timedelta(seconds=t), float(i)))
+        return rows
+
+    lrows, rrows = mk(40), mk(25)
+    ls = spark.createDataFrame(lrows, "k long, ts timestamp, lv double")
+    rs = spark.createDataFrame(
+        rrows, "k long, ts timestamp, rv double"
+    ).repartition(7)
+    got = {
+        (r.k, r.ts): r.rv
+        for r in asof_join(ls, rs, ["k"], "ts", "ts", ["rv"]).collect()
+    }
+    for k, ts, _ in lrows:
+        cands = [(t, v) for (kk, t, v) in rrows if kk == k and t <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[(k, ts)] == want, (k, ts)
