@@ -59,6 +59,10 @@ LEGS = [
     ("lineitem_unpivot_stats", "/tmp/scale64/li64"),
     ("events_props_variant", "/root/testdata/sf0.1"),
     ("events_props_variant", "/tmp/scale64/ev64"),
+    ("vocab_zipf_fit", "/root/testdata/sf0.1"),
+    ("vocab_zipf_fit", "/tmp/scale64/docs64p"),
+    ("events_interarrival_stats", "/root/testdata/sf0.1"),
+    ("events_interarrival_stats", "/tmp/scale64/ev64"),
 ]
 
 if __name__ == "__main__":
