@@ -73,7 +73,11 @@ def asof_join(
         *[F.col(c).alias(c) for c in right_value_cols],
     )
     l_payload = F.struct(*[F.col(c).alias(c) for c in left_cols])
-    r = right.select(
+    # A NULL right_ts can never be "the latest row at-or-before t" — drop it
+    # before the union, otherwise NULLS FIRST ordering makes its payload the
+    # running-last match for left rows with no qualifying right row (matched
+    # ts NULL but value columns populated, violating the all-NULL contract).
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *key_cols,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
@@ -122,6 +126,10 @@ def asof_join(
         )
     else:
         keep = F.col("__match")
+    # A left row with NULL left_ts has no defined as-of point: its position
+    # in the NULLS FIRST/LAST sort is arbitrary, so force the no-match result
+    # (merge_asof raises on NaN "on" keys; we return the all-NULL row).
+    keep = F.when(F.col("__ts").isNotNull(), keep)
     return spine.select(
         *key_cols,
         F.col("__ts").alias(left_ts),

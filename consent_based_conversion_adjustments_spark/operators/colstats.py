@@ -208,17 +208,26 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
     one 9-bucket hash agg + a 1-row total attach; the per-digit χ²
     contribution sums to the audit statistic downstream.
 
-    Returns 9 rows: (digit, n, observed_frac, benford_frac,
-    chi2_contrib) — fracs stable-rounded to 6, χ² contribution to 4.
+    Returns 9 rows ALWAYS — a digit with zero occurrences still appears
+    (n=0) and still contributes (0 − p·N)²/(p·N) = p·N to the χ² total,
+    so skewed data can't silently understate the audit statistic. Fracs
+    stable-rounded to 6, χ² contribution to 4.
     """
     from ..functions.rounding import stable_round
 
     x = F.col(col).cast("double")
     digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("long")
-    counts = (
+    observed = (
         df.filter(x > 0)
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # anchor on the literal 1-9 frame so absent digits emit n=0 rows
+    counts = (
+        df.sparkSession.range(1, 10)
+        .select(F.col("id").cast("long").alias("digit"))
+        .join(F.broadcast(observed), "digit", "left")
+        .select("digit", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
     )
     totals = counts.agg(F.sum("n").cast("double").alias("__tot"))
     expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))

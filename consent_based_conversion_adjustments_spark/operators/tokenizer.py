@@ -381,15 +381,34 @@ def unigram_encoded_lengths(
 
     logp = {p: math.log(pr) for p, pr in piece_probs}
 
+    def n_pieces(w):
+        # A word outside the training corpus may contain a character with
+        # no vocab piece; _viterbi returns None for it (it used to crash
+        # the kernel with len(None)). SentencePiece maps such characters
+        # to <unk>: segment each maximal known-character span normally and
+        # count one <unk> piece per unknown character.
+        pieces = _viterbi(w, logp, max_piece_len)
+        if pieces is not None:
+            return len(pieces)
+        total, span = 0, []
+        for ch in w:
+            if ch in logp:
+                span.append(ch)
+            else:
+                if span:
+                    total += len(_viterbi("".join(span), logp, max_piece_len))
+                    span = []
+                total += 1  # <unk>
+        if span:
+            total += len(_viterbi("".join(span), logp, max_piece_len))
+        return total
+
     def kernel(batches):
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "word": pdf["word"],
-                    "n_pieces": [
-                        len(_viterbi(w, logp, max_piece_len))
-                        for w in pdf["word"]
-                    ],
+                    "n_pieces": [n_pieces(w) for w in pdf["word"]],
                 }
             )
 

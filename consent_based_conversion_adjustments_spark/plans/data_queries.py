@@ -593,25 +593,27 @@ def streaming_admission_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay) is exercised in tests/test_streaming.py; this query pins the
     sink's admission semantics and store layout against the greedy SQL
     oracle."""
+    import shutil
     import tempfile
 
     from ..streaming.admission import AdmissionStore
 
     docs = read_table(spark, sf_dir, "documents")
-    store = AdmissionStore(
-        tempfile.mkdtemp(prefix="cocoa_admission_store_"),
-        threshold=JACCARD_THRESHOLD,
-    )
+    store_dir = tempfile.mkdtemp(prefix="cocoa_admission_store_")
+    store = AdmissionStore(store_dir, threshold=JACCARD_THRESHOLD)
     store.process_batch(docs.filter(F.col("doc_id") % 4 < 2), 0)
     store.process_batch(docs.filter(F.col("doc_id") % 4 == 2), 1)
     store.process_batch(docs.filter(F.col("doc_id") % 4 == 3), 2)
-    # checkpoint cuts the plan's dependency on the temp-dir files, then
-    # the ordering is applied to the materialized frame
-    return (
+    # checkpoint cuts the plan's dependency on the temp-dir files (so the
+    # dir can be deleted — invocations don't accumulate), then the
+    # ordering is applied to the materialized frame
+    out = (
         store.admitted(spark)
         .localCheckpoint()
         .orderBy("admit_batch_id", "doc_id")
     )
+    shutil.rmtree(store_dir, ignore_errors=True)
+    return out
 
 
 def _streaming_admission_sql() -> str:
@@ -1971,15 +1973,19 @@ def streaming_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     `embedding_covariance` — the strongest batch≡stream check in the
     registry (value-identical, not just semantics-equivalent). The
     readStream→sink wiring is exercised in tests/test_streaming.py."""
+    import shutil
     import tempfile
 
     from ..streaming.stats import RunningStatsStore
 
     emb = read_table(spark, sf_dir, "embeddings")
-    store = RunningStatsStore(tempfile.mkdtemp(prefix="cocoa_gram_store_"))
+    store_dir = tempfile.mkdtemp(prefix="cocoa_gram_store_")
+    store = RunningStatsStore(store_dir)
     for epoch in range(3):
         store.process_batch(emb.filter(F.col("vec_id") % 3 == epoch), epoch)
+    # eager checkpoint materializes the totals, so the store dir can go
     g = store.totals(spark).localCheckpoint()
+    shutil.rmtree(store_dir, ignore_errors=True)
     n = g.filter((F.col("d1") == -1) & (F.col("d2") == -1)).select(
         F.col("s").alias("__n")
     )
@@ -3417,13 +3423,15 @@ def streaming_attribution_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     The readStream→sink wiring and replay idempotence are exercised in
     tests/test_streaming.py; this pins the sink body's semantics and
     store layout."""
+    import shutil
     import tempfile
 
     from ..streaming.attribution import AttributionStore
 
     ev = read_table(spark, sf_dir, "events")
+    store_dir = tempfile.mkdtemp(prefix="cocoa_attr_store_")
     store = AttributionStore(
-        tempfile.mkdtemp(prefix="cocoa_attr_store_"),
+        store_dir,
         lookback_seconds=_ATTR_LOOKBACK_S,
         halflife_seconds=_ATTR_HALFLIFE_S,
     )
@@ -3433,7 +3441,10 @@ def streaming_attribution_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter((F.col("ts") >= t1) & (F.col("ts") < t2)), 1
     )
     store.process_batch(ev.filter(F.col("ts") >= t2), 2)
-    return store.attributed(spark).localCheckpoint()
+    # eager checkpoint materializes the rollup, so the store dir can go
+    out = store.attributed(spark).localCheckpoint()
+    shutil.rmtree(store_dir, ignore_errors=True)
+    return out
 
 
 def events_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3571,8 +3582,13 @@ WITH d AS (
     SELECT CAST(floor(o_totalprice
                / pow(10.0, floor(log10(o_totalprice)))) AS BIGINT) AS digit
     FROM orders WHERE o_totalprice > 0
-), c AS (
+), c0 AS (
     SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+), c AS (
+    -- all 9 digits always appear; zero-count digits still contribute chi2
+    SELECT g.digit, CAST(COALESCE(c0.n, 0) AS BIGINT) AS n
+    FROM (SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10)) g
+    LEFT JOIN c0 USING (digit)
 ), t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
 SELECT digit, n,
        {obs} AS observed_frac,

@@ -2146,6 +2146,7 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     readStream→sink wiring (file source, availableNow, ordered epochs)
     is exercised in tests/test_streaming.py; this query pins the sink
     body's semantics and store layout."""
+    import shutil
     import tempfile
 
     from ..streaming.scd2 import SCD2Store
@@ -2153,20 +2154,17 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type", "event_id"
     )
-    store = SCD2Store(
-        tempfile.mkdtemp(prefix="cocoa_scd2_store_"),
-        "user_id",
-        "ts",
-        "event_type",
-        "event_id",
-    )
+    store_dir = tempfile.mkdtemp(prefix="cocoa_scd2_store_")
+    store = SCD2Store(store_dir, "user_id", "ts", "event_type", "event_id")
     t1, t2 = "2024-01-11", "2024-01-21"
     store.process_batch(ev.filter(F.col("ts") < t1), 0)
     store.process_batch(
         ev.filter((F.col("ts") >= t1) & (F.col("ts") < t2)), 1
     )
     store.process_batch(ev.filter(F.col("ts") >= t2), 2)
+    # eager checkpoint materializes the history, so the store dir can go
     hist = store.history(spark).localCheckpoint()
+    shutil.rmtree(store_dir, ignore_errors=True)
     return hist.withColumn(
         "valid_to",
         F.coalesce("valid_to", F.lit("2200-01-01").cast("timestamp")),

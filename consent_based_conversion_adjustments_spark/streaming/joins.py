@@ -20,6 +20,7 @@ in-state, never as a nested loop over history.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -59,15 +60,27 @@ def click_purchase_pairs_streaming(
     sf_dir: str,
     max_delay_seconds: int = 3600,
     watermark: str = "2 hours",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run the REAL streaming engine over the events fixture: two
     readStream legs off the same file source (clicks / purchases), a
     watermarked time-bounded stream-stream join, availableNow trigger
     into a memory sink — then the materialized pairs are returned as a
-    batch frame for the oracle. Deterministic: an inner time-bounded
-    join's row set is independent of micro-batching (watermarks only
-    bound STATE; with availableNow every row is still present when its
-    partner arrives or is itself the late side).
+    batch frame for the oracle.
+
+    Determinism bound: with availableNow over a multi-file source the
+    engine MAY split the input into several micro-batches, and a row
+    arriving behind the advanced global watermark can be dropped (or
+    find the other side's state already evicted). The joined row set
+    therefore equals the batch range-join oracle only while cross-
+    micro-batch event-time DISORDER stays within ``watermark`` — the
+    default 2h covers the events fixture, whose files are written in
+    rough time order with far less than 2h of inter-file skew; widen
+    the watermark (more retained state) for wilder sources.
+
+    ``checkpoint_dir``: caller-provided checkpoint location (pytest's
+    tmp_path); when None a temp dir is created and REMOVED after the
+    run completes, so repeated invocations don't accumulate dirs.
 
     Output: (user_id, click_id, purchase_id, micros_between), exact
     integer microsecond gaps, ordered.
@@ -98,6 +111,8 @@ def click_purchase_pairs_streaming(
         ),
     )
     name = f"ss_click_purchase_{uuid.uuid4().hex[:12]}"
+    owns_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="cocoa_ss_join_ckpt_")
     q = (
         joined.select(
             F.col("purchase_user").alias("user_id"),
@@ -111,14 +126,15 @@ def click_purchase_pairs_streaming(
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="cocoa_ss_join_ckpt_"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    try:
+        q.awaitTermination(600)
+    finally:
+        if owns_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.table(name)
         .localCheckpoint()

@@ -107,6 +107,37 @@ def test_exact_timestamp_inclusive_and_no_match_null(spark):
     assert row2["rv"] is None and row2["asof_ts"] is None
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_null_timestamps_never_match(spark, direction):
+    """Regression (round-9 advice): a right row with NULL right_ts must not
+    become the running-last match for unmatched left rows (NULLS FIRST used
+    to put its payload at the head of the backward spine), and a left row
+    with NULL left_ts has no as-of point so its match is all-NULL."""
+    t = dt.datetime(2024, 1, 1, 12)
+    ls = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0), 1.0), (1, None, 2.0)],
+        "k long, ts timestamp, lv double",
+    )
+    rs = spark.createDataFrame(
+        [(1, None, 99.0), (1, t, 42.0)],
+        "k long, ts timestamp, rv double",
+    )
+    rows = {
+        r["lv"]: r
+        for r in asof_join(
+            ls, rs, ["k"], "ts", "ts", ["rv"], direction=direction
+        ).collect()
+    }
+    early = rows[1.0]  # midnight left row
+    if direction == "backward":
+        # nothing at-or-before midnight: must be all-NULL, not rv=99
+        assert early["rv"] is None and early["asof_ts"] is None
+    else:
+        assert early["rv"] == 42.0
+    null_left = rows[2.0]
+    assert null_left["rv"] is None and null_left["asof_ts"] is None
+
+
 def test_output_collision_raises(spark):
     ls = spark.createDataFrame(
         [(1, dt.datetime(2024, 1, 1), 5.0)], "k long, ts timestamp, rv double"

@@ -125,9 +125,17 @@ class TestBenfordAudit:
             "v double",
         )
         out = {r.digit: r for r in benford_audit(df, "v").collect()}
-        assert {d: r.n for d, r in out.items()} == {1: 2, 2: 1, 9: 1}
+        # all 9 digits always present; absent digits report n=0
+        assert set(out) == set(range(1, 10))
+        assert {d: r.n for d, r in out.items() if r.n} == {1: 2, 2: 1, 9: 1}
         assert out[1].observed_frac == pytest.approx(0.5)
         assert out[1].benford_frac == pytest.approx(0.30103, abs=1e-5)
+        # a zero-count digit still contributes chi2 = p*N (its full deficit)
+        import math as _math
+
+        p3 = _math.log10(1 + 1 / 3)
+        assert out[3].n == 0
+        assert out[3].chi2_contrib == pytest.approx(p3 * 4, abs=1e-3)
         # chi2 contribution: (n - p*N)^2 / (p*N) with N=4
         import math
 

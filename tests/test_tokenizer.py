@@ -239,3 +239,29 @@ class TestUnigram:
         for r in stats:
             # every doc encodable; pieces between n_words and n_chars
             assert r["n_words"] <= lengths[r["doc_id"]] <= r["n_chars"]
+
+    def test_unseen_characters_fall_back_to_unk(self, spark):
+        """Regression (round-9 advice): a doc outside the training corpus
+        whose word contains a character absent from the vocab used to
+        crash the Arrow kernel with len(None); now each unknown char
+        counts as one <unk> piece and known spans Viterbi normally."""
+        from consent_based_conversion_adjustments_spark.operators.tokenizer import (
+            unigram_encoded_lengths,
+        )
+
+        # vocab knows a, b, ab — nothing else
+        import math
+
+        pieces = [("ab", 0.5), ("a", 0.3), ("b", 0.2)]
+        docs = spark.createDataFrame(
+            [(1, "abab"), (2, "aXb"), (3, "XY")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["n_pieces"]
+            for r in unigram_encoded_lengths(docs, pieces).collect()
+        }
+        assert got[1] == 2          # ab + ab
+        assert got[2] == 3          # a, <unk>, b
+        assert got[3] == 2          # <unk>, <unk>
+        assert math.isfinite(got[2])
