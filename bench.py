@@ -214,17 +214,33 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
         drain(spark)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Truncation-proof evidence: the one-line stdout summary is what the
+    # driver records, but a tail-capture once clipped its head and lost 14
+    # per-query entries (BENCH_r08). Persist the full results to a committed
+    # file FIRST so the per-query numbers survive any capture limit; the
+    # file is pretty-printed so its git diff reads per-query.
+    results_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools",
+        "bench_results_latest.json",
     )
+    try:
+        with open(results_file, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        payload["results_file"] = os.path.relpath(
+            results_file, os.path.dirname(os.path.abspath(__file__))
+        )
+    except OSError as exc:  # never let evidence persistence kill the bench
+        print(f"# results-file write failed: {exc}", file=sys.stderr)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

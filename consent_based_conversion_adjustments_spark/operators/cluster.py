@@ -271,6 +271,7 @@ def pq_topk(
     query_id: str = "query_id",
     cand_id: str = "cand_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """PQ-ADC approximate nearest neighbors (asymmetric distance
     computation, Jégou et al. 2011): fit PQ codebooks on the
@@ -282,6 +283,14 @@ def pq_topk(
     Approximate squared-L2 (codebook-quantized); exact re-rank of the
     shortlist is one join away when needed.
 
+    The queries frame is collected to the driver to build the ADC
+    lookup tables — correct ONLY for probe-sized query sets. To keep a
+    large frame from silently materializing driver-side,
+    ``max_query_rows`` (default 10k ≈ tables of 10k·m·n_cents doubles)
+    is enforced with one eager count, the same cheap-assert precedent
+    as ``run_adjustment(check_id_uniqueness=True)``; raise it
+    deliberately, or batch the query set, for bigger probes.
+
     Scale: the per-row cost is m integer lookups + adds (vectorized
     fancy-indexing over the whole batch), the only full-table pass is
     the scan, and nothing pairwise survives past the per-batch top-k."""
@@ -289,6 +298,14 @@ def pq_topk(
 
     from ..functions.rounding import stable_round
 
+    n_q = queries.count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"pq_topk collects the query side driver-side to build ADC "
+            f"tables: got {n_q} query rows > max_query_rows="
+            f"{max_query_rows}. Batch the query set or raise "
+            f"max_query_rows deliberately."
+        )
     cents_all, codes = pq_fit_codes(
         candidates,
         n_subspaces,

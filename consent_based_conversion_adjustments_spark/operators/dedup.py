@@ -96,8 +96,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All-pairs distinct-token Jaccard ≥ threshold (doc_a < doc_b).
 
-    Quadratic — correct at any n but intended as (a) the standalone operator
-    at small n and (b) the verify stage after `minhash_candidates` at scale.
+    Quadratic crossJoin — the small-n baseline / oracle form ONLY. It is
+    NOT on any production path: the registered scale route is the
+    prefix-filter equi-join (`jaccard_pairs_scalable`), and the minhash
+    pipeline's verify stage is the hash-set join `_verify_pairs_jaccard`,
+    not this function.
     """
     a = _token_set(df, text_col, id_col)
     b = (

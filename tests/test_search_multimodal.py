@@ -697,3 +697,35 @@ def test_pq_topk_recall_vs_exact(spark):
         approx = {r["cand_id"] for r in got if r["query_id"] == q}
         recalls.append(len(exact & approx) / 10)
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_pq_topk_refuses_oversized_query_side(spark):
+    """Guard (round-9 advice): pq_topk collects the query frame to the
+    driver for ADC tables — a large probe set must refuse loudly, not
+    materialize silently."""
+    import pytest as _pytest
+
+    from consent_based_conversion_adjustments_spark.operators.cluster import (
+        pq_topk,
+    )
+
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 5 + d).cast("float") for d in range(8)])
+        .alias("embedding"),
+    )
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    cands = df.select(F.col("vec_id").alias("cand_id"), "embedding")
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        pq_topk(
+            queries, cands, 5, n_subspaces=4, n_cents=4,
+            max_query_rows=10,
+        )
+    # raising the ceiling deliberately still works
+    assert (
+        pq_topk(
+            queries.limit(2), cands, 3, n_subspaces=4, n_cents=4,
+            max_query_rows=10,
+        ).count()
+        > 0
+    )
