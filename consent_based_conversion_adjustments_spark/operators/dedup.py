@@ -767,6 +767,7 @@ def minhash_neardup(
     id_col: str,
     threshold: float = 0.6,
     est_prefilter: float | None = None,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Full MinHash near-dup pipeline: signatures → banded candidates →
     exact Jaccard verify ≥ threshold.
@@ -776,7 +777,21 @@ def minhash_neardup(
     the exact verify — the standard cascade when verification dominates.
     Trades a small recall loss (P[Binom(16, j) < 16·est] at true similarity
     j) for roughly candidate-ratio speedup; None keeps the exact semantics
-    the DuckDB oracle checks."""
+    the DuckDB oracle checks.
+
+    ``collapse_identical``: route through the identity-class cascade
+    (``_collapse_identity_classes``): docs with EQUAL token-hash sets —
+    boilerplate pages, mirrored posts, the classic web-corpus hot band —
+    collapse to one representative before banding, and rep pairs expand
+    back to member pairs afterwards (output-bound). Byte-identical
+    output; turns the banding join's Σ_class s² cost into Σ_class s, the
+    difference between a crawl with 10% boilerplate grinding the band
+    shuffle and not noticing it (measured: tools/scale/hot_band_ab_r9).
+    """
+    if collapse_identical:
+        return _minhash_neardup_collapsed(
+            df, text_col, id_col, threshold, est_prefilter
+        )
     # one tokenize pass feeds BOTH the signature explode and the verify
     # stage (it used to run twice, once per consumer); persisted because
     # the banded candidate step references signatures twice per band and
@@ -784,7 +799,16 @@ def minhash_neardup(
     hashes = _token_hash_set(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = minhash_signatures(df, text_col, id_col, hashes=hashes).persist(
+    return _neardup_from_hashes(hashes, threshold, est_prefilter)
+
+
+def _neardup_from_hashes(
+    hashes: DataFrame, threshold: float, est_prefilter: float | None
+) -> DataFrame:
+    """Banded candidates → optional estimate prefilter → exact verify, over
+    a persisted per-doc token-hash table — the shared core of the direct
+    and identity-collapsed MinHash routes."""
+    sigs = minhash_signatures(None, None, None, hashes=hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     cands = minhash_candidates(sigs)
@@ -812,6 +836,89 @@ def minhash_neardup(
         cands, hashes, hashes, "doc_a", "doc_b", threshold,
         vocab_source=hashes,
     )
+
+
+def _minhash_neardup_collapsed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    est_prefilter: float | None,
+) -> DataFrame:
+    """Identity-class cascade: collapse docs with EQUAL token-hash sets to
+    one representative, run the banded pipeline over representatives, then
+    expand back to member pairs.
+
+    Why: the banding join's cost is Σ over band-key groups of |group|² —
+    an identity clique of s docs (same boilerplate text s times) collides
+    on EVERY band and costs s² rows through the widest shuffle of the
+    pipeline, plus s² exact verifications of Jaccard 1. Collapsing first
+    makes the clique cost ONE representative; the s²-sized pair set is
+    emitted only at the end, where it is the OUTPUT (any correct
+    pair-emitting operator is Ω(output)).
+
+    Byte-identical results by construction: Jaccard depends only on the
+    token SET, so (a) members of a class are pairwise J=1 ≥ threshold —
+    emitted directly (empty-token docs excluded: they have no MinHash
+    signature, so the direct route never pairs them); (b) a cross-class
+    pair's Jaccard equals its representatives' Jaccard, and band keys are
+    signature-determined, so rep banding finds exactly the class pairs
+    the direct banding finds for any member. ``est_prefilter`` semantics
+    carry over: within-class signature agreement is identically 1.
+    """
+    hashes = _token_hash_set(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # exact identity classes: group on the sorted hash array itself (no
+    # derived fingerprint — distinct classes can never merge)
+    classes = (
+        hashes.groupBy("tok_hashes")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rep_hashes = classes.select("doc_id", "tok_hashes").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rep_pairs = _neardup_from_hashes(rep_hashes, threshold, est_prefilter)
+    # cross-class expansion: every member of a × every member of b, same
+    # jaccard (join + two explodes — output-bound, no shuffle wider than
+    # the result)
+    ma = classes.select(
+        F.col("doc_id").alias("doc_a"), F.col("members").alias("__ma")
+    )
+    mb = classes.select(
+        F.col("doc_id").alias("doc_b"), F.col("members").alias("__mb")
+    )
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.explode("__ma").alias("__da"), "__mb", "jaccard"
+        )
+        .select(
+            "__da", F.explode("__mb").alias("__db"), "jaccard"
+        )
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # within-class pairs: all C(s, 2) at jaccard 1.0; empty token sets
+    # excluded to match the direct route (no signature → never banded)
+    within = (
+        classes.filter(
+            (F.size("members") >= 2) & (F.size("tok_hashes") > 0)
+        )
+        .select(F.explode("members").alias("doc_a"), "members")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.lit(1.0))
+    )
+    return cross.unionByName(within)
 
 
 def sorted_neighborhood_pairs(

@@ -335,6 +335,20 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_neardup(docs, "text", "doc_id", threshold=JACCARD_THRESHOLD)
 
 
+def dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The identity-class cascade route (operators.dedup
+    ._minhash_neardup_collapsed): docs with equal token-hash sets collapse
+    to one representative before banding; rep pairs expand back afterward
+    (output-bound). Byte-identical to dedup_minhash — checked against the
+    SAME oracle — while turning a boilerplate clique's banding cost from
+    s² shuffled rows into 1 (hot-band study: tools/scale/hot_band_ab_r9)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_neardup(
+        docs, "text", "doc_id",
+        threshold=JACCARD_THRESHOLD, collapse_identical=True,
+    )
+
+
 _SNM_WINDOW = 8
 _SNM_KEY_CHARS = 24
 
@@ -3679,6 +3693,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash": (dedup_minhash, _minhash_sql()),
+    "dedup_minhash_collapsed": (dedup_minhash_collapsed, _minhash_sql()),
     "dedup_sorted_neighborhood": (dedup_sorted_neighborhood, DEDUP_SNM_SQL),
     "incremental_dedup_admission": (
         incremental_dedup_admission,

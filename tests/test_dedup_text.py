@@ -900,3 +900,57 @@ def test_edit_distance_pairs_short_string_guard(spark):
     )
     with pytest.raises(ValueError, match="len >= 9"):
         edit_distance_pairs(df, "name", "id", max_dist=2, q=3)
+
+
+def test_minhash_collapsed_matches_direct(docs_df):
+    """Identity-class cascade parity: collapse_identical=True must return
+    the EXACT pair set + jaccard values of the direct route (docs 1/2/3
+    form an identity class: same token set)."""
+    direct = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_neardup(docs_df, "text", "doc_id", 0.6).collect()
+    }
+    collapsed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_neardup(
+            docs_df, "text", "doc_id", 0.6, collapse_identical=True
+        ).collect()
+    }
+    assert collapsed == direct
+    assert collapsed[(1, 2)] == 1.0 and collapsed[(2, 3)] == 1.0
+
+
+def test_minhash_collapsed_parity_random_corpus(spark):
+    """Parity on a corpus with planted identity cliques, reorderings, and
+    near-dups — including est_prefilter carry-over and empty docs (which
+    must pair with nothing, as in the direct route)."""
+    words = [f"w{i}" for i in range(30)]
+    rows, did = [], 0
+    for base in range(6):
+        toks = words[base * 4 : base * 4 + 12]
+        text = " ".join(toks)
+        for copy in range(3):          # identity clique of 3 (reordered)
+            rows.append((did, " ".join(reversed(toks)) if copy else text))
+            did += 1
+        rows.append((did, " ".join(toks[:10] + words[:2])))  # near-dup
+        did += 1
+    rows.append((did, "")); did += 1   # empty doc
+    rows.append((did, "")); did += 1   # second empty doc
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for est in (None, 0.5):
+        direct = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in D.minhash_neardup(
+                df, "text", "doc_id", 0.6, est_prefilter=est
+            ).collect()
+        }
+        collapsed = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in D.minhash_neardup(
+                df, "text", "doc_id", 0.6, est_prefilter=est,
+                collapse_identical=True,
+            ).collect()
+        }
+        assert collapsed == direct, f"est={est}"
+    empty_ids = {did - 1, did - 2}
+    assert not any(a in empty_ids or b in empty_ids for a, b in collapsed)
