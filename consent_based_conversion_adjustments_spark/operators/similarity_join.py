@@ -314,6 +314,40 @@ def similarity_join(
     )
 
 
+def auto_n_planes(
+    n_probe: int,
+    n_build: int,
+    n_tables: int = 8,
+    target_mass_per_row: int = 64,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """Bucket-density-aware hyperplane count for the LSH joins.
+
+    The bucketed co-group's cost is the candidate mass
+    M = Σ_(table, sig) |P_sig|·|B_sig| ≈ n_probe·n_build·n_tables / 2^p
+    under uniform occupancy — measured within 2.2× of exact on the 64×
+    embeddings rung (tools/scale/results_r9.json: predicted 8.19e9 vs
+    8.52e9 at p=4; 1.28e8 vs 1.70e8 at p=10). Held at a FIXED p, a G×
+    data growth costs G² in mass: the sf0.1→64× leg went 2.09M→8.52B
+    mass (4069×) and 1.9→210 s. Scaling p by log2(G) restores linear
+    growth: p=10 at 64× cut the same query to 10.5 s (20×).
+
+    This helper picks the smallest p (≥ ``min_planes``) whose expected
+    mass is ≤ ``target_mass_per_row``·(n_probe + n_build) — i.e. a
+    candidate budget LINEAR in the data. Recall per table falls as
+    collision^p, so when raising p materially, re-buy recall with more
+    ``n_tables`` (OR-amplification) — the knob trade the LSH docstrings
+    describe. Deliberately a helper, not an operator default: the
+    registered oracle queries need plan-deterministic bucket counts.
+    """
+    import math
+
+    budget = max(1, target_mass_per_row * (n_probe + n_build))
+    p = math.ceil(math.log2(max(2.0, n_probe * n_build * n_tables / budget)))
+    return max(min_planes, min(max_planes, p))
+
+
 def knn_join_lsh(
     probe: DataFrame,
     build: DataFrame,

@@ -285,3 +285,22 @@ def test_similarity_join_lsh_dispatch(spark):
             probe, build, cfg(radius=1.0),
             probe_id="pid", build_id="bid", impl="lsh",
         )
+
+
+def test_auto_n_planes_density_law():
+    """The density helper holds expected candidate mass linear in the
+    data: p grows by ~log2(G) under G-fold growth, clamped to [4, 24]."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        auto_n_planes,
+    )
+
+    p1 = auto_n_planes(2_000, 2_000, n_tables=8)
+    p64 = auto_n_planes(128_000, 128_000, n_tables=8)
+    assert p64 - p1 == 6  # log2(64)
+    # mass at the chosen p stays within the linear budget
+    for n in (2_000, 128_000, 8_192_000):
+        p = auto_n_planes(n, n, n_tables=8)
+        mass = n * n * 8 / 2**p
+        assert mass <= 64 * (2 * n) or p == 24
+    assert auto_n_planes(10, 10) == 4          # floor
+    assert auto_n_planes(10**9, 10**9) <= 24   # ceiling
