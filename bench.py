@@ -41,6 +41,7 @@ HEADLINE = [
     ("rollup_customer_segments", relational.rollup_customer_segments),
     ("text_stats", data_queries.text_stats),
     ("dedup_minhash", data_queries.dedup_minhash),
+    ("dedup_minhash_collapsed", data_queries.dedup_minhash_collapsed),
     ("dedup_fingerprint", data_queries.dedup_fingerprint),
     ("cocoa_radius_lsh_pairs", cocoa_queries.radius_lsh_pairs),
     ("cocoa_radius_lsh_adjust", cocoa_queries.radius_lsh_adjust),

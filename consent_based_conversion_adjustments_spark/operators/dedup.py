@@ -25,6 +25,9 @@ from pyspark.storagelevel import StorageLevel
 from .text import HASH_MOD, string_hash, tokens
 
 N_PERMUTATIONS = 16
+# chunk width for the identity-class pair expansion: task output bounded
+# by _EXPAND_CHUNK² pairs (~1M), shuffle rows carry two ≤8 KB id arrays
+_EXPAND_CHUNK = 1024
 BAND_SIZE = 4
 # int64-exact band-key fold modulus (< 2^53): acc·31 + sig never overflows,
 # and DuckDB BIGINT arithmetic mirrors it verbatim (see minhash_candidates)
@@ -883,24 +886,42 @@ def _minhash_neardup_collapsed(
         StorageLevel.MEMORY_AND_DISK
     )
     rep_pairs = _neardup_from_hashes(rep_hashes, threshold, est_prefilter)
-    # cross-class expansion: every member of a × every member of b, same
-    # jaccard (join + two explodes — output-bound, no shuffle wider than
-    # the result)
+
+    # Expansion back to member pairs is output-bound in ROWS, but a naive
+    # explode×explode runs entirely inside the task holding the class row
+    # (explode never redistributes), so a mega-class becomes one straggler
+    # task emitting C(s,2) pairs — measured 2× SLOWER than the direct
+    # route at a 15,808-doc clique (tools/scale/results_hotband_r9.json)
+    # while the small-clique legs were a wash. Chunked-grid expansion
+    # fixes the skew: slice each member list into ≤_EXPAND_CHUNK-doc
+    # chunks, shuffle the (chunk_a, chunk_b) grid rows (tiny — two ≤8 KB
+    # arrays per ~1M output pairs), and explode per chunk pair, so task
+    # size is bounded by _EXPAND_CHUNK² and a clique of s docs fans out
+    # over (s/chunk)² tasks.
+    def chunk_explode(frame: DataFrame, arr: str, out: str) -> DataFrame:
+        col = F.col(arr)
+        n = F.ceil(F.size(col) / F.lit(_EXPAND_CHUNK)).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda i: F.slice(col, i * _EXPAND_CHUNK + 1, _EXPAND_CHUNK),
+        )
+        return frame.withColumn(out, F.explode(chunks)).drop(arr)
+
     ma = classes.select(
         F.col("doc_id").alias("doc_a"), F.col("members").alias("__ma")
     )
     mb = classes.select(
         F.col("doc_id").alias("doc_b"), F.col("members").alias("__mb")
     )
+    grid = rep_pairs.join(ma, "doc_a").join(mb, "doc_b").select(
+        "jaccard", "__ma", "__mb"
+    )
+    grid = chunk_explode(grid, "__ma", "__ca")
+    grid = chunk_explode(grid, "__mb", "__cb")
     cross = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.explode("__ma").alias("__da"), "__mb", "jaccard"
-        )
-        .select(
-            "__da", F.explode("__mb").alias("__db"), "jaccard"
-        )
+        grid.repartition("__ca", "__cb")
+        .select("jaccard", F.explode("__ca").alias("__da"), "__cb")
+        .select("jaccard", "__da", F.explode("__cb").alias("__db"))
         .select(
             F.least("__da", "__db").alias("doc_a"),
             F.greatest("__da", "__db").alias("doc_b"),
@@ -908,13 +929,21 @@ def _minhash_neardup_collapsed(
         )
     )
     # within-class pairs: all C(s, 2) at jaccard 1.0; empty token sets
-    # excluded to match the direct route (no signature → never banded)
+    # excluded to match the direct route (no signature → never banded).
+    # Members are sorted, so chunk pairs whose ranges cannot satisfy
+    # doc_a < doc_b are pruned before exploding (~2× less grid work).
+    wgrid = classes.filter(
+        (F.size("members") >= 2) & (F.size("tok_hashes") > 0)
+    ).select(F.col("members").alias("__ma"), F.col("members").alias("__mb"))
+    wgrid = chunk_explode(wgrid, "__ma", "__ca")
+    wgrid = chunk_explode(wgrid, "__mb", "__cb")
     within = (
-        classes.filter(
-            (F.size("members") >= 2) & (F.size("tok_hashes") > 0)
+        wgrid.filter(
+            F.element_at("__cb", -1) > F.element_at("__ca", 1)
         )
-        .select(F.explode("members").alias("doc_a"), "members")
-        .select("doc_a", F.explode("members").alias("doc_b"))
+        .repartition("__ca", "__cb")
+        .select(F.explode("__ca").alias("doc_a"), "__cb")
+        .select("doc_a", F.explode("__cb").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("jaccard", F.lit(1.0))
     )

@@ -954,3 +954,27 @@ def test_minhash_collapsed_parity_random_corpus(spark):
         assert collapsed == direct, f"est={est}"
     empty_ids = {did - 1, did - 2}
     assert not any(a in empty_ids or b in empty_ids for a, b in collapsed)
+
+
+def test_minhash_collapsed_chunked_expansion_parity(spark, docs_df, monkeypatch):
+    """The chunked-grid expansion (skew fix for mega-cliques) must be
+    invisible semantically: force multi-chunk slicing with a tiny chunk
+    width and re-check parity on a corpus with a 10-doc identity clique."""
+    monkeypatch.setattr(D, "_EXPAND_CHUNK", 3)
+    words = [f"q{i}" for i in range(12)]
+    rows = [(i, " ".join(words[i % 2 :] + words[: i % 2])) for i in range(10)]
+    rows += [(100 + i, f"unique text number {i} about topic{i}") for i in range(5)]
+    rows.append((200, " ".join(words[:10])))  # near-dup of the clique
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    direct = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in D.minhash_neardup(df, "text", "doc_id", 0.6).collect()
+    }
+    collapsed = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in D.minhash_neardup(
+            df, "text", "doc_id", 0.6, collapse_identical=True
+        ).collect()
+    }
+    assert collapsed == direct
+    assert sum(1 for (a, b) in collapsed if a < 10 and b < 10) == 45  # C(10,2)
