@@ -97,7 +97,7 @@ def _partials_kernel(cents, id_col: str, vec_col: str):
     return run
 
 
-def _cells_kernel(cents, id_col: str, vec_col: str):
+def _cells_kernel(cents, id_col: str, vec_col: str, carry_vec: bool = False):
     import numpy as np
 
     c = np.asarray(cents, dtype=np.float64)
@@ -108,9 +108,10 @@ def _cells_kernel(cents, id_col: str, vec_col: str):
                 continue
             x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             cell = np.argmin(_dists(x, c), axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "cluster": cell.astype("int32")}
-            )
+            out = {id_col: pdf[id_col], "cluster": cell.astype("int32")}
+            if carry_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
     return run
 
@@ -121,11 +122,21 @@ def kmeans_label(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_vec: bool = False,
 ) -> DataFrame:
-    """Label rows against fixed centroids (one Arrow kernel pass)."""
+    """Label rows against fixed centroids (one Arrow kernel pass).
+
+    ``carry_vec=True`` passes the vector column through the same pass in
+    its SOURCE type (float→double cast happens only inside the distance
+    math), so cluster-keyed downstream work (SemDeDup's within-cluster
+    pair stage) gets (id, cluster, vec) without a second scan or an
+    id-equi-join that would re-shuffle every vector."""
+    out_schema = f"{id_col} long, cluster int"
+    if carry_vec:
+        out_schema += f", {vec_col} {df.schema[vec_col].dataType.simpleString()}"
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _cells_kernel(cents, id_col, vec_col),
-        f"{id_col} long, cluster int",
+        _cells_kernel(cents, id_col, vec_col, carry_vec),
+        out_schema,
     )
 
 

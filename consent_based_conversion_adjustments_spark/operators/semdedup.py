@@ -1,0 +1,192 @@
+"""SemDeDup: semantic deduplication of an embedding corpus.
+
+Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication" (arXiv:2303.09540): cluster the embeddings with
+k-means, then search for near-duplicate pairs ONLY within each cluster —
+the cluster key prunes the cross-cluster n² before it exists, turning
+exact all-pairs dedup into k independent (n/k)²·d problems.
+
+Spark realization (everything reuses measured building blocks):
+
+1. ``cluster.kmeans_fit`` — the distributed Lloyd loop (one scan +
+   k·n_batches-row hash agg per iteration; vectors never shuffle).
+2. ``cluster.kmeans_label(carry_vec=True)`` — one Arrow pass emits
+   (id, cluster, vec); no re-join, no second scan.
+3. ``similarity_search.cosine_neardup_blas(group_col="cluster")`` — the
+   block-pair grid BLAS kernel, cogroup-keyed on (cluster, block-pair):
+   each cluster's pair work is independently blocked (peak task memory
+   2·(cluster_size/B) vectors) and clusters parallelize against each
+   other. A mega-cluster degrades gracefully to the measured blocked
+   all-pairs shape instead of one straggler task.
+
+Keep rule: a row is REMOVED when some same-cluster row with a smaller id
+is cosine-similar above the threshold (keep-lowest-id). The paper keeps
+the member farthest from the cluster centroid; lowest-id is the
+cross-engine-deterministic choice (no float argmax over distances whose
+ties/ulps could flip engines) and removes the same number of rows per
+connected dup group when similarity is transitive within the group. The
+paper's rule is one ORDER BY away if a deployment wants it.
+
+100 TB shape: k scales with the corpus (the paper uses ~100k clusters for
+LAION) so cluster sizes stay bounded; the fit cost is iters scans, the
+pair stage is Σ_c |c|²/B-blocked BLAS — no global quadratic, no
+driver-side step beyond the k×dim centroid table.
+
+Oracle: ``semdedup_pairs_sql`` / ``semdedup_keep_sql`` replay the exact
+k-means (``cluster.kmeans_sql`` chained CTEs) and the within-cluster
+pair scan in DuckDB; cosine uses the same dot/(|a|·|b|) expression shape
+as the kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cluster import kmeans_fit, kmeans_label, kmeans_sql
+from .similarity_search import cosine_neardup_blas
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Within-cluster semantic near-duplicate pairs.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, both members of the
+    same k-means cluster, cosine ≥ threshold. ``n_blocks`` blocks each
+    cluster's pair grid (default lower than the global kernel's 16:
+    per-cluster populations are ~n/k, and k·B(B+1)/2 cogroup tasks
+    already pack the executors).
+    """
+    cents = kmeans_fit(df, k, iters, id_col=id_col, vec_col=vec_col)
+    if not cents:
+        spark = df.sparkSession
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+    labeled = kmeans_label(
+        df, cents, id_col=id_col, vec_col=vec_col, carry_vec=True
+    )
+    return cosine_neardup_blas(
+        labeled,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_blocks=n_blocks,
+        group_col="cluster",
+    )
+
+
+def semdedup_keep(
+    df: DataFrame,
+    threshold: float,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Ids surviving semantic dedup (keep-lowest-id rule).
+
+    A row is removed iff it is the HIGHER id of some qualifying pair —
+    one distinct over the pair stage's id_b column and a left-anti join;
+    both shuffle only id rows, never vectors.
+    """
+    pairs = semdedup_pairs(
+        df,
+        threshold,
+        k=k,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_blocks=n_blocks,
+    )
+    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.select(id_col).join(removed, id_col, "left_anti")
+
+
+def _pairs_cte(
+    threshold: float,
+    k: int,
+    iters: int,
+    dim: int,
+    *,
+    table: str,
+    id_col: str,
+    vec_col: str,
+) -> str:
+    asg = kmeans_sql(
+        k=k, iters=iters, dim=dim, table=table, id_col=id_col, vec_col=vec_col
+    )
+    return f"""asg AS (
+    SELECT * FROM ({asg})
+), dv AS (
+    SELECT {id_col},
+           list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+    FROM {table}
+), lv AS (
+    SELECT dv.{id_col}, dv.v, asg.cluster
+    FROM dv JOIN asg USING ({id_col})
+), sem_pairs AS (
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM lv a JOIN lv b
+      ON a.cluster = b.cluster AND a.{id_col} < b.{id_col}
+    WHERE list_dot_product(a.v, a.v) > 0
+      AND list_dot_product(b.v, b.v) > 0
+)"""
+
+
+def semdedup_pairs_sql(
+    threshold: float,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 6,
+) -> str:
+    """DuckDB twin of ``semdedup_pairs`` (cosine rounded for hashing)."""
+    cte = _pairs_cte(
+        threshold, k, iters, dim, table=table, id_col=id_col, vec_col=vec_col
+    )
+    return f"""
+WITH {cte}
+SELECT id_a, id_b,
+       round(cosine - 1e-9, {round_scale}) + 0.0 AS cosine
+FROM sem_pairs WHERE cosine >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def semdedup_keep_sql(
+    threshold: float,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``semdedup_keep``."""
+    cte = _pairs_cte(
+        threshold, k, iters, dim, table=table, id_col=id_col, vec_col=vec_col
+    )
+    return f"""
+WITH {cte}
+SELECT {id_col} FROM {table}
+WHERE {id_col} NOT IN (
+    SELECT id_b FROM sem_pairs WHERE cosine >= {threshold})
+ORDER BY {id_col}
+"""

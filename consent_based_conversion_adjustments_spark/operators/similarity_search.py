@@ -325,6 +325,7 @@ def cosine_neardup_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 16,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup via a block-pair grid join:
     identical output contract to `cosine_neardup_pairs` (cosine ≥
@@ -368,6 +369,12 @@ def cosine_neardup_blas(
     within ~1 ulp is still formally at the mercy of FMA/summation-order
     differences (documented risk, accepted: the synthetic corpus has no
     such pair, and the threshold is a tunable, not an identity).
+
+    ``group_col``: restrict pairs to rows sharing that column's value —
+    the block-pair grid then keys on (group, block-pair), so each
+    group's quadratic work is independently blocked AND the cross-group
+    n² never exists at all (the cogroup key prunes it). This is the
+    within-cluster pair stage of SemDeDup (`operators.semdedup`).
     """
     spark = df.sparkSession
     # the vector column ships through the (B+1)× replication shuffle in its
@@ -375,7 +382,9 @@ def cosine_neardup_blas(
     # .astype(float64) is the cast point, and float→double is exact, so the
     # result is bit-identical to casting here while the shuffle is half the
     # bytes (the dominant data movement of this operator)
+    grp_cols = [F.col(group_col).alias("__grp")] if group_col else []
     tagged = df.select(
+        *grp_cols,
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
@@ -395,9 +404,12 @@ def cosine_neardup_blas(
     tb, gb = tagged.alias("tb"), grid.alias("gb")
     # no broadcast() hint: the grid is a B(B+1)/2-row local relation whose
     # known size makes the planner broadcast it unhinted (plan-audited)
+    lg = [F.col("ta.__grp").alias("__grp")] if group_col else []
+    rg = [F.col("tb.__grp").alias("__grp")] if group_col else []
     left = ta.join(
         ga, F.col("ta.__blk") == F.col("ga.__ba")
     ).select(
+        *lg,
         F.col("ga.__pair").alias("__pair"),
         F.col("ta.__id").alias("__id"),
         F.col("ta.__v").alias("__v"),
@@ -405,6 +417,7 @@ def cosine_neardup_blas(
     right = tb.join(
         gb, F.col("tb.__blk") == F.col("gb.__bb")
     ).select(
+        *rg,
         F.col("gb.__pair").alias("__pair_r"),
         F.col("tb.__id").alias("__id"),
         F.col("tb.__v").alias("__v"),
@@ -420,7 +433,7 @@ def cosine_neardup_blas(
         )
         if len(l) == 0 or len(r) == 0:
             return empty
-        pair = int(key[0])
+        pair = int(key[-1])  # key is (pair,) or (group, pair)
         diag = (pair // n_blocks) == (pair % n_blocks)
         la = l["__id"].to_numpy()
         rb = r["__id"].to_numpy()
@@ -443,9 +456,11 @@ def cosine_neardup_blas(
             ida, idb = np.minimum(ida, idb), np.maximum(ida, idb)
         return pd.DataFrame({"id_a": ida, "id_b": idb, "cosine": S[ii, jj]})
 
+    lkeys = ["__grp", "__pair"] if group_col else ["__pair"]
+    rkeys = ["__grp", "__pair_r"] if group_col else ["__pair_r"]
     return (
-        left.groupBy("__pair")
-        .cogroup(right.groupBy("__pair_r"))
+        left.groupBy(*lkeys)
+        .cogroup(right.groupBy(*rkeys))
         .applyInPandas(block_kernel, "id_a long, id_b long, cosine double")
     )
 

@@ -18,6 +18,8 @@ from ..functions.rounding import sql_round, stable_round
 from ..operators import cluster as C
 from ..operators import dedup as D
 from ..operators import linalg as L
+from ..operators import quantize as Q
+from ..operators import semdedup as SD
 from ..operators import text as X
 from ..operators.multimodal import binary_metadata
 from ..operators.similarity_search import (
@@ -1599,6 +1601,44 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_TOPK_SQL = C.pq_topk_sql(ANN_K, n_subspaces=8, k=8, iters=2, dim=64)
 
 
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN (operators.quantize): candidates scanned
+    as 0..255 codes (4× fewer bytes than float32 at dim 64), dequantized
+    per Arrow batch against exact float64 queries, batch-local top-k only.
+    The oracle replays the min/max fit, the affine encode, and the full
+    distance ranking."""
+    queries, candidates = _query_candidates(spark, sf_dir)
+    return Q.sq8_topk(queries, candidates, ANN_K)
+
+
+SQ8_TOPK_SQL = Q.sq8_topk_sql(ANN_K, dim=64)
+
+
+def sq8_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension SQ8 dequantization-error audit (mse, max abs err) —
+    the quality gate a deployment checks before switching ANN scans from
+    float32 vectors to int8 codes. One unrolled min/max fit scan + one
+    unrolled error-agg scan; nothing leaves the executors but 2·dim
+    aggregates."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = Q.sq8_reconstruction_error(emb)
+    return out.select(
+        "d",
+        stable_round("mse", 9).alias("mse"),
+        stable_round("max_abs_err", 9).alias("max_abs_err"),
+    )
+
+
+SQ8_RECON_SQL = """
+WITH base AS ({inner})
+SELECT d, {m} AS mse, {x} AS max_abs_err FROM base ORDER BY d
+""".format(
+    inner=Q.sq8_recon_error_sql(dim=64),
+    m=sql_round("mse", 9),
+    x=sql_round("max_abs_err", 9),
+)
+
+
 def events_user_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average value (operators.timeseries
     .time_weighted_avg): duration weights from one keyed lead-window
@@ -2045,6 +2085,47 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMEANS_SQL = C.kmeans_sql(k=8, iters=3, dim=64)
+
+SEMDEDUP_K = 8
+SEMDEDUP_ITERS = 2
+
+
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pair stage (arXiv:2303.09540): k-means-cluster the
+    embeddings, then exact cosine near-dup pairs ONLY within each
+    cluster — the cluster key prunes the cross-cluster n² before it
+    exists, and each cluster's remaining pair grid runs through the
+    (cluster, block-pair)-cogrouped BLAS kernel. The oracle replays the
+    full k-means fit plus the within-cluster pair scan."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = SD.semdedup_pairs(
+        emb, NEARDUP_COSINE, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS
+    )
+    return out.select(
+        "id_a", "id_b", stable_round("cosine", 6).alias("cosine")
+    )
+
+
+SEMDEDUP_PAIRS_SQL = SD.semdedup_pairs_sql(
+    NEARDUP_COSINE, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, dim=64
+)
+
+
+def semdedup_keep_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivor set: drop every row that is the higher id of a
+    within-cluster pair above the threshold (keep-lowest-id — the
+    cross-engine-deterministic stand-in for the paper's farthest-from-
+    centroid pick). Distinct + left-anti over id rows only; vectors
+    never re-shuffle after the pair stage."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SD.semdedup_keep(
+        emb, NEARDUP_COSINE, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS
+    ).orderBy("vec_id")
+
+
+SEMDEDUP_KEEP_SQL = SD.semdedup_keep_sql(
+    NEARDUP_COSINE, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, dim=64
+)
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3738,6 +3819,10 @@ QUERIES: dict[str, tuple] = {
     "events_peak_attribution": (events_peak_attribution, EVENTS_PEAK_SQL),
     "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "kmeans_clusters": (kmeans_clusters, KMEANS_SQL),
+    "semdedup_pairs": (semdedup_pairs, SEMDEDUP_PAIRS_SQL),
+    "semdedup_keep_ids": (semdedup_keep_ids, SEMDEDUP_KEEP_SQL),
+    "ann_sq8_topk": (ann_sq8_topk, SQ8_TOPK_SQL),
+    "sq8_recon_error": (sq8_recon_error, SQ8_RECON_SQL),
     "embedding_covariance": (embedding_covariance, EMBEDDING_COV_SQL),
     "embedding_pq_codes": (embedding_pq_codes, PQ_SQL),
     "streaming_covariance": (streaming_covariance, EMBEDDING_COV_SQL),

@@ -1,0 +1,107 @@
+"""SemDeDup (cluster-then-within-cluster near-dup) correctness.
+
+The pair stage must equal the brute-force definition — all-pairs cosine
+filtered to pairs sharing the SAME k-means cluster — for every blocking
+factor, and the keep rule must drop exactly the higher ids of qualifying
+pairs.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from consent_based_conversion_adjustments_spark.operators import cluster as C
+from consent_based_conversion_adjustments_spark.operators.semdedup import (
+    semdedup_keep,
+    semdedup_pairs,
+)
+from consent_based_conversion_adjustments_spark.operators.similarity_search import (
+    cosine_neardup_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+TAU = 0.45
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _brute_within_cluster(emb, k, iters, tau):
+    cents = C.kmeans_fit(emb, k, iters)
+    cluster_of = {
+        r["vec_id"]: r["cluster"]
+        for r in C.kmeans_label(emb, cents).collect()
+    }
+    return {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in cosine_neardup_pairs(emb, tau).collect()
+        if cluster_of[r["id_a"]] == cluster_of[r["id_b"]]
+    }
+
+
+def test_semdedup_pairs_match_brute_force_any_blocking(spark, emb):
+    expected = _brute_within_cluster(emb, k=4, iters=2, tau=TAU)
+    assert expected  # fixture must produce within-cluster near-dups
+    for n_blocks in (1, 3):
+        got = {
+            (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+            for r in semdedup_pairs(
+                emb, TAU, k=4, iters=2, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == expected, f"n_blocks={n_blocks}"
+
+
+def test_semdedup_clustering_prunes_cross_cluster_pairs(spark, emb):
+    """Some global near-dup pair must be split across clusters at a low
+    threshold — otherwise the test corpus can't distinguish SemDeDup
+    from plain all-pairs dedup."""
+    all_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(emb, TAU).collect()
+    }
+    within = set(_brute_within_cluster(emb, k=4, iters=2, tau=TAU))
+    assert within < all_pairs
+
+
+def test_semdedup_keep_drops_higher_pair_ids(spark, emb):
+    pairs = semdedup_pairs(emb, TAU, k=4, iters=2).collect()
+    removed = {r["id_b"] for r in pairs}
+    kept = {r["vec_id"] for r in semdedup_keep(emb, TAU, k=4, iters=2).collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert kept == all_ids - removed
+    # the lowest id of every dup pair always survives unless some other
+    # pair dominates it
+    assert all(r["id_a"] in kept or r["id_a"] in removed for r in pairs)
+
+
+def test_semdedup_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semdedup_pairs(empty, 0.5)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+    assert semdedup_keep(empty, 0.5).count() == 0
+
+
+def test_semdedup_mega_cluster_blocks(spark):
+    """All rows in ONE cluster (k=1) degrades to the blocked all-pairs
+    shape — the grouped grid must still emit each qualifying pair exactly
+    once."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    rows = []
+    for i in range(40):
+        v = base + rng.normal(scale=0.05, size=8)  # one tight bundle
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = semdedup_pairs(df, 0.9, k=1, iters=1, n_blocks=3).collect()
+    expected = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in cosine_neardup_pairs(df, 0.9).collect()
+    }
+    assert {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9) for r in got
+    } == expected
+    assert len(expected) == 40 * 39 / 2  # the bundle really is a clique
