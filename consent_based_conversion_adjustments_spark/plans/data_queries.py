@@ -3715,6 +3715,24 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return click_purchase_pairs_streaming(spark, sf_dir)
 
 
+def streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming keyed dedup (streaming.dedup): the events fixture
+    read as TWO readStream legs and unioned — an at-least-once source
+    where every event arrives twice, possibly in different micro-batches
+    — through ``dropDuplicatesWithinWatermark`` on event_id. The delay
+    exceeds the fixture's event-time span, so no state evicts and the
+    emitted set is exactly the batch distinct (the oracle)."""
+    from ..streaming.dedup import dedup_events_streaming
+
+    return dedup_events_streaming(spark, sf_dir)
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_id, user_id, event_type
+FROM events ORDER BY event_id
+"""
+
+
 STREAM_JOIN_SQL = """
 SELECT c.user_id AS user_id,
        c.event_id AS click_id,
@@ -3751,6 +3769,7 @@ QUERIES: dict[str, tuple] = {
         streaming_click_purchase_join,
         STREAM_JOIN_SQL,
     ),
+    "streaming_dedup_union": (streaming_dedup_union, STREAMING_DEDUP_SQL),
     "events_value_trend": (events_value_trend, EVENTS_TREND_SQL),
     "retained_users_window": (retained_users_window, RETAINED_WINDOW_SQL),
     "retained_users_window_theta": (retained_users_window_theta, None),

@@ -1266,3 +1266,24 @@ def test_attribution_stream_end_to_end(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_streaming_watermark_dedup_equals_batch_distinct(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a doubled source (every event
+    arrives twice, possibly in different micro-batches) emits exactly the
+    batch distinct when the delay exceeds the event-time span."""
+    from consent_based_conversion_adjustments_spark.streaming.dedup import (
+        dedup_events_streaming,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = dedup_events_streaming(
+        spark, sf, checkpoint_dir=str(tmp_path / "ckpt")
+    ).collect()
+    batch = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_id", "user_id", "event_type")
+        .collect()
+    )
+    assert len(got) == len(batch)  # each key exactly once despite 2x input
+    assert {tuple(r) for r in got} == {tuple(r) for r in batch}
