@@ -118,6 +118,9 @@ HEADLINE = [
     ("embedding_dedup_ids", data_queries.embedding_dedup_ids),
     ("dedup_clusters", data_queries.dedup_clusters),
     ("corpus_canonical_ids", data_queries.corpus_canonical_ids),
+    ("semdedup_pairs", data_queries.semdedup_pairs),
+    ("ann_sq8_topk", data_queries.ann_sq8_topk),
+    ("streaming_dedup_union", data_queries.streaming_dedup_union),
 ]
 
 

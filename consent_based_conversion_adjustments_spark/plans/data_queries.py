@@ -450,6 +450,133 @@ WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
 """
 
 
+def _pretrain_kept_frames(spark: SparkSession, sf_dir: str):
+    """Shared stages of the composed pretraining-corpus cleaning pass:
+    kept0 = language+quality gate, kept1 = exact-fingerprint canonical
+    survivors, pairs = MinHash near-dup relations among kept1."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    praw = X.punct_ratio("text")
+    quality = X.quality_score_in(toks, praw, X.stopword_ratio_in(toks))
+    lang = X.language_id_in(toks)
+    kept0 = docs.select("doc_id", "text").where(
+        (lang == F.lit("en")) & (quality >= F.lit(0.5))
+    )
+    canon = D.token_fingerprint_dedup(kept0, "text", "doc_id").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept1 = kept0.join(canon, "doc_id")
+    pairs = D.minhash_neardup(
+        kept1, "text", "doc_id", threshold=JACCARD_THRESHOLD
+    )
+    return docs, kept0, kept1, pairs
+
+
+def corpus_pretrain_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-corpus cleaning pipeline (the FineWeb /
+    RefinedWeb recipe shape): language-ID gate → quality gate → exact
+    token-fingerprint dedup (keep lowest id per fingerprint) → MinHash
+    banded near-dup removal (keep lowest id of each pair). Every stage
+    is an already-oracle-checked operator; this query proves they
+    COMPOSE — one declarative plan, no materialization between stages,
+    so Catalyst pushes the language/quality projection into the single
+    documents scan shared by the fingerprint agg and the MinHash
+    signature build. The oracle replays all four stages as chained CTEs
+    (the MinHash stage via the same generator as dedup_minhash)."""
+    _, _, kept1, pairs = _pretrain_kept_frames(spark, sf_dir)
+    removed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return kept1.select("doc_id").join(removed, "doc_id", "left_anti").orderBy(
+        "doc_id"
+    )
+
+
+def corpus_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-count funnel of the composed cleaning pipeline — the summary
+    a corpus job publishes per snapshot (raw → lang+quality →
+    exact-dedup → near-dup survivors)."""
+    docs, kept0, kept1, pairs = _pretrain_kept_frames(spark, sf_dir)
+    removed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = kept1.select("doc_id").join(removed, "doc_id", "left_anti")
+    rows = [
+        ("1_raw", docs),
+        ("2_lang_quality", kept0),
+        ("3_exact_dedup", kept1),
+        ("4_neardup_survivors", survivors),
+    ]
+    out = None
+    for stage, frame in rows:
+        c = frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+        out = c if out is None else out.unionAll(c)
+    return out.orderBy("stage")
+
+
+_PRETRAIN_KEPT_CTES = """scored AS (
+    SELECT doc_id, text,
+           0.4 * least(len({toks}) / 50.0, 1.0)
+           + 0.3 * (1.0 - least(
+               CASE WHEN length(text) > 0 THEN
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                        AS DOUBLE) / length(text) ELSE 0.0 END * 5.0, 1.0))
+           + 0.3 * least(
+               CASE WHEN len({toks}) > 0 THEN
+                   CAST({en_hits} AS DOUBLE) / len({toks}) ELSE 0.0 END * 5.0,
+               1.0) AS q,
+           CASE
+             WHEN {fr_hits} > greatest({es_hits}, {en_hits}, {de_hits}, 0) THEN 'fr'
+             WHEN {es_hits} > greatest({en_hits}, {de_hits}, 0) THEN 'es'
+             WHEN {en_hits} > greatest({de_hits}, 0) THEN 'en'
+             WHEN {de_hits} > 0 THEN 'de'
+             ELSE 'und'
+           END AS lang_pred
+    FROM documents
+), kept0 AS (
+    SELECT doc_id, text FROM scored WHERE lang_pred = 'en' AND q >= 0.5
+), fps AS (
+    SELECT doc_id, text, {fp} AS fingerprint FROM kept0
+), canon AS (
+    SELECT fingerprint, min(doc_id) AS doc_id FROM fps GROUP BY 1
+), kept1 AS (
+    SELECT f.doc_id, f.text FROM fps f JOIN canon c ON f.doc_id = c.doc_id
+), mh_pairs AS ({minhash})"""
+
+
+def _pretrain_ctes() -> str:
+    return _PRETRAIN_KEPT_CTES.format(
+        toks=_TOKS.format(c="text"),
+        en_hits=_sql_stop_hits("en"),
+        de_hits=_sql_stop_hits("de"),
+        fr_hits=_sql_stop_hits("fr"),
+        es_hits=_sql_stop_hits("es"),
+        fp=_sql_hash(
+            f"array_to_string(list_sort({_DTOKS.format(c='text')}), ' ')"
+        ),
+        minhash=_minhash_sql("kept1"),
+    )
+
+
+CORPUS_PRETRAIN_IDS_SQL = f"""
+WITH {_pretrain_ctes()}
+SELECT doc_id FROM kept1
+WHERE doc_id NOT IN (SELECT doc_b FROM mh_pairs)
+ORDER BY doc_id
+"""
+
+CORPUS_PRETRAIN_FUNNEL_SQL = f"""
+WITH {_pretrain_ctes()}
+SELECT '1_raw' AS stage, count(*) AS n_docs FROM documents
+UNION ALL
+SELECT '2_lang_quality', count(*) FROM kept0
+UNION ALL
+SELECT '3_exact_dedup', count(*) FROM kept1
+UNION ALL
+SELECT '4_neardup_survivors', count(*) FROM kept1
+WHERE doc_id NOT IN (SELECT doc_b FROM mh_pairs)
+ORDER BY stage
+"""
+
+
 def incremental_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup shape: an accepted corpus STORE (doc_id % 4
     != 0 — its signature/token tables stand in for the persisted state)
@@ -3842,6 +3969,11 @@ QUERIES: dict[str, tuple] = {
     "semdedup_keep_ids": (semdedup_keep_ids, SEMDEDUP_KEEP_SQL),
     "ann_sq8_topk": (ann_sq8_topk, SQ8_TOPK_SQL),
     "sq8_recon_error": (sq8_recon_error, SQ8_RECON_SQL),
+    "corpus_pretrain_ids": (corpus_pretrain_ids, CORPUS_PRETRAIN_IDS_SQL),
+    "corpus_pretrain_funnel": (
+        corpus_pretrain_funnel,
+        CORPUS_PRETRAIN_FUNNEL_SQL,
+    ),
     "embedding_covariance": (embedding_covariance, EMBEDDING_COV_SQL),
     "embedding_pq_codes": (embedding_pq_codes, PQ_SQL),
     "streaming_covariance": (streaming_covariance, EMBEDDING_COV_SQL),

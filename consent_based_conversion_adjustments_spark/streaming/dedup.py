@@ -28,7 +28,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .events import stream_events_from_parquet
+from .events import dedup_stream, stream_events_from_parquet
 
 
 def dedup_events_streaming(
@@ -58,7 +58,7 @@ def dedup_events_streaming(
         for _ in range(2)
     ]
     doubled = legs[0].unionAll(legs[1]).withWatermark("ts", watermark)
-    deduped = doubled.dropDuplicatesWithinWatermark(list(key_cols)).select(
+    deduped = dedup_stream(doubled, key_cols).select(
         "event_id", "user_id", "event_type"
     )
     name = f"ss_dedup_{uuid.uuid4().hex[:12]}"

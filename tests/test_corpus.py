@@ -1071,3 +1071,36 @@ def test_event_transition_matrix_matches_python(spark):
     assert all(abs(v - 1.0) < 1e-9 for v in by_state.values())
     # user 3's lone event and the 1->2 user boundary produce nothing
     assert ("C", "B") not in got
+
+
+def test_pretrain_pipeline_composition_invariants(spark):
+    """The composed cleaning pipeline (lang → quality → exact dedup →
+    near-dup removal): survivors are a subset of each earlier stage, the
+    funnel is monotone, and no near-dup pair survives intact (every
+    pair's higher id was removed, so re-running MinHash over the
+    survivor set yields nothing)."""
+    from consent_based_conversion_adjustments_spark.operators import dedup as D
+    from consent_based_conversion_adjustments_spark.plans.data_queries import (
+        JACCARD_THRESHOLD,
+        corpus_pretrain_funnel,
+        corpus_pretrain_ids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    survivors = {r["doc_id"] for r in corpus_pretrain_ids(spark, sf).collect()}
+    funnel = {
+        r["stage"]: r["n_docs"]
+        for r in corpus_pretrain_funnel(spark, sf).collect()
+    }
+    assert funnel["1_raw"] >= funnel["2_lang_quality"] >= funnel[
+        "3_exact_dedup"
+    ] >= funnel["4_neardup_survivors"]
+    assert funnel["4_neardup_survivors"] == len(survivors)
+    assert funnel["2_lang_quality"] > 0  # gates must actually pass docs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    kept = docs.filter(F.col("doc_id").isin(list(survivors)))
+    residual = D.minhash_neardup(
+        kept, "text", "doc_id", threshold=JACCARD_THRESHOLD
+    )
+    assert residual.count() == 0
