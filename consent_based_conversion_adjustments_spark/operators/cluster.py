@@ -59,13 +59,29 @@ INIT_MOD = 9007199254740881  # < 2^53: id·mult stays integer-exact in SQL
 ROUND_SCALE = 6
 
 
+_DISTS_EXACT_MAX_K = 32
+
+
 def _dists(x, cents):
     import numpy as np
 
-    # explicit (x - c)^2 per centroid: k small, keeps memory at
-    # batch×dim and matches the oracle's formula term-for-term
-    return np.stack(
-        [np.square(x - c).sum(axis=1) for c in cents], axis=1
+    # small k: explicit (x - c)^2 per centroid — batch×dim memory and
+    # term-for-term the oracle's formula (every oracle-checked query
+    # runs k ≤ 8). large k (SemDeDup scales k with the corpus): ONE
+    # BLAS matmul via x² + c² − 2xc — the per-centroid Python loop
+    # otherwise dominates the assignment pass (measured at k=512). The
+    # matmul form rounds differently, which can flip an argmin only for
+    # near-exactly-equidistant centroids — accepted for the large-k
+    # regime, which is never oracle-replayed.
+    if len(cents) <= _DISTS_EXACT_MAX_K:
+        return np.stack(
+            [np.square(x - c).sum(axis=1) for c in cents], axis=1
+        )
+    c = np.asarray(cents)
+    return (
+        (x * x).sum(axis=1)[:, None]
+        + (c * c).sum(axis=1)[None, :]
+        - 2.0 * (x @ c.T)
     )
 
 

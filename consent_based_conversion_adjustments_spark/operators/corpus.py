@@ -395,6 +395,137 @@ def dsir_importance_weights(
     )
 
 
+def nb_quality_scores(
+    train: DataFrame,
+    score: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained AND scored on the
+    cluster — the model-based quality-filter shape where the classifier
+    itself is fit from (pseudo-)labels at corpus scale (FineWeb-Edu's
+    teacher-label recipe; fastText's supervised mode is the same bag-of-
+    tokens log-linear family).
+
+    Training is ONE conditional aggregation: explode train tokens →
+    per-token class counts (n1, n0) — a vocab-bounded table. Class
+    totals, vocab size, and document priors attach as 1-row broadcast
+    aggregates. Scoring left-joins the exploded score tokens against the
+    count table (unseen tokens coalesce to 0 and fall through the same
+    add-alpha smoothing), sums per-occurrence log-likelihood ratios per
+    doc, and adds the log-prior ratio; zero-token docs score exactly the
+    prior. Nothing scales beyond token volume: no Python, no window, one
+    shuffle per aggregation, and the count table broadcasts while vocab
+    stays under the threshold.
+
+    Output: (id, n_tokens, nb_score) where nb_score > 0 ⇔ the positive
+    class is more likely. Deterministic given the inputs; the DuckDB
+    oracle replays counts, smoothing, and the per-doc sum verbatim.
+    """
+    a = float(alpha)
+    t_toks = train.select(
+        F.col(label_col).alias("__y"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    )
+    counts = t_toks.groupBy("__tok").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__n1"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).alias("__n0"),
+    )
+    # totals aliases must not collide case-insensitively with the
+    # per-token __n1/__n0 (Spark resolution is case-insensitive)
+    totals = counts.agg(
+        F.sum("__n1").alias("__tot1"),
+        F.sum("__n0").alias("__tot0"),
+        F.count(F.lit(1)).alias("__vocab"),
+    )
+    priors = train.agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("__D1"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("__D0"),
+    )
+    prior_lr = F.log(
+        (F.col("__D1") + F.lit(a)) / (F.col("__D0") + F.lit(a))
+    )
+    llr = F.log(
+        (F.coalesce(F.col("__n1"), F.lit(0)) + F.lit(a))
+        / (F.col("__tot1") + F.lit(a) * F.col("__vocab"))
+    ) - F.log(
+        (F.coalesce(F.col("__n0"), F.lit(0)) + F.lit(a))
+        / (F.col("__tot0") + F.lit(a) * F.col("__vocab"))
+    )
+    s_toks = score.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    )
+    sums = (
+        s_toks.join(counts, "__tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), llr.alias("__llr"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__llr").alias("__s"),
+        )
+    )
+    return (
+        score.select(id_col)
+        .join(sums, id_col, "left")
+        .crossJoin(F.broadcast(priors))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            (F.coalesce(F.col("__s"), F.lit(0.0)) + prior_lr).alias(
+                "nb_score"
+            ),
+        )
+    )
+
+
+def nb_quality_sql(
+    label_expr: str,
+    alpha: float = 1.0,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    toks_expr: str,
+) -> str:
+    """DuckDB twin of ``nb_quality_scores`` with train = score = ``table``
+    and the (pseudo-)label given as a boolean SQL expression over the
+    table's columns."""
+    a = float(alpha)
+    return f"""
+WITH lab AS (
+    SELECT {id_col}, {toks_expr} AS toks, ({label_expr}) AS y FROM {table}
+), t_toks AS (
+    SELECT y, unnest(toks) AS tok FROM lab
+), counts AS (
+    SELECT tok,
+           sum(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN y THEN 0 ELSE 1 END) AS n0
+    FROM t_toks GROUP BY tok
+), totals AS (
+    SELECT sum(n1) AS N1, sum(n0) AS N0, count(*) AS V FROM counts
+), priors AS (
+    SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS D1,
+           sum(CASE WHEN y THEN 0 ELSE 1 END) AS D0
+    FROM lab
+), s_toks AS (
+    SELECT {id_col}, unnest(toks) AS tok FROM lab
+), sums AS (
+    SELECT s.{id_col}, count(*) AS n_tokens,
+           sum(ln((coalesce(c.n1, 0) + {a}) / (t.N1 + {a} * t.V))
+               - ln((coalesce(c.n0, 0) + {a}) / (t.N0 + {a} * t.V))) AS s
+    FROM s_toks s LEFT JOIN counts c USING (tok) CROSS JOIN totals t
+    GROUP BY s.{id_col}
+)
+SELECT lab.{id_col},
+       coalesce(sums.n_tokens, 0) AS n_tokens,
+       coalesce(sums.s, 0.0)
+           + ln((p.D1 + {a}) / (p.D0 + {a})) AS nb_score
+FROM lab LEFT JOIN sums USING ({id_col}) CROSS JOIN priors p
+"""
+
+
 def _token_positions(df: DataFrame, text_col: str, *keep: Column) -> DataFrame:
     """Explode ``text_col`` into ``(keep..., pos, prev, cur)`` rows —
     1-based positions, ``prev`` NULL at pos 1, zero-token docs drop out.

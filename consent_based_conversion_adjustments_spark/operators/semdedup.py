@@ -47,6 +47,21 @@ from .cluster import kmeans_fit, kmeans_label, kmeans_sql
 from .similarity_search import cosine_neardup_blas
 
 
+def _auto_blocks(spark, k: int) -> int:
+    """Smallest B with k·B(B+1)/2 cogroup tasks ≥ 4× the core count —
+    the task-packing law measured on the global kernel (B=16 ↔ 136
+    tasks on 32 cores). As k grows, clusters shrink AND supply the
+    parallelism themselves, so B falls to 1 (at 64×/k=512 the B=4
+    default's 5,120 tiny tasks cost 1.5× pure scheduling overhead vs
+    B=1's 512). Blocking never changes the output, only task shape, so
+    the auto pick keeps registered queries deterministic."""
+    target = 4 * spark.sparkContext.defaultParallelism
+    b = 1
+    while k * b * (b + 1) // 2 < target and b < 16:
+        b += 1
+    return b
+
+
 def semdedup_pairs(
     df: DataFrame,
     threshold: float,
@@ -55,15 +70,15 @@ def semdedup_pairs(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Within-cluster semantic near-duplicate pairs.
 
     Returns (id_a, id_b, cosine) with id_a < id_b, both members of the
     same k-means cluster, cosine ≥ threshold. ``n_blocks`` blocks each
-    cluster's pair grid (default lower than the global kernel's 16:
-    per-cluster populations are ~n/k, and k·B(B+1)/2 cogroup tasks
-    already pack the executors).
+    cluster's pair grid; the default (None) picks the smallest B whose
+    k·B(B+1)/2 cogroup tasks pack the executors (see ``_auto_blocks``)
+    — raise it explicitly when single clusters outgrow task memory.
     """
     cents = kmeans_fit(df, k, iters, id_col=id_col, vec_col=vec_col)
     if not cents:
@@ -72,6 +87,8 @@ def semdedup_pairs(
     labeled = kmeans_label(
         df, cents, id_col=id_col, vec_col=vec_col, carry_vec=True
     )
+    if n_blocks is None:
+        n_blocks = _auto_blocks(df.sparkSession, len(cents))
     return cosine_neardup_blas(
         labeled,
         threshold,
@@ -90,7 +107,7 @@ def semdedup_keep(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Ids surviving semantic dedup (keep-lowest-id rule).
 

@@ -14,9 +14,10 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import sql_round, stable_round
 from ..operators import corpus as C
+from ..operators import text as X
 from ..operators.text import string_hash, tokens
 from ..sources.io import read_table
-from .data_queries import _DTOKS, _TOKS, _sql_hash  # noqa: F401
+from .data_queries import _DTOKS, _TOKS, _sql_hash, _sql_stop_hits  # noqa: F401
 
 # Fibonacci-mixed bucket — mirrors corpus.split_bucket exactly (int64-exact)
 _SPLIT_BUCKET_SQL = (
@@ -695,6 +696,54 @@ ORDER BY s.group_id
         f" % 4294967296) * 1000000000 // 4294967296"
     ),
     fit=_FFD_FIT,
+)
+
+
+def doc_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained Naive Bayes quality classifier (the FineWeb-Edu
+    pseudo-label recipe: heuristic quality ≥ 0.5 labels the training set,
+    then a multinomial NB over raw tokens re-scores every document).
+    Unlike doc_model_quality's fixed-weight scorer, the MODEL here is fit
+    on the cluster — one conditional token aggregation — and scoring is a
+    vocab-bounded left join + per-doc sum (operators.corpus
+    .nb_quality_scores). The oracle replays counts, add-alpha smoothing,
+    priors, and the per-doc LLR sum."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    quality = X.quality_score_in(
+        toks, X.punct_ratio("text"), X.stopword_ratio_in(toks)
+    )
+    labeled = docs.select(
+        "doc_id", "text", (quality >= F.lit(0.5)).alias("label")
+    )
+    out = C.nb_quality_scores(labeled, labeled)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        stable_round("nb_score", 6).alias("nb_score"),
+    ).orderBy("doc_id")
+
+
+_NB_LABEL_EXPR = """(0.4 * least(len({toks}) / 50.0, 1.0)
+    + 0.3 * (1.0 - least(
+        CASE WHEN length(text) > 0 THEN
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                 AS DOUBLE) / length(text) ELSE 0.0 END * 5.0, 1.0))
+    + 0.3 * least(
+        CASE WHEN len({toks}) > 0 THEN
+            CAST({en_hits} AS DOUBLE) / len({toks}) ELSE 0.0 END * 5.0,
+        1.0)) >= 0.5""".format(
+    toks=_TOKS.format(c="text"), en_hits=_sql_stop_hits("en")
+)
+
+NB_QUALITY_SQL = """
+WITH base AS ({inner})
+SELECT doc_id, n_tokens, {r} AS nb_score FROM base ORDER BY doc_id
+""".format(
+    inner=C.nb_quality_sql(
+        _NB_LABEL_EXPR, toks_expr=_TOKS.format(c="text")
+    ),
+    r=sql_round("nb_score", 6),
 )
 
 
@@ -1398,6 +1447,7 @@ QUERIES: dict[str, tuple] = {
     "bpe_encoded_lengths": (bpe_encoded_lengths, BPE_ENCODED_SQL),
     "vocab_heavy_hitters": (vocab_heavy_hitters, HEAVY_HITTERS_SQL),
     "dsir_importance": (dsir_importance, DSIR_SQL),
+    "doc_nb_quality": (doc_nb_quality, NB_QUALITY_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
     "leakage_safe_splits": (leakage_safe_splits, _leakage_safe_splits_sql()),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),

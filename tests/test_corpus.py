@@ -1104,3 +1104,54 @@ def test_pretrain_pipeline_composition_invariants(spark):
         kept, "text", "doc_id", threshold=JACCARD_THRESHOLD
     )
     assert residual.count() == 0
+
+
+def test_nb_quality_matches_manual_computation(spark):
+    """Multinomial NB (add-one smoothing) against a by-hand replay on a
+    tiny labeled corpus, including an unseen-token doc and a zero-token
+    doc (which must score exactly the log-prior ratio)."""
+    from math import log
+
+    rows = [
+        (0, "good clean prose here", True),
+        (1, "good solid prose", True),
+        (2, "spam spam junk", False),
+        (3, "junk junk junk spam", False),
+        (4, "prose with unseen zebra", True),
+        (5, "", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["nb_score"])
+        for r in C.nb_quality_scores(df, df).collect()
+    }
+
+    # manual replay
+    from collections import Counter
+
+    n1, n0 = Counter(), Counter()
+    d1 = d0 = 0
+    for _, text, y in rows:
+        toks = text.split()
+        if y:
+            d1 += 1
+            n1.update(toks)
+        else:
+            d0 += 1
+            n0.update(toks)
+    vocab = set(n1) | set(n0)
+    N1, N0, V = sum(n1.values()), sum(n0.values()), len(vocab)
+    prior = log((d1 + 1.0) / (d0 + 1.0))
+
+    def llr(t):
+        return log((n1[t] + 1.0) / (N1 + V)) - log((n0[t] + 1.0) / (N0 + V))
+
+    for doc_id, text, _ in rows:
+        toks = text.split()
+        expected = prior + sum(llr(t) for t in toks)
+        got_n, got_s = out[doc_id]
+        assert got_n == len(toks)
+        assert abs(got_s - expected) < 1e-9, doc_id
+
+    assert out[5][1] == pytest.approx(prior)  # zero-token doc = prior
+    assert out[0][1] > 0 > out[2][1]  # classifier separates the classes

@@ -622,6 +622,50 @@ def main() -> int:
         "Expand" in p and p.count("Scan parquet") == 1 and "Union" not in p,
     )
 
+    # SQ8 encode: a pure projection — no Exchange, no Python, one scan.
+    from consent_based_conversion_adjustments_spark.operators import (
+        quantize as Q,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    mins, steps = Q.sq8_fit(emb)
+    p = plan_of(Q.sq8_encode(emb, mins, steps))
+    check(
+        "sq8 encode: stateless codegen projection, no exchange",
+        "Exchange" not in p
+        and "Scan parquet" in p
+        and "ArrowEvalPython" not in p
+        and "FlatMapsInPandas" not in p,
+    )
+
+    # SemDeDup pair stage: the block-pair grid joins must broadcast the
+    # grid (never shuffle the vectors for it) and produce no cartesian.
+    from consent_based_conversion_adjustments_spark.operators import (
+        semdedup as SDD,
+    )
+
+    p = plan_of(SDD.semdedup_pairs(emb, 0.45, k=4, iters=1))
+    check(
+        "semdedup pairs: grid broadcasts, no cartesian product",
+        p.count("BroadcastHashJoin") >= 2
+        and "CartesianProduct" not in p
+        and "SortMergeJoin" not in p,
+    )
+
+    # NB quality classifier: the 1-row totals/priors attach as broadcast
+    # nested-loop joins (the accepted scalar-attach pattern), never as a
+    # cartesian product. (The vocab-table join's strategy is left to AQE:
+    # its size is only known at runtime.)
+    from consent_based_conversion_adjustments_spark.plans import (
+        corpus_queries as cq,
+    )
+
+    p = plan_of(cq.doc_nb_quality(spark, SF))
+    check(
+        "nb quality: scalar attaches broadcast, no cartesian",
+        "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 

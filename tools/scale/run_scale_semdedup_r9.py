@@ -66,10 +66,15 @@ print("VOLUME out_pairs", out.count(), flush=True)
 def run(sf, k, n_blocks=4, timeout=3600):
     code = SNIPPET.format(sf=sf, k=k, n_blocks=n_blocks)
     rec = {"sf": sf, "k": k, "n_blocks": n_blocks}
+    # PYTHONPATH must reach the executor-side Python workers: the kmeans
+    # assignment kernel is a module-level closure, so cloudpickle ships a
+    # module REFERENCE and the worker has to import the package itself
+    # (driver-side sys.path.insert never propagates).
+    env = dict(os.environ, PYTHONPATH="/root/repo")
     try:
         out = subprocess.run(
             ["python", "-c", code], capture_output=True, text=True,
-            timeout=timeout,
+            timeout=timeout, env=env,
         )
     except subprocess.TimeoutExpired:
         rec["error"] = f"timeout after {timeout}s"
@@ -89,11 +94,13 @@ if __name__ == "__main__":
     emb8 = build_tiles(8, "/tmp/scale64/emb8_r9")
     emb64 = build_tiles(64, "/tmp/scale64/emb64_r9")
     legs = [
-        ("/root/testdata/sf0.1", 8, 4),
-        (emb8, 8, 4),
-        (emb8, 64, 4),        # k scaled with the 8x growth
-        (emb64, 8, 8),        # fixed k: the G^2 mass leg
-        (emb64, 512, 4),      # k scaled with the 64x growth
+        # n_blocks=None exercises the auto task-packing rule
+        ("/root/testdata/sf0.1", 8, None),
+        (emb8, 8, None),
+        (emb8, 64, None),      # k scaled with the 8x growth
+        (emb64, 8, None),      # fixed k: the G^2 mass leg
+        (emb64, 512, None),    # k scaled with the 64x growth
+        (emb64, 512, 4),       # A/B: over-tasked blocking at large k
     ]
     results = []
     for sf, k, nb in legs:
