@@ -113,7 +113,13 @@ def _partials_kernel(cents, id_col: str, vec_col: str):
     return run
 
 
-def _cells_kernel(cents, id_col: str, vec_col: str, carry_vec: bool = False):
+def _cells_kernel(
+    cents,
+    id_col: str,
+    vec_col: str,
+    carry_vec: bool = False,
+    emit_dist: bool = False,
+):
     import numpy as np
 
     c = np.asarray(cents, dtype=np.float64)
@@ -123,8 +129,11 @@ def _cells_kernel(cents, id_col: str, vec_col: str, carry_vec: bool = False):
             if not len(pdf):
                 continue
             x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cell = np.argmin(_dists(x, c), axis=1)
+            d = _dists(x, c)
+            cell = np.argmin(d, axis=1)
             out = {id_col: pdf[id_col], "cluster": cell.astype("int32")}
+            if emit_dist:
+                out["sq_dist"] = d[np.arange(len(cell)), cell]
             if carry_vec:
                 out[vec_col] = pdf[vec_col]
             yield pd.DataFrame(out)
@@ -139,6 +148,7 @@ def kmeans_label(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     carry_vec: bool = False,
+    emit_dist: bool = False,
 ) -> DataFrame:
     """Label rows against fixed centroids (one Arrow kernel pass).
 
@@ -146,12 +156,16 @@ def kmeans_label(
     its SOURCE type (float→double cast happens only inside the distance
     math), so cluster-keyed downstream work (SemDeDup's within-cluster
     pair stage) gets (id, cluster, vec) without a second scan or an
-    id-equi-join that would re-shuffle every vector."""
+    id-equi-join that would re-shuffle every vector. ``emit_dist=True``
+    adds the squared distance to the assigned centroid (the SemDeDup
+    paper's prune signal) — already computed by the argmin, so free."""
     out_schema = f"{id_col} long, cluster int"
+    if emit_dist:
+        out_schema += ", sq_dist double"
     if carry_vec:
         out_schema += f", {vec_col} {df.schema[vec_col].dataType.simpleString()}"
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _cells_kernel(cents, id_col, vec_col, carry_vec),
+        _cells_kernel(cents, id_col, vec_col, carry_vec, emit_dist),
         out_schema,
     )
 

@@ -128,6 +128,99 @@ def semdedup_keep(
     return df.select(id_col).join(removed, id_col, "left_anti")
 
 
+def centroid_outliers(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    z: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier flags: squared distance to the assigned
+    k-means centroid, z-scored within the cluster (the SemDeDup paper's
+    actual prune signal — it keeps LOW-centroid-similarity members; this
+    exposes the raw signal plus a per-cluster 2σ flag for data-quality
+    triage of noisy embeddings).
+
+    One labeling pass (the argmin already computes the distance, so it
+    ships for free), one k-row stats agg, one broadcast join back.
+    Cross-engine note: sq_dist is rounded for hashing; the boolean
+    compares UNROUNDED dist vs mean + z·stddev_pop, where both engines'
+    aggregates can differ in final ulps — a flip needs a point sitting
+    within float error of exactly the threshold (measure-zero on real
+    data, same acceptance as the k-means argmin tie).
+    """
+    cents = kmeans_fit(df, k, iters, id_col=id_col, vec_col=vec_col)
+    if not cents:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster int, sq_dist double, "
+            "is_outlier boolean"
+        )
+    labeled = kmeans_label(
+        df, cents, id_col=id_col, vec_col=vec_col, emit_dist=True
+    )
+    stats = labeled.groupBy("cluster").agg(
+        F.avg("sq_dist").alias("__mu"),
+        F.stddev_pop("sq_dist").alias("__sd"),
+    )
+    return labeled.join(F.broadcast(stats), "cluster").select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col("sq_dist"),
+        (
+            F.col("sq_dist") > F.col("__mu") + F.lit(z) * F.col("__sd")
+        ).alias("is_outlier"),
+    )
+
+
+def centroid_outliers_sql(
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    *,
+    z: float = 2.0,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 6,
+) -> str:
+    """DuckDB twin of ``centroid_outliers``: replays the k-means fit
+    twice (assignment + final centroids), recomputes each row's distance
+    to its centroid, then the per-cluster z-flag."""
+    asg = kmeans_sql(
+        k=k, iters=iters, dim=dim, table=table, id_col=id_col, vec_col=vec_col
+    )
+    cents = kmeans_sql(
+        k=k, iters=iters, dim=dim, table=table, id_col=id_col,
+        vec_col=vec_col, emit="cents",
+    )
+    return f"""
+WITH asg AS (SELECT * FROM ({asg})),
+cents AS ({cents}),
+dv AS (
+    SELECT {id_col},
+           list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+    FROM {table}
+), dist AS (
+    SELECT a.{id_col}, a.cluster,
+           list_sum(list_transform(range(1, {dim} + 1),
+               d -> (dv.v[d] - c.v[d]) * (dv.v[d] - c.v[d]))) AS sq_dist
+    FROM asg a
+    JOIN cents c ON c.cell = a.cluster
+    JOIN dv ON dv.{id_col} = a.{id_col}
+), stats AS (
+    SELECT cluster, avg(sq_dist) AS mu, stddev_pop(sq_dist) AS sd
+    FROM dist GROUP BY cluster
+)
+SELECT d.{id_col}, d.cluster,
+       round(d.sq_dist - 1e-9, {round_scale}) + 0.0 AS sq_dist,
+       d.sq_dist > s.mu + {z} * s.sd AS is_outlier
+FROM dist d JOIN stats s USING (cluster)
+ORDER BY d.{id_col}
+"""
+
+
 def _pairs_cte(
     threshold: float,
     k: int,

@@ -2255,6 +2255,67 @@ SEMDEDUP_KEEP_SQL = SD.semdedup_keep_sql(
 )
 
 
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid-distance outlier flags (operators.semdedup
+    .centroid_outliers): the SemDeDup paper's prune signal as a data-
+    quality triage query — distance ships free from the assignment
+    argmin, stats are a k-row agg, the flag a broadcast join."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = SD.centroid_outliers(emb, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS)
+    return out.select(
+        "vec_id",
+        "cluster",
+        stable_round("sq_dist", 6).alias("sq_dist"),
+        "is_outlier",
+    ).orderBy("vec_id")
+
+
+EMBEDDING_OUTLIERS_SQL = SD.centroid_outliers_sql(
+    k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, dim=64
+)
+
+
+def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: MinHash near-dup pairs rolled up
+    by the (unordered) source pair — the corpus-governance view of WHICH
+    ingests duplicate each other (crawl vs crawl re-fetch, mirror sites,
+    licensed-set overlap). One id-keyed join per pair endpoint onto the
+    already-bucketed pair stream; the rollup is a |sources|²-bounded agg."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup(
+        docs, "text", "doc_id", threshold=JACCARD_THRESHOLD
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("__sa")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("__sb")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_x"),
+            F.greatest("__sa", "__sb").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_x", "source_y")
+    )
+
+
+SOURCE_DUP_MATRIX_SQL = """
+WITH mh_pairs AS ({pairs})
+SELECT least(da.source, db.source) AS source_x,
+       greatest(da.source, db.source) AS source_y,
+       count(*) AS n_pairs
+FROM mh_pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+ORDER BY source_x, source_y
+""".format(pairs=_minhash_sql("documents"))
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid fit — the building block behind IVF coarse
     quantization, as a pure two-level aggregation: posexplode to
@@ -3967,6 +4028,8 @@ QUERIES: dict[str, tuple] = {
     "kmeans_clusters": (kmeans_clusters, KMEANS_SQL),
     "semdedup_pairs": (semdedup_pairs, SEMDEDUP_PAIRS_SQL),
     "semdedup_keep_ids": (semdedup_keep_ids, SEMDEDUP_KEEP_SQL),
+    "embedding_outliers": (embedding_outliers, EMBEDDING_OUTLIERS_SQL),
+    "source_dup_matrix": (source_dup_matrix, SOURCE_DUP_MATRIX_SQL),
     "ann_sq8_topk": (ann_sq8_topk, SQ8_TOPK_SQL),
     "sq8_recon_error": (sq8_recon_error, SQ8_RECON_SQL),
     "corpus_pretrain_ids": (corpus_pretrain_ids, CORPUS_PRETRAIN_IDS_SQL),

@@ -978,3 +978,18 @@ def test_minhash_collapsed_chunked_expansion_parity(spark, docs_df, monkeypatch)
     }
     assert collapsed == direct
     assert sum(1 for (a, b) in collapsed if a < 10 and b < 10) == 45  # C(10,2)
+
+
+def test_source_dup_matrix_accounts_for_every_pair(spark):
+    """The cross-source rollup partitions the near-dup pair set exactly:
+    Σ n_pairs = |pairs|, and every key is orientation-normalized."""
+    from consent_based_conversion_adjustments_spark.plans.data_queries import (
+        dedup_minhash,
+        source_dup_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    total = dedup_minhash(spark, sf).count()
+    rows = source_dup_matrix(spark, sf).collect()
+    assert sum(r["n_pairs"] for r in rows) == total > 0
+    assert all(r["source_x"] <= r["source_y"] for r in rows)

@@ -105,3 +105,38 @@ def test_semdedup_mega_cluster_blocks(spark):
         (r["id_a"], r["id_b"]): round(r["cosine"], 9) for r in got
     } == expected
     assert len(expected) == 40 * 39 / 2  # the bundle really is a clique
+
+
+def test_centroid_outliers_flags_match_manual_stats(spark, emb):
+    from consent_based_conversion_adjustments_spark.operators.semdedup import (
+        centroid_outliers,
+    )
+
+    rows = centroid_outliers(emb, k=4, iters=2).collect()
+    assert len(rows) == emb.count()
+    by_cluster = {}
+    for r in rows:
+        assert r["sq_dist"] >= 0.0
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    import statistics
+
+    for cluster, rs in by_cluster.items():
+        ds = [r["sq_dist"] for r in rs]
+        mu, sd = statistics.fmean(ds), statistics.pstdev(ds)
+        for r in rs:
+            expected = r["sq_dist"] > mu + 2.0 * sd
+            assert r["is_outlier"] == expected, (cluster, r["vec_id"])
+    # a 2-sigma flag must be sparse but the fixture should trip it somewhere
+    n_out = sum(r["is_outlier"] for r in rows)
+    assert 0 < n_out < len(rows) * 0.2
+
+
+def test_centroid_outliers_empty(spark):
+    from consent_based_conversion_adjustments_spark.operators.semdedup import (
+        centroid_outliers,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = centroid_outliers(empty)
+    assert out.columns == ["vec_id", "cluster", "sq_dist", "is_outlier"]
+    assert out.count() == 0
