@@ -174,6 +174,34 @@ def centroid_outliers(
     )
 
 
+def _dist_cte(
+    k: int, iters: int, dim: int, table: str, id_col: str, vec_col: str
+) -> str:
+    """Shared oracle CTE: (id, cluster, sq_dist) from a double k-means
+    replay (assignment + final centroids) plus the distance recompute."""
+    asg = kmeans_sql(
+        k=k, iters=iters, dim=dim, table=table, id_col=id_col, vec_col=vec_col
+    )
+    cents = kmeans_sql(
+        k=k, iters=iters, dim=dim, table=table, id_col=id_col,
+        vec_col=vec_col, emit="cents",
+    )
+    return f"""asg AS (SELECT * FROM ({asg})),
+cents AS ({cents}),
+dv AS (
+    SELECT {id_col},
+           list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+    FROM {table}
+), dist AS (
+    SELECT a.{id_col}, a.cluster,
+           list_sum(list_transform(range(1, {dim} + 1),
+               d -> (dv.v[d] - c.v[d]) * (dv.v[d] - c.v[d]))) AS sq_dist
+    FROM asg a
+    JOIN cents c ON c.cell = a.cluster
+    JOIN dv ON dv.{id_col} = a.{id_col}
+)"""
+
+
 def centroid_outliers_sql(
     k: int = 8,
     iters: int = 3,
@@ -188,28 +216,10 @@ def centroid_outliers_sql(
     """DuckDB twin of ``centroid_outliers``: replays the k-means fit
     twice (assignment + final centroids), recomputes each row's distance
     to its centroid, then the per-cluster z-flag."""
-    asg = kmeans_sql(
-        k=k, iters=iters, dim=dim, table=table, id_col=id_col, vec_col=vec_col
-    )
-    cents = kmeans_sql(
-        k=k, iters=iters, dim=dim, table=table, id_col=id_col,
-        vec_col=vec_col, emit="cents",
-    )
+    cte = _dist_cte(k, iters, dim, table, id_col, vec_col)
     return f"""
-WITH asg AS (SELECT * FROM ({asg})),
-cents AS ({cents}),
-dv AS (
-    SELECT {id_col},
-           list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
-    FROM {table}
-), dist AS (
-    SELECT a.{id_col}, a.cluster,
-           list_sum(list_transform(range(1, {dim} + 1),
-               d -> (dv.v[d] - c.v[d]) * (dv.v[d] - c.v[d]))) AS sq_dist
-    FROM asg a
-    JOIN cents c ON c.cell = a.cluster
-    JOIN dv ON dv.{id_col} = a.{id_col}
-), stats AS (
+WITH {cte},
+stats AS (
     SELECT cluster, avg(sq_dist) AS mu, stddev_pop(sq_dist) AS sd
     FROM dist GROUP BY cluster
 )
@@ -218,6 +228,75 @@ SELECT d.{id_col}, d.cluster,
        d.sq_dist > s.mu + {z} * s.sd AS is_outlier
 FROM dist d JOIN stats s USING (cluster)
 ORDER BY d.{id_col}
+"""
+
+
+def diverse_sample(
+    df: DataFrame,
+    m: int,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-stratified diverse subset: the m members of each k-means
+    cluster FARTHEST from their centroid (ties → lowest id) — the
+    SemDeDup paper's keep-rule turned into a subset selector (pruning
+    prototypical near-center mass first is also SSL-prototypes pruning,
+    Sorscher et al. 2022). One labeling pass (distance free from the
+    argmin), then a per-cluster top-m window over k bounded partitions.
+
+    Output: (cluster, vec_id, sq_dist, rank) with rank 1 = farthest.
+    """
+    from pyspark.sql import Window
+
+    cents = kmeans_fit(df, k, iters, id_col=id_col, vec_col=vec_col)
+    if not cents:
+        return df.sparkSession.createDataFrame(
+            [], f"cluster int, {id_col} long, sq_dist double, rank long"
+        )
+    labeled = kmeans_label(
+        df, cents, id_col=id_col, vec_col=vec_col, emit_dist=True
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("sq_dist").desc(), F.col(id_col)
+    )
+    return (
+        labeled.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
+        .select(
+            "cluster", F.col(id_col), "sq_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def diverse_sample_sql(
+    m: int,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 6,
+) -> str:
+    """DuckDB twin of ``diverse_sample``."""
+    cte = _dist_cte(k, iters, dim, table, id_col, vec_col)
+    return f"""
+WITH {cte},
+ranked AS (
+    SELECT cluster, {id_col}, sq_dist,
+           row_number() OVER (
+               PARTITION BY cluster ORDER BY sq_dist DESC, {id_col}) AS rank
+    FROM dist
+)
+SELECT cluster, {id_col},
+       round(sq_dist - 1e-9, {round_scale}) + 0.0 AS sq_dist, rank
+FROM ranked WHERE rank <= {m}
+ORDER BY cluster, rank
 """
 
 

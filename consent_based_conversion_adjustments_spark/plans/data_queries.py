@@ -2274,6 +2274,31 @@ EMBEDDING_OUTLIERS_SQL = SD.centroid_outliers_sql(
     k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, dim=64
 )
 
+_DIVERSE_M = 16
+
+
+def embedding_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-stratified diverse subset (operators.semdedup
+    .diverse_sample): the 16 farthest-from-centroid members per k-means
+    cluster — coverage-preserving data pruning (SemDeDup's keep rule /
+    SSL-prototypes). The Spark output rounds sq_dist AFTER the ranking
+    window, mirroring the oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = SD.diverse_sample(
+        emb, _DIVERSE_M, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS
+    )
+    return out.select(
+        "cluster",
+        "vec_id",
+        stable_round("sq_dist", 6).alias("sq_dist"),
+        "rank",
+    ).orderBy("cluster", "rank")
+
+
+EMBEDDING_DIVERSE_SQL = SD.diverse_sample_sql(
+    _DIVERSE_M, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, dim=64
+)
+
 
 def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: MinHash near-dup pairs rolled up
@@ -4029,6 +4054,10 @@ QUERIES: dict[str, tuple] = {
     "semdedup_pairs": (semdedup_pairs, SEMDEDUP_PAIRS_SQL),
     "semdedup_keep_ids": (semdedup_keep_ids, SEMDEDUP_KEEP_SQL),
     "embedding_outliers": (embedding_outliers, EMBEDDING_OUTLIERS_SQL),
+    "embedding_diverse_sample": (
+        embedding_diverse_sample,
+        EMBEDDING_DIVERSE_SQL,
+    ),
     "source_dup_matrix": (source_dup_matrix, SOURCE_DUP_MATRIX_SQL),
     "ann_sq8_topk": (ann_sq8_topk, SQ8_TOPK_SQL),
     "sq8_recon_error": (sq8_recon_error, SQ8_RECON_SQL),

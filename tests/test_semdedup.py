@@ -140,3 +140,25 @@ def test_centroid_outliers_empty(spark):
     out = centroid_outliers(empty)
     assert out.columns == ["vec_id", "cluster", "sq_dist", "is_outlier"]
     assert out.count() == 0
+
+
+def test_diverse_sample_picks_farthest_per_cluster(spark, emb):
+    from consent_based_conversion_adjustments_spark.operators import cluster as CL
+    from consent_based_conversion_adjustments_spark.operators.semdedup import (
+        diverse_sample,
+    )
+
+    m = 5
+    got = diverse_sample(emb, m, k=4, iters=2).collect()
+    cents = CL.kmeans_fit(emb, 4, 2)
+    all_rows = CL.kmeans_label(emb, cents, emit_dist=True).collect()
+    by_cluster = {}
+    for r in all_rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    expected = set()
+    for cluster, rs in by_cluster.items():
+        top = sorted(rs, key=lambda r: (-r["sq_dist"], r["vec_id"]))[:m]
+        expected |= {(cluster, r["vec_id"]) for r in top}
+    assert {(r["cluster"], r["vec_id"]) for r in got} == expected
+    for r in got:
+        assert 1 <= r["rank"] <= m
