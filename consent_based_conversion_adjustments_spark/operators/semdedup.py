@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cluster import kmeans_fit, kmeans_label, kmeans_sql
-from .similarity_search import cosine_neardup_blas
+from .similarity_search import cosine_cross_pairs_blas, cosine_neardup_blas
 
 
 def _auto_blocks(spark, k: int) -> int:
@@ -172,6 +172,136 @@ def centroid_outliers(
             F.col("sq_dist") > F.col("__mu") + F.lit(z) * F.col("__sd")
         ).alias("is_outlier"),
     )
+
+
+def semdedup_admission(
+    store: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup: the arriving ``batch`` is checked against the
+    ACCEPTED ``store`` without ever re-forming store×store pairs — the
+    embedding analog of the MinHash admission store
+    (dedup.incremental_minhash_neardup).
+
+    Centroids are fit on the store ONLY (the accepted corpus defines the
+    semantic space; a production deployment persists them and refits on
+    drift). Both frames take one labeling pass; then two cluster-keyed
+    BLAS stages: batch×store cross pairs (`cosine_cross_pairs_blas` —
+    the full-square grid, |batch|·|store|/k mass) and batch-internal
+    pairs against lower-id batch-mates. Emits every near-dup relation
+    (id, dup_of, cosine) — dup_of is a store member or an earlier
+    batch-mate, mirroring the MinHash admission's output contract.
+
+    Empty store: centroids fall back to a batch fit, so the first-ever
+    epoch degrades to plain ``semdedup_pairs`` admission.
+    """
+    cents = kmeans_fit(store, k, iters, id_col=id_col, vec_col=vec_col)
+    if not cents:
+        cents = kmeans_fit(batch, k, iters, id_col=id_col, vec_col=vec_col)
+    spark = batch.sparkSession
+    if not cents:
+        return spark.createDataFrame(
+            [], f"{id_col} long, dup_of long, cosine double"
+        )
+    if n_blocks is None:
+        n_blocks = _auto_blocks(spark, len(cents))
+    store_l = kmeans_label(
+        store, cents, id_col=id_col, vec_col=vec_col, carry_vec=True
+    )
+    batch_l = kmeans_label(
+        batch, cents, id_col=id_col, vec_col=vec_col, carry_vec=True
+    )
+    vs_store = cosine_cross_pairs_blas(
+        batch_l,
+        store_l,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_blocks=n_blocks,
+        group_col="cluster",
+    ).select(
+        F.col("id_a").alias(id_col),
+        F.col("id_b").alias("dup_of"),
+        "cosine",
+    )
+    vs_batch = cosine_neardup_blas(
+        batch_l,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_blocks=n_blocks,
+        group_col="cluster",
+    ).select(
+        F.col("id_b").alias(id_col),  # the LATER doc carries the relation
+        F.col("id_a").alias("dup_of"),
+        "cosine",
+    )
+    return vs_store.unionAll(vs_batch)
+
+
+def semdedup_admission_sql(
+    threshold: float,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    store_pred: str = "vec_id % 4 <> 0",
+    round_scale: int = 6,
+) -> str:
+    """DuckDB twin of ``semdedup_admission`` with store/batch split by
+    ``store_pred``: replays the store-only k-means fit, assigns BOTH
+    sides against the final centroids, then the two cluster-keyed pair
+    scans."""
+    cents = kmeans_sql(
+        k=k,
+        iters=iters,
+        dim=dim,
+        table=f"(SELECT * FROM {table} WHERE {store_pred})",
+        id_col=id_col,
+        vec_col=vec_col,
+        emit="cents",
+    )
+    rng = f"range(1, {dim} + 1)"
+    return f"""
+WITH cents AS ({cents}),
+dv AS (
+    SELECT {id_col}, ({store_pred}) AS in_store,
+           list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+    FROM {table}
+), asg AS (
+    SELECT {id_col}, in_store, v, cell AS cluster FROM (
+        SELECT dv.*, c.cell,
+               row_number() OVER (PARTITION BY dv.{id_col} ORDER BY
+                   list_sum(list_transform({rng},
+                       d -> (dv.v[d] - c.v[d]) * (dv.v[d] - c.v[d]))),
+                   c.cell) AS rn
+        FROM dv CROSS JOIN cents c) WHERE rn = 1
+), rel AS (
+    SELECT b.{id_col}, s.{id_col} AS dup_of,
+           list_dot_product(b.v, s.v)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(s.v, s.v))) AS cosine
+    FROM asg b JOIN asg s
+      ON b.cluster = s.cluster AND NOT b.in_store
+     AND (s.in_store OR s.{id_col} < b.{id_col})
+    WHERE list_dot_product(b.v, b.v) > 0
+      AND list_dot_product(s.v, s.v) > 0
+)
+SELECT {id_col}, dup_of,
+       round(cosine - 1e-9, {round_scale}) + 0.0 AS cosine
+FROM rel WHERE cosine >= {threshold}
+ORDER BY {id_col}, dup_of
+"""
 
 
 def _dist_cte(

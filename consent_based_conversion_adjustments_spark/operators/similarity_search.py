@@ -465,6 +465,91 @@ def cosine_neardup_blas(
     )
 
 
+def cosine_cross_pairs_blas(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 4,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs BETWEEN two frames: (id_a from left,
+    id_b from right, cosine ≥ threshold). The two-frame sibling of
+    `cosine_neardup_blas` — same block-pair-grid BLAS execution, but the
+    grid is the full B_l×B_r square (every cross pair lives in exactly
+    one block pair; no diagonal dedup, no orientation normalization).
+    This is the probe stage of incremental admission: left = the
+    arriving batch, right = the accepted store, optionally both keyed by
+    ``group_col`` (cluster) so only same-group pairs are ever formed."""
+    spark = left.sparkSession
+
+    def tag(df: DataFrame) -> DataFrame:
+        grp = [F.col(group_col).alias("__grp")] if group_col else []
+        return df.select(
+            *grp,
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
+        )
+
+    tl, tr = tag(left), tag(right)
+    grid_rows = ", ".join(
+        f"({a * n_blocks + b}, {a}, {b})"
+        for a in range(n_blocks)
+        for b in range(n_blocks)
+    )
+    grid = spark.sql(
+        f"SELECT * FROM VALUES {grid_rows} AS grid(__pair, __ba, __bb)"
+    )
+    lg = [F.col("__grp")] if group_col else []
+    lhs = tl.join(grid, tl["__blk"] == grid["__ba"]).select(
+        *lg, "__pair", "__id", "__v"
+    )
+    rhs = tr.join(grid, tr["__blk"] == grid["__bb"]).select(
+        *lg,
+        F.col("__pair").alias("__pair_r"),
+        "__id",
+        "__v",
+    )
+
+    def kernel(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        la = l["__id"].to_numpy()
+        rb = r["__id"].to_numpy()
+        L = np.stack(l["__v"].to_numpy()).astype(np.float64)
+        R = np.stack(r["__v"].to_numpy()).astype(np.float64)
+        ln = np.sqrt((L * L).sum(axis=1))
+        rn = np.sqrt((R * R).sum(axis=1))
+        lsafe = np.where(ln == 0.0, 1.0, ln)
+        rsafe = np.where(rn == 0.0, 1.0, rn)
+        S = (L @ R.T) / np.outer(lsafe, rsafe)
+        mask = (S >= threshold) & (ln[:, None] > 0.0) & (rn[None, :] > 0.0)
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            return empty
+        return pd.DataFrame(
+            {"id_a": la[ii], "id_b": rb[jj], "cosine": S[ii, jj]}
+        )
+
+    lkeys = ["__grp", "__pair"] if group_col else ["__pair"]
+    rkeys = ["__grp", "__pair_r"] if group_col else ["__pair_r"]
+    return (
+        lhs.groupBy(*lkeys)
+        .cogroup(rhs.groupBy(*rkeys))
+        .applyInPandas(kernel, "id_a long, id_b long, cosine double")
+    )
+
+
 def cosine_neardup_lsh(
     df: DataFrame,
     threshold: float,

@@ -2277,6 +2277,30 @@ EMBEDDING_OUTLIERS_SQL = SD.centroid_outliers_sql(
 _DIVERSE_M = 16
 
 
+def semdedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (operators.semdedup.semdedup_admission): the
+    accepted STORE (vec_id % 4 != 0) receives an arriving batch
+    (vec_id % 4 == 0); centroids fit on the store only, both sides take
+    one labeling pass, and the batch's near-dup relations against the
+    store or earlier batch-mates come from two cluster-keyed BLAS
+    stages — store×store pairs are never formed. The embedding analog of
+    `incremental_dedup_admission`."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    store = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    out = SD.semdedup_admission(
+        store, batch, NEARDUP_COSINE, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS
+    )
+    return out.select(
+        "vec_id", "dup_of", stable_round("cosine", 6).alias("cosine")
+    ).orderBy("vec_id", "dup_of")
+
+
+SEMDEDUP_ADMISSION_SQL = SD.semdedup_admission_sql(
+    NEARDUP_COSINE, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, dim=64
+)
+
+
 def embedding_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-stratified diverse subset (operators.semdedup
     .diverse_sample): the 16 farthest-from-centroid members per k-means
@@ -4058,6 +4082,7 @@ QUERIES: dict[str, tuple] = {
         embedding_diverse_sample,
         EMBEDDING_DIVERSE_SQL,
     ),
+    "semdedup_admission": (semdedup_admission, SEMDEDUP_ADMISSION_SQL),
     "source_dup_matrix": (source_dup_matrix, SOURCE_DUP_MATRIX_SQL),
     "ann_sq8_topk": (ann_sq8_topk, SQ8_TOPK_SQL),
     "sq8_recon_error": (sq8_recon_error, SQ8_RECON_SQL),

@@ -162,3 +162,69 @@ def test_diverse_sample_picks_farthest_per_cluster(spark, emb):
     assert {(r["cluster"], r["vec_id"]) for r in got} == expected
     for r in got:
         assert 1 <= r["rank"] <= m
+
+
+def _bundle(rng, base, n, scale=0.03):
+    return [base + rng.normal(scale=scale, size=len(base)) for _ in range(n)]
+
+
+def test_semdedup_admission_planted_relations(spark):
+    """Batch docs near a store doc or an earlier batch-mate are flagged
+    with the right dup_of; novel batch docs pass clean; store-store pairs
+    never appear."""
+    import numpy as np
+
+    from consent_based_conversion_adjustments_spark.operators.semdedup import (
+        semdedup_admission,
+    )
+
+    rng = np.random.default_rng(11)
+    b1, b2 = rng.normal(size=16), rng.normal(size=16)
+    store_rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(_bundle(rng, b1, 6) + _bundle(rng, b2, 6))
+    ]
+    novel = rng.normal(size=16)
+    batch_rows = [
+        (100, [float(x) for x in (b1 + rng.normal(scale=0.03, size=16))]),
+        (101, [float(x) for x in novel]),                       # clean
+        (102, [float(x) for x in (novel + rng.normal(scale=0.03, size=16))]),
+    ]
+    schema = "vec_id long, embedding array<double>"
+    store = spark.createDataFrame(store_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    rels = semdedup_admission(store, batch, 0.9, k=2, iters=2).collect()
+    by_doc = {}
+    for r in rels:
+        by_doc.setdefault(r["vec_id"], set()).add(r["dup_of"])
+    # 100 matches the b1 store bundle (store ids 0..5)
+    assert by_doc.get(100) and by_doc[100] <= set(range(6))
+    # 101 entered first, so it is clean; 102 trips on batch-mate 101
+    assert 101 not in by_doc
+    assert 102 in by_doc and 101 in by_doc[102]
+    # no relation ever names a batch doc later than itself or a store pair
+    for r in rels:
+        assert r["vec_id"] >= 100
+        assert r["dup_of"] < r["vec_id"] or r["dup_of"] < 100
+
+
+def test_semdedup_admission_empty_store_falls_back(spark):
+    import numpy as np
+
+    from consent_based_conversion_adjustments_spark.operators.semdedup import (
+        semdedup_admission,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    batch = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(_bundle(rng, base, 4))],
+        schema,
+    )
+    rels = semdedup_admission(empty, batch, 0.9, k=1, iters=1).collect()
+    # a tight bundle: every doc relates to every earlier batch-mate
+    assert {(r["vec_id"], r["dup_of"]) for r in rels} == {
+        (b, a) for a in range(4) for b in range(a + 1, 4)
+    }
