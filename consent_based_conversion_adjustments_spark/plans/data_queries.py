@@ -453,7 +453,17 @@ WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
 def _pretrain_kept_frames(spark: SparkSession, sf_dir: str):
     """Shared stages of the composed pretraining-corpus cleaning pass:
     kept0 = language+quality gate, kept1 = exact-fingerprint canonical
-    survivors, pairs = MinHash near-dup relations among kept1."""
+    survivors, pairs = MinHash near-dup relations among kept1.
+
+    kept1 is PERSISTED (the dsir-count-table precedent): the MinHash
+    stage fans it out to one consumer per signature/band build, and
+    without the pin each consumer re-derives the whole lang+quality+
+    fingerprint chain from the documents scan. Fresh-JVM A/B
+    (tools/scale/run_scale_pipeline_r9.py): noise-level at sf0.1 (the
+    gate chain is cheap there) but 152.5 → 106.9 s at the 64×
+    identical-copy tiles — the win grows with raw-corpus size because
+    kept1 is the post-exact-dedup survivor set, the SMALL end of the
+    funnel, while the re-derived chain is the big end."""
     docs = read_table(spark, sf_dir, "documents")
     toks = X.tokens("text")
     praw = X.punct_ratio("text")
@@ -465,7 +475,7 @@ def _pretrain_kept_frames(spark: SparkSession, sf_dir: str):
     canon = D.token_fingerprint_dedup(kept0, "text", "doc_id").select(
         F.col("canonical_id").alias("doc_id")
     )
-    kept1 = kept0.join(canon, "doc_id")
+    kept1 = kept0.join(canon, "doc_id").persist()
     pairs = D.minhash_neardup(
         kept1, "text", "doc_id", threshold=JACCARD_THRESHOLD
     )
