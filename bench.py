@@ -119,8 +119,14 @@ HEADLINE = [
     ("dedup_clusters", data_queries.dedup_clusters),
     ("corpus_canonical_ids", data_queries.corpus_canonical_ids),
     ("semdedup_pairs", data_queries.semdedup_pairs),
+    ("semdedup_admission", data_queries.semdedup_admission),
+    ("embedding_outliers", data_queries.embedding_outliers),
+    ("embedding_diverse_sample", data_queries.embedding_diverse_sample),
     ("ann_sq8_topk", data_queries.ann_sq8_topk),
     ("streaming_dedup_union", data_queries.streaming_dedup_union),
+    ("corpus_pretrain_ids", data_queries.corpus_pretrain_ids),
+    ("doc_nb_quality", corpus_queries.doc_nb_quality),
+    ("source_dup_matrix", data_queries.source_dup_matrix),
 ]
 
 

@@ -28,6 +28,7 @@ from ..operators.similarity_search import (
     ivf_topk,
     lsh_topk,
 )
+from ..operators.sketches import cms_heavy_hitters_sql
 from ..sources.io import read_table
 from ..streaming.events import (
     interval_bin_join,
@@ -3962,6 +3963,21 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return click_purchase_pairs_streaming(spark, sf_dir)
 
 
+def user_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit (operators.sketches): top-10 users by exact
+    event count annotated with their CMS estimate — cms_est ≥ true_n
+    always; the gap is the collision mass the 4×1024 counter table trades
+    for bounded state. Build = one map-side-combinable (row, bucket) agg;
+    every cell replayed in the oracle."""
+    from ..operators.sketches import cms_heavy_hitters
+
+    events = read_table(spark, sf_dir, "events")
+    return cms_heavy_hitters(events, "user_id", 10).orderBy("rank")
+
+
+CMS_HH_SQL = cms_heavy_hitters_sql(10, table="events", key_col="user_id")
+
+
 def streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming keyed dedup (streaming.dedup): the events fixture
     read as TWO readStream legs and unioned — an at-least-once source
@@ -4017,6 +4033,7 @@ QUERIES: dict[str, tuple] = {
         STREAM_JOIN_SQL,
     ),
     "streaming_dedup_union": (streaming_dedup_union, STREAMING_DEDUP_SQL),
+    "user_heavy_hitters_cms": (user_heavy_hitters_cms, CMS_HH_SQL),
     "events_value_trend": (events_value_trend, EVENTS_TREND_SQL),
     "retained_users_window": (retained_users_window, RETAINED_WINDOW_SQL),
     "retained_users_window_theta": (retained_users_window_theta, None),

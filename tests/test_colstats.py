@@ -184,3 +184,44 @@ class TestTableProfile:
             .toString()
         )
         assert p.count("Scan parquet") == 1 and "Expand" in p
+
+
+def test_cms_estimate_never_underestimates_and_matches_manual(spark):
+    """Count-Min invariants: est ≥ true for every key, exact when the
+    counter table has no colliding mass, and cells replay a manual
+    python build bit-for-bit."""
+    from collections import Counter
+
+    from consent_based_conversion_adjustments_spark.operators.sketches import (
+        CMS_DEPTH,
+        cms_build,
+        cms_heavy_hitters,
+    )
+
+    keys = [1, 1, 1, 2, 2, 3, 4, 5, 5, 5, 5, 7001, 7001]
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    width = 64
+    out = {
+        r["user_id"]: (r["true_n"], r["cms_est"])
+        for r in cms_heavy_hitters(df, "user_id", 6, width=width).collect()
+    }
+    true = Counter(keys)
+    mod = 1_000_000_007
+
+    def bucket(k, i):
+        return ((k * (2 * i + 1) + 97 * i + 13) % mod) % width
+
+    cells = Counter()
+    for k in keys:
+        for i in range(CMS_DEPTH):
+            cells[(i, bucket(k, i))] += 1
+    got_cells = {
+        (r["row_i"], r["bucket"]): r["cell_n"]
+        for r in cms_build(df, "user_id", width=width).collect()
+    }
+    assert got_cells == dict(cells)
+    for k, (tn, est) in out.items():
+        assert tn == true[k]
+        assert est >= tn
+        manual = min(cells[(i, bucket(k, i))] for i in range(CMS_DEPTH))
+        assert est == manual
