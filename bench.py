@@ -127,6 +127,7 @@ HEADLINE = [
     ("corpus_pretrain_ids", data_queries.corpus_pretrain_ids),
     ("doc_nb_quality", corpus_queries.doc_nb_quality),
     ("source_dup_matrix", data_queries.source_dup_matrix),
+    ("user_heavy_hitters_cms", data_queries.user_heavy_hitters_cms),
 ]
 
 

@@ -68,12 +68,18 @@ def cms_heavy_hitters(
     *,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    cms: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k keys by exact count, annotated with their CMS estimate —
     the audit view that validates a sketch deployment: cms_est ≥ true_n
     always, and the gap IS the collision mass. The sketch build and the
     exact top-k share one scan each; the estimate lookup explodes only
-    the k result keys against the d·w broadcastable counter table."""
+    the k result keys against the d·w broadcastable counter table.
+
+    ``cms``: a prebuilt (row_i, bucket, cell_n) counter table — e.g. the
+    streaming store's epoch-summed totals; cells are additive, so the
+    estimates are identical to a one-shot batch build over the same rows.
+    """
     key = F.col(key_col).cast("long")
     true_top = (
         df.groupBy(key.alias(key_col))
@@ -86,7 +92,8 @@ def cms_heavy_hitters(
         )
         .filter(F.col("rank") <= k)
     )
-    cms = cms_build(df, key_col, depth=depth, width=width)
+    if cms is None:
+        cms = cms_build(df, key_col, depth=depth, width=width)
     probes = true_top.select(
         key_col,
         "true_n",

@@ -11,6 +11,8 @@ rows-only and verified in pytest against the exact baselines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3978,6 +3980,38 @@ def user_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_HH_SQL = cms_heavy_hitters_sql(10, table="events", key_col="user_id")
 
 
+def streaming_cms_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming build of the Count-Min table (streaming.stats
+    .CmsStore): the events file stream feeds a foreachBatch sink that
+    writes each micro-batch's counter cells to an epoch-partitioned
+    parquet store (exactly-once via dynamic partition overwrite); the
+    heavy-hitter audit then runs against the store's epoch-summed
+    totals. Cells are additive, so the result — and therefore the
+    ORACLE — is identical to the one-shot batch CMS (CMS_HH_SQL),
+    regardless of how the engine split the micro-batches."""
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import cms_heavy_hitters
+    from ..streaming.events import stream_events_from_parquet
+    from ..streaming.stats import CmsStore
+
+    work = tempfile.mkdtemp(prefix="cocoa_cms_store_")
+    try:
+        store = CmsStore(os.path.join(work, "store"))
+        stream = stream_events_from_parquet(spark, sf_dir, watermark=None)
+        q = store.sink(stream, os.path.join(work, "ckpt"))
+        q.awaitTermination(600)
+        events = read_table(spark, sf_dir, "events")
+        return (
+            cms_heavy_hitters(events, "user_id", 10, cms=store.totals(spark))
+            .orderBy("rank")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming keyed dedup (streaming.dedup): the events fixture
     read as TWO readStream legs and unioned — an at-least-once source
@@ -4034,6 +4068,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "streaming_dedup_union": (streaming_dedup_union, STREAMING_DEDUP_SQL),
     "user_heavy_hitters_cms": (user_heavy_hitters_cms, CMS_HH_SQL),
+    "streaming_cms_rounds": (streaming_cms_rounds, CMS_HH_SQL),
     "events_value_trend": (events_value_trend, EVENTS_TREND_SQL),
     "retained_users_window": (retained_users_window, RETAINED_WINDOW_SQL),
     "retained_users_window_theta": (retained_users_window_theta, None),

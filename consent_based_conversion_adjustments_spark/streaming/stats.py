@@ -254,3 +254,68 @@ def retained_over_ranges(
             ),
         )
     )
+
+
+# -- streaming Count-Min store (additive frequency cells) ----------------------
+
+
+class CmsStore:
+    """Parquet-backed Count-Min counter cells, per-epoch additive — the
+    frequency sibling of the Gram-partials store above, with the same
+    exactly-once mechanics (epoch-partitioned dynamic overwrite; replay
+    rewrites its own partition).
+
+    CMS cells are cell-wise ADDITIVE, so the store's epoch-summed totals
+    equal a one-shot batch build over every row ever ingested — no
+    approximation drift from micro-batching, which is the property that
+    lets a 100 TB/day stream keep per-window frequency state in d·w
+    counters instead of an unbounded key table."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        key_col: str = "user_id",
+        depth: int | None = None,
+        width: int | None = None,
+    ):
+        from ..operators import sketches as SK
+
+        self.store_dir = store_dir
+        self.key_col = key_col
+        self.depth = depth or SK.CMS_DEPTH
+        self.width = width or SK.CMS_WIDTH
+        self.cells_path = os.path.join(store_dir, "cms_cells")
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.sketches import cms_build
+
+        (
+            cms_build(
+                batch_df, self.key_col, depth=self.depth, width=self.width
+            )
+            .withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(self.cells_path)
+        )
+
+    def sink(self, stream_df: DataFrame, checkpoint_path: str, **trigger):
+        if not trigger:
+            trigger = {"availableNow": True}
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(**trigger)
+            .start()
+        )
+
+    def totals(self, spark: SparkSession) -> DataFrame:
+        """Epoch-summed counter table — the (row_i, bucket, cell_n)
+        contract of ``sketches.cms_build`` over everything ingested."""
+        return (
+            spark.read.schema("row_i int, bucket long, cell_n long, epoch long")
+            .parquet(self.cells_path)
+            .groupBy("row_i", "bucket")
+            .agg(F.sum("cell_n").alias("cell_n"))
+        )

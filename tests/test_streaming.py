@@ -1287,3 +1287,43 @@ def test_streaming_watermark_dedup_equals_batch_distinct(spark, tmp_path):
     )
     assert len(got) == len(batch)  # each key exactly once despite 2x input
     assert {tuple(r) for r in got} == {tuple(r) for r in batch}
+
+
+def test_streaming_cms_totals_equal_batch_build(spark, tmp_path):
+    """The CMS store's epoch-summed totals equal a one-shot batch build
+    over the same rows — cells are additive, so multi-epoch streaming
+    introduces NO drift. The source is split into 3 files with
+    maxFilesPerTrigger=1 to force real multi-epoch accumulation."""
+    from consent_based_conversion_adjustments_spark.operators.sketches import (
+        cms_build,
+    )
+    from consent_based_conversion_adjustments_spark.streaming.stats import CmsStore
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = CmsStore(str(tmp_path / "store"))
+    q = store.sink(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(600)
+
+    streamed = {
+        (r["row_i"], r["bucket"]): r["cell_n"]
+        for r in store.totals(spark).collect()
+    }
+    batch = {
+        (r["row_i"], r["bucket"]): r["cell_n"]
+        for r in cms_build(events, "user_id").collect()
+    }
+    assert streamed == batch
+    # and more than one epoch actually contributed
+    import glob
+
+    epochs = glob.glob(str(tmp_path / "store" / "cms_cells" / "epoch=*"))
+    assert len(epochs) >= 2
