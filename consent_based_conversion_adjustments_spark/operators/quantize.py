@@ -176,11 +176,26 @@ def sq8_topk(
             c = np.vstack(pdf["codes"].to_numpy()).astype(np.float64)
             deq = mn[None, :] + c * st[None, :]
             cand = pdf[cand_id].to_numpy()
-            # sequential over d: bit-matches the oracle's list_sum order
-            acc = np.zeros((len(qids), len(pdf)))
-            for d in range(deq.shape[1]):
-                diff = qv[:, d, None] - deq[None, :, d]
-                acc += diff * diff
+            if len(qids) <= 32:
+                # sequential over d: bit-matches the oracle's list_sum
+                # order (every oracle-checked run is a probe-sized set)
+                acc = np.zeros((len(qids), len(pdf)))
+                for d in range(deq.shape[1]):
+                    diff = qv[:, d, None] - deq[None, :, d]
+                    acc += diff * diff
+            else:
+                # large query sets: the d-loop allocates a q×batch temp
+                # per dimension — 64 passes of pure memory traffic
+                # (measured 259 s at the 64× rung, 1,280 queries). One
+                # BLAS matmul via q²+c²−2qc is compute-bound instead;
+                # the rounding difference can flip a rank only for
+                # near-exactly-equidistant candidates (same acceptance
+                # as cluster._dists' large-k form).
+                acc = (
+                    (qv * qv).sum(axis=1)[:, None]
+                    + (deq * deq).sum(axis=1)[None, :]
+                    - 2.0 * (qv @ deq.T)
+                )
             outs = []
             for qi in range(len(qids)):
                 idx = np.nonzero(cand != qids[qi])[0]
