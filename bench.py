@@ -128,6 +128,7 @@ HEADLINE = [
     ("doc_nb_quality", corpus_queries.doc_nb_quality),
     ("source_dup_matrix", data_queries.source_dup_matrix),
     ("user_heavy_hitters_cms", data_queries.user_heavy_hitters_cms),
+    ("streaming_cms_rounds", data_queries.streaming_cms_rounds),
 ]
 
 
