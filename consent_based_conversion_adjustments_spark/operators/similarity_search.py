@@ -482,7 +482,10 @@ def cosine_cross_pairs_blas(
     one block pair; no diagonal dedup, no orientation normalization).
     This is the probe stage of incremental admission: left = the
     arriving batch, right = the accepted store, optionally both keyed by
-    ``group_col`` (cluster) so only same-group pairs are ever formed."""
+    ``group_col`` (cluster) so only same-group pairs are ever formed.
+    No self-pair exclusion exists — the caller's frames are expected to
+    be id-disjoint (admission's store/batch split is); an id present on
+    both sides would pair with itself."""
     spark = left.sparkSession
 
     def tag(df: DataFrame) -> DataFrame:

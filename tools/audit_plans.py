@@ -652,6 +652,17 @@ def main() -> int:
         and "SortMergeJoin" not in p,
     )
 
+    # Incremental admission: both BLAS stages' grids broadcast; the
+    # store×store quadratic never exists (no self-join of the store side
+    # beyond the batch-internal stage).
+    store = emb.filter("vec_id % 4 <> 0")
+    batch = emb.filter("vec_id % 4 = 0")
+    p = plan_of(SDD.semdedup_admission(store, batch, 0.45, k=4, iters=1))
+    check(
+        "semdedup admission: grids broadcast, no cartesian product",
+        p.count("BroadcastHashJoin") >= 4 and "CartesianProduct" not in p,
+    )
+
     # NB quality classifier: the 1-row totals/priors attach as broadcast
     # nested-loop joins (the accepted scalar-attach pattern), never as a
     # cartesian product. (The vocab-table join's strategy is left to AQE:
