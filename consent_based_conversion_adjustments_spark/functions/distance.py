@@ -33,6 +33,12 @@ def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(_fold_sum(d))
 
 
+def squared_l2_distance(a: Column, b: Column) -> Column:
+    """Σ(a_i − b_i)² — the metric the quantized ANN paths (PQ ADC, SQ8)
+    approximate; kept unrooted so rank comparisons skip the sqrt."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
 def dot_product(a: Column, b: Column) -> Column:
     return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
 

@@ -133,7 +133,17 @@ def _cells_kernel(
             cell = np.argmin(d, axis=1)
             out = {id_col: pdf[id_col], "cluster": cell.astype("int32")}
             if emit_dist:
-                out["sq_dist"] = d[np.arange(len(cell)), cell]
+                # recompute the EMITTED distance sequentially over dims:
+                # _dists sums pairwise (np.sum) but the DuckDB oracle
+                # replays left-to-right list_sum — hashing a rounded
+                # value within a ulp of the 1e-6 boundary must not flip
+                # between engines (the quantize.py kernel contract).
+                sel = c[cell]
+                acc = np.zeros(len(cell))
+                for dd in range(x.shape[1]):
+                    diff = x[:, dd] - sel[:, dd]
+                    acc += diff * diff
+                out["sq_dist"] = acc
             if carry_vec:
                 out[vec_col] = pdf[vec_col]
             yield pd.DataFrame(out)

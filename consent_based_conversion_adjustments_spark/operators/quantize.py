@@ -159,6 +159,12 @@ def sq8_topk(
         candidates, mins, steps, id_col=cand_id, vec_col=vec_col
     )
     qrows = queries.select(query_id, vec_col).collect()
+    if not qrows:
+        # np.asarray of an empty row list is 1-D; the kernel's qv[:, d, None]
+        # would IndexError — mirror the empty-candidates early return.
+        return spark.createDataFrame(
+            [], f"{query_id} long, {cand_id} long, sq_dist double, rank long"
+        )
     qids = np.asarray([r[query_id] for r in qrows])
     qv = np.asarray(
         [[float(x) for x in r[vec_col]] for r in qrows], dtype=np.float64

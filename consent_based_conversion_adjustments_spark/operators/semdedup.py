@@ -108,23 +108,82 @@ def semdedup_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int | None = None,
+    keep: str = "lowest_id",
 ) -> DataFrame:
-    """Ids surviving semantic dedup (keep-lowest-id rule).
+    """Ids surviving semantic dedup.
 
-    A row is removed iff it is the HIGHER id of some qualifying pair —
-    one distinct over the pair stage's id_b column and a left-anti join;
-    both shuffle only id rows, never vectors.
+    ``keep="lowest_id"`` (default): a row is removed iff it is the
+    HIGHER id of some qualifying pair — one distinct over the pair
+    stage's id_b column and a left-anti join; both shuffle only id rows,
+    never vectors.
+
+    ``keep="farthest_from_centroid"``: the paper's rule (Abbas et al.
+    §3 — among semantic duplicates, keep the member with the LOWEST
+    similarity to its cluster centroid, i.e. the farthest; prototypical
+    near-center mass prunes first). Deterministic tie-break: centroid
+    distance DESC, id ASC. Per qualifying pair the loser under that
+    ordering is removed, so on a transitive dup group exactly the
+    group's winner survives — the same removal count as keep-lowest-id
+    with the order key swapped. Distances ship free from the labeling
+    argmin (``emit_dist``, sequential per-dim accumulation so the
+    oracle's list_sum order bit-matches); the keep stage joins pair
+    rows to a (id, dist) table — id-keyed equi-joins only, vectors
+    never re-shuffle.
     """
-    pairs = semdedup_pairs(
-        df,
+    if keep not in ("lowest_id", "farthest_from_centroid"):
+        raise ValueError(
+            f"keep must be 'lowest_id' or 'farthest_from_centroid', "
+            f"got {keep!r}"
+        )
+    if keep == "lowest_id":
+        pairs = semdedup_pairs(
+            df,
+            threshold,
+            k=k,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_blocks=n_blocks,
+        )
+        removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.select(id_col).join(removed, id_col, "left_anti")
+    cents = kmeans_fit(df, k, iters, id_col=id_col, vec_col=vec_col)
+    spark = df.sparkSession
+    if not cents:
+        return df.select(id_col)
+    labeled = kmeans_label(
+        df, cents, id_col=id_col, vec_col=vec_col,
+        carry_vec=True, emit_dist=True,
+    )
+    if n_blocks is None:
+        n_blocks = _auto_blocks(spark, len(cents))
+    pairs = cosine_neardup_blas(
+        labeled,
         threshold,
-        k=k,
-        iters=iters,
         id_col=id_col,
         vec_col=vec_col,
         n_blocks=n_blocks,
+        group_col="cluster",
     )
-    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    dists = labeled.select(F.col(id_col), F.col("sq_dist"))
+    da = dists.select(
+        F.col(id_col).alias("id_a"), F.col("sq_dist").alias("__da")
+    )
+    db = dists.select(
+        F.col(id_col).alias("id_b"), F.col("sq_dist").alias("__db")
+    )
+    # pair contract: id_a < id_b. Loser = nearer-to-centroid member;
+    # on a distance tie the HIGHER id loses (distance DESC, id ASC).
+    removed = (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            F.when(F.col("__db") > F.col("__da"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        )
+        .distinct()
+    )
     return df.select(id_col).join(removed, id_col, "left_anti")
 
 
@@ -358,6 +417,46 @@ SELECT d.{id_col}, d.cluster,
        d.sq_dist > s.mu + {z} * s.sd AS is_outlier
 FROM dist d JOIN stats s USING (cluster)
 ORDER BY d.{id_col}
+"""
+
+
+def semdedup_keep_paper_sql(
+    threshold: float,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``semdedup_keep(keep="farthest_from_centroid")``:
+    replays the k-means fit, the per-row centroid distance, the
+    within-cluster pair scan, then removes each pair's nearer-to-
+    centroid member (tie → higher id)."""
+    cte = _dist_cte(k, iters, dim, table, id_col, vec_col)
+    return f"""
+WITH {cte},
+lv AS (
+    SELECT dv.{id_col}, dv.v, d.cluster, d.sq_dist
+    FROM dv JOIN dist d USING ({id_col})
+), sem_pairs AS (
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           a.sq_dist AS da, b.sq_dist AS db,
+           list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM lv a JOIN lv b
+      ON a.cluster = b.cluster AND a.{id_col} < b.{id_col}
+    WHERE list_dot_product(a.v, a.v) > 0
+      AND list_dot_product(b.v, b.v) > 0
+), removed AS (
+    SELECT DISTINCT CASE WHEN db > da THEN id_a ELSE id_b END AS {id_col}
+    FROM sem_pairs WHERE cosine >= {threshold}
+)
+SELECT {id_col} FROM {table}
+WHERE {id_col} NOT IN (SELECT {id_col} FROM removed)
+ORDER BY {id_col}
 """
 
 

@@ -65,6 +65,38 @@ def cosine_topk(
     )
 
 
+def l2_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by squared L2 distance (ascending, ties by candidate
+    id), excluding self-pairs — the exact baseline the quantized ANN
+    paths (PQ ADC, SQ8) approximate; same broadcast crossJoin + windowed
+    row_number shape as ``cosine_topk``."""
+    from ..functions.distance import squared_l2_distance
+
+    q = queries.select(F.col(query_id), _cast_double(vec_col).alias("__qv"))
+    c = candidates.select(F.col(cand_id), _cast_double(vec_col).alias("__cv"))
+    pairs = q.crossJoin(F.broadcast(c)).filter(
+        F.col(query_id) != F.col(cand_id)
+    )
+    pairs = pairs.withColumn(
+        "sq_dist", squared_l2_distance(F.col("__qv"), F.col("__cv"))
+    ).drop("__qv", "__cv")
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("sq_dist").asc(), F.col(cand_id).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def plane_sign(dim: int, plane: int) -> int:
     """Deterministic ±1 hyperplane entries via a splitmix64 avalanche mix.
 

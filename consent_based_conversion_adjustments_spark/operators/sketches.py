@@ -24,7 +24,7 @@ overflow) — true for every fixture id column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 CMS_DEPTH = 4
@@ -81,16 +81,37 @@ def cms_heavy_hitters(
     estimates are identical to a one-shot batch build over the same rows.
     """
     key = F.col(key_col).cast("long")
-    true_top = (
+    # Exact top-k WITHOUT a global window: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject — per-partition top-k, then a k-row merge —
+    # where a row_number() over an unpartitioned Window would sort the
+    # ENTIRE distinct-key table on one task (10⁸–10⁹ rows at 100 TB).
+    # Rank is then derived on the k-row result with one sorted
+    # collect_list + posexplode (struct sorts by (−true_n, key), i.e.
+    # count desc / key asc): k bounded rows of state, no window, no
+    # second scan of ``df``.
+    top = (
         df.groupBy(key.alias(key_col))
         .agg(F.count(F.lit(1)).alias("true_n"))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("true_n").desc(), F.col(key_col))
-            ),
+        .orderBy(F.col("true_n").desc(), F.col(key_col))
+        .limit(k)
+    )
+    true_top = (
+        top.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("true_n")).alias("neg_n"),
+                        F.col(key_col).alias("k"),
+                    )
+                )
+            ).alias("arr")
         )
-        .filter(F.col("rank") <= k)
+        .select(F.posexplode("arr").alias("pos", "s"))
+        .select(
+            F.col("s.k").alias(key_col),
+            (-F.col("s.neg_n")).alias("true_n"),
+            (F.col("pos") + 1).alias("rank"),
+        )
     )
     if cms is None:
         cms = cms_build(df, key_col, depth=depth, width=width)

@@ -453,6 +453,22 @@ WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
 """
 
 
+# Most-recent-only pin for the pretrain survivor set: the queries that
+# share it return LAZY plans (the driver materializes later), so the pin
+# cannot be released inside the call — instead each new call releases the
+# previous pin, capping cached storage at one survivor set per JVM
+# instead of accumulating one per invocation (bench loops, pytest
+# sessions).
+_PRETRAIN_PIN: list = []
+
+
+def _pin_pretrain(df: DataFrame) -> DataFrame:
+    while _PRETRAIN_PIN:
+        _PRETRAIN_PIN.pop().unpersist()
+    _PRETRAIN_PIN.append(df.persist())
+    return df
+
+
 def _pretrain_kept_frames(spark: SparkSession, sf_dir: str):
     """Shared stages of the composed pretraining-corpus cleaning pass:
     kept0 = language+quality gate, kept1 = exact-fingerprint canonical
@@ -478,7 +494,7 @@ def _pretrain_kept_frames(spark: SparkSession, sf_dir: str):
     canon = D.token_fingerprint_dedup(kept0, "text", "doc_id").select(
         F.col("canonical_id").alias("doc_id")
     )
-    kept1 = kept0.join(canon, "doc_id").persist()
+    kept1 = _pin_pretrain(kept0.join(canon, "doc_id"))
     pairs = D.minhash_neardup(
         kept1, "text", "doc_id", threshold=JACCARD_THRESHOLD
     )
@@ -1147,6 +1163,112 @@ cell_sims AS (
 SELECT query_id, cand_id, {r} AS cosine, rank
 FROM ranked WHERE rank <= {k}
 """.format(cent_values=cent_values, r=sql_round("cosine", 6), k=ANN_K)
+
+
+_ANN_L2_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id % 100 = 0
+), c AS (
+    SELECT vec_id AS cand_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings
+), pairs AS (
+    SELECT query_id, cand_id,
+           list_sum(list_transform(range(1, 65),
+               d -> (qv[d] - cv[d]) * (qv[d] - cv[d]))) AS sq_dist
+    FROM q CROSS JOIN c WHERE query_id <> cand_id
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sq_dist ASC, cand_id) AS rank
+    FROM pairs
+)
+SELECT query_id, cand_id FROM ranked WHERE rank <= {k}
+""".format(k=ANN_K)
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of every approximate ANN path against its exact
+    baseline, driver-visible the way ``sq8_recon_error`` is for
+    quantization error: LSH and IVF rank by cosine, so they audit
+    against the exact cosine top-k; PQ's ADC and SQ8's asymmetric
+    kernel approximate squared L2, so they audit against the exact L2
+    top-k. Output: (method, n_exact, hits, recall@ANN_K) — one row per
+    method, hits counted by (query_id, cand_id) set intersection over
+    the shared probe set. All four legs are id-keyed equi-joins over
+    k-per-probe row sets; the exact baselines are the already-benched
+    brute-force shape."""
+    from ..operators.similarity_search import l2_topk
+
+    queries, candidates = _query_candidates(spark, sf_dir)
+    brute_cos = cosine_topk(queries, candidates, ANN_K).select(
+        "query_id", "cand_id"
+    )
+    brute_l2 = l2_topk(queries, candidates, ANN_K).select(
+        "query_id", "cand_id"
+    )
+    methods = [
+        ("ivf", ivf_topk(queries, candidates, ANN_K), brute_cos),
+        ("lsh", lsh_topk(queries, candidates, ANN_K), brute_cos),
+        ("pq", C.pq_topk(queries, candidates, ANN_K), brute_l2),
+        ("sq8", Q.sq8_topk(queries, candidates, ANN_K), brute_l2),
+    ]
+    out = None
+    for name, approx, base in methods:
+        hits = (
+            approx.select("query_id", "cand_id")
+            .join(base, ["query_id", "cand_id"])
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        n = base.agg(F.count(F.lit(1)).alias("n_exact"))
+        # 1-row × 1-row scalar attach
+        row = hits.crossJoin(n).select(
+            F.lit(name).alias("method"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("hits").cast("long").alias("hits"),
+            stable_round(F.col("hits") / F.col("n_exact"), 6).alias(
+                "recall"
+            ),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("method")
+
+
+def _ann_recall_audit_sql() -> str | None:
+    """Composed DuckDB replay: each method's already-verified oracle as
+    a subquery, set-intersected with its exact-baseline subquery.
+    Lazily generated because the IVF oracle is (rows-only fallback when
+    the sf0.01 fixture is absent)."""
+    ivf = _ann_ivf_sql()
+    if ivf is None:
+        return None
+    r = sql_round("hits * 1.0 / n_exact", 6)
+    return f"""
+WITH bc AS (SELECT query_id, cand_id FROM ({ANN_SQL})),
+bl2 AS (SELECT query_id, cand_id FROM ({_ANN_L2_SQL})),
+m_ivf AS (SELECT query_id, cand_id FROM ({ivf})),
+m_lsh AS (SELECT query_id, cand_id FROM ({_ann_lsh_sql()})),
+m_pq AS (SELECT query_id, cand_id FROM ({PQ_TOPK_SQL})),
+m_sq8 AS (SELECT query_id, cand_id FROM ({SQ8_TOPK_SQL})),
+stats AS (
+    SELECT 'ivf' AS method,
+           (SELECT count(*) FROM bc) AS n_exact,
+           (SELECT count(*) FROM m_ivf JOIN bc USING (query_id, cand_id))
+               AS hits
+    UNION ALL
+    SELECT 'lsh', (SELECT count(*) FROM bc),
+           (SELECT count(*) FROM m_lsh JOIN bc USING (query_id, cand_id))
+    UNION ALL
+    SELECT 'pq', (SELECT count(*) FROM bl2),
+           (SELECT count(*) FROM m_pq JOIN bl2 USING (query_id, cand_id))
+    UNION ALL
+    SELECT 'sq8', (SELECT count(*) FROM bl2),
+           (SELECT count(*) FROM m_sq8 JOIN bl2 USING (query_id, cand_id))
+)
+SELECT method, n_exact, hits, {r} AS recall
+FROM stats ORDER BY method
+"""
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2264,6 +2386,29 @@ def semdedup_keep_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_KEEP_SQL = SD.semdedup_keep_sql(
+    NEARDUP_COSINE, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, dim=64
+)
+
+
+def semdedup_keep_paper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivor set under the PAPER's keep rule (Abbas et al.
+    §3): among semantic duplicates keep the member farthest from its
+    cluster centroid (prototypical near-center mass prunes first), tie →
+    lowest id. Per qualifying pair the nearer member is removed; on a
+    transitive dup group exactly the farthest member survives — same
+    removal count as keep-lowest-id with the order key swapped. The
+    oracle replays fit + distances + pair scan + the CASE removal."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SD.semdedup_keep(
+        emb,
+        NEARDUP_COSINE,
+        k=SEMDEDUP_K,
+        iters=SEMDEDUP_ITERS,
+        keep="farthest_from_centroid",
+    ).orderBy("vec_id")
+
+
+SEMDEDUP_KEEP_PAPER_SQL = SD.semdedup_keep_paper_sql(
     NEARDUP_COSINE, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, dim=64
 )
 
@@ -4001,7 +4146,14 @@ def streaming_cms_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = CmsStore(os.path.join(work, "store"))
         stream = stream_events_from_parquet(spark, sf_dir, watermark=None)
         q = store.sink(stream, os.path.join(work, "ckpt"))
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            # timeout with the query still running: the store is partial
+            # and the finally-rmtree would race it — fail loudly instead.
+            q.stop()
+            raise TimeoutError(
+                "streaming_cms_rounds: availableNow run did not finish "
+                "within 600s; partial store discarded"
+            )
         events = read_table(spark, sf_dir, "events")
         return (
             cms_heavy_hitters(events, "user_id", 10, cms=store.totals(spark))
@@ -4123,6 +4275,7 @@ QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql()),
     "ann_ivf_topk": (ann_ivf_topk, _ann_ivf_sql),
+    "ann_recall_audit": (ann_recall_audit, _ann_recall_audit_sql),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "events_tumbling": (events_tumbling, EVENTS_TUMBLING_SQL),
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
@@ -4139,6 +4292,7 @@ QUERIES: dict[str, tuple] = {
     "kmeans_clusters": (kmeans_clusters, KMEANS_SQL),
     "semdedup_pairs": (semdedup_pairs, SEMDEDUP_PAIRS_SQL),
     "semdedup_keep_ids": (semdedup_keep_ids, SEMDEDUP_KEEP_SQL),
+    "semdedup_keep_paper": (semdedup_keep_paper, SEMDEDUP_KEEP_PAPER_SQL),
     "embedding_outliers": (embedding_outliers, EMBEDDING_OUTLIERS_SQL),
     "embedding_diverse_sample": (
         embedding_diverse_sample,

@@ -73,7 +73,15 @@ def dedup_events_streaming(
         .start()
     )
     try:
-        q.awaitTermination(600)
+        # awaitTermination returns False on timeout with the query still
+        # running — reading the memory sink then would yield a silently
+        # partial result and the rmtree below would race the query.
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "dedup_events_streaming: availableNow run did not finish "
+                "within 600s; partial sink discarded"
+            )
     finally:
         if owns_ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)

@@ -107,6 +107,52 @@ def test_semdedup_mega_cluster_blocks(spark):
     assert len(expected) == 40 * 39 / 2  # the bundle really is a clique
 
 
+def test_semdedup_keep_paper_parity_on_transitive_groups(spark):
+    """The paper keep rule (farthest-from-centroid) vs keep-lowest-id on
+    planted transitive dup groups (cliques): identical removal COUNTS —
+    one survivor per clique — and the paper survivor is the clique
+    member farthest from its assigned centroid (tie → lowest id)."""
+    rng = np.random.default_rng(23)
+    b1, b2 = rng.normal(size=12), rng.normal(size=12)
+    rows = []
+    for i, v in enumerate(_bundle(rng, b1, 5) + _bundle(rng, b2, 4)):
+        rows.append((i, [float(x) for x in v]))
+    rows.append((50, [float(x) for x in rng.normal(size=12)]))  # singleton
+    rows.append((51, [float(x) for x in rng.normal(size=12)]))  # singleton
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kept_id = {
+        r["vec_id"]
+        for r in semdedup_keep(df, 0.9, k=2, iters=2).collect()
+    }
+    kept_paper = {
+        r["vec_id"]
+        for r in semdedup_keep(
+            df, 0.9, k=2, iters=2, keep="farthest_from_centroid"
+        ).collect()
+    }
+    assert len(kept_id) == len(kept_paper)  # identical removal counts
+    assert {50, 51} <= kept_id and {50, 51} <= kept_paper
+    # both bundles are cliques at 0.9 → exactly one survivor each
+    assert len(kept_paper & set(range(5))) == 1
+    assert len(kept_paper & set(range(5, 9))) == 1
+    # the paper survivor is the farthest-from-centroid clique member
+    cents = C.kmeans_fit(df, 2, 2)
+    dists = {
+        r["vec_id"]: r["sq_dist"]
+        for r in C.kmeans_label(df, cents, emit_dist=True).collect()
+    }
+    for clique in (set(range(5)), set(range(5, 9))):
+        winner = max(clique, key=lambda i: (dists[i], -i))
+        assert kept_paper & clique == {winner}
+
+
+def test_semdedup_keep_rejects_unknown_rule(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="keep must be"):
+        semdedup_keep(empty, 0.5, keep="first_seen")
+
+
 def test_centroid_outliers_flags_match_manual_stats(spark, emb):
     from consent_based_conversion_adjustments_spark.operators.semdedup import (
         centroid_outliers,

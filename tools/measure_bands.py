@@ -1,0 +1,83 @@
+"""Measure fresh-JVM variance bands for the known-noisy bench entries.
+
+The checkpoint/state-store queries swing up to ±38% inside one warmed JVM
+(PERF.md round 9); their committed bench numbers must therefore be
+band-checked, not trusted raw. This script runs N serialized fresh-JVM
+solo legs (bench.py --solo) per noisy query on an otherwise idle host and
+writes tools/bench_bands.json with band = [min/1.5, max*1.5] — wide
+enough for ordinary state-store noise, tight enough that a host-I/O
+stall (the 74 s vs 25 s admission_round outlier of round 9, a 2.9x
+excursion) falls outside and triggers bench.py's automatic A/B.
+
+Run:  python tools/measure_bands.py [runs_per_query]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+NOISY = [
+    "admission_round",
+    "dedup_clusters",
+    "corpus_canonical_ids",
+    "streaming_click_purchase_join",
+    "streaming_attribution_rounds",
+    "streaming_dedup_union",
+]
+
+
+def solo_run(name: str) -> float | None:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py"), "--solo", name],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if rec.get("query") == name:
+            return float(rec["sec"])
+    print(f"  !! no timing parsed for {name}; stderr tail:", file=sys.stderr)
+    print("\n".join(out.stderr.strip().splitlines()[-5:]), file=sys.stderr)
+    return None
+
+
+def main() -> int:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    bands: dict[str, dict] = {}
+    for name in NOISY:
+        obs: list[float] = []
+        for i in range(runs):
+            t = solo_run(name)
+            print(f"  {name} run {i + 1}/{runs}: {t}s", flush=True)
+            if t is not None:
+                obs.append(t)
+        if not obs:
+            print(f"FAIL: no successful runs for {name}")
+            return 1
+        bands[name] = {
+            "lo": round(min(obs) / 1.5, 3),
+            "hi": round(max(obs) * 1.5, 3),
+            "runs": obs,
+        }
+    path = os.path.join(HERE, "tools", "bench_bands.json")
+    with open(path, "w") as fh:
+        json.dump(bands, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
