@@ -19,13 +19,15 @@ Spark realization (everything reuses measured building blocks):
    other. A mega-cluster degrades gracefully to the measured blocked
    all-pairs shape instead of one straggler task.
 
-Keep rule: a row is REMOVED when some same-cluster row with a smaller id
-is cosine-similar above the threshold (keep-lowest-id). The paper keeps
-the member farthest from the cluster centroid; lowest-id is the
-cross-engine-deterministic choice (no float argmax over distances whose
-ties/ulps could flip engines) and removes the same number of rows per
-connected dup group when similarity is transitive within the group. The
-paper's rule is one ORDER BY away if a deployment wants it.
+Keep rules (``semdedup_keep(keep=...)``): the default removes a row when
+some same-cluster row with a SMALLER id is cosine-similar above the
+threshold (keep-lowest-id — deterministic with no float ordering);
+``keep="farthest_from_centroid"`` is the paper's §3 rule — among
+duplicates the member farthest from its cluster centroid survives
+(ties → lowest id), made cross-engine-deterministic by the sequential
+per-dim distance accumulation shared with the oracle's list_sum order.
+Both remove the same number of rows per dup group when similarity is
+transitive within the group.
 
 100 TB shape: k scales with the corpus (the paper uses ~100k clusters for
 LAION) so cluster sizes stay bounded; the fit cost is iters scans, the

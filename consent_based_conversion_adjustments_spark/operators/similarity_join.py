@@ -337,9 +337,16 @@ def auto_n_planes(
     mass is ≤ ``target_mass_per_row``·(n_probe + n_build) — i.e. a
     candidate budget LINEAR in the data. Recall per table falls as
     collision^p, so when raising p materially, re-buy recall with more
-    ``n_tables`` (OR-amplification) — the knob trade the LSH docstrings
-    describe. Deliberately a helper, not an operator default: the
-    registered oracle queries need plan-deterministic bucket counts.
+    ``n_tables`` (OR-amplification). Measured at the 64× rung
+    (PERF.md round 10, tools/scale/results_lsh_recall_r10.json):
+    recall@5 grows LINEARLY with n_tables at fixed p (0.070/0.124/0.230
+    for 4/8/16 tables at p=10) at proportional mass/time, and recall
+    per unit mass is ~constant — OR-amplification trades cost for
+    recall on a straight frontier, it does not beat it. Corpora with
+    weak angular gaps should use the exact blocked-BLAS paths when
+    recall must stay high. Deliberately a helper, not an operator
+    default: the registered oracle queries need plan-deterministic
+    bucket counts.
     """
     import math
 

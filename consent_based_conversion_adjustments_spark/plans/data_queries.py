@@ -1850,6 +1850,55 @@ def embedding_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.pca_project(emb, mean, comps, whiten_by=vars_).orderBy("vec_id")
 
 
+def pca_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed companion for the rows-only ``embedding_pca_coords``: the
+    eigendecomposition's SQL-expressible invariant. The trace of the
+    covariance equals the sum of ALL its eigenvalues, so emitting the
+    eigh eigenvalue sum (the quantity SQL cannot derive directly) next
+    to the trace from the distributed Gram pass gives the oracle —
+    which computes the trace independently from the covariance CTE —
+    a full hash check over both rows: a match certifies the Gram
+    partials AND the driver-side eigh agree to 1e-6. The Gram pass is
+    the only distributed work (dim·(dim+3)/2-row state); eigh is the
+    bounded 64×64 driver step the PCA fit already uses."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, cov, _ = L.covariance_fit(emb)
+    vals = np.linalg.eigh(np.array(cov))[0]
+    rows = [
+        ("eigenvalue_sum", float(vals.sum())),
+        ("trace_cov", float(sum(cov[d][d] for d in range(len(cov))))),
+    ]
+    return (
+        spark.createDataFrame(rows, "stat string, value double")
+        .select("stat", stable_round(F.col("value"), 6).alias("value"))
+        .orderBy("stat")
+    )
+
+
+PCA_VARIANCE_AUDIT_SQL = """
+WITH e AS (
+    SELECT vec_id,
+           unnest(range(0, 64)) AS d,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+    FROM embeddings
+), diag AS (
+    SELECT d,
+           sum(x * x) / count(*)
+               - (sum(x) / count(*)) * (sum(x) / count(*)) AS var
+    FROM e GROUP BY d
+), tr AS (
+    SELECT sum(var) AS t FROM diag
+)
+SELECT stat, {r} AS value FROM (
+    SELECT 'eigenvalue_sum' AS stat, t AS v FROM tr
+    UNION ALL
+    SELECT 'trace_cov' AS stat, t AS v FROM tr
+) ORDER BY stat
+""".format(r=sql_round("v", 6))
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC approximate nearest neighbors (8×8 codebooks, 2 Lloyd
     iterations): candidates scored by m table lookups in an Arrow
@@ -4335,6 +4384,7 @@ QUERIES: dict[str, tuple] = {
     "value_quantiles_window_kll": (value_quantiles_window_kll, None),
     "ann_pq_topk": (ann_pq_topk, PQ_TOPK_SQL),
     "embedding_pca_coords": (embedding_pca_coords, None),
+    "pca_variance_audit": (pca_variance_audit, PCA_VARIANCE_AUDIT_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_SQL),
     "audio_features": (audio_features, _audio_sql),
     "image_phash_dedup": (image_phash_dedup, _image_phash_sql),

@@ -41,11 +41,12 @@ Operational note — small files: one partition per epoch accumulates
 files over a long-running stream (thousands of epochs). Parquet alone
 has no atomic rewrite, so ONLINE compaction belongs to a transactional
 table format (Delta/Iceberg — this layout maps directly onto either);
-with plain parquet, compact offline during a quiet window by rewriting
-epochs `<= E` into one partition and resuming the stream above `E`.
-Probe cost is unaffected either way (band-key equi-joins read every
-qualifying partition regardless of file count); only file-listing and
-task-count overheads grow.
+with plain parquet, ``AdmissionStore.compact`` folds epochs `<= E` into
+one partition offline during a quiet window (resume the stream above
+`E`; crash-safe and idempotent — see its docstring). Probe cost is
+unaffected either way (band-key equi-joins read every qualifying
+partition regardless of file count); only file-listing and task-count
+overheads grow.
 
 reference: cloud_function/main.py:86-142 + pipeline.py:318-360 define
 the reference's trigger shape (per-trigger batch over persisted state
@@ -196,6 +197,71 @@ class AdmissionStore:
             .trigger(**trigger)
             .start()
         )
+
+    # -- offline compaction --------------------------------------------------
+
+    def compact(self, spark: SparkSession, up_to_epoch: int) -> None:
+        """Offline small-file compaction: fold every partition with
+        ``admit_batch_id <= up_to_epoch`` of each store table into the
+        single partition ``admit_batch_id = up_to_epoch`` (the module
+        docstring's "rewrite epochs <= E into one partition" note, now
+        an operator).
+
+        Contract: run while the stream is stopped or quiet, with
+        ``up_to_epoch`` strictly below the stream's next epoch. Probe
+        results are unaffected: any future epoch e > E filters
+        ``admit_batch_id < e``, and the folded rows — formerly spread
+        over partitions 0..E — all still satisfy that predicate from
+        partition E. Epoch ATTRIBUTION is deliberately coarsened
+        (``admitted()`` reports folded docs at E); the probe-visible row
+        set is the preserved invariant.
+
+        Crash-safe and idempotent: the fold materializes (localCheckpoint)
+        before overwriting partition E — the write would otherwise read
+        the very files it replaces — then deletes the older partition
+        dirs. A crash between write and deletes leaves duplicate rows;
+        re-running the same compact dedups them (``dropDuplicates`` —
+        legitimate store rows are unique per table, so only crash
+        remnants ever collapse) and finishes the deletes.
+        """
+        for path in (self.sigs_path, self.hashes_path, self.relations_path):
+            self._compact_table(spark, path, int(up_to_epoch))
+
+    def _compact_table(
+        self, spark: SparkSession, path: str, up_to: int
+    ) -> None:
+        from pyspark.errors import AnalysisException
+
+        if not _table_exists(spark, path):
+            return
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:
+            # a table whose every epoch produced zero rows has no files
+            # to infer a schema from — nothing to compact
+            return
+        folded = (
+            df.filter(F.col("admit_batch_id").cast("long") <= F.lit(up_to))
+            .drop("admit_batch_id")
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+        if folded.isEmpty():
+            return
+        self._write_epoch(folded, path, up_to)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if not name.startswith("admit_batch_id="):
+                continue
+            try:
+                epoch = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if epoch < up_to:
+                fs.delete(status.getPath(), True)
 
     # -- readback ------------------------------------------------------------
 

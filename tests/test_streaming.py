@@ -628,6 +628,83 @@ def test_admission_store_replay_idempotent(spark, tmp_path):
     assert _store_state(spark, store) == before
 
 
+def test_admission_store_compaction_preserves_probe_results(
+    spark, tmp_path
+):
+    """compact(E) folds epochs <= E into partition E. The preserved
+    invariant is the PROBE result: a later epoch's admission round on
+    the compacted store must produce exactly the same rejection edges
+    and admitted delta as on an uncompacted twin; re-running compact is
+    a no-op; crash remnants (duplicate rows surviving a kill between the
+    fold write and the old-partition deletes) are deduped by a re-run."""
+    import shutil
+
+    from consent_based_conversion_adjustments_spark.streaming.admission import (
+        AdmissionStore,
+    )
+
+    batches = _admission_batches(spark)
+    a = AdmissionStore(str(tmp_path / "a"), threshold=ADM_THRESHOLD)
+    for i, batch in enumerate(batches[:3]):
+        a.process_batch(batch, i)
+    shutil.copytree(str(tmp_path / "a"), str(tmp_path / "b"))
+    b = AdmissionStore(str(tmp_path / "b"), threshold=ADM_THRESHOLD)
+
+    a.compact(spark, 2)
+    # same admitted docs, now all attributed to the fold epoch
+    rows_a = a.admitted(spark).collect()
+    assert {r["doc_id"] for r in rows_a} == {
+        r["doc_id"] for r in b.admitted(spark).collect()
+    }
+    assert {r["admit_batch_id"] for r in rows_a} == {2}
+
+    # the probe contract: epoch 3 on compacted vs uncompacted twins
+    a.process_batch(batches[3], 3)
+    b.process_batch(batches[3], 3)
+
+    def epoch3(store):
+        rel = {
+            (r["doc_id"], r["dup_of"], round(r["jaccard"], 9))
+            for r in store.relations(spark)
+            .filter("admit_batch_id = 3")
+            .collect()
+        }
+        adm = {
+            r["doc_id"]
+            for r in store.admitted(spark)
+            .filter("admit_batch_id = 3")
+            .collect()
+        }
+        return rel, adm
+
+    rel_a, adm_a = epoch3(a)
+    rel_b, adm_b = epoch3(b)
+    assert rel_a == rel_b and adm_a == adm_b
+    assert rel_a  # the fixture must exercise rejection at epoch 3
+
+    # idempotence: a second identical compact changes nothing
+    snap = _store_state(spark, a)
+    a.compact(spark, 2)
+    assert _store_state(spark, a) == snap
+
+    # crash remnant: duplicate a sig row into an old partition of the
+    # twin, then compact — the fold's dropDuplicates collapses it
+    part0 = spark.read.parquet(b.sigs_path).filter("admit_batch_id = 0")
+    part0.limit(1).write.mode("append").partitionBy(
+        "admit_batch_id"
+    ).parquet(b.sigs_path)
+    assert b.admitted(spark).count() == a.admitted(spark).count() + 1
+    b.compact(spark, 2)
+    assert {
+        (r["doc_id"], r["admit_batch_id"])
+        for r in b.admitted(spark).collect()
+    } == {
+        (r["doc_id"], r["admit_batch_id"])
+        for r in a.admitted(spark).collect()
+    }
+    assert b.admitted(spark).count() == a.admitted(spark).count()
+
+
 def test_admission_stream_end_to_end(spark, tmp_path):
     """The real wiring: a file-source stream, one file per micro-batch,
     availableNow trigger. Epoch order is whatever the source chose, so
