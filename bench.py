@@ -280,14 +280,19 @@ def adjudicate(timings: dict[str, float]) -> dict:
         if name not in timings:
             continue
         t, lo, hi = timings[name], band["lo"], band["hi"]
-        if lo <= t <= hi:
+        if t < lo:
+            # faster than the solo band: in-loop runs ride a warmed JVM,
+            # so this is headroom, not a stall — record, never re-run
+            audit[name] = {"band": [lo, hi], "in_loop": t, "note": "below"}
+            continue
+        if t <= hi:
             continue
         obs = [t]
         for _ in range(2):
             r = _ab_rerun(name)
             if r is not None:
                 obs.append(r)
-                if lo <= r <= hi:
+                if r <= hi:
                     break
         adjudicated = round(min(obs), 3)
         audit[name] = {
@@ -297,7 +302,7 @@ def adjudicate(timings: dict[str, float]) -> dict:
             "adjudicated": adjudicated,
         }
         print(
-            f"# band A/B {name}: in-loop {t}s outside [{lo}, {hi}], "
+            f"# band A/B {name}: in-loop {t}s above band hi {hi}, "
             f"reruns {obs[1:]} -> {adjudicated}s",
             file=sys.stderr,
         )

@@ -32,6 +32,35 @@ def _qc(emb):
     return q, c
 
 
+def test_l2_topk_matches_numpy(spark, emb):
+    from consent_based_conversion_adjustments_spark.operators.similarity_search import (
+        l2_topk,
+    )
+
+    q, c = _qc(emb)
+    out = l2_topk(q, c, 5).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert by_query
+    for qid, rows in by_query.items():
+        assert len(rows) == 5
+        qv = vecs[qid]
+        dists = {
+            cid: float(((qv - v) ** 2).sum())
+            for cid, v in vecs.items() if cid != qid
+        }
+        expected = sorted(dists, key=lambda cid: (dists[cid], cid))[:5]
+        got = [r["cand_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert got == expected
+        for r in rows:
+            assert r["sq_dist"] == pytest.approx(
+                dists[r["cand_id"]], rel=1e-9
+            )
+
+
 def test_cosine_topk_matches_numpy(spark, emb):
     q, c = _qc(emb)
     out = cosine_topk(q, c, 5).collect()
