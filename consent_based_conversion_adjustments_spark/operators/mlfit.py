@@ -1,0 +1,192 @@
+"""Distributed generalized-linear-model fitting (Newton / IRLS).
+
+Completes the on-cluster classifier family next to the Naive Bayes
+trainer (corpus.nb_quality_scores) with LOGISTIC REGRESSION trained by
+Newton's method: each iteration is ONE map-side-combinable aggregation
+— the d×d normal matrix XᵀWX (d(d+1)/2 cells, W = diag p(1−p)) plus the
+gradient Xᵀ(y−p) (d cells) — followed by a bounded driver-side d×d
+solve. Per-iteration state is d(d+3)/2 doubles regardless of row count,
+so the fit costs ``iters`` scans at 100 TB exactly like the k-means and
+covariance fits. Iterations are FIXED (no convergence test, no
+data-dependent control flow), which keeps the fit deterministic and
+lets the DuckDB oracle replay every step as chained CTEs
+(``logreg_sql3``).
+
+Cross-engine float contract: the linear predictor folds left-to-right
+(w0·x0 + w1·x1) + w2·x2 — the SQL ``+`` associativity — and the d=3
+solve uses the explicit adjugate formulas in the SAME term order as the
+oracle's SQL (the quantize.py sequential-accumulation precedent), so
+the only engine divergence is the distributed sums' reduction order
+(the accepted class shared by every covariance/k-means oracle). Other d
+fall back to np.linalg.solve — fine for use, but an oracle built on it
+would add LU-vs-adjugate rounding risk (documented, not registered).
+
+Derived entirely from public methodology: IRLS/Newton for logistic
+regression is textbook (McCullagh & Nelder, GLM); the pseudo-label
+quality-classifier shape mirrors the FineWeb-Edu recipe already cited
+on the NB trainer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _linear(features: list[Column], weights: list[float]) -> Column:
+    """w·x folded left-to-right (SQL + associativity)."""
+    z = F.lit(float(weights[0])) * features[0]
+    for w, x in zip(weights[1:], features[1:]):
+        z = z + F.lit(float(w)) * x
+    return z
+
+
+def _solve3(a: dict[str, float], g: list[float]) -> list[float]:
+    """Adjugate solve of the symmetric 3×3 system A·dw = g, term order
+    matched to ``logreg_sql3``'s SQL expressions."""
+    a00, a01, a02 = a["a00"], a["a01"], a["a02"]
+    a11, a12, a22 = a["a11"], a["a12"], a["a22"]
+    det = (
+        a00 * (a11 * a22 - a12 * a12)
+        - a01 * (a01 * a22 - a12 * a02)
+        + a02 * (a01 * a12 - a11 * a02)
+    )
+    if det == 0.0:
+        raise ValueError(
+            "logreg_newton_fit: singular normal matrix — the features "
+            "are linearly dependent on this data (e.g. a saturated "
+            "heuristic collapsing to an affine function of another "
+            "feature); drop or replace a feature"
+        )
+    i00 = (a11 * a22 - a12 * a12) / det
+    i01 = (a02 * a12 - a01 * a22) / det
+    i02 = (a01 * a12 - a02 * a11) / det
+    i11 = (a00 * a22 - a02 * a02) / det
+    i12 = (a01 * a02 - a00 * a12) / det
+    i22 = (a00 * a11 - a01 * a01) / det
+    g0, g1, g2 = g
+    return [
+        i00 * g0 + i01 * g1 + i02 * g2,
+        i01 * g0 + i11 * g1 + i12 * g2,
+        i02 * g0 + i12 * g1 + i22 * g2,
+    ]
+
+
+def logreg_newton_fit(
+    df: DataFrame,
+    features: list[Column],
+    label: Column,
+    *,
+    iters: int = 2,
+) -> list[float]:
+    """Fit logistic-regression weights by ``iters`` Newton steps from
+    w = 0 (p = 0.5 everywhere on step one). ``features`` are small-d
+    column expressions (include ``F.lit(1.0)`` for the intercept);
+    ``label`` casts to {0.0, 1.0}. Returns the weight list.
+
+    Each step runs one aggregation over ``df`` and one driver-side d×d
+    solve; the weights re-enter the next step as exact literal doubles.
+    """
+    d = len(features)
+    y = label.cast("double")
+    w = [0.0] * d
+    for _ in range(int(iters)):
+        z = _linear(features, w)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        wt = p * (F.lit(1.0) - p)
+        r = y - p
+        aggs = []
+        for i in range(d):
+            for j in range(i, d):
+                aggs.append(
+                    F.sum(wt * features[i] * features[j]).alias(f"a{i}{j}")
+                )
+        for i in range(d):
+            aggs.append(F.sum(r * features[i]).alias(f"g{i}"))
+        row = df.agg(*aggs).first()
+        g = [float(row[f"g{i}"]) for i in range(d)]
+        if d == 3:
+            cells = {
+                f"a{i}{j}": float(row[f"a{i}{j}"])
+                for i in range(d)
+                for j in range(i, d)
+            }
+            dw = _solve3(cells, g)
+        else:
+            import numpy as np
+
+            A = np.zeros((d, d))
+            for i in range(d):
+                for j in range(i, d):
+                    A[i, j] = A[j, i] = float(row[f"a{i}{j}"])
+            dw = np.linalg.solve(A, np.asarray(g)).tolist()
+        w = [w[i] + dw[i] for i in range(d)]
+    return w
+
+
+def logreg_scores(
+    df: DataFrame,
+    features: list[Column],
+    weights: list[float],
+    *,
+    out_col: str = "lr_score",
+) -> Column:
+    """σ(w·x) as a pure-Catalyst column (stateless codegen projection —
+    the serving half; pair with the fitted weights from
+    ``logreg_newton_fit``)."""
+    z = _linear(features, weights)
+    return (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col)
+
+
+def logreg_sql3(
+    feats_cte: str,
+    *,
+    iters: int = 2,
+    x_cols: tuple[str, str, str] = ("x0", "x1", "x2"),
+    y_col: str = "y",
+) -> str:
+    """Chained-CTE DuckDB replay of a d=3 ``logreg_newton_fit``:
+    ``feats_cte`` must define a relation ``feats`` with the three
+    feature columns, the 0/1 double label, and any passthrough columns.
+    Emits CTEs up to ``w{iters}`` holding the final (w0, w1, w2); the
+    caller composes the scoring SELECT. Every formula mirrors the
+    operator's float-op order term for term."""
+    x0, x1, x2 = x_cols
+    ctes = [feats_cte, "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
+    for k in range(1, int(iters) + 1):
+        prev = f"w{k - 1}"
+        ctes.append(f"""it{k} AS (
+    SELECT sum((p * (1.0 - p)) * {x0} * {x0}) AS a00,
+           sum((p * (1.0 - p)) * {x0} * {x1}) AS a01,
+           sum((p * (1.0 - p)) * {x0} * {x2}) AS a02,
+           sum((p * (1.0 - p)) * {x1} * {x1}) AS a11,
+           sum((p * (1.0 - p)) * {x1} * {x2}) AS a12,
+           sum((p * (1.0 - p)) * {x2} * {x2}) AS a22,
+           sum(({y_col} - p) * {x0}) AS g0,
+           sum(({y_col} - p) * {x1}) AS g1,
+           sum(({y_col} - p) * {x2}) AS g2
+    FROM (
+        SELECT f.*, 1.0 / (1.0 + exp(-((w.w0 * f.{x0} + w.w1 * f.{x1})
+                                       + w.w2 * f.{x2}))) AS p
+        FROM feats f CROSS JOIN {prev} w
+    )
+)""")
+        ctes.append(f"""w{k} AS (
+    SELECT w.w0 + (((i.a11 * i.a22 - i.a12 * i.a12) / i.det) * i.g0
+                 + ((i.a02 * i.a12 - i.a01 * i.a22) / i.det) * i.g1
+                 + ((i.a01 * i.a12 - i.a02 * i.a11) / i.det) * i.g2) AS w0,
+           w.w1 + (((i.a02 * i.a12 - i.a01 * i.a22) / i.det) * i.g0
+                 + ((i.a00 * i.a22 - i.a02 * i.a02) / i.det) * i.g1
+                 + ((i.a01 * i.a02 - i.a00 * i.a12) / i.det) * i.g2) AS w1,
+           w.w2 + (((i.a01 * i.a12 - i.a02 * i.a11) / i.det) * i.g0
+                 + ((i.a01 * i.a02 - i.a00 * i.a12) / i.det) * i.g1
+                 + ((i.a00 * i.a11 - i.a01 * i.a01) / i.det) * i.g2) AS w2
+    FROM (
+        SELECT *,
+               (a00 * (a11 * a22 - a12 * a12)
+                - a01 * (a01 * a22 - a12 * a02)
+                + a02 * (a01 * a12 - a11 * a02)) AS det
+        FROM it{k}
+    ) i CROSS JOIN {prev} w
+)""")
+    return ",\n".join(ctes)

@@ -747,6 +747,92 @@ SELECT doc_id, n_tokens, {r} AS nb_score FROM base ORDER BY doc_id
 )
 
 
+def doc_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained LOGISTIC-REGRESSION quality classifier — the
+    discriminative sibling of doc_nb_quality's generative NB, completing
+    the on-cluster classifier family (operators.mlfit): two Newton/IRLS
+    steps, each ONE d=3 normal-matrix aggregation (9 doubles of state)
+    plus a driver-side adjugate solve whose float-op order the oracle
+    replays term for term; scoring is a stateless codegen sigmoid.
+    Pseudo-labels = language_id == 'en'; features = (1, quality,
+    ln(1 + n_tokens)) — correlated with but not derived from the label,
+    the FineWeb-Edu teacher-label shape. (punct_ratio is deliberately
+    NOT the third feature: with the length/stopword parts saturated on
+    this corpus, quality collapses to 1 − 1.5·punct_ratio and the
+    normal matrix goes singular — the trainer raises on that.) The
+    oracle replays both Newton steps as chained CTEs
+    (mlfit.logreg_sql3) and scores with the resulting weights."""
+    from ..operators import mlfit as M
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    praw = X.punct_ratio("text")
+    quality = X.quality_score_in(toks, praw, X.stopword_ratio_in(toks))
+    y = (X.language_id_in(toks) == F.lit("en")).cast("double")
+    feats = docs.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        quality.alias("x1"),
+        F.log(F.lit(1.0) + F.size(toks).cast("double")).alias("x2"),
+        y.alias("y"),
+    )
+    fx = [F.col("x0"), F.col("x1"), F.col("x2")]
+    w = M.logreg_newton_fit(feats, fx, F.col("y"), iters=2)
+    return feats.select(
+        "doc_id",
+        stable_round(M.logreg_scores(feats, fx, w), 6).alias("lr_score"),
+    ).orderBy("doc_id")
+
+
+def _logreg_quality_sql() -> str:
+    from ..operators.mlfit import logreg_sql3
+
+    toks = _TOKS.format(c="text")
+    feats_cte = """feats AS (
+    SELECT doc_id, 1.0 AS x0,
+           0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * (1.0 - least(praw * 5.0, 1.0))
+             + 0.3 * least(sraw * 5.0, 1.0) AS x1,
+           ln(1.0 + CAST(n_tokens AS DOUBLE)) AS x2,
+           CASE WHEN lang_pred = 'en' THEN 1.0 ELSE 0.0 END AS y
+    FROM (
+        SELECT doc_id,
+               len({toks}) AS n_tokens,
+               CASE WHEN length(text) > 0 THEN
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                        AS DOUBLE) / length(text) ELSE 0.0 END AS praw,
+               CASE WHEN len({toks}) > 0 THEN
+                   CAST({en_hits} AS DOUBLE) / len({toks}) ELSE 0.0 END AS sraw,
+               CASE
+                 WHEN {fr_hits} > greatest({es_hits}, {en_hits}, {de_hits}, 0) THEN 'fr'
+                 WHEN {es_hits} > greatest({en_hits}, {de_hits}, 0) THEN 'es'
+                 WHEN {en_hits} > greatest({de_hits}, 0) THEN 'en'
+                 WHEN {de_hits} > 0 THEN 'de'
+                 ELSE 'und'
+               END AS lang_pred
+        FROM documents
+    )
+)""".format(
+        toks=toks,
+        en_hits=_sql_stop_hits("en"),
+        de_hits=_sql_stop_hits("de"),
+        es_hits=_sql_stop_hits("es"),
+        fr_hits=_sql_stop_hits("fr"),
+    )
+    score = (
+        "1.0 / (1.0 + exp(-((w.w0 * f.x0 + w.w1 * f.x1) + w.w2 * f.x2)))"
+    )
+    return f"""
+WITH {logreg_sql3(feats_cte, iters=2)}
+SELECT f.doc_id, {sql_round(score, 6)} AS lr_score
+FROM feats f CROSS JOIN w2 w
+ORDER BY f.doc_id
+"""
+
+
+LOGREG_QUALITY_SQL = _logreg_quality_sql()
+
+
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): every document scored by
     the mean hashed-bigram log-likelihood ratio between the `src0` target
@@ -1448,6 +1534,7 @@ QUERIES: dict[str, tuple] = {
     "vocab_heavy_hitters": (vocab_heavy_hitters, HEAVY_HITTERS_SQL),
     "dsir_importance": (dsir_importance, DSIR_SQL),
     "doc_nb_quality": (doc_nb_quality, NB_QUALITY_SQL),
+    "doc_logreg_quality": (doc_logreg_quality, LOGREG_QUALITY_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
     "leakage_safe_splits": (leakage_safe_splits, _leakage_safe_splits_sql()),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),

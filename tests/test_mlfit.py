@@ -1,0 +1,94 @@
+"""Newton/IRLS logistic regression: numpy parity, learning sanity,
+singularity guard."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from consent_based_conversion_adjustments_spark.operators.mlfit import (
+    logreg_newton_fit,
+    logreg_scores,
+)
+
+
+def _numpy_newton(X, y, iters):
+    """Reference fit: same fixed-iteration Newton, numpy linalg solve."""
+    w = np.zeros(X.shape[1])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        wt = p * (1.0 - p)
+        A = (X * wt[:, None]).T @ X
+        g = X.T @ (y - p)
+        w = w + np.linalg.solve(A, g)
+    return w
+
+
+def _planted(spark, n=400, seed=5):
+    rng = np.random.default_rng(seed)
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    z = 0.5 + 1.5 * x1 - 1.0 * x2
+    y = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-z))).astype(float)
+    rows = [
+        (i, 1.0, float(x1[i]), float(x2[i]), float(y[i])) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "row_id long, x0 double, x1 double, x2 double, y double"
+    )
+    X = np.column_stack([np.ones(n), x1, x2])
+    return df, X, y
+
+
+def test_logreg_fit_matches_numpy_reference(spark):
+    df, X, y = _planted(spark)
+    fx = [F.col("x0"), F.col("x1"), F.col("x2")]
+    for iters in (1, 2, 3):
+        w = logreg_newton_fit(df, fx, F.col("y"), iters=iters)
+        ref = _numpy_newton(X, y, iters)
+        assert w == pytest.approx(ref.tolist(), rel=1e-9), iters
+
+
+def test_logreg_recovers_planted_direction(spark):
+    """Three Newton steps on a well-conditioned planted model should land
+    near the generating coefficients (signs and rough magnitude — Newton
+    converges quadratically near the optimum)."""
+    df, X, y = _planted(spark, n=2000, seed=11)
+    fx = [F.col("x0"), F.col("x1"), F.col("x2")]
+    w = logreg_newton_fit(df, fx, F.col("y"), iters=3)
+    assert w[1] > 0.8 and w[2] < -0.5
+    assert abs(w[0] - 0.5) < 0.5
+
+
+def test_logreg_scores_are_sigmoid_of_linear(spark):
+    df, X, y = _planted(spark, n=50)
+    fx = [F.col("x0"), F.col("x1"), F.col("x2")]
+    w = [0.3, -0.7, 0.2]
+    rows = df.select("row_id", logreg_scores(df, fx, w)).collect()
+    got = {r["row_id"]: r["lr_score"] for r in rows}
+    for i in range(50):
+        z = w[0] * X[i, 0] + w[1] * X[i, 1] + w[2] * X[i, 2]
+        assert got[i] == pytest.approx(
+            1.0 / (1.0 + math.exp(-z)), rel=1e-12
+        )
+
+
+def test_logreg_singular_features_raise(spark):
+    rows = [(i, 1.0, float(i % 7), 2.0 - 1.5 * (i % 7), float(i % 2))
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "row_id long, x0 double, x1 double, x2 double, y double"
+    )
+    fx = [F.col("x0"), F.col("x1"), F.col("x2")]
+    with pytest.raises(ValueError, match="singular normal matrix"):
+        logreg_newton_fit(df, fx, F.col("y"), iters=1)
+
+
+def test_logreg_d2_numpy_path(spark):
+    """Non-3 feature counts take the np.linalg.solve path; parity holds."""
+    df, X, y = _planted(spark)
+    fx = [F.col("x0"), F.col("x1")]
+    w = logreg_newton_fit(df, fx, F.col("y"), iters=2)
+    ref = _numpy_newton(X[:, :2], y, 2)
+    assert w == pytest.approx(ref.tolist(), rel=1e-9)
