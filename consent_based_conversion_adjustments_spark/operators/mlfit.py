@@ -41,6 +41,12 @@ def _linear(features: list[Column], weights: list[float]) -> Column:
     return z
 
 
+def linear_predict(features: list[Column], weights: list[float]) -> Column:
+    """w·x as a pure-Catalyst column (the OLS serving half; same
+    left-to-right fold the SQL oracles use)."""
+    return _linear(features, weights)
+
+
 def _solve3(a: dict[str, float], g: list[float]) -> list[float]:
     """Adjugate solve of the symmetric 3×3 system A·dw = g, term order
     matched to ``logreg_sql3``'s SQL expressions."""
@@ -136,6 +142,93 @@ def logreg_scores(
     ``logreg_newton_fit``)."""
     z = _linear(features, weights)
     return (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col)
+
+
+def ols_fit(
+    df: DataFrame,
+    features: list[Column],
+    target: Column,
+    *,
+    ridge: float = 0.0,
+) -> list[float]:
+    """Closed-form least squares via the normal equations: ONE
+    aggregation computes XᵀX (d(d+1)/2 cells) and Xᵀy (d cells) — the
+    same bounded-state shape as the covariance fit — then a driver-side
+    d×d solve (adjugate at d=3, matching ``ols_sql3``'s float-op order;
+    np.linalg.solve otherwise). ``ridge`` adds λ to every diagonal cell
+    (including the intercept's — document the choice when it matters;
+    the default 0.0 is plain OLS)."""
+    d = len(features)
+    y = target.cast("double")
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(features[i] * features[j]).alias(f"a{i}{j}"))
+    for i in range(d):
+        aggs.append(F.sum(features[i] * y).alias(f"b{i}"))
+    row = df.agg(*aggs).first()
+    g = [float(row[f"b{i}"]) for i in range(d)]
+    if d == 3:
+        cells = {
+            f"a{i}{j}": float(row[f"a{i}{j}"])
+            + (float(ridge) if i == j else 0.0)
+            for i in range(d)
+            for j in range(i, d)
+        }
+        return _solve3(cells, g)
+    import numpy as np
+
+    A = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            A[i, j] = A[j, i] = float(row[f"a{i}{j}"])
+    A += float(ridge) * np.eye(d)
+    return np.linalg.solve(A, np.asarray(g)).tolist()
+
+
+def ols_sql3(
+    feats_cte: str,
+    *,
+    x_cols: tuple[str, str, str] = ("x0", "x1", "x2"),
+    y_col: str = "y",
+    ridge: float = 0.0,
+) -> str:
+    """Chained-CTE DuckDB replay of a d=3 ``ols_fit``: emits CTEs ending
+    in ``w`` holding (w0, w1, w2); formulas mirror the operator's
+    adjugate solve term for term."""
+    x0, x1, x2 = x_cols
+    r = float(ridge)
+    return f"""{feats_cte},
+nrm AS (
+    SELECT sum({x0} * {x0}) + {r!r} AS a00,
+           sum({x0} * {x1}) AS a01,
+           sum({x0} * {x2}) AS a02,
+           sum({x1} * {x1}) + {r!r} AS a11,
+           sum({x1} * {x2}) AS a12,
+           sum({x2} * {x2}) + {r!r} AS a22,
+           sum({x0} * {y_col}) AS b0,
+           sum({x1} * {y_col}) AS b1,
+           sum({x2} * {y_col}) AS b2
+    FROM feats
+),
+w AS (
+    SELECT ((i.a11 * i.a22 - i.a12 * i.a12) / i.det) * i.b0
+         + ((i.a02 * i.a12 - i.a01 * i.a22) / i.det) * i.b1
+         + ((i.a01 * i.a12 - i.a02 * i.a11) / i.det) * i.b2 AS w0,
+           ((i.a02 * i.a12 - i.a01 * i.a22) / i.det) * i.b0
+         + ((i.a00 * i.a22 - i.a02 * i.a02) / i.det) * i.b1
+         + ((i.a01 * i.a02 - i.a00 * i.a12) / i.det) * i.b2 AS w1,
+           ((i.a01 * i.a12 - i.a02 * i.a11) / i.det) * i.b0
+         + ((i.a01 * i.a02 - i.a00 * i.a12) / i.det) * i.b1
+         + ((i.a00 * i.a11 - i.a01 * i.a01) / i.det) * i.b2 AS w2
+    FROM (
+        SELECT *,
+               (a00 * (a11 * a22 - a12 * a12)
+                - a01 * (a01 * a22 - a12 * a02)
+                + a02 * (a01 * a12 - a11 * a02)) AS det
+        FROM nrm
+    ) i
+)"""
 
 
 def logreg_sql3(

@@ -757,9 +757,9 @@ def doc_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pseudo-labels = language_id == 'en'; features = (1, quality,
     ln(1 + n_tokens)) — correlated with but not derived from the label,
     the FineWeb-Edu teacher-label shape. (punct_ratio is deliberately
-    NOT the third feature: with the length/stopword parts saturated on
-    this corpus, quality collapses to 1 − 1.5·punct_ratio and the
-    normal matrix goes singular — the trainer raises on that.) The
+    NOT a feature: the synthetic corpus carries no punctuation, so that
+    column is identically zero and the normal matrix goes singular —
+    the trainer raises a clear error on exactly that.) The
     oracle replays both Newton steps as chained CTEs
     (mlfit.logreg_sql3) and scores with the resulting weights."""
     from ..operators import mlfit as M
@@ -831,6 +831,95 @@ ORDER BY f.doc_id
 
 
 LOGREG_QUALITY_SQL = _logreg_quality_sql()
+
+
+_OLS_FEATS_CTE = """feats AS (
+    SELECT 1.0 AS x0,
+           ln(1.0 + CAST(n_tokens AS DOUBLE)) AS x1,
+           sraw AS x2,
+           0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * (1.0 - least(praw * 5.0, 1.0))
+             + 0.3 * least(sraw * 5.0, 1.0) AS y
+    FROM (
+        SELECT len({toks}) AS n_tokens,
+               CASE WHEN length(text) > 0 THEN
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                        AS DOUBLE) / length(text) ELSE 0.0 END AS praw,
+               CASE WHEN len({toks}) > 0 THEN
+                   CAST({en_hits} AS DOUBLE) / len({toks}) ELSE 0.0 END AS sraw
+        FROM documents
+    )
+)"""
+
+
+def doc_quality_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS on-cluster (operators.mlfit.ols_fit) — the
+    regression member of the trained-model family: distill the composite
+    quality heuristic into a linear proxy of (1, ln(1+n_tokens),
+    stopword_ratio). (punct_ratio is identically ZERO on this corpus —
+    the synthetic text carries no punctuation — which is the exact
+    column-of-zeros singularity the solver guards against.) One
+    normal-equations aggregation (9 doubles of state)
+    + the driver-side adjugate solve the oracle replays term for term;
+    one residual pass for the fit quality. Output: (stat, value) rows —
+    the three fitted weights and the RMSE. The distilled proxy is the
+    production trick this models: score 100 TB with three multiplies
+    instead of the full tokenizer pass."""
+    from ..operators import mlfit as M
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    praw = X.punct_ratio("text")
+    quality = X.quality_score_in(toks, praw, X.stopword_ratio_in(toks))
+    feats = docs.select(
+        F.lit(1.0).alias("x0"),
+        F.log(F.lit(1.0) + F.size(toks).cast("double")).alias("x1"),
+        X.stopword_ratio_in(toks).alias("x2"),
+        quality.alias("y"),
+    )
+    fx = [F.col("x0"), F.col("x1"), F.col("x2")]
+    w = M.ols_fit(feats, fx, F.col("y"))
+    resid = F.col("y") - M.linear_predict(fx, w)
+    rmse = float(
+        feats.agg(F.sqrt(F.avg(resid * resid)).alias("r")).first()["r"]
+    )
+    rows = [
+        ("rmse", rmse),
+        ("w0", float(w[0])),
+        ("w1", float(w[1])),
+        ("w2", float(w[2])),
+    ]
+    return (
+        spark.createDataFrame(rows, "stat string, value double")
+        .select("stat", stable_round(F.col("value"), 6).alias("value"))
+        .orderBy("stat")
+    )
+
+
+def _quality_ols_sql() -> str:
+    from ..operators.mlfit import ols_sql3
+
+    cte = ols_sql3(
+        _OLS_FEATS_CTE.format(
+            toks=_TOKS.format(c="text"), en_hits=_sql_stop_hits("en")
+        )
+    )
+    return f"""
+WITH {cte},
+resid AS (
+    SELECT f.y - ((w.w0 * f.x0 + w.w1 * f.x1) + w.w2 * f.x2) AS e
+    FROM feats f CROSS JOIN w
+)
+SELECT stat, {sql_round("v", 6)} AS value FROM (
+    SELECT 'rmse' AS stat, sqrt(avg(e * e)) AS v FROM resid
+    UNION ALL SELECT 'w0', w0 FROM w
+    UNION ALL SELECT 'w1', w1 FROM w
+    UNION ALL SELECT 'w2', w2 FROM w
+) ORDER BY stat
+"""
+
+
+QUALITY_OLS_SQL = _quality_ols_sql()
 
 
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1535,6 +1624,7 @@ QUERIES: dict[str, tuple] = {
     "dsir_importance": (dsir_importance, DSIR_SQL),
     "doc_nb_quality": (doc_nb_quality, NB_QUALITY_SQL),
     "doc_logreg_quality": (doc_logreg_quality, LOGREG_QUALITY_SQL),
+    "doc_quality_ols": (doc_quality_ols, QUALITY_OLS_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
     "leakage_safe_splits": (leakage_safe_splits, _leakage_safe_splits_sql()),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),

@@ -85,6 +85,44 @@ def test_logreg_singular_features_raise(spark):
         logreg_newton_fit(df, fx, F.col("y"), iters=1)
 
 
+def test_ols_fit_matches_numpy_lstsq(spark):
+    from consent_based_conversion_adjustments_spark.operators.mlfit import (
+        ols_fit,
+    )
+
+    df, X, _ = _planted(spark)
+    rng = np.random.default_rng(9)
+    yv = 2.0 - 0.5 * X[:, 1] + 3.0 * X[:, 2] + rng.normal(
+        scale=0.1, size=len(X)
+    )
+    df2 = spark.createDataFrame(
+        [
+            (float(X[i, 0]), float(X[i, 1]), float(X[i, 2]), float(yv[i]))
+            for i in range(len(X))
+        ],
+        "x0 double, x1 double, x2 double, y double",
+    )
+    fx = [F.col("x0"), F.col("x1"), F.col("x2")]
+    w = ols_fit(df2, fx, F.col("y"))
+    ref, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert w == pytest.approx(ref.tolist(), rel=1e-8)
+    # ridge shrinks the solution toward zero
+    wr = ols_fit(df2, fx, F.col("y"), ridge=100.0)
+    assert np.linalg.norm(wr) < np.linalg.norm(w)
+
+
+def test_ols_zero_column_raises(spark):
+    from consent_based_conversion_adjustments_spark.operators.mlfit import (
+        ols_fit,
+    )
+
+    rows = [(1.0, float(i), 0.0, float(2 * i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "x0 double, x1 double, x2 double, y double")
+    fx = [F.col("x0"), F.col("x1"), F.col("x2")]
+    with pytest.raises(ValueError, match="singular normal matrix"):
+        ols_fit(df, fx, F.col("y"))
+
+
 def test_logreg_d2_numpy_path(spark):
     """Non-3 feature counts take the np.linalg.solve path; parity holds."""
     df, X, y = _planted(spark)
