@@ -747,6 +747,23 @@ SELECT doc_id, n_tokens, {r} AS nb_score FROM base ORDER BY doc_id
 )
 
 
+def _logreg_feats(docs: DataFrame) -> DataFrame:
+    """Shared (doc_id, x0, x1, x2, y) frame for the trained-classifier
+    queries: features (1, quality, ln(1+n_tokens)), pseudo-label
+    language_id == 'en'."""
+    toks = tokens("text")
+    praw = X.punct_ratio("text")
+    quality = X.quality_score_in(toks, praw, X.stopword_ratio_in(toks))
+    y = (X.language_id_in(toks) == F.lit("en")).cast("double")
+    return docs.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        quality.alias("x1"),
+        F.log(F.lit(1.0) + F.size(toks).cast("double")).alias("x2"),
+        y.alias("y"),
+    )
+
+
 def doc_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained LOGISTIC-REGRESSION quality classifier — the
     discriminative sibling of doc_nb_quality's generative NB, completing
@@ -764,18 +781,7 @@ def doc_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mlfit.logreg_sql3) and scores with the resulting weights."""
     from ..operators import mlfit as M
 
-    docs = read_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    praw = X.punct_ratio("text")
-    quality = X.quality_score_in(toks, praw, X.stopword_ratio_in(toks))
-    y = (X.language_id_in(toks) == F.lit("en")).cast("double")
-    feats = docs.select(
-        "doc_id",
-        F.lit(1.0).alias("x0"),
-        quality.alias("x1"),
-        F.log(F.lit(1.0) + F.size(toks).cast("double")).alias("x2"),
-        y.alias("y"),
-    )
+    feats = _logreg_feats(read_table(spark, sf_dir, "documents"))
     fx = [F.col("x0"), F.col("x1"), F.col("x2")]
     w = M.logreg_newton_fit(feats, fx, F.col("y"), iters=2)
     return feats.select(
@@ -784,7 +790,8 @@ def doc_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _logreg_quality_sql() -> str:
+def _logreg_ctes() -> str:
+    """Shared oracle CTE body: feats + both Newton steps (ends at w2)."""
     from ..operators.mlfit import logreg_sql3
 
     toks = _TOKS.format(c="text")
@@ -819,18 +826,90 @@ def _logreg_quality_sql() -> str:
         es_hits=_sql_stop_hits("es"),
         fr_hits=_sql_stop_hits("fr"),
     )
-    score = (
-        "1.0 / (1.0 + exp(-((w.w0 * f.x0 + w.w1 * f.x1) + w.w2 * f.x2)))"
-    )
+    return logreg_sql3(feats_cte, iters=2)
+
+
+_LOGREG_SCORE_EXPR = (
+    "1.0 / (1.0 + exp(-((w.w0 * f.x0 + w.w1 * f.x1) + w.w2 * f.x2)))"
+)
+
+
+def _logreg_quality_sql() -> str:
     return f"""
-WITH {logreg_sql3(feats_cte, iters=2)}
-SELECT f.doc_id, {sql_round(score, 6)} AS lr_score
+WITH {_logreg_ctes()}
+SELECT f.doc_id, {sql_round(_LOGREG_SCORE_EXPR, 6)} AS lr_score
 FROM feats f CROSS JOIN w2 w
 ORDER BY f.doc_id
 """
 
 
 LOGREG_QUALITY_SQL = _logreg_quality_sql()
+
+
+def doc_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC of the on-cluster logistic classifier against
+    its pseudo-labels — the evaluation half of the trained-model family,
+    in the rank-sum (Mann–Whitney) form: AUC = (Σ_pos avg-rank −
+    n₁(n₁+1)/2) / (n₁·n₀). Ranks come from ``corpus.global_rank`` (the
+    scale-safe total-order ranking: range exchange + per-partition Arrow
+    pass — NO single-partition window), average ranks per tied score
+    from one score-keyed aggregation (exact score ties are exact in both
+    engines — same formula, same doubles), and the rank-sum from one
+    more bounded agg. Evaluating a classifier over 10¹¹ scored rows is
+    exactly this plan. Output: one row (n_pos, n_neg, auc)."""
+    from ..operators import mlfit as M
+
+    feats = _logreg_feats(read_table(spark, sf_dir, "documents"))
+    fx = [F.col("x0"), F.col("x1"), F.col("x2")]
+    w = M.logreg_newton_fit(feats, fx, F.col("y"), iters=2)
+    scored = feats.select(
+        "doc_id", "y", M.logreg_scores(feats, fx, w, out_col="score")
+    )
+    ranked = C.global_rank(scored, ["score", "doc_id"])
+    grp = ranked.groupBy("score").agg(
+        F.avg(F.col("rank").cast("double")).alias("__ar"),
+        F.sum("y").alias("__n1s"),
+    )
+    rp = float(
+        grp.agg(F.sum(F.col("__n1s") * F.col("__ar")).alias("s")).first()[
+            "s"
+        ]
+    )
+    tot = scored.agg(
+        F.sum("y").alias("n1"),
+        F.sum(F.lit(1.0) - F.col("y")).alias("n0"),
+    ).first()
+    n1, n0 = float(tot["n1"]), float(tot["n0"])
+    auc = (rp - n1 * (n1 + 1.0) / 2.0) / (n1 * n0)
+    return spark.createDataFrame(
+        [(int(n1), int(n0), auc)], "n_pos long, n_neg long, auc double"
+    ).select(
+        "n_pos", "n_neg", stable_round(F.col("auc"), 6).alias("auc")
+    )
+
+
+def _classifier_auc_sql() -> str:
+    return f"""
+WITH {_logreg_ctes()},
+scored AS (
+    SELECT f.doc_id, f.y, {_LOGREG_SCORE_EXPR} AS score
+    FROM feats f CROSS JOIN w2 w
+), ranked AS (
+    SELECT y, score,
+           row_number() OVER (ORDER BY score, doc_id) AS rnk
+    FROM scored
+), grp AS (
+    SELECT score, avg(rnk) AS ar, sum(y) AS n1s FROM ranked GROUP BY score
+), tot AS (
+    SELECT sum(y) AS n1, sum(1.0 - y) AS n0 FROM scored
+)
+SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+       {sql_round("((SELECT sum(n1s * ar) FROM grp) - n1 * (n1 + 1.0) / 2.0) / (n1 * n0)", 6)} AS auc
+FROM tot
+"""
+
+
+CLASSIFIER_AUC_SQL = _classifier_auc_sql()
 
 
 _OLS_FEATS_CTE = """feats AS (
@@ -1625,6 +1704,7 @@ QUERIES: dict[str, tuple] = {
     "doc_nb_quality": (doc_nb_quality, NB_QUALITY_SQL),
     "doc_logreg_quality": (doc_logreg_quality, LOGREG_QUALITY_SQL),
     "doc_quality_ols": (doc_quality_ols, QUALITY_OLS_SQL),
+    "doc_classifier_auc": (doc_classifier_auc, CLASSIFIER_AUC_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
     "leakage_safe_splits": (leakage_safe_splits, _leakage_safe_splits_sql()),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),

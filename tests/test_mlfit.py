@@ -123,6 +123,41 @@ def test_ols_zero_column_raises(spark):
         ols_fit(df, fx, F.col("y"))
 
 
+def test_classifier_auc_matches_pairwise_definition(spark):
+    """The distributed rank-sum AUC must equal the O(n²) pairwise
+    definition (ties at half credit) on the fixture corpus."""
+    from consent_based_conversion_adjustments_spark.operators import (
+        mlfit as M,
+    )
+    from consent_based_conversion_adjustments_spark.plans import (
+        corpus_queries as CQ,
+    )
+    from consent_based_conversion_adjustments_spark.sources.io import (
+        read_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = CQ.doc_classifier_auc(spark, sf).first()
+
+    feats = CQ._logreg_feats(read_table(spark, sf, "documents"))
+    fx = [F.col("x0"), F.col("x1"), F.col("x2")]
+    w = M.logreg_newton_fit(feats, fx, F.col("y"), iters=2)
+    scored = feats.select(
+        "y", M.logreg_scores(feats, fx, w, out_col="score")
+    ).collect()
+    pos = [r["score"] for r in scored if r["y"] == 1.0]
+    neg = [r["score"] for r in scored if r["y"] == 0.0]
+    assert pos and neg
+    wins = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0)
+        for p in pos
+        for q in neg
+    )
+    brute = wins / (len(pos) * len(neg))
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["auc"] == pytest.approx(brute, abs=2e-6)
+
+
 def test_logreg_d2_numpy_path(spark):
     """Non-3 feature counts take the np.linalg.solve path; parity holds."""
     df, X, y = _planted(spark)
