@@ -912,6 +912,56 @@ FROM tot
 CLASSIFIER_AUC_SQL = _classifier_auc_sql()
 
 
+def doc_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the trained classifier — the third member
+    of the evaluation set (scores: doc_logreg_quality; ranking quality:
+    doc_classifier_auc; calibration: this): scores bucketed into ten
+    fixed bins, each reporting count, mean predicted probability, and
+    observed positive rate. One hash aggregation over the scored frame —
+    at 100 TB this is the same plan as a word count. A well-calibrated
+    classifier has frac_pos ≈ avg_score per bin; the gap IS the
+    calibration error (one weighted-avg away from ECE)."""
+    from ..operators import mlfit as M
+
+    feats = _logreg_feats(read_table(spark, sf_dir, "documents"))
+    fx = [F.col("x0"), F.col("x1"), F.col("x2")]
+    w = M.logreg_newton_fit(feats, fx, F.col("y"), iters=2)
+    scored = feats.select(
+        "y", M.logreg_scores(feats, fx, w, out_col="score")
+    )
+    b = F.least(
+        F.floor(F.col("score") * F.lit(10.0)).cast("long"), F.lit(9)
+    )
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.avg("score"), 6).alias("avg_score"),
+            stable_round(F.avg("y"), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _calibration_bins_sql() -> str:
+    return f"""
+WITH {_logreg_ctes()},
+scored AS (
+    SELECT f.y, {_LOGREG_SCORE_EXPR} AS score
+    FROM feats f CROSS JOIN w2 w
+)
+SELECT least(CAST(floor(score * 10.0) AS BIGINT), 9) AS bin,
+       count(*) AS n,
+       {sql_round("avg(score)", 6)} AS avg_score,
+       {sql_round("avg(y)", 6)} AS frac_pos
+FROM scored
+GROUP BY 1 ORDER BY bin
+"""
+
+
+CALIBRATION_BINS_SQL = _calibration_bins_sql()
+
+
 _OLS_FEATS_CTE = """feats AS (
     SELECT 1.0 AS x0,
            ln(1.0 + CAST(n_tokens AS DOUBLE)) AS x1,
@@ -1705,6 +1755,7 @@ QUERIES: dict[str, tuple] = {
     "doc_logreg_quality": (doc_logreg_quality, LOGREG_QUALITY_SQL),
     "doc_quality_ols": (doc_quality_ols, QUALITY_OLS_SQL),
     "doc_classifier_auc": (doc_classifier_auc, CLASSIFIER_AUC_SQL),
+    "doc_calibration_bins": (doc_calibration_bins, CALIBRATION_BINS_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
     "leakage_safe_splits": (leakage_safe_splits, _leakage_safe_splits_sql()),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
