@@ -1202,11 +1202,18 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity_search import l2_topk
 
     queries, candidates = _query_candidates(spark, sf_dir)
-    brute_cos = cosine_topk(queries, candidates, ANN_K).select(
-        "query_id", "cand_id"
+    # each baseline feeds TWO method joins — localCheckpoint the
+    # k·n_probes-row results (125 rows at sf0.01) so the brute-force
+    # scans run once, not once per consumer
+    brute_cos = (
+        cosine_topk(queries, candidates, ANN_K)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
     )
-    brute_l2 = l2_topk(queries, candidates, ANN_K).select(
-        "query_id", "cand_id"
+    brute_l2 = (
+        l2_topk(queries, candidates, ANN_K)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
     )
     methods = [
         ("ivf", ivf_topk(queries, candidates, ANN_K), brute_cos),

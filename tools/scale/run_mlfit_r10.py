@@ -1,0 +1,92 @@
+"""Round-10 rung: the on-cluster GLM trainers' flat-state scale law.
+
+mlfit's claim is that a Newton step (or the OLS normal equations) costs
+``iters`` data scans with d(d+3)/2 doubles of aggregation state — the
+same class as the covariance fit, so a 64x corpus should cost ~64x scan
+time and IDENTICAL driver traffic. This measures the full registered
+doc_logreg_quality shape (feature projection + 2 Newton steps + scoring
+to a noop sink) and the ols_fit at sf0.1 / 8x / 64x identical-copy
+document tiles, fresh JVM per leg.
+
+Run on an IDLE host:  python tools/scale/run_mlfit_r10.py
+Results: tools/scale/results_mlfit_r10.json
+"""
+
+import json
+import subprocess
+
+from run_scale_pipeline_r9 import build_copy_tiles
+
+SNIPPET = r'''
+import time, sys
+sys.path.insert(0, "/root/repo")
+import pyspark.sql.functions as F
+from consent_based_conversion_adjustments_spark.session import get_spark
+spark = get_spark("mlfit-rung")
+import bench
+bench.SF_DIR = "/root/testdata/sf0.1"
+bench.warmup(spark)
+sf, which = "{sf}", "{which}"
+
+from consent_based_conversion_adjustments_spark.operators import mlfit as M
+from consent_based_conversion_adjustments_spark.operators import text as X
+from consent_based_conversion_adjustments_spark.operators.text import tokens
+
+docs = spark.read.parquet(sf + "/documents.parquet")
+toks = tokens("text")
+praw = X.punct_ratio("text")
+quality = X.quality_score_in(toks, praw, X.stopword_ratio_in(toks))
+y = (X.language_id_in(toks) == F.lit("en")).cast("double")
+feats = docs.select(
+    F.lit(1.0).alias("x0"),
+    quality.alias("x1"),
+    F.log(F.lit(1.0) + F.size(toks).cast("double")).alias("x2"),
+    y.alias("y"),
+)
+fx = [F.col("x0"), F.col("x1"), F.col("x2")]
+t0 = time.time()
+if which == "logreg":
+    w = M.logreg_newton_fit(feats, fx, F.col("y"), iters=2)
+    feats.select(M.logreg_scores(feats, fx, w)).write.format(
+        "noop").mode("overwrite").save()
+else:
+    w = M.ols_fit(feats, fx, F.col("x1"))
+print("RESULT %.3f" % (time.time() - t0), flush=True)
+print("VOLUME rows", docs.count(), flush=True)
+print("WEIGHTS", " ".join(repr(x) for x in w), flush=True)
+'''
+
+
+def run(sf: str, which: str, timeout: int = 1800) -> dict:
+    rec: dict = {"sf": sf, "which": which}
+    out = subprocess.run(
+        ["python", "-c", SNIPPET.format(sf=sf, which=which)],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            rec["sec"] = float(line.split()[1])
+        elif line.startswith("VOLUME"):
+            rec["rows"] = int(line.split()[2])
+        elif line.startswith("WEIGHTS"):
+            rec["weights"] = [float(x) for x in line.split()[1:]]
+    if "sec" not in rec:
+        rec["error"] = out.stderr[-2000:]
+    return rec
+
+
+if __name__ == "__main__":
+    docs8 = build_copy_tiles(8, "/tmp/scale64/docs8_copy_r9")
+    docs64 = build_copy_tiles(64, "/tmp/scale64/docs64_copy_r9")
+    rows = []
+    for which in ("logreg", "ols"):
+        for sf in ("/root/testdata/sf0.1", docs8, docs64):
+            rec = run(sf, which)
+            print(json.dumps(rec), flush=True)
+            rows.append(rec)
+            with open(
+                "/root/repo/tools/scale/results_mlfit_r10.json", "w"
+            ) as f:
+                json.dump(rows, f, indent=1)
