@@ -747,20 +747,51 @@ SELECT doc_id, n_tokens, {r} AS nb_score FROM base ORDER BY doc_id
 )
 
 
+# Most-recent-only persist pin for the trained-model feature frames
+# (the data_queries._pin_pretrain pattern): the returned plans are lazy,
+# so the pin is released by the NEXT call instead of inside this one,
+# capping cached storage at one feature frame per JVM.
+_MLFIT_PIN: list = []
+
+
+def _pin_mlfit(df: DataFrame) -> DataFrame:
+    while _MLFIT_PIN:
+        _MLFIT_PIN.pop().unpersist()
+    _MLFIT_PIN.append(df.persist())
+    return df
+
+
 def _logreg_feats(docs: DataFrame) -> DataFrame:
     """Shared (doc_id, x0, x1, x2, y) frame for the trained-classifier
     queries: features (1, quality, ln(1+n_tokens)), pseudo-label
-    language_id == 'en'."""
+    language_id == 'en'.
+
+    PERSISTED (most-recent-only pin): the consumers scan it 3–4 times
+    (per Newton step, scoring, evaluation), and without the pin each
+    scan re-derives the full tokenize + 4-language stopword-filter +
+    quality chain from the documents scan. Measured at the 64× rung
+    (tools/scale/results_mlfit_r10*.json): 88.4 s unpinned → 43.9 s
+    localCheckpointed → 37.9 s persisted. Two caveats the A/B exposed:
+    the MATERIALIZATION pass itself costs ~3× one fused agg scan (the
+    cache-build projection of these giant expressions falls out of
+    fused whole-stage codegen — the direct agg is the fast evaluator),
+    so the pin only pays at ≥3 consumers: doc_quality_ols (2 scans)
+    stays deliberately UNPINNED (11.5 s plain vs 39.9 s pinned per
+    fit-scan at 64×). persist, not localCheckpoint — the RDD conversion
+    costs another ~15%. Cached frame: 4 doubles + an id per row
+    (~10 MB at 64×)."""
     toks = tokens("text")
     praw = X.punct_ratio("text")
     quality = X.quality_score_in(toks, praw, X.stopword_ratio_in(toks))
     y = (X.language_id_in(toks) == F.lit("en")).cast("double")
-    return docs.select(
-        "doc_id",
-        F.lit(1.0).alias("x0"),
-        quality.alias("x1"),
-        F.log(F.lit(1.0) + F.size(toks).cast("double")).alias("x2"),
-        y.alias("y"),
+    return _pin_mlfit(
+        docs.select(
+            "doc_id",
+            F.lit(1.0).alias("x0"),
+            quality.alias("x1"),
+            F.log(F.lit(1.0) + F.size(toks).cast("double")).alias("x2"),
+            y.alias("y"),
+        )
     )
 
 
@@ -1000,6 +1031,11 @@ def doc_quality_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     praw = X.punct_ratio("text")
     quality = X.quality_score_in(toks, praw, X.stopword_ratio_in(toks))
+    # deliberately UNPINNED: only two consumers (normal-equations agg +
+    # residual pass), and the 64× A/B showed the cache-build
+    # materialization costs ~3× one fused agg scan — two direct scans
+    # beat persist here (results_mlfit_r10*.json; _logreg_feats' pin
+    # pays only at its 3–4 consumers)
     feats = docs.select(
         F.lit(1.0).alias("x0"),
         F.log(F.lit(1.0) + F.size(toks).cast("double")).alias("x1"),

@@ -33,6 +33,7 @@ from consent_based_conversion_adjustments_spark.operators import text as X
 from consent_based_conversion_adjustments_spark.operators.text import tokens
 
 docs = spark.read.parquet(sf + "/documents.parquet")
+t0 = time.time()  # end-to-end: includes the (possibly eager) feature pass
 toks = tokens("text")
 praw = X.punct_ratio("text")
 quality = X.quality_score_in(toks, praw, X.stopword_ratio_in(toks))
@@ -43,8 +44,12 @@ feats = docs.select(
     F.log(F.lit(1.0) + F.size(toks).cast("double")).alias("x2"),
     y.alias("y"),
 )
+if "{variant}" == "pinned":
+    # the registered queries' shape since round 10: persist (codegen
+    # intact — localCheckpoint's RDD conversion drops the projection
+    # to interpreted eval, tripling the materialization scan)
+    feats = feats.persist()
 fx = [F.col("x0"), F.col("x1"), F.col("x2")]
-t0 = time.time()
 if which == "logreg":
     w = M.logreg_newton_fit(feats, fx, F.col("y"), iters=2)
     feats.select(M.logreg_scores(feats, fx, w)).write.format(
@@ -57,10 +62,10 @@ print("WEIGHTS", " ".join(repr(x) for x in w), flush=True)
 '''
 
 
-def run(sf: str, which: str, timeout: int = 1800) -> dict:
-    rec: dict = {"sf": sf, "which": which}
+def run(sf: str, which: str, variant: str = "plain", timeout: int = 1800) -> dict:
+    rec: dict = {"sf": sf, "which": which, "variant": variant}
     out = subprocess.run(
-        ["python", "-c", SNIPPET.format(sf=sf, which=which)],
+        ["python", "-c", SNIPPET.format(sf=sf, which=which, variant=variant)],
         capture_output=True,
         text=True,
         timeout=timeout,
@@ -80,13 +85,19 @@ def run(sf: str, which: str, timeout: int = 1800) -> dict:
 if __name__ == "__main__":
     docs8 = build_copy_tiles(8, "/tmp/scale64/docs8_copy_r9")
     docs64 = build_copy_tiles(64, "/tmp/scale64/docs64_copy_r9")
+    import sys
+
+    variant = sys.argv[1] if len(sys.argv) > 1 else "plain"
+    out_file = (
+        "/root/repo/tools/scale/results_mlfit_r10.json"
+        if variant == "plain"
+        else f"/root/repo/tools/scale/results_mlfit_r10_{variant}.json"
+    )
     rows = []
     for which in ("logreg", "ols"):
         for sf in ("/root/testdata/sf0.1", docs8, docs64):
-            rec = run(sf, which)
+            rec = run(sf, which, variant)
             print(json.dumps(rec), flush=True)
             rows.append(rec)
-            with open(
-                "/root/repo/tools/scale/results_mlfit_r10.json", "w"
-            ) as f:
+            with open(out_file, "w") as f:
                 json.dump(rows, f, indent=1)
