@@ -110,6 +110,11 @@ def logreg_newton_fit(
         for i in range(d):
             aggs.append(F.sum(r * features[i]).alias(f"g{i}"))
         row = df.agg(*aggs).first()
+        if row[f"g{0}"] is None:
+            raise ValueError(
+                "logreg_newton_fit: empty input frame (SUM over zero "
+                "rows) — nothing to fit"
+            )
         g = [float(row[f"g{i}"]) for i in range(d)]
         if d == 3:
             cells = {
@@ -167,6 +172,11 @@ def ols_fit(
     for i in range(d):
         aggs.append(F.sum(features[i] * y).alias(f"b{i}"))
     row = df.agg(*aggs).first()
+    if row["b0"] is None:
+        raise ValueError(
+            "ols_fit: empty input frame (SUM over zero rows) — nothing "
+            "to fit"
+        )
     g = [float(row[f"b{i}"]) for i in range(d)]
     if d == 3:
         cells = {

@@ -64,6 +64,36 @@ def _auto_blocks(spark, k: int) -> int:
     return b
 
 
+def _fit_label_blocks(
+    df: DataFrame,
+    *,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int | None,
+    emit_dist: bool = False,
+):
+    """Shared fit → label → block-policy stage of the SemDeDup family —
+    ONE implementation so the pair stage and every keep rule stay on
+    identical clustering/blocking behavior. Returns (labeled, n_blocks)
+    or None when the input is empty."""
+    cents = kmeans_fit(df, k, iters, id_col=id_col, vec_col=vec_col)
+    if not cents:
+        return None
+    labeled = kmeans_label(
+        df,
+        cents,
+        id_col=id_col,
+        vec_col=vec_col,
+        carry_vec=True,
+        emit_dist=emit_dist,
+    )
+    if n_blocks is None:
+        n_blocks = _auto_blocks(df.sparkSession, len(cents))
+    return labeled, n_blocks
+
+
 def semdedup_pairs(
     df: DataFrame,
     threshold: float,
@@ -82,15 +112,14 @@ def semdedup_pairs(
     k·B(B+1)/2 cogroup tasks pack the executors (see ``_auto_blocks``)
     — raise it explicitly when single clusters outgrow task memory.
     """
-    cents = kmeans_fit(df, k, iters, id_col=id_col, vec_col=vec_col)
-    if not cents:
+    staged = _fit_label_blocks(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        n_blocks=n_blocks,
+    )
+    if staged is None:
         spark = df.sparkSession
         return spark.createDataFrame([], "id_a long, id_b long, cosine double")
-    labeled = kmeans_label(
-        df, cents, id_col=id_col, vec_col=vec_col, carry_vec=True
-    )
-    if n_blocks is None:
-        n_blocks = _auto_blocks(df.sparkSession, len(cents))
+    labeled, n_blocks = staged
     return cosine_neardup_blas(
         labeled,
         threshold,
@@ -149,16 +178,13 @@ def semdedup_keep(
         )
         removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
         return df.select(id_col).join(removed, id_col, "left_anti")
-    cents = kmeans_fit(df, k, iters, id_col=id_col, vec_col=vec_col)
-    spark = df.sparkSession
-    if not cents:
-        return df.select(id_col)
-    labeled = kmeans_label(
-        df, cents, id_col=id_col, vec_col=vec_col,
-        carry_vec=True, emit_dist=True,
+    staged = _fit_label_blocks(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        n_blocks=n_blocks, emit_dist=True,
     )
-    if n_blocks is None:
-        n_blocks = _auto_blocks(spark, len(cents))
+    if staged is None:
+        return df.select(id_col)
+    labeled, n_blocks = staged
     pairs = cosine_neardup_blas(
         labeled,
         threshold,

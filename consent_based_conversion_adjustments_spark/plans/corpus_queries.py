@@ -17,6 +17,7 @@ from ..operators import corpus as C
 from ..operators import text as X
 from ..operators.text import string_hash, tokens
 from ..sources.io import read_table
+from .caching import make_pin
 from .data_queries import _DTOKS, _TOKS, _sql_hash, _sql_stop_hits  # noqa: F401
 
 # Fibonacci-mixed bucket — mirrors corpus.split_bucket exactly (int64-exact)
@@ -748,17 +749,8 @@ SELECT doc_id, n_tokens, {r} AS nb_score FROM base ORDER BY doc_id
 
 
 # Most-recent-only persist pin for the trained-model feature frames
-# (the data_queries._pin_pretrain pattern): the returned plans are lazy,
-# so the pin is released by the NEXT call instead of inside this one,
-# capping cached storage at one feature frame per JVM.
-_MLFIT_PIN: list = []
-
-
-def _pin_mlfit(df: DataFrame) -> DataFrame:
-    while _MLFIT_PIN:
-        _MLFIT_PIN.pop().unpersist()
-    _MLFIT_PIN.append(df.persist())
-    return df
+# (see plans.caching — its own slot, independent of the pretrain pin).
+_pin_mlfit = make_pin()
 
 
 def _logreg_feats(docs: DataFrame) -> DataFrame:
@@ -960,8 +952,13 @@ def doc_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = feats.select(
         "y", M.logreg_scores(feats, fx, w, out_col="score")
     )
+    # bin on the 1e-6-ROUNDED score: the raw sigmoid differs between
+    # engines in the accepted reduction-order class, and a doc within a
+    # ulp of a k/10 boundary would flip bins — an integer count mismatch
+    # the value rounding cannot absorb (the cluster.py emit_dist lesson)
     b = F.least(
-        F.floor(F.col("score") * F.lit(10.0)).cast("long"), F.lit(9)
+        F.floor(stable_round("score", 6) * F.lit(10.0)).cast("long"),
+        F.lit(9),
     )
     return (
         scored.groupBy(b.alias("bin"))
@@ -975,13 +972,14 @@ def doc_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _calibration_bins_sql() -> str:
+    rounded_score = sql_round("score", 6)
     return f"""
 WITH {_logreg_ctes()},
 scored AS (
     SELECT f.y, {_LOGREG_SCORE_EXPR} AS score
     FROM feats f CROSS JOIN w2 w
 )
-SELECT least(CAST(floor(score * 10.0) AS BIGINT), 9) AS bin,
+SELECT least(CAST(floor(({rounded_score}) * 10.0) AS BIGINT), 9) AS bin,
        count(*) AS n,
        {sql_round("avg(score)", 6)} AS avg_score,
        {sql_round("avg(y)", 6)} AS frac_pos

@@ -32,6 +32,7 @@ from ..operators.similarity_search import (
 )
 from ..operators.sketches import cms_heavy_hitters_sql
 from ..sources.io import read_table
+from .caching import make_pin
 from ..streaming.events import (
     interval_bin_join,
     session_stats,
@@ -453,20 +454,10 @@ WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
 """
 
 
-# Most-recent-only pin for the pretrain survivor set: the queries that
-# share it return LAZY plans (the driver materializes later), so the pin
-# cannot be released inside the call — instead each new call releases the
-# previous pin, capping cached storage at one survivor set per JVM
-# instead of accumulating one per invocation (bench loops, pytest
-# sessions).
-_PRETRAIN_PIN: list = []
-
-
-def _pin_pretrain(df: DataFrame) -> DataFrame:
-    while _PRETRAIN_PIN:
-        _PRETRAIN_PIN.pop().unpersist()
-    _PRETRAIN_PIN.append(df.persist())
-    return df
+# Most-recent-only pin for the pretrain survivor set (see plans.caching:
+# the queries sharing it return LAZY plans, so each new call releases the
+# previous pin, capping cached storage at one survivor set per JVM).
+_pin_pretrain = make_pin()
 
 
 def _pretrain_kept_frames(spark: SparkSession, sf_dir: str):

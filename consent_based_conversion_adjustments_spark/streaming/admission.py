@@ -202,27 +202,35 @@ class AdmissionStore:
 
     def compact(self, spark: SparkSession, up_to_epoch: int) -> None:
         """Offline small-file compaction: fold every partition with
-        ``admit_batch_id <= up_to_epoch`` of each store table into the
-        single partition ``admit_batch_id = up_to_epoch`` (the module
-        docstring's "rewrite epochs <= E into one partition" note, now
-        an operator).
+        ``admit_batch_id <= up_to_epoch`` of each store table into ONE
+        fresh partition (the module docstring's "rewrite epochs <= E
+        into one partition" note, now an operator).
 
         Contract: run while the stream is stopped or quiet, with
         ``up_to_epoch`` strictly below the stream's next epoch. Probe
-        results are unaffected: any future epoch e > E filters
-        ``admit_batch_id < e``, and the folded rows — formerly spread
-        over partitions 0..E — all still satisfy that predicate from
-        partition E. Epoch ATTRIBUTION is deliberately coarsened
-        (``admitted()`` reports folded docs at E); the probe-visible row
-        set is the preserved invariant.
+        results are unaffected: the fold partition's sentinel epoch
+        ``−(E+2)`` is strictly negative, so any future epoch e ≥ 0 still
+        sees every folded row through its ``admit_batch_id < e`` filter.
+        The preserved invariant is the probe-visible row MULTISET — rows
+        are never deduplicated (an at-least-once upstream can
+        legitimately produce identical relations rows in different
+        epochs; they must survive with multiplicity). Epoch ATTRIBUTION
+        is deliberately coarsened (``admitted()`` reports folded docs at
+        the sentinel).
 
-        Crash-safe and idempotent: the fold materializes (localCheckpoint)
-        before overwriting partition E — the write would otherwise read
-        the very files it replaces — then deletes the older partition
-        dirs. A crash between write and deletes leaves duplicate rows;
-        re-running the same compact dedups them (``dropDuplicates`` —
-        legitimate store rows are unique per table, so only crash
-        remnants ever collapse) and finishes the deletes.
+        Crash-safe and idempotent by construction rather than by repair:
+
+        - the fold TARGET is a fresh partition unique to this E, never a
+          partition the fold also reads — so a crash during the write
+          commit cannot lose rows that lived only in a previous fold
+          partition (the raw-parquet overwrite non-atomicity the module
+          docstring concedes);
+        - source partitions are deleted only AFTER the fold write
+          commits and a per-E marker file lands; a re-run that finds the
+          marker skips straight to finishing the deletes;
+        - a re-run without the marker (crash before or during the fold
+          write) re-folds from the intact sources; a re-run after full
+          completion finds nothing to fold and is a no-op.
         """
         for path in (self.sigs_path, self.hashes_path, self.relations_path):
             self._compact_table(spark, path, int(up_to_epoch))
@@ -234,24 +242,14 @@ class AdmissionStore:
 
         if not _table_exists(spark, path):
             return
-        try:
-            df = spark.read.parquet(path)
-        except AnalysisException:
-            # a table whose every epoch produced zero rows has no files
-            # to infer a schema from — nothing to compact
-            return
-        folded = (
-            df.filter(F.col("admit_batch_id").cast("long") <= F.lit(up_to))
-            .drop("admit_batch_id")
-            .dropDuplicates()
-            .localCheckpoint()
-        )
-        if folded.isEmpty():
-            return
-        self._write_epoch(folded, path, up_to)
+        target = -(up_to + 2)
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        marker = jvm.org.apache.hadoop.fs.Path(
+            path, f"_fold_{up_to}.done"
+        )
+        part_dirs = []
         for status in fs.listStatus(hpath):
             name = status.getPath().getName()
             if not name.startswith("admit_batch_id="):
@@ -260,8 +258,34 @@ class AdmissionStore:
                 epoch = int(name.split("=", 1)[1])
             except ValueError:
                 continue
-            if epoch < up_to:
-                fs.delete(status.getPath(), True)
+            part_dirs.append((epoch, status.getPath()))
+        sources = [
+            (e, p) for e, p in part_dirs if e <= up_to and e != target
+        ]
+        if not fs.exists(marker):
+            if not sources:
+                return  # fully compacted already (or nothing ≤ E)
+            try:
+                df = spark.read.parquet(path)
+            except AnalysisException:
+                # partition dirs exist but carry zero files (all-rejected
+                # epochs) — nothing to fold, just drop the empty dirs
+                df = None
+            if df is not None:
+                ep = F.col("admit_batch_id").cast("long")
+                folded = (
+                    df.filter((ep <= F.lit(up_to)) & (ep != F.lit(target)))
+                    .drop("admit_batch_id")
+                    # materialize BEFORE any FS mutation: the plan reads
+                    # the very partitions the deletes below remove
+                    .localCheckpoint()
+                )
+                if not folded.isEmpty():
+                    self._write_epoch(folded, path, target)
+            fs.create(marker, True).close()
+        for e, p in sources:
+            fs.delete(p, True)
+        fs.delete(marker, False)
 
     # -- readback ------------------------------------------------------------
 

@@ -631,12 +631,15 @@ def test_admission_store_replay_idempotent(spark, tmp_path):
 def test_admission_store_compaction_preserves_probe_results(
     spark, tmp_path
 ):
-    """compact(E) folds epochs <= E into partition E. The preserved
-    invariant is the PROBE result: a later epoch's admission round on
-    the compacted store must produce exactly the same rejection edges
-    and admitted delta as on an uncompacted twin; re-running compact is
-    a no-op; crash remnants (duplicate rows surviving a kill between the
-    fold write and the old-partition deletes) are deduped by a re-run."""
+    """compact(E) folds epochs <= E into one fresh sentinel partition
+    (-(E+2)). The preserved invariant is the probe-visible row MULTISET:
+    a later epoch's admission round on the compacted store must produce
+    exactly the same rejection edges and admitted delta as on an
+    uncompacted twin; re-running compact is a no-op; identical rows in
+    DIFFERENT source epochs (legitimate under at-least-once upstreams)
+    survive with multiplicity; a crash between the fold commit and the
+    source deletes (marker present, some sources left) is finished by a
+    re-run without re-folding."""
     import shutil
 
     from consent_based_conversion_adjustments_spark.streaming.admission import (
@@ -651,12 +654,12 @@ def test_admission_store_compaction_preserves_probe_results(
     b = AdmissionStore(str(tmp_path / "b"), threshold=ADM_THRESHOLD)
 
     a.compact(spark, 2)
-    # same admitted docs, now all attributed to the fold epoch
+    # same admitted docs, now all attributed to the fold sentinel -(2+2)
     rows_a = a.admitted(spark).collect()
     assert {r["doc_id"] for r in rows_a} == {
         r["doc_id"] for r in b.admitted(spark).collect()
     }
-    assert {r["admit_batch_id"] for r in rows_a} == {2}
+    assert {r["admit_batch_id"] for r in rows_a} == {-4}
 
     # the probe contract: epoch 3 on compacted vs uncompacted twins
     a.process_batch(batches[3], 3)
@@ -687,22 +690,46 @@ def test_admission_store_compaction_preserves_probe_results(
     a.compact(spark, 2)
     assert _store_state(spark, a) == snap
 
-    # crash remnant: duplicate a sig row into an old partition of the
-    # twin, then compact — the fold's dropDuplicates collapses it
-    part0 = spark.read.parquet(b.sigs_path).filter("admit_batch_id = 0")
-    part0.limit(1).write.mode("append").partitionBy(
-        "admit_batch_id"
-    ).parquet(b.sigs_path)
-    assert b.admitted(spark).count() == a.admitted(spark).count() + 1
+    # multiplicity: an identical sig row in TWO source epochs (the
+    # at-least-once shape) must survive the fold as two rows
+    dup = spark.read.parquet(b.sigs_path).filter("admit_batch_id = 1")
+    dup.limit(1).withColumn(
+        "admit_batch_id", F.lit(0)
+    ).write.mode("append").partitionBy("admit_batch_id").parquet(
+        b.sigs_path
+    )
+    n_before = b.admitted(spark).count()
     b.compact(spark, 2)
-    assert {
-        (r["doc_id"], r["admit_batch_id"])
-        for r in b.admitted(spark).collect()
-    } == {
-        (r["doc_id"], r["admit_batch_id"])
-        for r in a.admitted(spark).collect()
-    }
-    assert b.admitted(spark).count() == a.admitted(spark).count()
+    assert b.admitted(spark).count() == n_before
+    assert b.admitted(spark).filter("admit_batch_id >= 0").select(
+        "doc_id"
+    ).distinct().count() == len(adm_b) > 0
+
+    # crash-mid-deletes: recreate one source partition next to the
+    # completed fold (its row is already IN the fold — the exact state a
+    # kill between the fold commit and the deletes leaves) and plant the
+    # marker — the re-run must finish the deletes WITHOUT re-folding,
+    # so the duplicate disappears instead of folding in twice
+    import os
+
+    src_part = str(tmp_path / "b" / "signatures" / "admit_batch_id=1")
+    (
+        spark.read.parquet(b.sigs_path)
+        .filter("admit_batch_id = -4")
+        .limit(1)
+        .withColumn("admit_batch_id", F.lit(1))
+        .write.mode("append")
+        .partitionBy("admit_batch_id")
+        .parquet(b.sigs_path)
+    )
+    assert os.path.isdir(src_part)
+    assert b.admitted(spark).count() == n_before + 1
+    open(
+        str(tmp_path / "b" / "signatures" / "_fold_2.done"), "w"
+    ).close()
+    b.compact(spark, 2)
+    assert not os.path.isdir(src_part)
+    assert b.admitted(spark).count() == n_before
 
 
 def test_admission_stream_end_to_end(spark, tmp_path):

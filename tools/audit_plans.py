@@ -31,13 +31,35 @@ def has_unpartitioned_window(p: str) -> bool:
     the single-task global sort that killed cms_heavy_hitters at scale.
     In the plan string, windowspecdefinition lists partition columns
     FIRST; an unpartitioned spec starts directly with a sort order, so
-    the first argument carries ASC/DESC."""
-    import re
-
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)", p):
-        first = m.group(1).split(",")[0]
-        if " ASC" in first or " DESC" in first:
+    the FIRST TOP-LEVEL argument carries ASC/DESC. The split must
+    respect nested parentheses: a sort key like
+    ``cast(true_n#5L as double) DESC`` hides its direction behind a
+    ')' that a naive [^)]* scan stops at."""
+    needle = "windowspecdefinition("
+    start = 0
+    while True:
+        i = p.find(needle, start)
+        if i < 0:
+            return False
+        j = i + len(needle)
+        depth = 0
+        first_arg = []
+        while j < len(p):
+            c = p[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            first_arg.append(c)
+            j += 1
+        seg = "".join(first_arg)
+        if " ASC" in seg or " DESC" in seg:
             return True
+        start = j
     return False
 
 

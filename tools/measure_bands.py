@@ -34,13 +34,19 @@ NOISY = [
 def solo_run(name: str) -> float | None:
     env = dict(os.environ)
     env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
-    out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "bench.py"), "--solo", name],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=600,
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench.py"), "--solo", name],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+    except subprocess.TimeoutExpired:
+        # a host stall (the very phenomenon the bands exist to catch)
+        # must cost one observation, not the whole measurement run
+        print(f"  !! {name}: solo leg timed out (600s)", file=sys.stderr)
+        return None
     for line in reversed(out.stdout.strip().splitlines()):
         try:
             rec = json.loads(line)

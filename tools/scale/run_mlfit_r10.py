@@ -55,7 +55,17 @@ if which == "logreg":
     feats.select(M.logreg_scores(feats, fx, w)).write.format(
         "noop").mode("overwrite").save()
 else:
-    w = M.ols_fit(feats, fx, F.col("x1"))
+    # the registered doc_quality_ols shape: regress the composite
+    # quality onto (1, ln(1+n_tokens), stopword_ratio) + residual pass
+    ofeats = docs.select(
+        F.lit(1.0).alias("x0"),
+        F.log(F.lit(1.0) + F.size(toks).cast("double")).alias("x1"),
+        X.stopword_ratio_in(toks).alias("x2"),
+        quality.alias("yq"),
+    )
+    w = M.ols_fit(ofeats, fx, F.col("yq"))
+    resid = F.col("yq") - M.linear_predict(fx, w)
+    ofeats.agg(F.sqrt(F.avg(resid * resid)).alias("r")).first()
 print("RESULT %.3f" % (time.time() - t0), flush=True)
 print("VOLUME rows", docs.count(), flush=True)
 print("WEIGHTS", " ".join(repr(x) for x in w), flush=True)
@@ -95,8 +105,11 @@ if __name__ == "__main__":
     )
     rows = []
     for which in ("logreg", "ols"):
+        # the registered doc_quality_ols is deliberately unpinned (see
+        # PERF.md round-10), so the pin variant only applies to logreg
+        v = variant if which == "logreg" else "plain"
         for sf in ("/root/testdata/sf0.1", docs8, docs64):
-            rec = run(sf, which, variant)
+            rec = run(sf, which, v)
             print(json.dumps(rec), flush=True)
             rows.append(rec)
             with open(out_file, "w") as f:
