@@ -21,6 +21,7 @@ from consent_based_conversion_adjustments_spark.plans import (
     cocoa_queries,
     corpus_queries,
     data_queries,
+    provenance,
     relational,
 )
 
@@ -40,48 +41,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _last_verified_round(record_dir: str | None = None) -> dict[str, int]:
-    """Map query name -> most recent round whose CORRECTNESS file recorded it.
+    """Map query name -> most recent round whose CORRECTNESS file recorded
+    a PASS (failures re-sort to the front; rows-only ``no_oracle`` records
+    count — they are the strongest check those queries support)."""
+    here = record_dir or os.path.dirname(os.path.abspath(__file__))
+    return provenance.last_green_rounds(here)
 
-    The driver only records the first N registry entries per round, so ordering
-    least-recently-verified first rotates the verification window until every
-    query has a recent driver row. Queries never recorded sort first (round 0).
-    A round whose record shows a FAILURE (hash mismatch or a hard error) does
-    not count as verified — the query re-sorts to the front of the next window
-    so a fix lands a fresh green row immediately instead of waiting a full
-    rotation cycle. Rows-only records (``err == "no_oracle"``) count: they are
-    the strongest check those queries support.
+
+def _ordered_names(record_dir: str | None = None) -> list[str]:
+    """CODE-AWARE verification rotation (VERDICT r10 §Next #2).
+
+    The driver only records the first N registry entries per round; this
+    ordering decides which N. Round 10 showed that sorting purely by
+    least-recently-verified round leaves just-rewritten operators LAST —
+    the riskiest queries were the least likely to re-verify. Tiers:
+
+    0. HOT — the query's def-level source fingerprint
+       (plans/provenance.py) differs from its value at the last record
+       tree (edited THIS round), or its closure churned between the two
+       most recent record trees without a green row since. Newest last
+       green first (the r10 failure mode: greened on old code, operator
+       rewritten immediately after).
+    1. NEVER VERIFIED — new registrations need their first driver row.
+    2. STALE-CHANGED — fingerprint differs from the one at the query's
+       last green row (code changed at some point since), oldest green
+       first.
+    3. UNCHANGED — verified and source-stable; oldest green first so the
+       cohort keeps refreshing.
+
+    ``tools/verify_fp.json`` (rebuilt from git trees each round by
+    ``tools/refresh_fingerprints.py``) supplies the historical
+    fingerprints. Any sidecar/fingerprint failure degrades gracefully to
+    the round-only ordering — the driver contract must never break on a
+    provenance bug.
     """
     here = record_dir or os.path.dirname(os.path.abspath(__file__))
-    seen: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        try:
-            rnd = int(os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")])
-            records = json.load(open(path))
-        except (ValueError, OSError, json.JSONDecodeError):
-            continue
-        for name, rec in records.items():
-            if not isinstance(rec, dict):
-                seen[name] = max(seen.get(name, 0), rnd)
-                continue
-            failed = (
-                rec.get("hash_match") is False
-                or rec.get("rows_match") is False
-                or rec.get("schema_match") is False
-                or rec.get("err") not in (None, "no_oracle")
-            )
-            if not failed:
-                seen[name] = max(seen.get(name, 0), rnd)
-    return seen
-
-
-def _ordered_names() -> list[str]:
     registered: list[str] = []
     for registry in _REGISTRIES:
         registered.extend(registry.keys())
-    seen = _last_verified_round()
-    # Stable sort: never-verified first, then oldest verification round;
-    # registration order breaks ties so the rotation is deterministic.
-    return sorted(registered, key=lambda n: seen.get(n, 0))
+    seen = _last_verified_round(here)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        cur = provenance.fingerprint_all(repo)
+        sidecar = json.load(open(os.path.join(here, "tools", "verify_fp.json")))
+        meta = sidecar.get("__meta__", {})
+        latest = meta.get("latest_round", 0)
+    except Exception:
+        cur, sidecar, latest = {}, {}, 0
+
+    def key(n: str):
+        rnd = seen.get(n, 0)
+        if rnd == 0:
+            return (1, 0, 0)
+        rec = sidecar.get(n) or {}
+        cfp = cur.get(n)
+        head, prev, green_fp = (
+            rec.get("fp_head"),
+            rec.get("fp_prev"),
+            rec.get("fp"),
+        )
+        if cfp and head and cfp != head:
+            return (0, -rnd, 0)  # edited this round
+        if head and prev and head != prev and rnd < latest:
+            return (0, -rnd, 1)  # churned in the latest round, unverified since
+        if cfp and green_fp and cfp != green_fp:
+            return (2, rnd, 0)  # changed at some point since its green row
+        if not (cfp and green_fp):
+            return (2, rnd, 1)  # fingerprint unavailable — treat as suspect
+        return (3, rnd, 0)
+
+    # stable sort: registration order breaks ties so the rotation is
+    # deterministic
+    return sorted(registered, key=key)
 
 
 def _flat() -> dict[str, tuple]:

@@ -1,0 +1,189 @@
+"""Tests for the code-aware verification rotation (plans/provenance.py +
+__spark_entry__._ordered_names).
+
+The rotation exists to fix a concrete round-10 failure: a rewritten
+operator (sketches.py) left its queries sorted LAST in the driver's
+verification window. These tests pin the properties that make the fix
+trustworthy: determinism, def-level precision (unrelated edits don't
+trigger), recall (edits anywhere in the reachable closure DO trigger),
+and graceful degradation when the sidecar is absent.
+
+No Spark session needed — everything is static file analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+import pytest
+
+from consent_based_conversion_adjustments_spark.plans import provenance as P
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def pkg_copy(tmp_path_factory):
+    root = tmp_path_factory.mktemp("prov")
+    shutil.copytree(os.path.join(REPO, P.PKG), os.path.join(root, P.PKG))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def base_fps(pkg_copy):
+    return P.fingerprint_all(pkg_copy)
+
+
+def _edit(root: str, relpath: str, old: str, new: str) -> str:
+    path = os.path.join(root, relpath)
+    src = open(path).read()
+    assert old in src, f"probe anchor {old!r} missing from {relpath}"
+    open(path, "w").write(src.replace(old, new, 1))
+    return src
+
+
+def test_fingerprints_cover_every_registered_query(base_fps):
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as E
+
+    registered = set()
+    for registry in E._REGISTRIES:
+        registered.update(registry.keys())
+    assert registered == set(base_fps)
+
+
+def test_deterministic(pkg_copy, base_fps):
+    assert P.fingerprint_all(pkg_copy) == base_fps
+
+
+def test_unrelated_def_append_changes_nothing(pkg_copy, base_fps):
+    rel = f"{P.PKG}/operators/sketches.py"
+    path = os.path.join(pkg_copy, rel)
+    orig = open(path).read()
+    try:
+        open(path, "a").write("\n\ndef _provenance_probe_unused():\n    return 1\n")
+        assert P.fingerprint_all(pkg_copy) == base_fps
+    finally:
+        open(path, "w").write(orig)
+
+
+def test_operator_def_edit_bumps_exactly_its_queries(pkg_copy, base_fps):
+    """The round-10 scenario: editing cms_heavy_hitters must bump the CMS
+    queries and nothing else."""
+    rel = f"{P.PKG}/operators/sketches.py"
+    path = os.path.join(pkg_copy, rel)
+    orig = open(path).read()
+    m = re.search(r"(def cms_heavy_hitters\([^\n]*\n)", orig)
+    assert m is not None
+    try:
+        open(path, "w").write(
+            orig.replace(m.group(1), m.group(1) + "    # probe\n", 1)
+        )
+        fps = P.fingerprint_all(pkg_copy)
+        changed = {q for q in base_fps if fps[q] != base_fps[q]}
+        assert changed == {"user_heavy_hitters_cms", "streaming_cms_rounds"}
+    finally:
+        open(path, "w").write(orig)
+
+
+def test_registry_helper_edit_bumps_dependents_only(pkg_copy, base_fps):
+    """Editing the shared _logreg_feats helper bumps the GLM family that
+    consumes it, not unrelated corpus queries."""
+    rel = f"{P.PKG}/plans/corpus_queries.py"
+    path = os.path.join(pkg_copy, rel)
+    orig = open(path).read()
+    m = re.search(r"(def _logreg_feats\([^\n]*\n)", orig)
+    assert m is not None
+    try:
+        open(path, "w").write(
+            orig.replace(m.group(1), m.group(1) + "    # probe\n", 1)
+        )
+        fps = P.fingerprint_all(pkg_copy)
+        changed = {q for q in base_fps if fps[q] != base_fps[q]}
+        assert "doc_logreg_quality" in changed
+        assert "doc_classifier_auc" in changed
+        assert "tfidf_top_terms" not in changed
+        assert "bpe_merges" not in changed
+    finally:
+        open(path, "w").write(orig)
+
+
+def test_transitive_cross_module_edit_triggers(pkg_copy, base_fps):
+    """dedup.py reaches text.py helpers; editing the string-hash primitive
+    must bump the minhash queries through two module hops."""
+    rel = f"{P.PKG}/operators/text.py"
+    path = os.path.join(pkg_copy, rel)
+    orig = open(path).read()
+    m = re.search(r"(def string_hash\([^\n]*\n)", orig)
+    if m is None:
+        pytest.skip("string_hash moved — update the probe anchor")
+    try:
+        open(path, "w").write(
+            orig.replace(m.group(1), m.group(1) + "    # probe\n", 1)
+        )
+        fps = P.fingerprint_all(pkg_copy)
+        changed = {q for q in base_fps if fps[q] != base_fps[q]}
+        assert "dedup_minhash" in changed
+    finally:
+        open(path, "w").write(orig)
+
+
+def test_ordering_puts_hot_before_stale_and_degrades_gracefully(tmp_path):
+    """Synthetic CORRECTNESS + sidecar: a query greened last round whose
+    fingerprint then changed must sort before never-verified and before
+    older-but-unchanged queries; with no sidecar the ordering falls back
+    to round-only without raising."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as E
+
+    record_dir = str(tmp_path)
+    cur = P.fingerprint_all(REPO)
+    names = sorted(cur)[:4]
+    hot, stale, fresh, never = names
+    json.dump(
+        {hot: {"hash_match": True}, stale: {"hash_match": True}},
+        open(os.path.join(record_dir, "CORRECTNESS_r01.json"), "w"),
+    )
+    json.dump(
+        {hot: {"hash_match": True}, fresh: {"hash_match": True}},
+        open(os.path.join(record_dir, "CORRECTNESS_r02.json"), "w"),
+    )
+    os.makedirs(os.path.join(record_dir, "tools"), exist_ok=True)
+    sidecar = {
+        "__meta__": {"latest_round": 2, "prev_round": 1},
+        # hot: code changed after its last green (head differs from cur)
+        hot: {"round": 2, "fp": "OLD", "fp_head": "OLD", "fp_prev": "OLD"},
+        # stale: changed somewhere since r1 but matches head (not hot)
+        stale: {
+            "round": 1,
+            "fp": "ANCIENT",
+            "fp_head": cur[stale],
+            "fp_prev": cur[stale],
+        },
+        # fresh: unchanged since its green row
+        fresh: {
+            "round": 2,
+            "fp": cur[fresh],
+            "fp_head": cur[fresh],
+            "fp_prev": cur[fresh],
+        },
+    }
+    json.dump(sidecar, open(os.path.join(record_dir, "tools", "verify_fp.json"), "w"))
+    order = E._ordered_names(record_dir)
+    pos = {n: order.index(n) for n in names}
+    assert pos[hot] < pos[never], "hot-changed must beat never-verified"
+    assert pos[never] < pos[stale], "never-verified must beat stale-changed"
+    assert pos[stale] < pos[fresh], "stale-changed must beat unchanged"
+
+    # graceful degradation: no sidecar → round-only ordering, no crash
+    os.remove(os.path.join(record_dir, "tools", "verify_fp.json"))
+    order2 = E._ordered_names(record_dir)
+    assert len(order2) == len(order)
+    assert order2.index(never) < order2.index(hot)  # never-verified first
