@@ -13,13 +13,16 @@ lets the DuckDB oracle replay every step as chained CTEs
 (``logreg_sql3``).
 
 Cross-engine float contract: the linear predictor folds left-to-right
-(w0·x0 + w1·x1) + w2·x2 — the SQL ``+`` associativity — and the d=3
-solve uses the explicit adjugate formulas in the SAME term order as the
-oracle's SQL (the quantize.py sequential-accumulation precedent), so
-the only engine divergence is the distributed sums' reduction order
-(the accepted class shared by every covariance/k-means oracle). Other d
-fall back to np.linalg.solve — fine for use, but an oracle built on it
-would add LU-vs-adjugate rounding risk (documented, not registered).
+(w0·x0 + w1·x1) + w2·x2 — the SQL ``+`` associativity — and the d=3/d=4
+solves use explicit adjugate formulas in the SAME term order as the
+oracle's SQL (the quantize.py sequential-accumulation precedent; at d=4
+ONE set of expression strings drives both engines, so the match is by
+construction), so the only engine divergence is the distributed sums'
+reduction order (the accepted class shared by every covariance/k-means
+oracle). d ≥ 5 falls back to np.linalg.solve — fine for use, but an
+oracle built on it would add LU-vs-adjugate rounding risk (documented,
+not registered; the ValueError note in logreg_newton_fit points users
+at the oracle-safe range).
 
 Derived entirely from public methodology: IRLS/Newton for logistic
 regression is textbook (McCullagh & Nelder, GLM); the pseudo-label
@@ -47,6 +50,27 @@ def linear_predict(features: list[Column], weights: list[float]) -> Column:
     return _linear(features, weights)
 
 
+#: scale-relative singularity threshold: a nearly-collinear feature set
+#: yields a tiny-but-nonzero determinant and exploding garbage weights;
+#: det scales like max(|a_ii|)^d, so compare against eps·scale^d rather
+#: than exact zero (ADVICE r10). eps = 1e-12 leaves ~4 decimal digits of
+#: genuine conditioning headroom above double rounding noise.
+_SINGULAR_EPS = 1e-12
+
+_SINGULAR_MSG = (
+    "{who}: singular normal matrix (|det|={det:.3e} <= tol={tol:.3e}) — "
+    "the features are linearly dependent or near-collinear on this data "
+    "(e.g. a saturated heuristic collapsing to an affine function of "
+    "another feature); drop or replace a feature"
+)
+
+
+def _check_det(det: float, diag: list[float], who: str) -> None:
+    tol = _SINGULAR_EPS * max(abs(v) for v in diag) ** len(diag)
+    if abs(det) <= tol:
+        raise ValueError(_SINGULAR_MSG.format(who=who, det=det, tol=tol))
+
+
 def _solve3(a: dict[str, float], g: list[float]) -> list[float]:
     """Adjugate solve of the symmetric 3×3 system A·dw = g, term order
     matched to ``logreg_sql3``'s SQL expressions."""
@@ -57,13 +81,7 @@ def _solve3(a: dict[str, float], g: list[float]) -> list[float]:
         - a01 * (a01 * a22 - a12 * a02)
         + a02 * (a01 * a12 - a11 * a02)
     )
-    if det == 0.0:
-        raise ValueError(
-            "logreg_newton_fit: singular normal matrix — the features "
-            "are linearly dependent on this data (e.g. a saturated "
-            "heuristic collapsing to an affine function of another "
-            "feature); drop or replace a feature"
-        )
+    _check_det(det, [a00, a11, a22], "_solve3")
     i00 = (a11 * a22 - a12 * a12) / det
     i01 = (a02 * a12 - a01 * a22) / det
     i02 = (a01 * a12 - a02 * a11) / det
@@ -75,6 +93,71 @@ def _solve3(a: dict[str, float], g: list[float]) -> list[float]:
         i00 * g0 + i01 * g1 + i02 * g2,
         i01 * g0 + i11 * g1 + i12 * g2,
         i02 * g0 + i12 * g1 + i22 * g2,
+    ]
+
+
+# -- d=4 adjugate: ONE set of expression strings drives BOTH the Python
+# -- solve (eval) and the SQL oracle (textual splice), so the float-op
+# -- order matches across engines BY CONSTRUCTION instead of by the
+# -- hand-mirroring discipline the d=3 pair relies on. Python eval and
+# -- DuckDB share left-associativity and precedence for * - + /, and both
+# -- compute IEEE doubles, so identical text ⇒ identical rounding.
+
+_DET4_EXPR = (
+    "a00 * (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)"
+    " + a13 * (a12 * a23 - a22 * a13))"
+    " - a01 * (a01 * (a22 * a33 - a23 * a23) - a12 * (a02 * a33 - a23 * a03)"
+    " + a13 * (a02 * a23 - a22 * a03))"
+    " + a02 * (a01 * (a12 * a33 - a23 * a13) - a11 * (a02 * a33 - a23 * a03)"
+    " + a13 * (a02 * a13 - a12 * a03))"
+    " - a03 * (a01 * (a12 * a23 - a22 * a13) - a11 * (a02 * a23 - a22 * a03)"
+    " + a12 * (a02 * a13 - a12 * a03))"
+)
+
+#: upper-triangle inverse cells of the symmetric 4×4 (adj/det; the
+#: (-1)^{i+j} minor signs are folded into leading negations)
+_INV4_EXPRS = {
+    "i00": "(a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)"
+    " + a13 * (a12 * a23 - a22 * a13)) / det",
+    "i01": "-(a01 * (a22 * a33 - a23 * a23) - a12 * (a02 * a33 - a23 * a03)"
+    " + a13 * (a02 * a23 - a22 * a03)) / det",
+    "i02": "(a01 * (a12 * a33 - a23 * a13) - a11 * (a02 * a33 - a23 * a03)"
+    " + a13 * (a02 * a13 - a12 * a03)) / det",
+    "i03": "-(a01 * (a12 * a23 - a22 * a13) - a11 * (a02 * a23 - a22 * a03)"
+    " + a12 * (a02 * a13 - a12 * a03)) / det",
+    "i11": "(a00 * (a22 * a33 - a23 * a23) - a02 * (a02 * a33 - a23 * a03)"
+    " + a03 * (a02 * a23 - a22 * a03)) / det",
+    "i12": "-(a00 * (a12 * a33 - a23 * a13) - a01 * (a02 * a33 - a23 * a03)"
+    " + a03 * (a02 * a13 - a12 * a03)) / det",
+    "i13": "(a00 * (a12 * a23 - a22 * a13) - a01 * (a02 * a23 - a22 * a03)"
+    " + a02 * (a02 * a13 - a12 * a03)) / det",
+    "i22": "(a00 * (a11 * a33 - a13 * a13) - a01 * (a01 * a33 - a13 * a03)"
+    " + a03 * (a01 * a13 - a11 * a03)) / det",
+    "i23": "-(a00 * (a11 * a23 - a12 * a13) - a01 * (a01 * a23 - a12 * a03)"
+    " + a02 * (a01 * a13 - a11 * a03)) / det",
+    "i33": "(a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02)"
+    " + a02 * (a01 * a12 - a11 * a02)) / det",
+}
+
+
+def _solve4(a: dict[str, float], g: list[float]) -> list[float]:
+    """Adjugate solve of the symmetric 4×4 system A·dw = g by evaluating
+    the SAME expression strings ``logreg_sql4`` splices into the oracle
+    SQL — cross-engine float parity by construction."""
+    ns = dict(a)
+    det = eval(_DET4_EXPR, {"__builtins__": {}}, ns)  # noqa: S307 — fixed literal
+    _check_det(det, [a["a00"], a["a11"], a["a22"], a["a33"]], "_solve4")
+    ns["det"] = det
+    inv = {
+        k: eval(expr, {"__builtins__": {}}, ns)  # noqa: S307 — fixed literal
+        for k, expr in _INV4_EXPRS.items()
+    }
+    g0, g1, g2, g3 = g
+    return [
+        ((inv["i00"] * g0 + inv["i01"] * g1) + inv["i02"] * g2) + inv["i03"] * g3,
+        ((inv["i01"] * g0 + inv["i11"] * g1) + inv["i12"] * g2) + inv["i13"] * g3,
+        ((inv["i02"] * g0 + inv["i12"] * g1) + inv["i22"] * g2) + inv["i23"] * g3,
+        ((inv["i03"] * g0 + inv["i13"] * g1) + inv["i23"] * g2) + inv["i33"] * g3,
     ]
 
 
@@ -116,13 +199,13 @@ def logreg_newton_fit(
                 "rows) — nothing to fit"
             )
         g = [float(row[f"g{i}"]) for i in range(d)]
-        if d == 3:
+        if d in (3, 4):
             cells = {
                 f"a{i}{j}": float(row[f"a{i}{j}"])
                 for i in range(d)
                 for j in range(i, d)
             }
-            dw = _solve3(cells, g)
+            dw = _solve3(cells, g) if d == 3 else _solve4(cells, g)
         else:
             import numpy as np
 
@@ -178,14 +261,14 @@ def ols_fit(
             "to fit"
         )
     g = [float(row[f"b{i}"]) for i in range(d)]
-    if d == 3:
+    if d in (3, 4):
         cells = {
             f"a{i}{j}": float(row[f"a{i}{j}"])
             + (float(ridge) if i == j else 0.0)
             for i in range(d)
             for j in range(i, d)
         }
-        return _solve3(cells, g)
+        return _solve3(cells, g) if d == 3 else _solve4(cells, g)
     import numpy as np
 
     A = np.zeros((d, d))
@@ -289,6 +372,77 @@ def logreg_sql3(
                (a00 * (a11 * a22 - a12 * a12)
                 - a01 * (a01 * a22 - a12 * a02)
                 + a02 * (a01 * a12 - a11 * a02)) AS det
+        FROM it{k}
+    ) i CROSS JOIN {prev} w
+)""")
+    return ",\n".join(ctes)
+
+
+def _sql4(expr: str) -> str:
+    """Prefix every normal-matrix cell / det reference with the ``i.``
+    alias — the textual splice that keeps the oracle's float-op order
+    IDENTICAL to ``_solve4``'s eval of the same string."""
+    import re
+
+    return re.sub(r"\b(a[0-3][0-3]|det)\b", r"i.\1", expr)
+
+
+def logreg_sql4(
+    feats_cte: str,
+    *,
+    iters: int = 2,
+    x_cols: tuple[str, str, str, str] = ("x0", "x1", "x2", "x3"),
+    y_col: str = "y",
+) -> str:
+    """Chained-CTE DuckDB replay of a d=4 ``logreg_newton_fit`` — the
+    d=4 sibling of ``logreg_sql3``, except the adjugate formulas are not
+    hand-mirrored: they are the SAME strings ``_solve4`` evaluates
+    (``_DET4_EXPR`` / ``_INV4_EXPRS``), spliced with an ``i.`` prefix.
+    Emits CTEs up to ``w{iters}`` holding (w0..w3)."""
+    x0, x1, x2, x3 = x_cols
+    xs = (x0, x1, x2, x3)
+    ctes = [
+        feats_cte,
+        "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    inv = {k: _sql4(v) for k, v in _INV4_EXPRS.items()}
+    for k in range(1, int(iters) + 1):
+        prev = f"w{k - 1}"
+        cells = ",\n           ".join(
+            f"sum((p * (1.0 - p)) * {xs[i]} * {xs[j]}) AS a{i}{j}"
+            for i in range(4)
+            for j in range(i, 4)
+        )
+        grads = ",\n           ".join(
+            f"sum(({y_col} - p) * {xs[i]}) AS g{i}" for i in range(4)
+        )
+        ctes.append(f"""it{k} AS (
+    SELECT {cells},
+           {grads}
+    FROM (
+        SELECT f.*, 1.0 / (1.0 + exp(-((((w.w0 * f.{x0} + w.w1 * f.{x1})
+                                         + w.w2 * f.{x2}) + w.w3 * f.{x3})))) AS p
+        FROM feats f CROSS JOIN {prev} w
+    )
+)""")
+        # dw_i = ((i_i0*g0 + i_i1*g1) + i_i2*g2) + i_i3*g3 — the _solve4 fold
+        def cell(i: int, j: int) -> str:
+            key = f"i{min(i, j)}{max(i, j)}"
+            return f"({inv[key]})"
+
+        rows = []
+        for i in range(4):
+            rows.append(
+                f"w.w{i} + ((({cell(i, 0)} * i.g0\n"
+                f"              + {cell(i, 1)} * i.g1)\n"
+                f"              + {cell(i, 2)} * i.g2)\n"
+                f"              + {cell(i, 3)} * i.g3) AS w{i}"
+            )
+        wsel = ",\n           ".join(rows)
+        ctes.append(f"""w{k} AS (
+    SELECT {wsel}
+    FROM (
+        SELECT *, ({_DET4_EXPR}) AS det
         FROM it{k}
     ) i CROSS JOIN {prev} w
 )""")

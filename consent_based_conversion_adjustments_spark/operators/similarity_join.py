@@ -355,6 +355,129 @@ def auto_n_planes(
     return max(min_planes, min(max_planes, p))
 
 
+#: Measured recall-vs-mass ledger from the 64× embeddings rung
+#: (1.28M build × 1.28M query; tools/scale/run_lsh_recall_r10.py →
+#: results_lsh_recall_r10.json, PERF.md round 10). Ground truth = exact
+#: top-5 for a 500-probe sample. The calibration corpus has WEAK angular
+#: gaps (near-uniform synthetic vectors) — the regime least favorable to
+#: angular LSH — so plans built on it are conservative for real corpora.
+#:
+#:   p (planes)  n_tables   candidate mass   recall@5
+#:   10          4          85.1 M           0.070
+#:   10          8          170.5 M          0.124
+#:   10          16         341.0 M          0.230
+#:   12          16         99.9 M           0.090
+RECALL_LEDGER_64X: tuple[dict, ...] = (
+    {"n_planes": 10, "n_tables": 4, "mass": 85_121_132, "recall": 0.070},
+    {"n_planes": 10, "n_tables": 8, "mass": 170_465_610, "recall": 0.124},
+    {"n_planes": 10, "n_tables": 16, "mass": 340_967_170, "recall": 0.230},
+    {"n_planes": 12, "n_tables": 16, "mass": 99_908_734, "recall": 0.090},
+)
+
+#: the rung's corpus sides (mass scales as n_build·n_query relative to it)
+_LEDGER_SIDES = (1_280_000, 1_280_000)
+
+
+def lsh_recall_plan(
+    n_build: int,
+    n_query: int,
+    *,
+    recall_floor: float,
+    target_mass_per_row: int = 64,
+    ledger: tuple[dict, ...] = RECALL_LEDGER_64X,
+    ledger_sides: tuple[int, int] = _LEDGER_SIDES,
+    max_tables: int = 64,
+) -> dict:
+    """Recall-aware LSH dispatch — the PERF.md round-10 conclusion as
+    code (VERDICT r10 §Next #6): given a recall floor and a candidate-
+    mass budget LINEAR in the data (``target_mass_per_row·(n_build +
+    n_query)``, auto_n_planes' budget shape), either return the
+    (n_planes, n_tables) meeting the floor within budget, or recommend
+    the exact blocked-BLAS route (cosine_neardup_blas / SemDeDup's
+    cluster-pruned pass).
+
+    Model — both laws MEASURED on the ledger (PERF.md round 10):
+
+    1. recall ≈ n_tables · r₁(p) in the small-probability regime
+       (OR-amplification is linear: 0.070 → 0.124 → 0.230 for 4/8/16
+       tables at p=10), capped at 1.0;
+    2. mass ≈ n_tables · m₁(p) · (n_build·n_query)/(Lb·Lq) — pair-
+       sampling scaling off the ledger corpus (the uniform-occupancy
+       n·m/2^p model held within 2.2× on the same rung).
+
+    Per-table rates r₁/m₁ are averaged over the ledger rows at each
+    measured p; p is NOT extrapolated (the p=12 row shows the signature
+    explode + 65k-bucket overhead breaking the 1/2^p idealization). The
+    ledger corpus is the weak-angular-gap synthetic rung — re-measure
+    with tools/scale/run_lsh_recall_r10.py and pass ``ledger=`` for a
+    corpus with real structure (recall per table will only improve).
+
+    Returns a dict: ``route`` = "lsh" (+ n_planes/n_tables/
+    predicted_recall/predicted_mass/mass_budget) or "exact_blas"
+    (+ reason, best_lsh — the closest-miss config for context).
+    """
+    if not 0.0 < recall_floor <= 1.0:
+        raise ValueError(f"recall_floor must be in (0, 1]: {recall_floor}")
+    budget = float(target_mass_per_row) * (float(n_build) + float(n_query))
+    pair_scale = (float(n_build) * float(n_query)) / (
+        float(ledger_sides[0]) * float(ledger_sides[1])
+    )
+    by_p: dict[int, list[dict]] = {}
+    for row in ledger:
+        by_p.setdefault(int(row["n_planes"]), []).append(row)
+    candidates: list[dict] = []
+    for p, rows in sorted(by_p.items()):
+        r1 = sum(r["recall"] / r["n_tables"] for r in rows) / len(rows)
+        m1 = sum(r["mass"] / r["n_tables"] for r in rows) / len(rows)
+        if r1 <= 0.0:
+            continue
+        import math
+
+        t = math.ceil(recall_floor / r1)
+        pred_recall = min(1.0, t * r1)
+        pred_mass = t * m1 * pair_scale
+        candidates.append(
+            {
+                "n_planes": p,
+                "n_tables": t,
+                "predicted_recall": round(pred_recall, 4),
+                "predicted_mass": round(pred_mass),
+                "feasible": pred_mass <= budget and t <= max_tables,
+            }
+        )
+    feasible = [c for c in candidates if c["feasible"]]
+    if feasible:
+        # prefer FEWEST TABLES, not least mass: the rung measured p=12/16t
+        # SLOWER than p=10/16t despite 3.4x less mass (signature explode
+        # + 2^p-bucket group-by overhead dominates once buckets are
+        # sparse), and table count is what multiplies that overhead
+        best = min(
+            feasible, key=lambda c: (c["n_tables"], c["predicted_mass"])
+        )
+        return {
+            "route": "lsh",
+            "n_planes": best["n_planes"],
+            "n_tables": best["n_tables"],
+            "predicted_recall": best["predicted_recall"],
+            "predicted_mass": best["predicted_mass"],
+            "mass_budget": round(budget),
+        }
+    best = min(candidates, key=lambda c: c["predicted_mass"]) if candidates else None
+    return {
+        "route": "exact_blas",
+        "reason": (
+            f"no measured (p, n_tables) reaches recall {recall_floor} "
+            f"within mass budget {round(budget)} (≤ {max_tables} tables) — "
+            "recall per unit mass is ~constant on this corpus class "
+            "(PERF.md round 10), so OR-amplification cannot beat the "
+            "frontier; use cosine_neardup_blas or the SemDeDup "
+            "cluster-pruned exact pass"
+        ),
+        "best_lsh": best,
+        "mass_budget": round(budget),
+    }
+
+
 def knn_join_lsh(
     probe: DataFrame,
     build: DataFrame,

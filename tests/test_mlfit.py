@@ -165,3 +165,106 @@ def test_logreg_d2_numpy_path(spark):
     w = logreg_newton_fit(df, fx, F.col("y"), iters=2)
     ref = _numpy_newton(X[:, :2], y, 2)
     assert w == pytest.approx(ref.tolist(), rel=1e-9)
+
+
+def _planted4(spark, n=400, seed=5):
+    rng = np.random.default_rng(seed)
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    x3 = rng.normal(size=n)
+    z = 0.5 + 1.5 * x1 - 1.0 * x2 + 0.7 * x3
+    y = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-z))).astype(float)
+    rows = [
+        (i, 1.0, float(x1[i]), float(x2[i]), float(x3[i]), float(y[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "row_id long, x0 double, x1 double, x2 double, x3 double, y double",
+    )
+    X = np.column_stack([np.ones(n), x1, x2, x3])
+    return df, X, y
+
+
+def test_logreg_d4_adjugate_matches_numpy_reference(spark):
+    """d=4 takes the _solve4 adjugate path (the oracle-matched float
+    contract); parity with the numpy LU reference must hold to ~1e-9."""
+    df, X, y = _planted4(spark)
+    fx = [F.col("x0"), F.col("x1"), F.col("x2"), F.col("x3")]
+    for iters in (1, 2):
+        w = logreg_newton_fit(df, fx, F.col("y"), iters=iters)
+        ref = _numpy_newton(X, y, iters)
+        assert w == pytest.approx(ref.tolist(), rel=1e-9), iters
+
+
+def test_ols_d4_adjugate_matches_numpy_lstsq(spark):
+    from consent_based_conversion_adjustments_spark.operators.mlfit import (
+        ols_fit,
+    )
+
+    df, X, _ = _planted4(spark)
+    rng = np.random.default_rng(9)
+    yv = 2.0 - 0.5 * X[:, 1] + 3.0 * X[:, 2] - 1.1 * X[:, 3] + rng.normal(
+        scale=0.1, size=len(X)
+    )
+    df2 = spark.createDataFrame(
+        [tuple(float(v) for v in X[i]) + (float(yv[i]),) for i in range(len(X))],
+        "x0 double, x1 double, x2 double, x3 double, y double",
+    )
+    fx = [F.col("x0"), F.col("x1"), F.col("x2"), F.col("x3")]
+    w = ols_fit(df2, fx, F.col("y"))
+    ref, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert w == pytest.approx(ref.tolist(), rel=1e-8)
+
+
+def test_near_collinear_raises_not_garbage(spark):
+    """ADVICE r10: a NEARLY-collinear feature set has det ~ 1e-13 * scale
+    — far below the scale-relative tolerance but nonzero; the old exact
+    det == 0.0 guard silently produced exploding weights here."""
+    rng = np.random.default_rng(3)
+    n = 200
+    x1 = rng.normal(size=n)
+    x2 = 2.0 * x1 + rng.normal(scale=1e-9, size=n)  # collinear + dust
+    y = (rng.uniform(size=n) < 0.5).astype(float)
+    df = spark.createDataFrame(
+        [(1.0, float(x1[i]), float(x2[i]), float(y[i])) for i in range(n)],
+        "x0 double, x1 double, x2 double, y double",
+    )
+    fx = [F.col("x0"), F.col("x1"), F.col("x2")]
+    with pytest.raises(ValueError, match="singular normal matrix"):
+        logreg_newton_fit(df, fx, F.col("y"), iters=1)
+
+
+def test_solve4_matches_numpy_on_random_spd_systems():
+    from consent_based_conversion_adjustments_spark.operators.mlfit import (
+        _solve4,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        Xm = rng.normal(size=(50, 4))
+        A = Xm.T @ Xm
+        g = rng.normal(size=4)
+        cells = {
+            f"a{i}{j}": float(A[i, j]) for i in range(4) for j in range(i, 4)
+        }
+        got = _solve4(cells, [float(v) for v in g])
+        ref = np.linalg.solve(A, g)
+        assert got == pytest.approx(ref.tolist(), rel=1e-8)
+
+
+def test_sql4_and_solve4_share_expression_text():
+    """The cross-engine d=4 contract is textual: the SQL oracle must
+    contain the exact det/inverse expression strings _solve4 evaluates
+    (modulo the i. table prefix)."""
+    from consent_based_conversion_adjustments_spark.operators.mlfit import (
+        _DET4_EXPR,
+        _INV4_EXPRS,
+        _sql4,
+        logreg_sql4,
+    )
+
+    sql = logreg_sql4("feats AS (SELECT 1 AS x0)")
+    assert _DET4_EXPR in sql  # unqualified inside the det subquery
+    for expr in _INV4_EXPRS.values():
+        assert _sql4(expr) in sql

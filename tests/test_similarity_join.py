@@ -304,3 +304,81 @@ def test_auto_n_planes_density_law():
         assert mass <= 64 * (2 * n) or p == 24
     assert auto_n_planes(10, 10) == 4          # floor
     assert auto_n_planes(10**9, 10**9) <= 24   # ceiling
+
+
+def test_lsh_recall_plan_reproduces_ledger_points():
+    """The dispatch helper must reproduce the measured ledger within the
+    linearity the round-10 rung established: asking for the measured
+    recall at the measured corpus size returns the measured table count,
+    and predicted mass/recall land near the measured values."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        RECALL_LEDGER_64X,
+        lsh_recall_plan,
+    )
+
+    n = 1_280_000
+    # measured point: p=10, 8 tables -> recall 0.124 at 170.5M mass.
+    # Budget: generous enough to admit it.
+    plan = lsh_recall_plan(
+        n, n, recall_floor=0.12, target_mass_per_row=200
+    )
+    assert plan["route"] == "lsh"
+    assert plan["n_planes"] == 10
+    assert plan["n_tables"] == 8
+    measured = next(
+        r
+        for r in RECALL_LEDGER_64X
+        if r["n_planes"] == 10 and r["n_tables"] == 8
+    )
+    assert abs(plan["predicted_recall"] - measured["recall"]) < 0.015
+    assert (
+        abs(plan["predicted_mass"] - measured["mass"]) / measured["mass"]
+        < 0.15
+    )
+
+
+def test_lsh_recall_plan_routes_high_floor_to_exact():
+    """Re-buying sf0.1-level recall at the 64x rung needs ~27x more
+    tables — mass far beyond any linear budget. The helper must say so
+    and route to the exact blocked-BLAS path (the PERF.md conclusion)."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        lsh_recall_plan,
+    )
+
+    n = 1_280_000
+    plan = lsh_recall_plan(n, n, recall_floor=0.78, target_mass_per_row=64)
+    assert plan["route"] == "exact_blas"
+    assert "cosine_neardup_blas" in plan["reason"]
+    assert plan["best_lsh"] is not None
+
+
+def test_lsh_recall_plan_scales_mass_by_pair_product():
+    """Pair-sampling scaling: a 10x-smaller corpus (each side) predicts
+    100x less mass for the same (p, t), turning an infeasible floor
+    feasible."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        lsh_recall_plan,
+    )
+
+    big = lsh_recall_plan(
+        1_280_000, 1_280_000, recall_floor=0.5, target_mass_per_row=64
+    )
+    small = lsh_recall_plan(
+        128_000, 128_000, recall_floor=0.5, target_mass_per_row=64
+    )
+    assert big["route"] == "exact_blas"
+    assert small["route"] == "lsh"
+    assert small["predicted_recall"] >= 0.5
+
+
+def test_lsh_recall_plan_validates_floor():
+    import pytest
+
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        lsh_recall_plan,
+    )
+
+    with pytest.raises(ValueError, match="recall_floor"):
+        lsh_recall_plan(1000, 1000, recall_floor=0.0)
+    with pytest.raises(ValueError, match="recall_floor"):
+        lsh_recall_plan(1000, 1000, recall_floor=1.5)
