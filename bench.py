@@ -257,18 +257,30 @@ def _ab_rerun(name: str, timeout: float = 420.0) -> float | None:
     return None
 
 
-def adjudicate(timings: dict[str, float]) -> dict:
-    """Band check for the known-noisy checkpoint/state-store entries.
+#: global fresh-JVM re-run budget per bench invocation: each solo leg
+#: costs a JVM start + warmup (~40-90 s), and a globally-stalled host
+#: could otherwise flag dozens of entries; 20 legs covers every
+#: historically-observed noisy cohort (r10 shipped 7 unadjudicated —
+#: the gap this budget's breadth closes) with headroom
+AB_BUDGET = 20
 
-    tools/bench_bands.json records, per query, the observed fresh-JVM
-    solo band [lo, hi] (min/1.5 .. max*1.5 of 3 serialized solo runs —
-    wide enough for ordinary ±38% state-store noise, tight enough to
-    catch the 74 s-vs-25 s host-stall outliers that must never headline
-    a committed artifact). An in-loop timing outside its band triggers
-    up to two automatic fresh-JVM solo A/B runs; the adjudicated value
-    is the MIN of all observations (timing noise is strictly additive),
-    and every raw observation is preserved in the artifact's
-    ``band_audit`` section."""
+
+def adjudicate(timings: dict[str, float]) -> dict:
+    """Band check for EVERY headline entry (VERDICT r10 §Next #1).
+
+    tools/bench_bands.json (tools/build_bands.py) records, per query,
+    either a measured fresh-JVM solo band [lo, hi] (min/1.5 .. max*1.5
+    of 3 serialized solo runs — the checkpoint/state-store cohort whose
+    ±38% swing a baseline-derived band would misjudge) or the default
+    [0.5×, 2×] of the query's first-recorded baseline. An in-loop
+    timing above its band hi triggers up to two automatic fresh-JVM
+    solo A/B runs (serialized, on the otherwise-idle host — the main
+    JVM is stopped first); the adjudicated value is the MIN of all
+    observations (timing noise is strictly additive), and every raw
+    observation is preserved in the artifact's ``band_audit`` section.
+    A global ``AB_BUDGET`` bounds the re-run bill on a globally-stalled
+    host; flagged entries past the budget are recorded as unadjudicated
+    rather than silently passed."""
     if not os.path.exists(BANDS_FILE):
         return {}
     try:
@@ -276,24 +288,45 @@ def adjudicate(timings: dict[str, float]) -> dict:
     except (OSError, json.JSONDecodeError):
         return {}
     audit: dict[str, dict] = {}
+    budget = AB_BUDGET
+    # worst excursions first: if the budget ever binds, the entries most
+    # likely to be genuine regressions (or worst noise) get adjudicated
+    flagged = sorted(
+        (
+            (timings[name] / band["hi"], name, band)
+            for name, band in bands.items()
+            if name in timings and timings[name] > band["hi"]
+        ),
+        reverse=True,
+    )
     for name, band in bands.items():
-        if name not in timings:
-            continue
+        if name in timings and timings[name] < band["lo"]:
+            # faster than the band: in-loop runs ride a warmed JVM, so
+            # this is headroom, not a stall — record, never re-run
+            audit[name] = {
+                "band": [band["lo"], band["hi"]],
+                "in_loop": timings[name],
+                "note": "below",
+            }
+    for _, name, band in flagged:
         t, lo, hi = timings[name], band["lo"], band["hi"]
-        if t < lo:
-            # faster than the solo band: in-loop runs ride a warmed JVM,
-            # so this is headroom, not a stall — record, never re-run
-            audit[name] = {"band": [lo, hi], "in_loop": t, "note": "below"}
-            continue
-        if t <= hi:
+        if budget <= 0:
+            audit[name] = {
+                "band": [lo, hi],
+                "in_loop": t,
+                "note": "unadjudicated (A/B budget exhausted)",
+            }
             continue
         obs = [t]
         for _ in range(2):
+            budget -= 1
             r = _ab_rerun(name)
             if r is not None:
                 obs.append(r)
                 if r <= hi:
                     break
+            if budget <= 0:
+                break
         adjudicated = round(min(obs), 3)
         audit[name] = {
             "band": [lo, hi],

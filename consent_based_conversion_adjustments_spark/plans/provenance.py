@@ -99,7 +99,6 @@ class _Tree:
         self._fhash: dict[str, str] = {}
         self._closure: dict[str, frozenset[str]] = {}
         self._bindings: dict[str, dict[str, tuple]] = {}
-        self._detail: dict[tuple[str, str], tuple] = {}
 
     # -- raw file access ----------------------------------------------------
 
@@ -316,15 +315,18 @@ def _entry_material(
     fallback: set[str] = set()
     visited: set[tuple[str, str]] = set()
 
-    def visit_item(mod: str, name: str) -> None:
+    def visit_item(mod: str, name: str, *, member: bool = False) -> None:
         if (mod, name) in visited:
             return
         visited.add((mod, name))
         b = tree.bindings(mod).get(name)
         if b is None:
-            # not a top-level binding: builtin, parameter, or something
-            # dynamic we can't see — nothing to add for in-module names;
-            # cross-module unresolved attrs are handled by the caller
+            if member:
+                # a from-import whose target name has no top-level def in
+                # the target module (__init__ re-export, __all__ tricks):
+                # never drop silently — take the whole file + its closure
+                fallback.update(tree.module_closure(mod))
+            # else: builtin, parameter, or local variable — nothing to add
             return
         if b[0] == "modalias":
             # a bare module binding reached as a VALUE — cannot follow
@@ -332,7 +334,7 @@ def _entry_material(
             fallback.update(tree.module_closure(b[1]))
             return
         if b[0] == "member":
-            visit_item(b[1], b[2])
+            visit_item(b[1], b[2], member=True)
             return
         if b[0] == "ext":
             return
@@ -371,7 +373,7 @@ def _entry_material(
                         # attribute we can't resolve (re-export, dynamic)
                         fallback.update(tree.module_closure(target_file))
             elif b[0] == "member":
-                visit_item(b[1], b[2])
+                visit_item(b[1], b[2], member=True)
             elif b[0] == "def":
                 visit_item(mod, nm)
             # ext: ignore
@@ -386,7 +388,7 @@ def _entry_material(
         if b[0] == "def":
             visit_item(relpath, nm)
         elif b[0] == "member":
-            visit_item(b[1], b[2])
+            visit_item(b[1], b[2], member=True)
         elif b[0] == "modalias":
             if nm in bare_names:
                 fallback.update(tree.module_closure(b[1]))
