@@ -298,6 +298,90 @@ def minhash_signatures(
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_collision_prob(
+    similarity: float, n_bands: int, band_size: int
+) -> float:
+    """Banded-LSH candidacy probability at Jaccard ``similarity``:
+    P = 1 − (1 − s^r)^b with r rows per band and b bands — the MMDS
+    S-curve (Leskovec–Rajaraman–Ullman ch. 3.4). Exact under the
+    permutation-independence idealization the banding scheme assumes."""
+    return 1.0 - (1.0 - float(similarity) ** int(band_size)) ** int(n_bands)
+
+
+def minhash_plan(
+    threshold: float,
+    *,
+    recall_floor: float = 0.9,
+    max_candidate_rate: float = 0.05,
+    reject_below: float | None = None,
+    max_perm: int = 256,
+    max_band_size: int = 32,
+) -> dict:
+    """(n_perm, band_size) planner for the banded-MinHash joins — the
+    dedup-side companion of ``similarity_join.lsh_recall_plan``: instead
+    of eyeballing the S-curve, state the contract and get the cheapest
+    parameters that honor it.
+
+    Contract: pairs at Jaccard ≥ ``threshold`` must become candidates
+    with probability ≥ ``recall_floor`` (false-negative control), and
+    pairs at Jaccard ≤ ``reject_below`` (default: threshold/2 — the
+    "clearly not duplicates" mass that dominates a real corpus) must
+    become candidates with probability ≤ ``max_candidate_rate``
+    (candidate-mass control: at 100 TB the candidate join's cost IS this
+    rate times the near-threshold pair mass).
+
+    Search: exhaustive over band_size ∈ [1, max_band_size] × n_bands ∈
+    [1, max_perm/band_size] (≤ ~8k closed-form evaluations — no data
+    touched); feasible configs are ranked by (n_perm, n_bands):
+    signature width n_perm prices the per-doc hashing pass, band count
+    n_bands prices the exploded shuffle rows per doc, in that order.
+
+    Returns {"feasible": True, n_perm, band_size, n_bands,
+    p_at_threshold, p_at_reject, s50} where s50 = (1/b)^(1/r) is the
+    curve midpoint, or {"feasible": False, "closest": <config
+    maximizing p_at_threshold − p_at_reject within budget>, ...} when no
+    config within ``max_perm`` satisfies both sides (tighten one side or
+    raise the budget). The engine defaults (n_perm=16, band_size=4 →
+    s50 ≈ 0.71, P(0.8) ≈ 0.878, P(0.4) ≈ 0.099) are exactly what the
+    planner returns for the contract they honor:
+    ``minhash_plan(0.8, recall_floor=0.87, max_candidate_rate=0.1)`` —
+    pinned in the pytest. A stricter 0.9-recall contract prices out at
+    (30, 5): recall is bought with signature width, and the planner
+    makes that cost explicit instead of silent.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    reject = threshold / 2.0 if reject_below is None else float(reject_below)
+    if not 0.0 <= reject < threshold:
+        raise ValueError(
+            f"reject_below must sit below threshold: {reject} vs {threshold}"
+        )
+    best = None
+    closest = None
+    for band_size in range(1, int(max_band_size) + 1):
+        for n_bands in range(1, int(max_perm) // band_size + 1):
+            p_hi = minhash_collision_prob(threshold, n_bands, band_size)
+            p_lo = minhash_collision_prob(reject, n_bands, band_size)
+            cfg = {
+                "n_perm": band_size * n_bands,
+                "band_size": band_size,
+                "n_bands": n_bands,
+                "p_at_threshold": round(p_hi, 6),
+                "p_at_reject": round(p_lo, 6),
+                "s50": round((1.0 / n_bands) ** (1.0 / band_size), 6),
+            }
+            if p_hi >= recall_floor and p_lo <= max_candidate_rate:
+                key = (cfg["n_perm"], cfg["n_bands"])
+                if best is None or key < (best["n_perm"], best["n_bands"]):
+                    best = cfg
+            margin = p_hi - p_lo
+            if closest is None or margin > closest[0]:
+                closest = (margin, cfg)
+    if best is not None:
+        return {"feasible": True, **best}
+    return {"feasible": False, "closest": closest[1]}
+
+
 def minhash_candidates(
     sigs: DataFrame, n_perm: int = N_PERMUTATIONS, band_size: int = BAND_SIZE
 ) -> DataFrame:

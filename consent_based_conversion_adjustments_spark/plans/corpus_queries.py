@@ -700,6 +700,143 @@ ORDER BY s.group_id
 )
 
 
+#: Gopher rule-filter thresholds (Rae et al. 2021, Table A1 — the subset
+#: whose signals exist in any plain-text corpus; the symbol/bullet/
+#: ellipsis rules key on layout characters and join trivially when needed)
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_LEN = 3.0
+_GOPHER_MAX_MEAN_LEN = 10.0
+_GOPHER_MIN_ALPHA_RATIO = 0.80
+_GOPHER_MIN_STOP_HITS = 2
+_GOPHER_MAX_DUP_LINE_RATIO = 0.30
+#: Gopher's own 8-word stop list (distinct from the lang-ID STOPWORDS)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1) —
+    the hard-threshold sibling of the learned quality scorers
+    (doc_nb_quality / doc_logreg_quality): per document, the raw signals
+    and one 0/1 flag per rule, plus the conjunction. Everything is pure
+    Catalyst over one tokenize pass (zero Python, zero shuffle beyond
+    the scan), so at 100 TB this is a map-only projection — the cheapest
+    possible pre-filter in front of the dedup/classifier stages.
+
+    Rules (thresholds = the paper's): word count in [50, 100k]; mean
+    word length in [3, 10]; ≥80% of words contain an alphabetic
+    character; ≥2 hits on Gopher's 8-word stop list (the, be, to, of,
+    and, that, have, with); duplicate-line fraction ≤30%."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def per_doc(t: Column) -> list[Column]:
+        n = F.size(t)
+        nd = n.cast("double")
+        mean_len = F.when(
+            n > 0,
+            F.aggregate(
+                F.transform(t, lambda w: F.length(w)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / nd,
+        ).otherwise(F.lit(0.0))
+        alpha = F.when(
+            n > 0,
+            F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]"))).cast(
+                "double"
+            )
+            / nd,
+        ).otherwise(F.lit(0.0))
+        stops = F.size(
+            F.filter(
+                t, lambda w: F.lower(w).isin(*_GOPHER_STOPS)
+            )
+        )
+        lines = F.split(F.col("text"), "\n")
+        nl = F.size(lines)
+        dup_lines = F.when(
+            nl > 0,
+            (nl - F.size(F.array_distinct(lines))).cast("double")
+            / nl.cast("double"),
+        ).otherwise(F.lit(0.0))
+        return [n, mean_len, alpha, stops, dup_lines]
+
+    n, mean_len, alpha, stops, dup_lines = per_doc(toks)
+    ok_wc = (n >= _GOPHER_MIN_WORDS) & (n <= _GOPHER_MAX_WORDS)
+    ok_ml = (mean_len >= _GOPHER_MIN_MEAN_LEN) & (
+        mean_len <= _GOPHER_MAX_MEAN_LEN
+    )
+    ok_al = alpha >= _GOPHER_MIN_ALPHA_RATIO
+    ok_st = stops >= _GOPHER_MIN_STOP_HITS
+    ok_dl = dup_lines <= _GOPHER_MAX_DUP_LINE_RATIO
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        stable_round(mean_len, 6).alias("mean_word_len"),
+        stable_round(alpha, 6).alias("alpha_ratio"),
+        stops.cast("long").alias("stop_hits"),
+        stable_round(dup_lines, 6).alias("dup_line_ratio"),
+        ok_wc.cast("int").alias("ok_word_count"),
+        ok_ml.cast("int").alias("ok_mean_word_len"),
+        ok_al.cast("int").alias("ok_alpha"),
+        ok_st.cast("int").alias("ok_stop_hits"),
+        ok_dl.cast("int").alias("ok_dup_lines"),
+        (ok_wc & ok_ml & ok_al & ok_st & ok_dl).cast("int").alias("passes"),
+    ).orderBy("doc_id")
+
+
+def _gopher_rules_sql() -> str:
+    toks = _TOKS.format(c="text")
+    stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+    return f"""
+WITH sig AS (
+    SELECT doc_id,
+           len(t) AS n_words,
+           CASE WHEN len(t) > 0 THEN
+               CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE)
+               / len(t) ELSE 0.0 END AS mean_word_len,
+           CASE WHEN len(t) > 0 THEN
+               CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+                    AS DOUBLE) / len(t) ELSE 0.0 END AS alpha_ratio,
+           len(list_filter(t, w -> lower(w) IN ({stops}))) AS stop_hits,
+           CASE WHEN len(l) > 0 THEN
+               CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l)
+           ELSE 0.0 END AS dup_line_ratio
+    FROM (
+        SELECT doc_id, {toks} AS t,
+               string_split(text, chr(10)) AS l
+        FROM documents
+    )
+), flags AS (
+    SELECT *,
+           CASE WHEN n_words >= {_GOPHER_MIN_WORDS}
+                 AND n_words <= {_GOPHER_MAX_WORDS} THEN 1 ELSE 0 END AS ok_word_count,
+           CASE WHEN mean_word_len >= {_GOPHER_MIN_MEAN_LEN!r}
+                 AND mean_word_len <= {_GOPHER_MAX_MEAN_LEN!r} THEN 1 ELSE 0 END AS ok_mean_word_len,
+           CASE WHEN alpha_ratio >= {_GOPHER_MIN_ALPHA_RATIO!r} THEN 1 ELSE 0 END AS ok_alpha,
+           CASE WHEN stop_hits >= {_GOPHER_MIN_STOP_HITS} THEN 1 ELSE 0 END AS ok_stop_hits,
+           CASE WHEN dup_line_ratio <= {_GOPHER_MAX_DUP_LINE_RATIO!r} THEN 1 ELSE 0 END AS ok_dup_lines
+    FROM sig
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       {sql_round("mean_word_len", 6)} AS mean_word_len,
+       {sql_round("alpha_ratio", 6)} AS alpha_ratio,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       {sql_round("dup_line_ratio", 6)} AS dup_line_ratio,
+       ok_word_count, ok_mean_word_len, ok_alpha, ok_stop_hits,
+       ok_dup_lines,
+       ok_word_count * ok_mean_word_len * ok_alpha * ok_stop_hits
+         * ok_dup_lines AS passes
+FROM flags
+ORDER BY doc_id
+"""
+
+
+GOPHER_RULES_SQL = _gopher_rules_sql()
+
+
 def doc_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained Naive Bayes quality classifier (the FineWeb-Edu
     pseudo-label recipe: heuristic quality ≥ 0.5 labels the training set,
@@ -1937,6 +2074,7 @@ QUERIES: dict[str, tuple] = {
     "doc_classifier_auc": (doc_classifier_auc, CLASSIFIER_AUC_SQL),
     "doc_calibration_bins": (doc_calibration_bins, CALIBRATION_BINS_SQL),
     "doc_calibration_ece": (doc_calibration_ece, CALIBRATION_ECE_SQL),
+    "doc_gopher_rules": (doc_gopher_rules, GOPHER_RULES_SQL),
     "doc_logreg_quality_d4": (doc_logreg_quality_d4, LOGREG_QUALITY_D4_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
     "leakage_safe_splits": (leakage_safe_splits, _leakage_safe_splits_sql()),

@@ -2338,5 +2338,6 @@ QUERIES: dict[str, tuple] = {
     "window_rolling_7d_revenue": (window_rolling_7d_revenue, WINDOW_ROLLING_SQL),
     "order_gaps": (order_gaps, ORDER_GAPS_SQL),
     "distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_SQL),
-    "pivot_nation_segments": (pivot_nation_segments, PIVOT_SQL),    "customer_merge_upsert": (customer_merge_upsert, MERGE_UPSERT_SQL),
+    "pivot_nation_segments": (pivot_nation_segments, PIVOT_SQL),
+    "customer_merge_upsert": (customer_merge_upsert, MERGE_UPSERT_SQL),
 }

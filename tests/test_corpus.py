@@ -1155,3 +1155,46 @@ def test_nb_quality_matches_manual_computation(spark):
 
     assert out[5][1] == pytest.approx(prior)  # zero-token doc = prior
     assert out[0][1] > 0 > out[2][1]  # classifier separates the classes
+
+
+def test_doc_gopher_rules_thresholds(spark, tmp_path):
+    """Hand-built corpus hitting each rule edge: a passing doc, a
+    too-short doc, a stopword-free doc, and a duplicate-line doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from consent_based_conversion_adjustments_spark.plans.corpus_queries import (
+        doc_gopher_rules,
+    )
+
+    passing = "the quick brown fox and the lazy dog that have been " * 5
+    short = "the and of that have with to be"
+    no_stops = "alpha beta gamma delta epsilon zeta " * 10
+    dup_lines = "\n".join(
+        ["the line of text and that have with to be word " * 5] * 10
+    )
+    rows = [
+        (1, passing, "web"),
+        (2, short, "web"),
+        (3, no_stops, "web"),
+        (4, dup_lines, "web"),
+    ]
+    tbl = pa.Table.from_pylist(
+        [{"doc_id": i, "text": t, "source": s} for i, t, s in rows]
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in doc_gopher_rules(spark, str(tmp_path)).collect()
+    }
+    assert got[1]["passes"] == 1
+    assert got[2]["ok_word_count"] == 0 and got[2]["passes"] == 0
+    assert got[3]["ok_stop_hits"] == 0 and got[3]["passes"] == 0
+    assert got[4]["ok_dup_lines"] == 0 and got[4]["passes"] == 0
+    # dup-line doc: 10 identical lines -> 9/10 duplicates
+    assert abs(got[4]["dup_line_ratio"] - 0.9) < 1e-9
+    # raw signals present and sane on the passing doc
+    assert got[1]["n_words"] >= 50
+    assert 3.0 <= got[1]["mean_word_len"] <= 10.0
+    assert got[1]["alpha_ratio"] == 1.0

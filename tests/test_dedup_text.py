@@ -993,3 +993,72 @@ def test_source_dup_matrix_accounts_for_every_pair(spark):
     rows = source_dup_matrix(spark, sf).collect()
     assert sum(r["n_pairs"] for r in rows) == total > 0
     assert all(r["source_x"] <= r["source_y"] for r in rows)
+
+
+def test_minhash_plan_reproduces_engine_defaults():
+    """The committed engine parameters (n_perm=16, band_size=4) must be
+    exactly what the planner returns for the contract they honor."""
+    from consent_based_conversion_adjustments_spark.operators.dedup import (
+        BAND_SIZE,
+        N_PERMUTATIONS,
+        minhash_plan,
+    )
+
+    plan = minhash_plan(0.8, recall_floor=0.87, max_candidate_rate=0.1)
+    assert plan["feasible"]
+    assert plan["n_perm"] == N_PERMUTATIONS
+    assert plan["band_size"] == BAND_SIZE
+
+
+def test_minhash_plan_satisfies_its_own_contract():
+    from consent_based_conversion_adjustments_spark.operators.dedup import (
+        minhash_collision_prob,
+        minhash_plan,
+    )
+
+    plan = minhash_plan(0.8)  # defaults: recall 0.9, candidacy 0.05 at 0.4
+    assert plan["feasible"]
+    p_hi = minhash_collision_prob(0.8, plan["n_bands"], plan["band_size"])
+    p_lo = minhash_collision_prob(0.4, plan["n_bands"], plan["band_size"])
+    assert p_hi >= 0.9
+    assert p_lo <= 0.05
+    # recall is bought with signature width: stricter floor, wider sig
+    strict = minhash_plan(0.8, recall_floor=0.99)
+    assert strict["feasible"] and strict["n_perm"] > plan["n_perm"]
+
+
+def test_minhash_plan_infeasible_is_flagged_not_fudged():
+    from consent_based_conversion_adjustments_spark.operators.dedup import (
+        minhash_plan,
+    )
+
+    plan = minhash_plan(
+        0.9, recall_floor=0.99, max_candidate_rate=0.001, max_perm=8
+    )
+    assert plan["feasible"] is False
+    assert plan["closest"]["n_perm"] <= 8
+
+
+def test_minhash_collision_prob_is_monotone_s_curve():
+    from consent_based_conversion_adjustments_spark.operators.dedup import (
+        minhash_collision_prob,
+    )
+
+    probs = [minhash_collision_prob(s / 20, 4, 4) for s in range(21)]
+    assert probs == sorted(probs)
+    assert probs[0] == 0.0 and probs[-1] == 1.0
+    # closed-form spot value: 1 - (1 - 0.8^4)^4
+    assert abs(minhash_collision_prob(0.8, 4, 4) - 0.8784974492729345) < 1e-12
+
+
+def test_minhash_plan_validates_inputs():
+    import pytest
+
+    from consent_based_conversion_adjustments_spark.operators.dedup import (
+        minhash_plan,
+    )
+
+    with pytest.raises(ValueError, match="threshold"):
+        minhash_plan(0.0)
+    with pytest.raises(ValueError, match="reject_below"):
+        minhash_plan(0.5, reject_below=0.6)
