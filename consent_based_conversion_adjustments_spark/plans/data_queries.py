@@ -3735,6 +3735,170 @@ def retained_users_window_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retained_over_ranges(cube, *_RET_A, *_RET_B)
 
 
+# --- sketch-contract audits (hashed companions to the rows-only cubes) ------
+#
+# DataSketches binaries have no DuckDB twin, so the cube queries above are
+# rows-only in the driver check. These companions make the sketches'
+# CONTRACTS driver-visible anyway (the pca_variance_audit pattern): Spark
+# computes the sketch estimate AND the exact answer, emits the exact value
+# plus a 0/1 within-bound flag; the oracle recomputes the exact value and
+# asserts the flag. A sketch drifting outside its published error envelope
+# flips the flag and fails the hash — a real cross-engine gate on the
+# guarantee, without pretending DuckDB can replay the sketch internals.
+# Bounds are deliberately generous multiples of the published envelopes
+# (HLL lgk=12 RSE ≈ 1.04/2^6 = 1.63%; KLL k=800 rank error ≈ 0.85%;
+# theta lgk=12 is EXACT below 4096 retained keys) so the flags are stable
+# across every sf the driver runs, while still ~10× tighter than "any
+# answer passes".
+
+_HLL_REL_BOUND = 0.05
+_KLL_RANK_BOUND = 0.02
+_THETA_REL_BOUND = 0.05
+
+
+def hll_window_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cube contract gate: |estimate/exact − 1| ≤ 5% over the
+    registered window (3× the lgk=12 RSE). One cube aggregation for the
+    estimate (a scalar — the guarded driver pull every sketch readout
+    needs), one exact count-distinct for the reference."""
+    from ..streaming.stats import daily_distinct_sketches, distinct_over_days
+
+    ev = read_table(spark, sf_dir, "events")
+    cube = daily_distinct_sketches(ev)
+    est = float(
+        distinct_over_days(cube, _HLL_START, _HLL_END).first()[
+            "approx_distinct"
+        ]
+    )
+    day = F.to_date("ts")
+    exact = ev.filter(
+        (day >= F.lit(_HLL_START).cast("date"))
+        & (day <= F.lit(_HLL_END).cast("date"))
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    within = (
+        F.abs(F.lit(est) / F.col("exact_distinct").cast("double") - 1.0)
+        <= F.lit(_HLL_REL_BOUND)
+    )
+    return exact.select(
+        "exact_distinct",
+        F.lit(_HLL_REL_BOUND).alias("rel_bound"),
+        within.cast("int").alias("within_bound"),
+    )
+
+
+HLL_AUDIT_SQL = f"""
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       {_HLL_REL_BOUND!r} AS rel_bound,
+       1 AS within_bound
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{_HLL_START}' AND DATE '{_HLL_END}'
+"""
+
+
+def kll_window_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL cube contract gate: for each registered quantile φ, the
+    NORMALIZED RANK of the sketch's answer must sit within ±2% of φ
+    (k=800 ⇒ ≈0.85% published rank error) — the guarantee KLL actually
+    makes (about ranks, not values). Spark reads the three sketch
+    quantiles (scalars), then one exact pass brackets each answer's rank
+    [count(v<q̂), count(v≤q̂)]/n and flags φ against the widened
+    interval."""
+    from ..streaming.stats import daily_value_sketches, value_quantiles_over_days
+
+    qs = [0.25, 0.5, 0.9]
+    ev = read_table(spark, sf_dir, "events")
+    cube = daily_value_sketches(ev)
+    row = value_quantiles_over_days(cube, _HLL_START, _HLL_END, qs).first()
+    day = F.to_date("ts")
+    win = ev.filter(
+        (day >= F.lit(_HLL_START).cast("date"))
+        & (day <= F.lit(_HLL_END).cast("date"))
+    )
+    aggs = [F.count("value").alias("n")]
+    for q in qs:
+        tag = str(q).replace(".", "_")
+        qv = float(row[f"q_{tag}"])
+        aggs.append(
+            F.sum((F.col("value") < F.lit(qv)).cast("long")).alias(f"lo_{tag}")
+        )
+        aggs.append(
+            F.sum((F.col("value") <= F.lit(qv)).cast("long")).alias(f"hi_{tag}")
+        )
+    stats = win.agg(*aggs).first()
+    n = float(stats["n"])
+    out = []
+    for q in qs:
+        tag = str(q).replace(".", "_")
+        lo = stats[f"lo_{tag}"] / n
+        hi = stats[f"hi_{tag}"] / n
+        ok = (q >= lo - _KLL_RANK_BOUND) and (q <= hi + _KLL_RANK_BOUND)
+        out.append((float(q), int(stats["n"]), int(ok)))
+    return spark.createDataFrame(
+        out, "phi double, n_values long, within_bound int"
+    ).orderBy("phi")
+
+
+KLL_AUDIT_SQL = f"""
+SELECT phi,
+       CAST((SELECT count(value) FROM events
+             WHERE CAST(ts AS DATE) BETWEEN DATE '{_HLL_START}'
+               AND DATE '{_HLL_END}') AS BIGINT) AS n_values,
+       1 AS within_bound
+FROM (VALUES (0.25), (0.5), (0.9)) t(phi)
+ORDER BY phi
+"""
+
+
+def theta_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta cube contract gate: the sketched |A|, |B| and |A ∩ B| must
+    each sit within 5% of the exact per-user-flag aggregation (at the
+    fixture scales the sketch is in its exact regime — the flag failing
+    would mean the cube's set algebra broke, not that noise moved).
+    Exact side is the retained_users_window aggregation; estimates are
+    one cube readout (3 scalars)."""
+    from ..streaming.stats import daily_user_theta_sketches, retained_over_ranges
+
+    ev = read_table(spark, sf_dir, "events")
+    cube = daily_user_theta_sketches(ev)
+    est = retained_over_ranges(cube, *_RET_A, *_RET_B).first()
+    exact = retained_users_window(spark, sf_dir).first()
+    def ok(e: float, x: int) -> int:
+        return int(x > 0 and abs(e / float(x) - 1.0) <= _THETA_REL_BOUND)
+
+    rows = [
+        (
+            int(exact["users_a"]),
+            int(exact["users_b"]),
+            int(exact["retained"]),
+            ok(float(est["est_a"]), int(exact["users_a"])),
+            ok(float(est["est_b"]), int(exact["users_b"])),
+            ok(float(est["est_retained"]), int(exact["retained"])),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "users_a long, users_b long, retained long, "
+        "within_a int, within_b int, within_retained int",
+    )
+
+
+THETA_AUDIT_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           max(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '{a0}' AND DATE '{a1}'
+               THEN 1 ELSE 0 END) AS a,
+           max(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '{b0}' AND DATE '{b1}'
+               THEN 1 ELSE 0 END) AS b
+    FROM events GROUP BY user_id
+)
+SELECT CAST(sum(a) AS BIGINT) AS users_a,
+       CAST(sum(b) AS BIGINT) AS users_b,
+       CAST(sum(a * b) AS BIGINT) AS retained,
+       1 AS within_a, 1 AS within_b, 1 AS within_retained
+FROM per_user
+""".format(a0=_RET_A[0], a1=_RET_A[1], b0=_RET_B[0], b1=_RET_B[1])
+
+
 def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS trend of event value over time (timeseries
     .linear_trend): slope/intercept/R² from the native SQL:2023
@@ -4271,6 +4435,9 @@ QUERIES: dict[str, tuple] = {
     "events_value_trend": (events_value_trend, EVENTS_TREND_SQL),
     "retained_users_window": (retained_users_window, RETAINED_WINDOW_SQL),
     "retained_users_window_theta": (retained_users_window_theta, None),
+    "hll_window_error_audit": (hll_window_error_audit, HLL_AUDIT_SQL),
+    "kll_window_rank_audit": (kll_window_rank_audit, KLL_AUDIT_SQL),
+    "theta_retention_audit": (theta_retention_audit, THETA_AUDIT_SQL),
     "campaign_attribution": (campaign_attribution, CAMPAIGN_ATTRIBUTION_SQL),
     "audience_overlap_matrix": (audience_overlap_matrix, AUDIENCE_OVERLAP_SQL),
     "audience_overlap_sketched": (audience_overlap_sketched, None),

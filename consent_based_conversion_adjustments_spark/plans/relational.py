@@ -374,6 +374,43 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rsd=0.02 HLL++ with a 2.5σ margin — deterministic on fixed data; the
+#: pytest that pinned <5% becomes a driver-visible hash row this way
+_ADP_REL_BOUND = 0.05
+
+
+def approx_distinct_parts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed companion to the rows-only ``approx_distinct_parts`` (the
+    pca_variance_audit pattern): the oracle recomputes the exact distinct
+    counts and ASSERTS the within-bound flag — if Spark's HLL++ estimate
+    drifts past 5% of exact on any flag, the hash fails in the driver
+    record instead of only in a pytest."""
+    df = approx_distinct_parts(spark, sf_dir)
+    within = (
+        F.abs(
+            F.col("approx_parts").cast("double")
+            / F.col("exact_parts").cast("double")
+            - 1.0
+        )
+        <= F.lit(_ADP_REL_BOUND)
+    )
+    return df.select(
+        "l_returnflag",
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        within.cast("int").alias("within_bound"),
+    ).orderBy("l_returnflag")
+
+
+ADP_AUDIT_SQL = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       1 AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 
 # --- window functions: ranking top-k and running totals ----------------------
 
@@ -2329,6 +2366,7 @@ QUERIES: dict[str, tuple] = {
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "salted_revenue_by_flag": (salted_revenue_by_flag, SALTED_SQL),
     "approx_distinct_parts": (approx_distinct_parts, None),
+    "approx_distinct_parts_audit": (approx_distinct_parts_audit, ADP_AUDIT_SQL),
     "window_topk_orders": (window_topk_orders, WINDOW_TOPK_SQL),
     "window_running_total": (window_running_total, WINDOW_RUNNING_SQL),
     "customers_without_urgent_orders": (customers_without_urgent_orders, ANTI_JOIN_SQL),
