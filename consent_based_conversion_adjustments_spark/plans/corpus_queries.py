@@ -1480,6 +1480,116 @@ FROM lp GROUP BY doc_id
 )
 
 
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet split step (Wenzek et al. 2020 §4.4): within each
+    detected language, documents are assigned to head/middle/tail by
+    perplexity TERCILE against the reference-trained LM — head (lowest
+    cross-entropy) is the "looks like the reference" slice pretraining
+    keeps. Composes the two existing signals (lm_cross_entropy +
+    language_id) into the actual pipeline step.
+
+    Scale shape: deliberately WINDOWLESS — a per-language ntile would
+    sort near-global partitions (5 languages ⇒ one window holds ~n/5 of
+    a 100 TB corpus); instead the tercile BOUNDARIES come from one
+    per-language exact-percentile hash agg (5 rows) broadcast back, and
+    bucketing is a stateless comparison. Cross-engine float contract:
+    both the per-doc cross-entropy and the boundaries are 1e-6-rounded
+    before comparison (the calibration-bins lesson), so both engines
+    bucket identical doubles against identical thresholds."""
+    docs = read_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    ce = C.lm_cross_entropy(docs, ref, "text", "doc_id", alpha=0.5).select(
+        "doc_id", stable_round("cross_entropy", 6).alias("ce")
+    )
+    langs = docs.select("doc_id", X.language_id("text").alias("lang"))
+    scored = ce.join(langs, "doc_id")
+    bounds = scored.groupBy("lang").agg(
+        stable_round(F.percentile("ce", F.lit(1.0 / 3.0)), 6).alias("b1"),
+        stable_round(F.percentile("ce", F.lit(2.0 / 3.0)), 6).alias("b2"),
+    )
+    bucket = (
+        F.when(F.col("ce") <= F.col("b1"), F.lit("head"))
+        .when(F.col("ce") <= F.col("b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(bounds), "lang")
+        .select("doc_id", "lang", F.col("ce").alias("cross_entropy"),
+                bucket.alias("ppl_bucket"))
+        .orderBy("doc_id")
+    )
+
+
+def _ccnet_buckets_sql() -> str:
+    toks = _TOKS.format(c="text")
+    lang_case = """CASE
+                 WHEN {fr} > greatest({es}, {en}, {de}, 0) THEN 'fr'
+                 WHEN {es} > greatest({en}, {de}, 0) THEN 'es'
+                 WHEN {en} > greatest({de}, 0) THEN 'en'
+                 WHEN {de} > 0 THEN 'de'
+                 ELSE 'und'
+               END""".format(
+        en=_sql_stop_hits("en"),
+        de=_sql_stop_hits("de"),
+        es=_sql_stop_hits("es"),
+        fr=_sql_stop_hits("fr"),
+    )
+    return f"""
+WITH tk AS (
+    SELECT doc_id, source, {toks} AS tk FROM documents
+), t AS (
+    SELECT doc_id, source, tk,
+           unnest(range(1, len(tk) + 1)) AS pos, unnest(tk) AS cur
+    FROM tk WHERE len(tk) > 0
+), tp AS (
+    SELECT doc_id, source, pos, cur,
+           CASE WHEN pos > 1 THEN tk[pos - 1] END AS prev
+    FROM t
+), uni AS (
+    SELECT cur AS word, count(*) AS c1 FROM tp WHERE source = 'src0'
+    GROUP BY cur
+), big AS (
+    SELECT prev, cur, count(*) AS c2 FROM tp
+    WHERE source = 'src0' AND pos > 1 GROUP BY prev, cur
+), scal AS (
+    SELECT sum(c1) AS n, count(*) AS v FROM uni
+), lp AS (
+    SELECT tp.doc_id,
+           CASE WHEN tp.pos = 1
+                THEN ln((coalesce(uc.c1, 0) + 0.5) / (scal.n + 0.5 * scal.v))
+                ELSE ln((coalesce(big.c2, 0) + 0.5)
+                        / (coalesce(pc.c1, 0) + 0.5 * scal.v))
+           END AS lp
+    FROM tp
+    LEFT JOIN uni uc ON tp.cur = uc.word
+    LEFT JOIN uni pc ON tp.prev = pc.word
+    LEFT JOIN big ON tp.prev = big.prev AND tp.cur = big.cur
+    CROSS JOIN scal
+), scored AS (
+    SELECT lp.doc_id, {sql_round("-sum(lp.lp) / count(*)", 6)} AS ce
+    FROM lp GROUP BY lp.doc_id
+), langs AS (
+    SELECT doc_id, {lang_case} AS lang FROM documents
+), joined AS (
+    SELECT s.doc_id, l.lang, s.ce FROM scored s JOIN langs l USING (doc_id)
+), bounds AS (
+    SELECT lang,
+           {sql_round("quantile_cont(ce, 1.0 / 3.0)", 6)} AS b1,
+           {sql_round("quantile_cont(ce, 2.0 / 3.0)", 6)} AS b2
+    FROM joined GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.ce AS cross_entropy,
+       CASE WHEN j.ce <= b.b1 THEN 'head'
+            WHEN j.ce <= b.b2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM joined j JOIN bounds b USING (lang)
+ORDER BY j.doc_id
+"""
+
+
+CCNET_BUCKETS_SQL = _ccnet_buckets_sql()
+
+
 def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 adjacent-bigram collocations by PMI (Church & Hanks 1990)
     with the deterministic (pmi DESC, prev, cur) tie-break — TakeOrdered,
@@ -2075,6 +2185,7 @@ QUERIES: dict[str, tuple] = {
     "doc_calibration_bins": (doc_calibration_bins, CALIBRATION_BINS_SQL),
     "doc_calibration_ece": (doc_calibration_ece, CALIBRATION_ECE_SQL),
     "doc_gopher_rules": (doc_gopher_rules, GOPHER_RULES_SQL),
+    "ccnet_perplexity_buckets": (ccnet_perplexity_buckets, CCNET_BUCKETS_SQL),
     "doc_logreg_quality_d4": (doc_logreg_quality_d4, LOGREG_QUALITY_D4_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
     "leakage_safe_splits": (leakage_safe_splits, _leakage_safe_splits_sql()),
