@@ -447,3 +447,55 @@ def logreg_sql4(
     ) i CROSS JOIN {prev} w
 )""")
     return ",\n".join(ctes)
+
+
+def ols_sql4(
+    feats_cte: str,
+    *,
+    x_cols: tuple[str, str, str, str] = ("x0", "x1", "x2", "x3"),
+    y_col: str = "y",
+    ridge: float = 0.0,
+) -> str:
+    """Chained-CTE DuckDB replay of a d=4 ``ols_fit`` — the d=4 sibling
+    of ``ols_sql3``, sharing ``_DET4_EXPR``/``_INV4_EXPRS`` verbatim with
+    ``_solve4`` (cross-engine float parity by construction). Emits CTEs
+    ending in ``w`` holding (w0..w3)."""
+    xs = x_cols
+    r = float(ridge)
+    inv = {k: _sql4(v) for k, v in _INV4_EXPRS.items()}
+    cells = ",\n           ".join(
+        f"sum({xs[i]} * {xs[j]})"
+        + (f" + {r!r}" if i == j else "")
+        + f" AS a{i}{j}"
+        for i in range(4)
+        for j in range(i, 4)
+    )
+    rhs = ",\n           ".join(
+        f"sum({xs[i]} * {y_col}) AS b{i}" for i in range(4)
+    )
+
+    def cell(i: int, j: int) -> str:
+        return f"({inv[f'i{min(i, j)}{max(i, j)}']})"
+
+    rows = []
+    for i in range(4):
+        rows.append(
+            f"((({cell(i, 0)} * i.b0\n"
+            f"      + {cell(i, 1)} * i.b1)\n"
+            f"      + {cell(i, 2)} * i.b2)\n"
+            f"      + {cell(i, 3)} * i.b3) AS w{i}"
+        )
+    wsel = ",\n           ".join(rows)
+    return f"""{feats_cte},
+nrm AS (
+    SELECT {cells},
+           {rhs}
+    FROM feats
+),
+w AS (
+    SELECT {wsel}
+    FROM (
+        SELECT *, ({_DET4_EXPR}) AS det
+        FROM nrm
+    ) i
+)"""

@@ -1368,6 +1368,94 @@ SELECT stat, {sql_round("v", 6)} AS value FROM (
 QUALITY_OLS_SQL = _quality_ols_sql()
 
 
+_OLS4_FEATS_CTE = """feats AS (
+    SELECT 1.0 AS x0,
+           ln(1.0 + CAST(n_tokens AS DOUBLE)) AS x1,
+           sraw AS x2,
+           least(n_tokens / 50.0, 1.0) AS x3,
+           0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * (1.0 - least(praw * 5.0, 1.0))
+             + 0.3 * least(sraw * 5.0, 1.0) AS y
+    FROM (
+        SELECT len({toks}) AS n_tokens,
+               CASE WHEN length(text) > 0 THEN
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                        AS DOUBLE) / length(text) ELSE 0.0 END AS praw,
+               CASE WHEN len({toks}) > 0 THEN
+                   CAST({en_hits} AS DOUBLE) / len({toks}) ELSE 0.0 END AS sraw
+        FROM documents
+    )
+)"""
+
+
+def doc_quality_ols_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d=4 OLS fit — closes the oracle-matched float contract for
+    BOTH trainers past d=3 (logreg: doc_logreg_quality_d4): features
+    (1, ln(1+n_tokens), stopword_ratio, length_saturation) regress the
+    composite quality heuristic; one 14-cell normal-equations agg + the
+    shared-expression-string 4×4 adjugate solve (mlfit.ols_sql4). The
+    length-saturation feature min(n_tokens/50, 1) is a CLIPPED transform
+    of x1's argument — correlated but not affine, so the system stays
+    honestly full-rank while stressing the solve's conditioning more
+    than independent features would. Output: (stat, value) rows — four
+    weights + RMSE."""
+    from ..operators import mlfit as M
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    praw = X.punct_ratio("text")
+    quality = X.quality_score_in(toks, praw, X.stopword_ratio_in(toks))
+    feats = docs.select(
+        F.lit(1.0).alias("x0"),
+        F.log(F.lit(1.0) + F.size(toks).cast("double")).alias("x1"),
+        X.stopword_ratio_in(toks).alias("x2"),
+        F.least(F.size(toks) / F.lit(50.0), F.lit(1.0)).alias("x3"),
+        quality.alias("y"),
+    )
+    fx = [F.col("x0"), F.col("x1"), F.col("x2"), F.col("x3")]
+    w = M.ols_fit(feats, fx, F.col("y"))
+    resid = F.col("y") - M.linear_predict(fx, w)
+    rmse = float(
+        feats.agg(F.sqrt(F.avg(resid * resid)).alias("r")).first()["r"]
+    )
+    rows = [("rmse", rmse)] + [
+        (f"w{i}", float(w[i])) for i in range(4)
+    ]
+    return (
+        spark.createDataFrame(rows, "stat string, value double")
+        .select("stat", stable_round(F.col("value"), 6).alias("value"))
+        .orderBy("stat")
+    )
+
+
+def _quality_ols_d4_sql() -> str:
+    from ..operators.mlfit import ols_sql4
+
+    cte = ols_sql4(
+        _OLS4_FEATS_CTE.format(
+            toks=_TOKS.format(c="text"), en_hits=_sql_stop_hits("en")
+        )
+    )
+    return f"""
+WITH {cte},
+resid AS (
+    SELECT f.y - ((((w.w0 * f.x0 + w.w1 * f.x1) + w.w2 * f.x2)
+                   + w.w3 * f.x3)) AS e
+    FROM feats f CROSS JOIN w
+)
+SELECT stat, {sql_round("v", 6)} AS value FROM (
+    SELECT 'rmse' AS stat, sqrt(avg(e * e)) AS v FROM resid
+    UNION ALL SELECT 'w0', w0 FROM w
+    UNION ALL SELECT 'w1', w1 FROM w
+    UNION ALL SELECT 'w2', w2 FROM w
+    UNION ALL SELECT 'w3', w3 FROM w
+) ORDER BY stat
+"""
+
+
+QUALITY_OLS_D4_SQL = _quality_ols_d4_sql()
+
+
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): every document scored by
     the mean hashed-bigram log-likelihood ratio between the `src0` target
@@ -2187,6 +2275,7 @@ QUERIES: dict[str, tuple] = {
     "doc_gopher_rules": (doc_gopher_rules, GOPHER_RULES_SQL),
     "ccnet_perplexity_buckets": (ccnet_perplexity_buckets, CCNET_BUCKETS_SQL),
     "doc_logreg_quality_d4": (doc_logreg_quality_d4, LOGREG_QUALITY_D4_SQL),
+    "doc_quality_ols_d4": (doc_quality_ols_d4, QUALITY_OLS_D4_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
     "leakage_safe_splits": (leakage_safe_splits, _leakage_safe_splits_sql()),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
