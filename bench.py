@@ -129,6 +129,10 @@ HEADLINE = [
     ("source_dup_matrix", data_queries.source_dup_matrix),
     ("user_heavy_hitters_cms", data_queries.user_heavy_hitters_cms),
     ("streaming_cms_rounds", data_queries.streaming_cms_rounds),
+    # round-11 additions (first bench record = their baseline)
+    ("doc_gopher_rules", corpus_queries.doc_gopher_rules),
+    ("ccnet_perplexity_buckets", corpus_queries.ccnet_perplexity_buckets),
+    ("doc_logreg_quality_d4", corpus_queries.doc_logreg_quality_d4),
 ]
 
 
