@@ -731,6 +731,45 @@ def main() -> int:
         "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p,
     )
 
+    # Gopher rule filter: a pure-Catalyst map over ONE scan — any join,
+    # Python pass, or second scan means the "cheapest possible
+    # pre-filter" claim broke.
+    gr = cq.doc_gopher_rules(spark, SF)
+    p = plan_of(gr)
+    check(
+        "gopher rules: single-scan codegen projection, no join/Python",
+        p.count("Scan parquet") == 1
+        and "Join" not in p
+        and "MapInPandas" not in p
+        and "ArrowEvalPython" not in p,
+    )
+
+    # CCNet buckets: the per-language tercile bounds must come back as a
+    # BROADCAST join (5 rows by construction — the hint is deliberate),
+    # with no quadratic join and NO window anywhere (the windowless
+    # design claim: a per-language ntile would sort near-global
+    # partitions).
+    cb = cq.ccnet_perplexity_buckets(spark, SF)
+    p = plan_of(cb)
+    check(
+        "ccnet buckets: broadcast bounds, windowless, no quadratic join",
+        "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and not has_unpartitioned_window(p),
+    )
+
+    # GLM d=4 scoring: the pinned feature frame must serve the scoring
+    # scan from cache (InMemoryTableScan), with the sigmoid as pure
+    # codegen — no join, no Python.
+    d4 = cq.doc_logreg_quality_d4(spark, SF)
+    p = plan_of(d4)
+    check(
+        "logreg d4 scoring: cached feature frame, codegen sigmoid",
+        "InMemoryTableScan" in p
+        and "Join" not in p
+        and "MapInPandas" not in p,
+    )
+
     print("ALL OK" if not failures else f"FAILED: {failures}")
     return 1 if failures else 0
 
