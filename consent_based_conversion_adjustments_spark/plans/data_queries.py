@@ -3662,6 +3662,147 @@ def audience_overlap_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audience_overlap_theta(ev)
 
 
+_AO_REL_BOUND = 0.05
+
+
+def audience_overlap_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-overlap contract gate (the sketch-audit pattern): every
+    sketched |A|, |B|, |A ∩ B| must sit within 5% of the exact matrix
+    (at fixture scales the sketches are in their exact regime — a flip
+    means the set algebra broke). Sketched matrix read once (T² tiny
+    rows, a guarded driver pull), exact side is the in-row pair-explode
+    aggregation; a zero exact intersection must be exactly zero
+    sketched."""
+    from ..operators.behavior import audience_overlap
+
+    sk = {
+        (r["type_a"], r["type_b"]): r
+        for r in audience_overlap_sketched(spark, sf_dir).collect()
+    }
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(_AUDIENCE_CUTOFF).cast("timestamp_ntz")
+    )
+    exact = audience_overlap(ev).collect()
+
+    def ok(e: float, x: int) -> int:
+        if x == 0:
+            return int(e == 0.0)
+        return int(abs(float(e) / float(x) - 1.0) <= _AO_REL_BOUND)
+
+    rows = []
+    for r in exact:
+        key = (r["type_a"], r["type_b"])
+        s = sk.get(key)
+        rows.append(
+            (
+                r["type_a"],
+                r["type_b"],
+                int(r["users_a"]),
+                int(r["users_b"]),
+                int(r["users_both"]),
+                0 if s is None else ok(s["est_a"], r["users_a"]),
+                0 if s is None else ok(s["est_b"], r["users_b"]),
+                0 if s is None else ok(s["est_both"], r["users_both"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "type_a string, type_b string, users_a long, users_b long, "
+        "users_both long, within_a int, within_b int, within_both int",
+    ).orderBy("type_a", "type_b")
+
+
+AUDIENCE_OVERLAP_AUDIT_SQL = f"""
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+    WHERE ts < TIMESTAMP '{_AUDIENCE_CUTOFF}'
+), totals AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY event_type
+), overlap AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS users_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, ta.n AS users_a, tb.n AS users_b, users_both,
+       1 AS within_a, 1 AS within_b, 1 AS within_both
+FROM overlap
+JOIN totals ta ON ta.event_type = type_a
+JOIN totals tb ON tb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+_GK_RANK_BOUND = 0.002  # accuracy=1000 ⇒ rank error ≤ 1/1000; 2× slack
+
+
+def approx_value_quantiles_rank_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greenwald–Khanna contract gate for the rows-only
+    ``events_value_quantiles_approx``: per (event_type, φ), the
+    NORMALIZED RANK of approx_percentile's answer must sit within
+    ±1/accuracy of φ (the GK guarantee; accuracy=1000, bound doubled for
+    slack). Reads the per-type approx answers (T tiny rows), then ONE
+    conditional aggregation brackets every answer's rank."""
+    ev = read_table(spark, sf_dir, "events")
+    acc = F.lit(1000)
+    qs = [0.5, 0.9, 0.99]
+    approx = (
+        ev.groupBy("event_type")
+        .agg(
+            *[
+                F.approx_percentile("value", F.lit(q), acc).alias(
+                    f"q_{str(q).replace('.', '_')}"
+                )
+                for q in qs
+            ]
+        )
+        .collect()
+    )
+    aggs = [F.count("value").alias("n")]
+    for r in approx:
+        t = r["event_type"]
+        for q in qs:
+            tag = f"{t}_{str(q).replace('.', '_')}"
+            qv = float(r[f"q_{str(q).replace('.', '_')}"])
+            cond = F.col("event_type") == F.lit(t)
+            aggs.append(
+                F.sum(
+                    (cond & (F.col("value") < F.lit(qv))).cast("long")
+                ).alias(f"lo_{tag}")
+            )
+            aggs.append(
+                F.sum(
+                    (cond & (F.col("value") <= F.lit(qv))).cast("long")
+                ).alias(f"hi_{tag}")
+            )
+            aggs.append(F.sum(cond.cast("long")).alias(f"n_{tag}"))
+    stats = ev.agg(*aggs).first()
+    out = []
+    for r in approx:
+        t = r["event_type"]
+        for q in qs:
+            tag = f"{t}_{str(q).replace('.', '_')}"
+            n_t = float(stats[f"n_{tag}"])
+            lo = stats[f"lo_{tag}"] / n_t
+            hi = stats[f"hi_{tag}"] / n_t
+            ok = (q >= lo - _GK_RANK_BOUND) and (q <= hi + _GK_RANK_BOUND)
+            out.append((t, float(q), int(n_t), int(ok)))
+    return spark.createDataFrame(
+        out, "event_type string, phi double, n long, within_bound int"
+    ).orderBy("event_type", "phi")
+
+
+APPROX_QUANTILES_AUDIT_SQL = """
+SELECT event_type, phi, CAST(count(*) AS BIGINT) AS n, 1 AS within_bound
+FROM events CROSS JOIN (VALUES (0.5), (0.9), (0.99)) t(phi)
+GROUP BY event_type, phi
+ORDER BY event_type, phi
+"""
+
+
 # theta retention cube: week 1 of Jan vs week 3
 _RET_A = ("2024-01-01", "2024-01-07")
 _RET_B = ("2024-01-15", "2024-01-21")
@@ -4441,6 +4582,7 @@ QUERIES: dict[str, tuple] = {
     "campaign_attribution": (campaign_attribution, CAMPAIGN_ATTRIBUTION_SQL),
     "audience_overlap_matrix": (audience_overlap_matrix, AUDIENCE_OVERLAP_SQL),
     "audience_overlap_sketched": (audience_overlap_sketched, None),
+    "audience_overlap_sketch_audit": (audience_overlap_sketch_audit, AUDIENCE_OVERLAP_AUDIT_SQL),
     "lineitem_zorder_files": (lineitem_zorder_files, ZORDER_FILES_SQL),
     "zorder_pruning_gain": (zorder_pruning_gain, ZORDER_PRUNING_SQL),
     "hilbert_pruning_gain": (hilbert_pruning_gain, HILBERT_PRUNING_SQL),
@@ -4498,6 +4640,7 @@ QUERIES: dict[str, tuple] = {
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
     "events_value_quantiles_approx": (events_value_quantiles_approx, None),
+    "approx_quantiles_rank_audit": (approx_value_quantiles_rank_audit, APPROX_QUANTILES_AUDIT_SQL),
     "events_value_anomalies": (events_value_anomalies, EVENTS_ANOMALIES_SQL),
     "events_retention": (events_retention, EVENTS_RETENTION_SQL),
     "events_resample_hourly": (events_resample_hourly, EVENTS_RESAMPLE_SQL),
