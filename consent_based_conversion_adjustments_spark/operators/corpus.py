@@ -1855,3 +1855,84 @@ def association_rules(
     return out.orderBy(
         F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
     ).limit(top_k)
+
+
+#: water-fill iteration count shared by the driver solve and the oracle's
+#: unrolled CTE chain — the capped set grows monotonically, so any count
+#: ≥ #sources is exact; 24 covers the fixture's 20 sources with margin
+MIXTURE_ITERS = 24
+#: epoch cap as the exact rational 11/5 (= 2.2 epochs): working in
+#: "token-fifths" keeps every running sum an exact int64, so summation
+#: ORDER cannot flip a cap comparison between engines
+MIXTURE_CAP5 = 11  # cap in fifths-of-a-token per token (11/5 epochs)
+MIXTURE_BUDGET5 = 10  # budget in fifths per corpus token (= 2.0 epochs)
+
+
+def mixture_waterfill(
+    counts: list[tuple[str, int]],
+    *,
+    budget5_per_token: int = MIXTURE_BUDGET5,
+    cap5_per_token: int = MIXTURE_CAP5,
+    iters: int = MIXTURE_ITERS,
+) -> list[dict]:
+    """Temperature-weighted token-budget allocation with per-source epoch
+    caps — the pretraining "data recipe" calculation (cf. the sampling-
+    temperature mixtures of multilingual LMs and the per-source epoch
+    caps of open pretraining recipes): distribute ``budget`` tokens over
+    sources ∝ √tokens (temperature 0.5 flattening), but never sample any
+    source beyond ``cap`` epochs; surplus from capped sources water-fills
+    back onto the uncapped ones.
+
+    Determinism + cross-engine float contract: weights are
+    floor(√t·10⁶) (IEEE sqrt/multiply are exactly rounded → identical
+    integers in Spark driver and DuckDB); the budget and all caps live in
+    integer token-FIFTHS so every running sum is an exact int64 —
+    summation order cannot flip a comparison; the only doubles are the
+    final share divisions, written with the same operand order the oracle
+    SQL uses. The capped set grows monotonically, so ``iters`` ≥ #sources
+    replays exactly (extra iterations are no-ops); fixed iteration count
+    keeps the oracle a finite CTE chain.
+
+    Returns per source: n_tokens, weight, alloc_tokens, epochs, capped.
+    """
+    import math
+
+    rows = [
+        (s, int(t), int(math.floor(math.sqrt(t) * 1_000_000.0)))
+        for s, t in counts
+    ]
+    if any(t <= 0 for _, t, _ in rows):
+        raise ValueError("mixture_waterfill: every source needs tokens > 0")
+    b5 = budget5_per_token * sum(t for _, t, _ in rows)
+    capped: dict[str, bool] = {s: False for s, _, _ in rows}
+    for _ in range(int(iters)):
+        c5 = sum(cap5_per_token * t for s, t, _ in rows if capped[s])
+        wu = sum(w for s, _, w in rows if not capped[s])
+        if wu == 0:
+            break
+        rem5 = b5 - c5
+        for s, t, w in rows:
+            if not capped[s]:
+                share5 = float(rem5) * w / wu
+                if share5 >= float(cap5_per_token * t):
+                    capped[s] = True
+    c5 = sum(cap5_per_token * t for s, t, _ in rows if capped[s])
+    wu = sum(w for s, _, w in rows if not capped[s])
+    rem5 = b5 - c5
+    out = []
+    for s, t, w in rows:
+        if capped[s]:
+            alloc = float(cap5_per_token * t) / 5.0
+        else:
+            alloc = (float(rem5) * w / wu) / 5.0
+        out.append(
+            {
+                "source": s,
+                "n_tokens": t,
+                "weight": w,
+                "alloc_tokens": alloc,
+                "epochs": alloc / t,
+                "capped": int(capped[s]),
+            }
+        )
+    return out

@@ -1456,6 +1456,110 @@ SELECT stat, {sql_round("v", 6)} AS value FROM (
 QUALITY_OLS_D4_SQL = _quality_ols_d4_sql()
 
 
+def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining data-recipe solver (corpus.mixture_waterfill):
+    allocate a 2.0-epoch token budget over sources ∝ √tokens
+    (temperature-0.5 flattening) with a 2.2-epoch per-source cap;
+    capped surplus water-fills back onto uncapped sources. One
+    token-count aggregation (#sources rows — a bounded driver pull),
+    a driver-side integer water-fill, and a literal result frame: the
+    100 TB cost is exactly the one corpus scan. The oracle replays all
+    24 water-fill iterations as chained CTEs over exact integer
+    token-fifths — summation order cannot flip a cap comparison, so
+    the replay is bit-faithful, not just close."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    counts = (
+        docs.groupBy("source")
+        .agg(F.sum(F.size(toks)).cast("long").alias("t"))
+        .collect()
+    )
+    plan = C.mixture_waterfill(
+        sorted((r["source"], int(r["t"])) for r in counts)
+    )
+    rows = [
+        (
+            p["source"],
+            p["n_tokens"],
+            p["weight"],
+            p["alloc_tokens"],
+            p["epochs"],
+            p["capped"],
+        )
+        for p in plan
+    ]
+    return (
+        spark.createDataFrame(
+            rows,
+            "source string, n_tokens long, weight long, "
+            "alloc_tokens double, epochs double, capped int",
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "weight",
+            stable_round(F.col("alloc_tokens"), 6).alias("alloc_tokens"),
+            stable_round(F.col("epochs"), 6).alias("epochs"),
+            "capped",
+        )
+        .orderBy("source")
+    )
+
+
+def _mixture_sql() -> str:
+    toks = _TOKS.format(c="text")
+    cap5, b5m, iters = C.MIXTURE_CAP5, C.MIXTURE_BUDGET5, C.MIXTURE_ITERS
+    ctes = [
+        f"""counts AS MATERIALIZED (
+    SELECT source, CAST(sum(len({toks})) AS BIGINT) AS t
+    FROM documents GROUP BY source
+)""",
+        """base AS MATERIALIZED (
+    SELECT source, t,
+           CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+    FROM counts
+)""",
+        f"tot AS MATERIALIZED (SELECT {b5m} * sum(t) AS b5 FROM base)",
+        "it0 AS MATERIALIZED (SELECT source, t, w, 0 AS capped FROM base)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"it{k - 1}"
+        ctes.append(f"""it{k} AS MATERIALIZED (
+    SELECT source, t, w,
+           CASE WHEN capped = 1 THEN 1
+                WHEN CAST((SELECT b5 FROM tot)
+                          - coalesce((SELECT sum({cap5} * t) FROM {prev}
+                                      WHERE capped = 1), 0) AS DOUBLE)
+                     * w / (SELECT sum(w) FROM {prev} WHERE capped = 0)
+                     >= CAST({cap5} * t AS DOUBLE)
+                THEN 1 ELSE 0 END AS capped
+    FROM {prev}
+)""")
+    alloc = (
+        f"CASE WHEN capped = 1 THEN CAST({cap5} * t AS DOUBLE) / 5.0 "
+        f"ELSE (CAST((SELECT b5 FROM tot) - (SELECT c5 FROM agg) AS DOUBLE)"
+        f" * w / (SELECT wu FROM agg)) / 5.0 END"
+    )
+    ctes.append(f"""agg AS (
+    SELECT coalesce(sum(CASE WHEN capped = 1 THEN {cap5} * t END), 0) AS c5,
+           sum(CASE WHEN capped = 0 THEN w END) AS wu
+    FROM it{iters}
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT source, t AS n_tokens, w AS weight,
+       {sql_round(alloc, 6)} AS alloc_tokens,
+       {sql_round(f"({alloc}) / t", 6)} AS epochs,
+       capped
+FROM it{iters}
+ORDER BY source
+"""
+
+
+MIXTURE_SQL = _mixture_sql()
+
+
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): every document scored by
     the mean hashed-bigram log-likelihood ratio between the `src0` target
@@ -2276,6 +2380,7 @@ QUERIES: dict[str, tuple] = {
     "ccnet_perplexity_buckets": (ccnet_perplexity_buckets, CCNET_BUCKETS_SQL),
     "doc_logreg_quality_d4": (doc_logreg_quality_d4, LOGREG_QUALITY_D4_SQL),
     "doc_quality_ols_d4": (doc_quality_ols_d4, QUALITY_OLS_D4_SQL),
+    "source_mixture_plan": (source_mixture_plan, MIXTURE_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),
     "leakage_safe_splits": (leakage_safe_splits, _leakage_safe_splits_sql()),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),

@@ -1198,3 +1198,43 @@ def test_doc_gopher_rules_thresholds(spark, tmp_path):
     assert got[1]["n_words"] >= 50
     assert 3.0 <= got[1]["mean_word_len"] <= 10.0
     assert got[1]["alpha_ratio"] == 1.0
+
+
+def test_mixture_waterfill_caps_and_conserves():
+    """Small sources cap at 11/5 epochs; surplus water-fills onto the
+    uncapped; total allocation equals the budget exactly."""
+    from consent_based_conversion_adjustments_spark.operators.corpus import (
+        mixture_waterfill,
+    )
+
+    res = mixture_waterfill([("a", 100), ("b", 10000), ("c", 9000), ("d", 500)])
+    by = {r["source"]: r for r in res}
+    assert by["a"]["capped"] == 1 and by["a"]["epochs"] == 2.2
+    assert by["d"]["capped"] == 1 and by["d"]["epochs"] == 2.2
+    assert by["b"]["capped"] == 0 and by["c"]["capped"] == 0
+    total = sum(r["alloc_tokens"] for r in res)
+    assert total == 2.0 * (100 + 10000 + 9000 + 500)
+    # uncapped epochs exceed the 2.0 flat rate (they absorbed the surplus)
+    assert by["b"]["epochs"] > 1.9 and by["c"]["epochs"] > 2.0
+
+
+def test_mixture_waterfill_uniform_sources_flat():
+    from consent_based_conversion_adjustments_spark.operators.corpus import (
+        mixture_waterfill,
+    )
+
+    res = mixture_waterfill([(f"s{i}", 1000) for i in range(5)])
+    assert all(r["capped"] == 0 for r in res)
+    for r in res:
+        assert abs(r["epochs"] - 2.0) < 1e-12
+
+
+def test_mixture_waterfill_rejects_empty_source():
+    import pytest
+
+    from consent_based_conversion_adjustments_spark.operators.corpus import (
+        mixture_waterfill,
+    )
+
+    with pytest.raises(ValueError, match="tokens > 0"):
+        mixture_waterfill([("a", 0), ("b", 10)])
