@@ -3990,6 +3990,105 @@ ORDER BY phi
 """
 
 
+def streaming_sketch_cube_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMED sketch cube through the contract gate: three
+    micro-batches (event_id % 3) flow through
+    ``SketchCubeStore.process_batch`` — the exact ``foreachBatch`` body —
+    into an epoch-partitioned parquet cube in a fresh temp dir, then the
+    registered window's distinct estimate and quantile ranks are checked
+    against exact answers (same bounds as the batch-cube audits). Output
+    rows (metric, n, within_bound); the oracle recomputes the exact
+    values and asserts every flag. HLL merge is register-max
+    (order-free), so streaming ingestion cannot move the estimate; KLL
+    compaction is order-dependent but stays inside its rank bound — the
+    flags are stable by construction, not by luck."""
+    import shutil
+    import tempfile
+
+    from ..streaming.stats import SketchCubeStore
+
+    ev = read_table(spark, sf_dir, "events")
+    store_dir = tempfile.mkdtemp(prefix="cocoa_sketch_cube_")
+    store = SketchCubeStore(store_dir)
+    try:
+        for epoch in range(3):
+            store.process_batch(
+                ev.filter(F.col("event_id") % 3 == epoch), epoch
+            )
+        est = float(
+            store.distinct_over(spark, _HLL_START, _HLL_END).first()[
+                "approx_distinct"
+            ]
+        )
+        qs = [0.5, 0.9]
+        qrow = store.quantiles_over(
+            spark, _HLL_START, _HLL_END, qs
+        ).first()
+        qvals = {q: float(qrow[f"q_{str(q).replace('.', '_')}"]) for q in qs}
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    day = F.to_date("ts")
+    win = ev.filter(
+        (day >= F.lit(_HLL_START).cast("date"))
+        & (day <= F.lit(_HLL_END).cast("date"))
+    )
+    aggs = [
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+        F.count("value").alias("n"),
+    ]
+    for q in qs:
+        tag = str(q).replace(".", "_")
+        aggs.append(
+            F.sum((F.col("value") < F.lit(qvals[q])).cast("long")).alias(
+                f"lo_{tag}"
+            )
+        )
+        aggs.append(
+            F.sum((F.col("value") <= F.lit(qvals[q])).cast("long")).alias(
+                f"hi_{tag}"
+            )
+        )
+    stats = win.agg(*aggs).first()
+    n = int(stats["n"])
+    rows = [
+        (
+            "distinct_users",
+            int(stats["exact_distinct"]),
+            int(
+                abs(est / float(stats["exact_distinct"]) - 1.0)
+                <= _HLL_REL_BOUND
+            ),
+        )
+    ]
+    for q in qs:
+        tag = str(q).replace(".", "_")
+        lo = stats[f"lo_{tag}"] / float(n)
+        hi = stats[f"hi_{tag}"] / float(n)
+        ok = (q >= lo - _KLL_RANK_BOUND) and (q <= hi + _KLL_RANK_BOUND)
+        rows.append((f"rank_q_{tag}", n, int(ok)))
+    return spark.createDataFrame(
+        rows, "metric string, n long, within_bound int"
+    ).orderBy("metric")
+
+
+STREAMING_SKETCH_CUBE_AUDIT_SQL = f"""
+WITH w AS (
+    SELECT user_id, value FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '{_HLL_START}' AND DATE '{_HLL_END}'
+)
+SELECT * FROM (
+    SELECT 'distinct_users' AS metric,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n, 1 AS within_bound
+    FROM w
+    UNION ALL
+    SELECT 'rank_q_0_5', CAST(count(value) AS BIGINT), 1 FROM w
+    UNION ALL
+    SELECT 'rank_q_0_9', CAST(count(value) AS BIGINT), 1 FROM w
+)
+ORDER BY metric
+"""
+
+
 def theta_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta cube contract gate: the sketched |A|, |B| and |A ∩ B| must
     each sit within 5% of the exact per-user-flag aggregation (at the
@@ -4579,6 +4678,7 @@ QUERIES: dict[str, tuple] = {
     "hll_window_error_audit": (hll_window_error_audit, HLL_AUDIT_SQL),
     "kll_window_rank_audit": (kll_window_rank_audit, KLL_AUDIT_SQL),
     "theta_retention_audit": (theta_retention_audit, THETA_AUDIT_SQL),
+    "streaming_sketch_cube_audit": (streaming_sketch_cube_audit, STREAMING_SKETCH_CUBE_AUDIT_SQL),
     "campaign_attribution": (campaign_attribution, CAMPAIGN_ATTRIBUTION_SQL),
     "audience_overlap_matrix": (audience_overlap_matrix, AUDIENCE_OVERLAP_SQL),
     "audience_overlap_sketched": (audience_overlap_sketched, None),

@@ -319,3 +319,103 @@ class CmsStore:
             .groupBy("row_i", "bucket")
             .agg(F.sum("cell_n").alias("cell_n"))
         )
+
+
+class SketchCubeStore:
+    """The daily-sketch cube (HLL distinct + KLL quantile) as a
+    ``foreachBatch`` sink — the concrete streaming half the cube
+    docstrings promise ("same additive-state contract as the Gram
+    partials"). Each micro-batch writes ITS OWN per-day sketch rows to a
+    parquet table partitioned by epoch; a day split across epochs simply
+    owns several rows, and every range query already merges rows per day
+    (``hll_union_agg`` / ``kll_merge_agg_double``), so multiplicity is
+    absorbed by the same aggregation that makes the cube mergeable in the
+    first place.
+
+    Exactly-once: identical mechanism to RunningStatsStore — dynamic
+    partition overwrite keyed on the epoch makes a replayed micro-batch
+    rewrite exactly its own partition. Estimates are replay-stable:
+    HLL registers are per-key maxima (merge-order-free), while KLL
+    compaction is merge-order-DEPENDENT — two ingestion orders give
+    different (equally valid) sketches, so the batch≡stream test pins
+    HLL estimates EXACTLY and KLL only within its published rank bound.
+
+    Scale: per-epoch state is #days-in-batch × (2^lgk + O(k)) bytes;
+    the store grows by epochs × days rows of bounded binaries — compact
+    by re-merging per day offline if epoch count ever matters (the
+    admission store's fold pattern applies verbatim).
+    """
+
+    def __init__(
+        self,
+        store_dir: str,
+        ts_col: str = "ts",
+        key_col: str = "user_id",
+        value_col: str = "value",
+        lgk: int = 12,
+        k: int = 800,
+    ):
+        self.store_dir = store_dir
+        self.ts_col = ts_col
+        self.key_col = key_col
+        self.value_col = value_col
+        self.lgk = lgk
+        self.k = k
+        self.cube_path = os.path.join(store_dir, "daily_sketches")
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy(F.to_date(self.ts_col).alias("day"))
+            .agg(
+                F.hll_sketch_agg(self.key_col, F.lit(self.lgk)).alias(
+                    "hll"
+                ),
+                F.kll_sketch_agg_double(
+                    self.value_col, F.lit(self.k)
+                ).alias("kll"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(self.cube_path)
+        )
+
+    def sink(self, stream_df: DataFrame, checkpoint_path: str, **trigger):
+        if not trigger:
+            trigger = {"availableNow": True}
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(**trigger)
+            .start()
+        )
+
+    # -- readback ------------------------------------------------------------
+
+    def cube(self, spark: SparkSession) -> DataFrame:
+        """All epochs' per-day sketch rows (a day may own several)."""
+        return spark.read.schema(
+            "day date, hll binary, kll binary, n_events long, epoch long"
+        ).parquet(self.cube_path)
+
+    def distinct_over(
+        self, spark: SparkSession, start_day: str, end_day: str
+    ) -> DataFrame:
+        c = self.cube(spark).withColumnRenamed("hll", "sketch")
+        return distinct_over_days(c, start_day, end_day)
+
+    def quantiles_over(
+        self,
+        spark: SparkSession,
+        start_day: str,
+        end_day: str,
+        qs: list[float],
+    ) -> DataFrame:
+        c = self.cube(spark).select(
+            "day",
+            F.col("kll").alias("sketch"),
+            F.col("n_events").alias("n_values"),
+        )
+        return value_quantiles_over_days(c, start_day, end_day, qs)

@@ -1484,3 +1484,67 @@ def test_streaming_cms_totals_equal_batch_build(spark, tmp_path):
 
     epochs = glob.glob(str(tmp_path / "store" / "cms_cells" / "epoch=*"))
     assert len(epochs) >= 2
+
+
+def test_sketch_cube_store_stream_equals_batch(spark, tmp_path):
+    """SketchCubeStore end-to-end: a file-source stream (one file per
+    micro-batch) builds the daily-sketch cube; HLL estimates must equal
+    the batch cube EXACTLY (register-max merge is order-free), KLL
+    quantiles must sit within the rank bound of exact, and replaying an
+    epoch must not move any estimate (dynamic partition overwrite)."""
+    from consent_based_conversion_adjustments_spark.streaming.stats import (
+        SketchCubeStore,
+        daily_distinct_sketches,
+        distinct_over_days,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = tmp_path / "in"
+    # Spark writes keep the fixture's timestamp_ntz type (a pyarrow
+    # round-trip would demote ts to plain INT64 and break the stream
+    # schema); one part-file per batch via coalesce+append, and batch
+    # ORDER is irrelevant here — HLL merge is order-free and the KLL
+    # assertion is the rank bound.
+    for m in range(3):
+        ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+    store = SketchCubeStore(str(tmp_path / "cube"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = store.sink(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    start, end = "2024-01-05", "2024-01-25"
+    got = store.distinct_over(spark, start, end).first()
+    batch_cube = daily_distinct_sketches(ev)
+    want = distinct_over_days(batch_cube, start, end).first()
+    # HLL union is per-register max — ingestion order cannot matter
+    assert got["approx_distinct"] == want["approx_distinct"]
+    assert got["n_events"] == want["n_events"]
+
+    # KLL: order-dependent compaction, so assert the rank contract
+    day = F.to_date("ts")
+    win = ev.filter(
+        (day >= F.lit(start).cast("date")) & (day <= F.lit(end).cast("date"))
+    )
+    n = win.count()
+    for phi in (0.5, 0.9):
+        qv = float(
+            store.quantiles_over(spark, start, end, [phi]).first()[
+                f"q_{str(phi).replace('.', '_')}"
+            ]
+        )
+        lo = win.filter(F.col("value") < qv).count() / n
+        hi = win.filter(F.col("value") <= qv).count() / n
+        assert lo - 0.02 <= phi <= hi + 0.02, (phi, lo, hi)
+
+    # replay idempotence: re-running epoch 1's batch rewrites its own
+    # partition; every estimate is unchanged
+    store.process_batch(ev.filter(F.col("event_id") % 3 == 1), 1)
+    again = store.distinct_over(spark, start, end).first()
+    assert again["approx_distinct"] == want["approx_distinct"]
+    assert again["n_events"] == want["n_events"]
