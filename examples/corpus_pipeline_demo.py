@@ -4,7 +4,9 @@ the composition story for the LLM-data-pipeline layer.
 One pass from raw documents to packed training sequences, each stage a
 registered operator with its own oracle/tests:
 
-1. quality gate     — text.quality_score / language stats (drop bottom)
+1. quality gate     — doc_gopher_rules hard filters (Rae et al. 2021)
+                      AND text.quality_score floor, composed; the CCNet
+                      perplexity tercile labels each survivor
 2. exact-substring  — dedup.scrub_duplicate_spans (Lee-et-al-style span
    scrub: corpus-duplicated 3-gram runs removed from surviving docs)
 3. near-dup dedup   — minhash graph → connected components → keep each
@@ -15,6 +17,8 @@ registered operator with its own oracle/tests:
    the train split (deterministic, replayable)
 6. chunk + pack     — overlapping token chunks, FFD-packed to a fixed
    context budget
+7. data recipe      — corpus.mixture_waterfill allocates a 2-epoch token
+   budget over sources (temperature 0.5, 2.2-epoch cap)
 
 Run:  python examples/corpus_pipeline_demo.py [sf_dir]
 (defaults to /root/testdata/sf0.001; deterministic output).
@@ -44,11 +48,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
 
-    # 1. quality gate: keep docs above a fixed quality floor
-    gated = docs.withColumn("__q", quality_score("text")).filter(
-        F.col("__q") >= 0.3
+    # 1a. Gopher hard rules (round 11): word count / mean word length /
+    # alpha ratio / stop hits / duplicate lines at the paper thresholds
+    from consent_based_conversion_adjustments_spark.plans.corpus_queries import (
+        ccnet_perplexity_buckets,
+        doc_gopher_rules,
+    )
+
+    rules = doc_gopher_rules(spark, sf_dir).select("doc_id", "passes")
+    # 1b. soft quality floor on the rule survivors
+    gated = (
+        docs.join(rules.filter(F.col("passes") == 1), "doc_id")
+        .withColumn("__q", quality_score("text"))
+        .filter(F.col("__q") >= 0.3)
+        .drop("passes")
     )
     n1 = gated.count()
+
+    # 1c. CCNet perplexity terciles (labels; a stricter pipeline would
+    # drop the per-language tail here)
+    buckets = ccnet_perplexity_buckets(spark, sf_dir)
+    tail_n = buckets.filter(F.col("ppl_bucket") == "tail").count()
 
     # 2. exact-substring scrub (duplicated spans removed, text rebuilt)
     scrubbed = (
@@ -101,13 +121,33 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     avg_fill = util.agg(F.avg("t")).first()[0]
 
+    # 7. the data recipe over the FINAL corpus: token budget per source
+    from consent_based_conversion_adjustments_spark.operators.corpus import (
+        mixture_waterfill,
+    )
+    from consent_based_conversion_adjustments_spark.operators.text import tokens
+
+    counts = (
+        splits.withColumn("__t", F.size(tokens("text")))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum("__t").cast("long").alias("t"))
+        .collect()
+    )
+    recipe = mixture_waterfill(sorted((r["source"], int(r["t"])) for r in counts))
+    n_capped = sum(r["capped"] for r in recipe)
+
     print(f"documents            {n0}")
-    print(f"after quality gate   {n1}")
+    print(f"after gopher+quality {n1} (ccnet tail would drop {tail_n} more)")
     print(f"after span scrub     {n2} (empty-after-scrub dropped)")
     print(f"after near-dup dedup {n3}")
     print(f"split profile        {profile}")
     print(f"weighted train sample {n5}")
     print(f"packed sequences     {n_packs} (avg fill {avg_fill:.1f}/64 tokens)")
+    print(
+        f"data recipe          {len(recipe)} sources, {n_capped} capped at "
+        f"2.2 epochs, budget 2.0x corpus tokens"
+    )
     spark.stop()
 
 
