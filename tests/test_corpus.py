@@ -1238,3 +1238,41 @@ def test_mixture_waterfill_rejects_empty_source():
 
     with pytest.raises(ValueError, match="tokens > 0"):
         mixture_waterfill([("a", 0), ("b", 10)])
+
+
+def test_mixture_waterfill_invariants_property():
+    """Property test: for arbitrary positive token counts, the water-fill
+    (a) conserves the budget exactly whenever any source is uncapped,
+    (b) never allocates beyond the cap, (c) gives every uncapped source
+    the same tokens-per-weight rate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from consent_based_conversion_adjustments_spark.operators.corpus import (
+        mixture_waterfill,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=10_000_000),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def run(tokens):
+        counts = [(f"s{i}", t) for i, t in enumerate(tokens)]
+        res = mixture_waterfill(counts)
+        total_t = sum(tokens)
+        budget = 2.0 * total_t
+        uncapped = [r for r in res if not r["capped"]]
+        for r in res:
+            assert r["alloc_tokens"] <= 2.2 * r["n_tokens"] * (1 + 1e-12)
+            assert r["alloc_tokens"] > 0
+        if uncapped:
+            total = sum(r["alloc_tokens"] for r in res)
+            assert abs(total - budget) <= budget * 1e-9
+            rates = [r["alloc_tokens"] / r["weight"] for r in uncapped]
+            assert max(rates) - min(rates) <= max(rates) * 1e-9
+
+    run()

@@ -187,3 +187,27 @@ def test_ordering_puts_hot_before_stale_and_degrades_gracefully(tmp_path):
     order2 = E._ordered_names(record_dir)
     assert len(order2) == len(order)
     assert order2.index(never) < order2.index(hot)  # never-verified first
+
+
+def test_fingerprints_computable_on_historical_git_tree(tmp_path):
+    """The refresh path: fingerprint_all must work on a bare `git
+    archive` extraction of a historical commit (no installed package, no
+    sys.modules), and produce the same keys the registries had then."""
+    import io
+    import subprocess
+    import tarfile
+
+    proc = subprocess.run(
+        ["git", "archive", "HEAD~3", P.PKG],
+        cwd=REPO,
+        capture_output=True,
+    )
+    if proc.returncode != 0:
+        pytest.skip("shallow history")
+    with tarfile.open(fileobj=io.BytesIO(proc.stdout)) as tf:
+        tf.extractall(str(tmp_path), filter="data")
+    fps = P.fingerprint_all(str(tmp_path))
+    assert len(fps) >= 200
+    assert all(len(v) == 64 for v in fps.values())
+    # deterministic on the archived tree too
+    assert fps == P.fingerprint_all(str(tmp_path))
