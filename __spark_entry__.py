@@ -86,7 +86,16 @@ def _ordered_names(record_dir: str | None = None) -> list[str]:
         sidecar = json.load(open(os.path.join(here, "tools", "verify_fp.json")))
         meta = sidecar.get("__meta__", {})
         latest = meta.get("latest_round", 0)
-    except Exception:
+    except Exception as exc:  # degrade, but never silently (ADVICE r11)
+        import sys
+
+        print(
+            "WARNING: code-aware verification rotation degraded to "
+            f"round-only ordering ({type(exc).__name__}: {exc}) — "
+            "rewritten operators will not re-verify first; check "
+            "tools/verify_fp.json and plans/provenance.py",
+            file=sys.stderr,
+        )
         cur, sidecar, latest = {}, {}, 0
 
     def key(n: str):

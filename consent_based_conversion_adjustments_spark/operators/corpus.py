@@ -1903,6 +1903,17 @@ def mixture_waterfill(
     ]
     if any(t <= 0 for _, t, _ in rows):
         raise ValueError("mixture_waterfill: every source needs tokens > 0")
+    if len(rows) > int(iters):
+        # the fixed iteration count only guarantees the capped-set
+        # fixpoint for ≤ iters sources (at worst one source caps per
+        # pass); silently stopping early would yield allocations above
+        # the epoch cap and break budget conservation — and the oracle's
+        # finite CTE chain replays exactly `iters` passes (ADVICE r11)
+        raise ValueError(
+            f"mixture_waterfill: {len(rows)} sources exceed iters={iters} "
+            "— the fixpoint is only guaranteed for ≤ iters sources; raise "
+            "iters (and regenerate the oracle CTE chain to match)"
+        )
     b5 = budget5_per_token * sum(t for _, t, _ in rows)
     capped: dict[str, bool] = {s: False for s, _, _ in rows}
     for _ in range(int(iters)):

@@ -398,9 +398,17 @@ def lsh_recall_plan(
 
     Model — both laws MEASURED on the ledger (PERF.md round 10):
 
-    1. recall ≈ n_tables · r₁(p) in the small-probability regime
-       (OR-amplification is linear: 0.070 → 0.124 → 0.230 for 4/8/16
-       tables at p=10), capped at 1.0;
+    1. recall = 1 − (1 − r₁(p))^t — OR-amplification is CONCAVE, not
+       linear (ADVICE r11): each row's per-table rate is recovered by
+       inverting the concave law, r₁ = 1 − (1 − recall)^(1/t), and on
+       the ledger those inverted rates are ~constant across 4/8/16
+       tables (0.0180 / 0.0164 / 0.0162) — the apparent decay of the
+       naive recall/t estimate (0.0175 → 0.0144) IS the concavity. The
+       table count solving the floor is t = ⌈ln(1−floor)/ln(1−r₁)⌉,
+       which grows super-linearly near floor→1 instead of the linear
+       extrapolation's optimistic ⌈floor/r₁⌉ (at r₁≈0.016 a 0.9 floor
+       needs ~143 tables, not 57 — correctly infeasible under any
+       linear budget);
     2. mass ≈ n_tables · m₁(p) · (n_build·n_query)/(Lb·Lq) — pair-
        sampling scaling off the ledger corpus (the uniform-occupancy
        n·m/2^p model held within 2.2× on the same rung).
@@ -427,14 +435,23 @@ def lsh_recall_plan(
         by_p.setdefault(int(row["n_planes"]), []).append(row)
     candidates: list[dict] = []
     for p, rows in sorted(by_p.items()):
-        r1 = sum(r["recall"] / r["n_tables"] for r in rows) / len(rows)
+        import math
+
+        # invert the concave OR-amplification law per measured row:
+        # recall = 1-(1-r1)^t  ⇒  r1 = 1-(1-recall)^(1/t)
+        r1 = sum(
+            1.0 - (1.0 - r["recall"]) ** (1.0 / r["n_tables"]) for r in rows
+        ) / len(rows)
         m1 = sum(r["mass"] / r["n_tables"] for r in rows) / len(rows)
         if r1 <= 0.0:
             continue
-        import math
-
-        t = math.ceil(recall_floor / r1)
-        pred_recall = min(1.0, t * r1)
+        if recall_floor >= 1.0:
+            # 1-(1-r1)^t never reaches 1.0 for r1 < 1 — no finite t
+            t = max_tables + 1
+        else:
+            t = math.ceil(math.log(1.0 - recall_floor) / math.log(1.0 - r1))
+        t = max(1, t)
+        pred_recall = 1.0 - (1.0 - r1) ** t
         pred_mass = t * m1 * pair_scale
         candidates.append(
             {

@@ -80,9 +80,18 @@ def last_green_rounds(record_dir: str) -> dict[str, int]:
 def _segment(lines: list[str], node: ast.AST) -> str:
     """Line-sliced source segment (hash material only — line granularity
     is enough, and ast.get_source_segment re-splits the whole 4k-line
-    registry source on EVERY call, which made it 90% of runtime)."""
+    registry source on EVERY call, which made it 90% of runtime).
+
+    Decorator lines are part of the segment: for FunctionDef/ClassDef,
+    ``node.lineno`` is the ``def``/``class`` line, which would exclude
+    decorators — so editing a decorator argument (a cache size, a retry
+    count) would change behavior without bumping the fingerprint
+    (ADVICE r11). Start the slice at the first decorator instead."""
     try:
-        return "".join(lines[node.lineno - 1 : node.end_lineno])
+        start = node.lineno
+        for dec in getattr(node, "decorator_list", None) or ():
+            start = min(start, dec.lineno)
+        return "".join(lines[start - 1 : node.end_lineno])
     except (AttributeError, TypeError):
         return ""
 

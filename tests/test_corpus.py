@@ -1240,6 +1240,29 @@ def test_mixture_waterfill_rejects_empty_source():
         mixture_waterfill([("a", 0), ("b", 10)])
 
 
+def test_mixture_waterfill_rejects_more_sources_than_iters():
+    """ADVICE r11: iters only guarantees the capped-set fixpoint for
+    ≤ iters sources — more must raise loudly, not silently allocate past
+    the epoch cap (and the oracle CTE chain replays exactly iters
+    passes, so fudging iters here would desync the engines)."""
+    import pytest
+
+    from consent_based_conversion_adjustments_spark.operators.corpus import (
+        mixture_waterfill,
+    )
+
+    counts = [(f"s{i}", 10 + i) for i in range(25)]
+    with pytest.raises(ValueError, match="exceed iters"):
+        mixture_waterfill(counts)  # default iters=24 < 25 sources
+    # raising iters to cover the source count is the documented remedy
+    res = mixture_waterfill(counts, iters=25)
+    assert len(res) == 25
+    budget = 2.0 * sum(t for _, t in counts)
+    if any(not r["capped"] for r in res):
+        total = sum(r["alloc_tokens"] for r in res)
+        assert abs(total - budget) <= budget * 1e-9
+
+
 def test_mixture_waterfill_invariants_property():
     """Property test: for arbitrary positive token counts, the water-fill
     (a) conserves the budget exactly whenever any source is uncapped,

@@ -133,6 +133,33 @@ def test_transitive_cross_module_edit_triggers(pkg_copy, base_fps):
         open(path, "w").write(orig)
 
 
+def test_decorator_edit_bumps_fingerprints(pkg_copy, base_fps):
+    """ADVICE r11: node.lineno of a decorated def/class is the def line,
+    so a decorator-only edit (here: @dataclass(frozen=True) →
+    frozen=False on FeatureEncoder — a real behavior change) used to
+    leave every fingerprint untouched. The segment must start at the
+    decorator."""
+    rel = f"{P.PKG}/operators/preprocess.py"
+    path = os.path.join(pkg_copy, rel)
+    orig = open(path).read()
+    anchor = "@dataclass(frozen=True)\nclass FeatureEncoder:"
+    assert anchor in orig
+    try:
+        open(path, "w").write(
+            orig.replace(
+                anchor, "@dataclass(frozen=False)\nclass FeatureEncoder:", 1
+            )
+        )
+        fps = P.fingerprint_all(pkg_copy)
+        changed = {q for q in base_fps if fps[q] != base_fps[q]}
+        assert "cocoa_knn_adjust" in changed, (
+            "decorator edit on FeatureEncoder must bump the cocoa "
+            "queries that encode through it"
+        )
+    finally:
+        open(path, "w").write(orig)
+
+
 def test_ordering_puts_hot_before_stale_and_degrades_gracefully(tmp_path):
     """Synthetic CORRECTNESS + sidecar: a query greened last round whose
     fingerprint then changed must sort before never-verified and before

@@ -371,6 +371,48 @@ def test_lsh_recall_plan_scales_mass_by_pair_product():
     assert small["predicted_recall"] >= 0.5
 
 
+def test_lsh_recall_plan_concave_not_linear():
+    """ADVICE r11: OR-amplification is concave — at the ledger's
+    r1≈0.016, a 0.9 recall floor needs ~143 tables under the true
+    1-(1-r1)^t law, not the linear model's 57. The plan must route such
+    floors to exact_blas instead of claiming the floor met, and any
+    returned prediction must satisfy the concave law, never exceed it."""
+    import math
+
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        RECALL_LEDGER_64X,
+        lsh_recall_plan,
+    )
+
+    n = 1_280_000
+    plan = lsh_recall_plan(n, n, recall_floor=0.9, target_mass_per_row=64)
+    assert plan["route"] == "exact_blas"
+    # even with an effectively unlimited mass budget, the table count the
+    # concave law demands exceeds max_tables=64 — still exact_blas
+    plan = lsh_recall_plan(n, n, recall_floor=0.9, target_mass_per_row=10**9)
+    assert plan["route"] == "exact_blas"
+    # a feasible plan's prediction obeys recall = 1-(1-r1)^t for the
+    # ledger-inverted r1 (the linear t·r1 overshoots this strictly)
+    plan = lsh_recall_plan(n, n, recall_floor=0.3, target_mass_per_row=10**9)
+    assert plan["route"] == "lsh"
+    rows = [r for r in RECALL_LEDGER_64X if r["n_planes"] == plan["n_planes"]]
+    r1 = sum(
+        1.0 - (1.0 - r["recall"]) ** (1.0 / r["n_tables"]) for r in rows
+    ) / len(rows)
+    t = plan["n_tables"]
+    assert math.isclose(
+        plan["predicted_recall"], 1.0 - (1.0 - r1) ** t, abs_tol=1e-4
+    )
+    assert plan["predicted_recall"] < t * r1  # strictly below linear
+    # floor=1.0 is unreachable by any finite OR-amplification
+    assert (
+        lsh_recall_plan(n, n, recall_floor=1.0, target_mass_per_row=10**9)[
+            "route"
+        ]
+        == "exact_blas"
+    )
+
+
 def test_lsh_recall_plan_validates_floor():
     import pytest
 
