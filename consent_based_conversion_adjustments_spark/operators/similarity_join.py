@@ -225,6 +225,56 @@ def percentile_radius(
     return float(row["radius"])
 
 
+#: measured broadcast→LSH crossover (PERF.md round 11, organic sf1.0
+#: rung): the broadcast kernels pay the full O(n_probe·n_build) distance
+#: grid — fastest below ~30k probe rows (6–10 s at 15k probe / sf0.1,
+#: fresh JVM) and 24–30× slower at 10× the data (189–299 s at 150k /
+#: sf1.0) while the LSH route stays ~flat (3–6 s at both scales)
+AUTO_MAX_PROBE_BROADCAST = 30_000
+#: build-matrix size cap for the broadcast kernels: the driver and every
+#: executor core hold the collected n_build×width float64 matrix; 128 MB
+#: mirrors ``_auto_chunk``'s per-task arithmetic budget
+AUTO_BUILD_MATRIX_BYTES = 128 << 20
+
+
+def choose_impl(
+    n_probe: int,
+    n_build: int,
+    feature_width: int | None = None,
+    *,
+    max_probe: int = AUTO_MAX_PROBE_BROADCAST,
+    matrix_budget_bytes: int = AUTO_BUILD_MATRIX_BYTES,
+) -> str:
+    """Physical-strategy selection for the similarity join — the Spark
+    analogue of the reference's ``NearestNeighbors(algorithm='auto')``
+    (nearest_consented_customers.py:67): pick the exact broadcast/BLAS
+    kernel or the bucketed LSH route from the two numbers that decide the
+    crossover, both MEASURED (PERF.md round 11 organic sf1.0 rung):
+
+    - probe rows: the broadcast grid is O(n_probe·n_build) — below
+      ``max_probe`` (~30k, where sf0.1 runs 6–10 s) it beats LSH's fixed
+      bucketing overhead; past it the grid grows quadratically while LSH
+      stays ~flat (sf1.0: 189 s vs 3.4 s on the flagship);
+    - build matrix bytes: the exact kernels collect the build side to a
+      dense n_build×width float64 matrix held per executor core — past
+      ``matrix_budget_bytes`` the broadcast itself is the failure, so LSH
+      (neither side collected) is the only route regardless of probe
+      count.
+
+    ``feature_width=None`` forces the exact route: the LSH signatures
+    need the width, and a caller without it is in the small-dims regime
+    the width-free broadcast kernels serve.
+    """
+    if feature_width is None:
+        return "numpy"
+    if (
+        int(n_probe) <= int(max_probe)
+        and int(n_build) * int(feature_width) * 8 <= int(matrix_budget_bytes)
+    ):
+        return "numpy"
+    return "lsh"
+
+
 def similarity_join(
     probe: DataFrame,
     build: DataFrame,
@@ -233,7 +283,8 @@ def similarity_join(
     probe_id: str = "probe_id",
     build_id: str = "build_id",
     features: str = "features",
-    impl: str = "sql",
+    impl: str = "auto",
+    n_probe: int | None = None,
     n_build: int | None = None,
     feature_width: int | None = None,
     build_matrix=None,
@@ -244,11 +295,21 @@ def similarity_join(
     on ``is not None`` — deliberately fixing the reference's truthiness bug
     (line 513) so ``radius=0.0`` is a valid empty-match join (FIXTURES.md F5).
 
-    ``impl="lsh"`` selects the beyond-broadcast route for every mode
+    ``impl="auto"`` (the default, mirroring the reference's
+    ``algorithm='auto'``) resolves to the exact broadcast kernel or the
+    LSH route via ``choose_impl`` — two count() jobs when ``n_probe`` /
+    ``n_build`` aren't supplied, then the measured crossover decides.
+    ``impl="lsh"`` forces the beyond-broadcast route for every mode
     (kNN / radius / percentile) — neither side is collected or broadcast;
     requires ``feature_width``. Approximate (recall set by the LSH
     amplification), intended for build sides past the broadcast limit.
     """
+    if impl == "auto":
+        if n_probe is None:
+            n_probe = probe.count()
+        if n_build is None:
+            n_build = build.count()
+        impl = choose_impl(n_probe, n_build, feature_width)
     if impl == "lsh":
         if feature_width is None:
             raise ValueError("impl='lsh' requires feature_width")

@@ -35,7 +35,9 @@ from .operators.preprocess import union_encode_split
 from .operators.similarity_join import (
     _collect_build_matrix,
     adjust_partials_numpy,
+    choose_impl,
     percentile_radius,
+    percentile_radius_lsh,
     similarity_join,
 )
 from .operators.summary import summary_statistics
@@ -86,11 +88,22 @@ def run_adjustment(
     noconsent: DataFrame,
     config: AdjustmentConfig,
     *,
-    impl: str = "sql",
+    impl: str = "auto",
     feature_engineering=None,
     check_id_uniqueness: bool = False,
 ) -> AdjustmentResult:
     """The full per-date adjustment query. Returns lazy DataFrames.
+
+    ``impl="auto"`` (default) resolves the physical join strategy ONCE up
+    front via ``choose_impl`` — two count() jobs, then the measured
+    ~30k-probe-row / 128 MB-build-matrix crossover (PERF.md round 11)
+    picks the exact broadcast kernel or the beyond-broadcast LSH route.
+    The reference makes the same call inside sklearn
+    (``NearestNeighbors(algorithm='auto')``,
+    nearest_consented_customers.py:67); here the choice is between
+    DISTRIBUTED plans, so it lives at the pipeline dispatch. Explicit
+    ``impl=`` pins the strategy (the registered oracle queries pin
+    "sql"/"numpy"; the LSH variants pin "lsh").
 
     ``check_id_uniqueness`` runs one eager count-vs-countDistinct pass per
     side and raises if the configured id columns do not key rows uniquely
@@ -118,6 +131,15 @@ def run_adjustment(
                     f"{side} side ({row['n']} rows, {row['d']} distinct keys) "
                     "— duplicates would double-count in the scatter-add"
                 )
+    n_probe = n_build = None
+    if impl == "auto":
+        n_probe, n_build = probe.count(), build.count()
+        impl = choose_impl(n_probe, n_build, encoder.width)
+        logger.info(
+            "run_adjustment: impl='auto' resolved to %r "
+            "(n_probe=%d, n_build=%d, feature_width=%d)",
+            impl, n_probe, n_build, encoder.width,
+        )
     build_matrix = None
     if impl == "numpy":
         # one eager collect shared by every numpy kernel below (pairs path,
@@ -126,19 +148,32 @@ def run_adjustment(
     cfg = config
     if config.percentile is not None:
         # resolve the auto-radius once (one eager percentile pass) so the
-        # matched-pairs path and the fused adjust path share it
-        r = percentile_radius(
-            probe,
-            build,
-            config.percentile,
-            metric=config.metric,
-            probe_id=PROBE_ID,
-            build_id=CONSENT_ID,
-            features="features",
-            impl=impl,
-            feature_width=encoder.width,
-            build_matrix=build_matrix,
-        )
+        # matched-pairs path and the fused adjust path share it; on the
+        # LSH route the resolution itself must stay beyond-broadcast
+        if impl == "lsh":
+            r = percentile_radius_lsh(
+                probe,
+                build,
+                config.percentile,
+                encoder.width,
+                metric=config.metric,
+                probe_id=PROBE_ID,
+                build_id=CONSENT_ID,
+                features="features",
+            )
+        else:
+            r = percentile_radius(
+                probe,
+                build,
+                config.percentile,
+                metric=config.metric,
+                probe_id=PROBE_ID,
+                build_id=CONSENT_ID,
+                features="features",
+                impl=impl,
+                feature_width=encoder.width,
+                build_matrix=build_matrix,
+            )
         cfg = dataclasses.replace(config, percentile=None, radius=r)
     pairs = similarity_join(
         probe,
@@ -148,6 +183,8 @@ def run_adjustment(
         build_id=CONSENT_ID,
         features="features",
         impl=impl,
+        n_probe=n_probe,
+        n_build=n_build,
         feature_width=encoder.width,
         build_matrix=build_matrix,
     )
@@ -212,7 +249,7 @@ def run_dates(
     dates: list[str],
     output_path: str,
     *,
-    impl: str = "sql",
+    impl: str = "auto",
 ) -> None:
     """O1-O3 driver loop: one distributed job per date, date filters pushed
     down to the scans (reference: pipeline.py:318-360)."""
@@ -280,7 +317,7 @@ def run_dates_collected(
     config: AdjustmentConfig,
     dates: list[str],
     *,
-    impl: str = "sql",
+    impl: str = "auto",
 ) -> DataFrame:
     """The O1-O2 date loop without a sink: one independent distributed
     adjustment per date (dates are independent model fits — the encoder and
@@ -326,7 +363,7 @@ def run_dates_streaming(
     output_path: str,
     checkpoint_path: str,
     *,
-    impl: str = "sql",
+    impl: str = "auto",
 ):
     """O5 trigger path as Structured Streaming: the dates.txt blob the
     trigger function writes (`prepare_pipeline_input`) becomes a
@@ -387,7 +424,7 @@ def run_dates_partitioned(
     dates: list[str],
     output_path: str,
     *,
-    impl: str = "sql",
+    impl: str = "auto",
 ) -> None:
     """Scale variant of the O3 sink: results of the per-date loop accumulate
     into a single ``partitionBy(date)`` dataset so downstream consumers get

@@ -84,7 +84,7 @@ def _pairs(df: DataFrame) -> DataFrame:
 # --- query callables ---------------------------------------------------------
 
 
-def knn_adjust(spark: SparkSession, sf_dir: str, impl: str = "sql") -> DataFrame:
+def knn_adjust(spark: SparkSession, sf_dir: str, impl: str = "auto") -> DataFrame:
     consent, noconsent = consent_split(spark, sf_dir)
     result = run_adjustment(
         consent, noconsent, _config(number_nearest_neighbors=FLAGSHIP_K), impl=impl
@@ -186,7 +186,7 @@ def knn_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(result.matched_pairs)
 
 
-def radius_adjust(spark: SparkSession, sf_dir: str, impl: str = "sql") -> DataFrame:
+def radius_adjust(spark: SparkSession, sf_dir: str, impl: str = "auto") -> DataFrame:
     consent, noconsent = consent_split(spark, sf_dir)
     result = run_adjustment(consent, noconsent, _config(radius=RADIUS), impl=impl)
     return _round_adjusted(result.data_adjusted)
@@ -198,7 +198,7 @@ def radius_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_summary(result.summary)
 
 
-def percentile_adjust(spark: SparkSession, sf_dir: str, impl: str = "sql") -> DataFrame:
+def percentile_adjust(spark: SparkSession, sf_dir: str, impl: str = "auto") -> DataFrame:
     consent, noconsent = consent_split(spark, sf_dir)
     result = run_adjustment(
         consent, noconsent, _config(percentile=PERCENTILE), impl=impl

@@ -287,6 +287,102 @@ def test_similarity_join_lsh_dispatch(spark):
         )
 
 
+def test_choose_impl_measured_crossover():
+    """The auto-dispatch (VERDICT r11 §Next #1) pins the MEASURED sf1.0
+    rung: sf0.1-shaped inputs (15k probe) keep the exact broadcast
+    kernel; sf1.0-shaped inputs (150k probe — where the broadcast grid
+    measured 189 s vs LSH's 3.4 s) route to LSH; a build matrix past the
+    128 MB collect budget routes to LSH regardless of probe count; and
+    width-free callers stay on the width-free exact kernels."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        choose_impl,
+    )
+
+    assert choose_impl(15_000, 3_000, 125) == "numpy"   # sf0.1 shape
+    assert choose_impl(150_000, 30_000, 125) == "lsh"   # sf1.0 shape
+    assert choose_impl(30_000, 130_000, 125) == "numpy"  # boundary in
+    assert choose_impl(30_001, 130_000, 125) == "lsh"    # boundary out
+    # 1M build rows x 64 dims x 8 B = 512 MB > 128 MB collect budget
+    assert choose_impl(1_000, 1_000_000, 64) == "lsh"
+    assert choose_impl(1_000_000, 1_000_000, None) == "numpy"
+
+
+def test_similarity_join_auto_routes_by_scale(spark):
+    """impl='auto' (the default) picks the physical plan from the actual
+    side counts: a >30k-row probe side produces the LSH co-group plan
+    (FlatMapCoGroupsInPandas), a small one the broadcast/numpy kernel
+    (MapInPandas) — the reference's algorithm='auto' made distributed."""
+    from consent_based_conversion_adjustments_spark.config import (
+        AdjustmentConfig,
+    )
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        similarity_join,
+    )
+
+    cfg = AdjustmentConfig(
+        conversion_column="conv", id_columns=["pid"],
+        number_nearest_neighbors=3,
+    )
+    build = spark.range(50).select(
+        F.col("id").alias("bid"),
+        F.array(
+            (F.col("id") % 5).cast("double"), (F.col("id") % 7).cast("double")
+        ).alias("features"),
+        F.lit(0.0).alias("conv"),
+    )
+
+    def probe_of(n):
+        return spark.range(n).select(
+            F.col("id").alias("pid"),
+            F.array(
+                (F.col("id") % 5).cast("double"),
+                (F.col("id") % 3).cast("double"),
+            ).alias("features"),
+            F.lit(1.0).alias("conv"),
+        )
+
+    big = similarity_join(
+        probe_of(40_000), build, cfg,
+        probe_id="pid", build_id="bid", feature_width=2,
+    )
+    assert "FlatMapCoGroupsInPandas" in big._jdf.queryExecution().toString()
+
+    small = similarity_join(
+        probe_of(100), build, cfg,
+        probe_id="pid", build_id="bid", feature_width=2,
+    )
+    plan = small._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "MapInPandas" in plan  # the numpy broadcast kernel
+    # and the small route stays exact: 3 rows per probe
+    assert small.groupBy("pid").count().agg(F.min("count")).first()[0] == 3
+
+
+def test_run_adjustment_auto_equals_pinned_exact(spark, tiled_fixture):
+    """On sub-crossover data the auto route must reproduce the pinned
+    exact impls bit-for-bit (the driver's green CORRECTNESS rows were
+    recorded with impl='sql'; auto resolves to the numpy kernel, whose
+    (distance, build_id) tie-break contract makes it value-identical)."""
+    from consent_based_conversion_adjustments_spark.config import (
+        AdjustmentConfig,
+    )
+    from consent_based_conversion_adjustments_spark.pipeline import (
+        run_adjustment,
+    )
+
+    consent, noconsent = tiled_fixture
+    cfg = AdjustmentConfig(
+        conversion_column="conversion_column",
+        id_columns=["id_column"],
+        number_nearest_neighbors=2,
+    )
+    auto = run_adjustment(consent, noconsent, cfg).data_adjusted
+    sql = run_adjustment(consent, noconsent, cfg, impl="sql").data_adjusted
+    a = sorted(map(tuple, auto.collect()))
+    s = sorted(map(tuple, sql.collect()))
+    assert a == s
+
+
 def test_auto_n_planes_density_law():
     """The density helper holds expected candidate mass linear in the
     data: p grows by ~log2(G) under G-fold growth, clamped to [4, 24]."""
