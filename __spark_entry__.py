@@ -69,6 +69,15 @@ def _ordered_names(record_dir: str | None = None) -> list[str]:
     3. UNCHANGED — verified and source-stable; oldest green first so the
        cohort keeps refreshing.
 
+    TIER-3 FLOOR (VERDICT r11 §Next #2): round 11 proved pure tiering
+    starves the oldest-green cohort — 13 new registrations plus the
+    changed-code tier consumed the whole 50-slot driver window, so
+    queries last verified in r4 stayed unverified for 7 rounds. Tiers
+    0–2 are therefore capped at ``_URGENT_CAP`` of the first
+    ``_DRIVER_WINDOW`` slots; the remainder of the window is reserved
+    for tier 3, oldest green first, so the cohort always drains at
+    ≥15 queries per round no matter how heavy the registration round.
+
     ``tools/verify_fp.json`` (rebuilt from git trees each round by
     ``tools/refresh_fingerprints.py``) supplies the historical
     fingerprints. Any sidecar/fingerprint failure degrades gracefully to
@@ -121,7 +130,20 @@ def _ordered_names(record_dir: str | None = None) -> list[str]:
 
     # stable sort: registration order breaks ties so the rotation is
     # deterministic
-    return sorted(registered, key=key)
+    ordered = sorted(registered, key=key)
+    urgent = [n for n in ordered if key(n)[0] != 3]
+    tier3 = [n for n in ordered if key(n)[0] == 3]
+    head = urgent[:_URGENT_CAP]
+    reserve = max(0, _DRIVER_WINDOW - len(head))
+    return head + tier3[:reserve] + urgent[_URGENT_CAP:] + tier3[reserve:]
+
+
+#: the driver records the first N registry entries per round (observed
+#: window across every CORRECTNESS_r*.json: 50)
+_DRIVER_WINDOW = 50
+#: max window slots tiers 0-2 may consume; the other 15+ always go to the
+#: oldest-green unchanged cohort
+_URGENT_CAP = 35
 
 
 def _flat() -> dict[str, tuple]:

@@ -207,13 +207,59 @@ def test_ordering_puts_hot_before_stale_and_degrades_gracefully(tmp_path):
     pos = {n: order.index(n) for n in names}
     assert pos[hot] < pos[never], "hot-changed must beat never-verified"
     assert pos[never] < pos[stale], "never-verified must beat stale-changed"
-    assert pos[stale] < pos[fresh], "stale-changed must beat unchanged"
+    # `fresh` is the ONLY tier-3 (unchanged-green) query here, so the
+    # r12 tier-3 window reserve must pull it into the driver window even
+    # though ~220 never-verified names outrank it tier-wise
+    assert pos[fresh] < E._DRIVER_WINDOW, "tier-3 reserve must admit fresh"
 
     # graceful degradation: no sidecar → round-only ordering, no crash
     os.remove(os.path.join(record_dir, "tools", "verify_fp.json"))
     order2 = E._ordered_names(record_dir)
     assert len(order2) == len(order)
     assert order2.index(never) < order2.index(hot)  # never-verified first
+
+
+def test_tier3_window_reserve_survives_heavy_registration(tmp_path):
+    """VERDICT r11 §Next #2: a heavy-registration round (more tier-0/1/2
+    names than the driver window) must still put ≥15 oldest-green
+    unchanged queries inside the first _DRIVER_WINDOW slots."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as E
+
+    record_dir = str(tmp_path)
+    cur = P.fingerprint_all(REPO)
+    names = sorted(cur)
+    hot_cohort, old_cohort = names[:60], names[60:100]
+    # 60 queries greened r2 whose code then changed (tier 0) ...
+    json.dump(
+        {n: {"hash_match": True} for n in hot_cohort},
+        open(os.path.join(record_dir, "CORRECTNESS_r02.json"), "w"),
+    )
+    # ... and 40 greened r1, unchanged since (tier 3)
+    json.dump(
+        {n: {"hash_match": True} for n in old_cohort},
+        open(os.path.join(record_dir, "CORRECTNESS_r01.json"), "w"),
+    )
+    os.makedirs(os.path.join(record_dir, "tools"), exist_ok=True)
+    sidecar = {"__meta__": {"latest_round": 2, "prev_round": 1}}
+    for n in hot_cohort:
+        sidecar[n] = {"round": 2, "fp": "OLD", "fp_head": "OLD", "fp_prev": "OLD"}
+    for n in old_cohort:
+        sidecar[n] = {
+            "round": 1, "fp": cur[n], "fp_head": cur[n], "fp_prev": cur[n]
+        }
+    json.dump(
+        sidecar, open(os.path.join(record_dir, "tools", "verify_fp.json"), "w")
+    )
+    window = E._ordered_names(record_dir)[: E._DRIVER_WINDOW]
+    n_old = sum(1 for n in window if n in set(old_cohort))
+    assert n_old >= E._DRIVER_WINDOW - E._URGENT_CAP, (
+        f"only {n_old} tier-3 queries in the window — the reserve failed"
+    )
+    # the hot cohort still fills the urgent cap
+    assert sum(1 for n in window if n in set(hot_cohort)) == E._URGENT_CAP
 
 
 def test_fingerprints_computable_on_historical_git_tree(tmp_path):
