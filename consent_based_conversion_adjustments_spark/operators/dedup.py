@@ -382,6 +382,46 @@ def minhash_plan(
     return {"feasible": False, "closest": closest[1]}
 
 
+def resolve_minhash_params(
+    threshold: float,
+    *,
+    recall_floor: float | None = None,
+    max_candidate_rate: float | None = None,
+    n_perm: int | None = None,
+    band_size: int | None = None,
+) -> tuple[int, int]:
+    """Contract-driven (n_perm, band_size) defaults (VERDICT r11 §Next
+    #6 — the planners stop being advisory): explicit parameters win; a
+    stated contract derives them via ``minhash_plan``; neither → the
+    engine constants (which are themselves the planner's answer for the
+    default contract ``recall_floor=0.87, max_candidate_rate=0.1`` at
+    threshold 0.8 — pinned in pytest). An infeasible contract raises
+    with the closest config rather than silently under-delivering."""
+    if n_perm is not None or band_size is not None:
+        if recall_floor is not None or max_candidate_rate is not None:
+            raise ValueError(
+                "pass either explicit (n_perm, band_size) or a contract "
+                "(recall_floor / max_candidate_rate), not both"
+            )
+        return n_perm or N_PERMUTATIONS, band_size or BAND_SIZE
+    if recall_floor is None and max_candidate_rate is None:
+        return N_PERMUTATIONS, BAND_SIZE
+    plan = minhash_plan(
+        threshold,
+        recall_floor=0.9 if recall_floor is None else recall_floor,
+        max_candidate_rate=(
+            0.05 if max_candidate_rate is None else max_candidate_rate
+        ),
+    )
+    if not plan["feasible"]:
+        raise ValueError(
+            f"no (n_perm <= 256, band_size <= 32) honors recall_floor="
+            f"{recall_floor} with max_candidate_rate={max_candidate_rate} "
+            f"at threshold {threshold}; closest: {plan['closest']}"
+        )
+    return plan["n_perm"], plan["band_size"]
+
+
 def minhash_candidates(
     sigs: DataFrame, n_perm: int = N_PERMUTATIONS, band_size: int = BAND_SIZE
 ) -> DataFrame:
@@ -855,6 +895,11 @@ def minhash_neardup(
     threshold: float = 0.6,
     est_prefilter: float | None = None,
     collapse_identical: bool = False,
+    *,
+    recall_floor: float | None = None,
+    max_candidate_rate: float | None = None,
+    n_perm: int | None = None,
+    band_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash near-dup pipeline: signatures → banded candidates →
     exact Jaccard verify ≥ threshold.
@@ -874,10 +919,23 @@ def minhash_neardup(
     output; turns the banding join's Σ_class s² cost into Σ_class s, the
     difference between a crawl with 10% boilerplate grinding the band
     shuffle and not noticing it (measured: tools/scale/hot_band_ab_r9).
+
+    ``recall_floor`` / ``max_candidate_rate`` state the banding contract
+    and derive (n_perm, band_size) via ``minhash_plan``
+    (``resolve_minhash_params``); explicit ``n_perm``/``band_size`` pin
+    them; neither keeps the engine constants.
     """
+    n_perm, band_size = resolve_minhash_params(
+        threshold,
+        recall_floor=recall_floor,
+        max_candidate_rate=max_candidate_rate,
+        n_perm=n_perm,
+        band_size=band_size,
+    )
     if collapse_identical:
         return _minhash_neardup_collapsed(
-            df, text_col, id_col, threshold, est_prefilter
+            df, text_col, id_col, threshold, est_prefilter,
+            n_perm=n_perm, band_size=band_size,
         )
     # one tokenize pass feeds BOTH the signature explode and the verify
     # stage (it used to run twice, once per consumer); persisted because
@@ -886,19 +944,25 @@ def minhash_neardup(
     hashes = _token_hash_set(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return _neardup_from_hashes(hashes, threshold, est_prefilter)
+    return _neardup_from_hashes(
+        hashes, threshold, est_prefilter, n_perm=n_perm, band_size=band_size
+    )
 
 
 def _neardup_from_hashes(
-    hashes: DataFrame, threshold: float, est_prefilter: float | None
+    hashes: DataFrame,
+    threshold: float,
+    est_prefilter: float | None,
+    n_perm: int = N_PERMUTATIONS,
+    band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """Banded candidates → optional estimate prefilter → exact verify, over
     a persisted per-doc token-hash table — the shared core of the direct
     and identity-collapsed MinHash routes."""
-    sigs = minhash_signatures(None, None, None, hashes=hashes).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    cands = minhash_candidates(sigs)
+    sigs = minhash_signatures(
+        None, None, None, n_perm=n_perm, hashes=hashes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = minhash_candidates(sigs, n_perm=n_perm, band_size=band_size)
     if est_prefilter is not None:
         sig_cols = [c for c in sigs.columns if c.startswith("sig_")]
         a = sigs.select(
@@ -931,6 +995,8 @@ def _minhash_neardup_collapsed(
     id_col: str,
     threshold: float,
     est_prefilter: float | None,
+    n_perm: int = N_PERMUTATIONS,
+    band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """Identity-class cascade: collapse docs with EQUAL token-hash sets to
     one representative, run the banded pipeline over representatives, then
@@ -969,7 +1035,10 @@ def _minhash_neardup_collapsed(
     rep_hashes = classes.select("doc_id", "tok_hashes").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    rep_pairs = _neardup_from_hashes(rep_hashes, threshold, est_prefilter)
+    rep_pairs = _neardup_from_hashes(
+        rep_hashes, threshold, est_prefilter,
+        n_perm=n_perm, band_size=band_size,
+    )
 
     # Expansion back to member pairs is output-bound in ROWS, but a naive
     # explode×explode runs entirely inside the task holding the class row

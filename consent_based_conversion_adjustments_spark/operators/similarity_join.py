@@ -556,6 +556,31 @@ def lsh_recall_plan(
     }
 
 
+def lsh_params_for(
+    n_build: int,
+    n_query: int,
+    recall_floor: float,
+    **plan_kwargs,
+) -> tuple[int, int]:
+    """(n_planes, n_tables) for the LSH joins from a stated recall floor
+    (VERDICT r11 §Next #6 — the recall governor stops being advisory):
+    runs ``lsh_recall_plan`` over the measured ledger and returns the
+    planned amplification, or raises when no measured configuration
+    honors the floor within the linear mass budget (the honest answer is
+    the exact blocked-BLAS route, and silently under-recalling is the
+    failure mode this helper exists to prevent). Deterministic in the
+    side counts, so an oracle can replay the derivation."""
+    plan = lsh_recall_plan(
+        n_build, n_query, recall_floor=recall_floor, **plan_kwargs
+    )
+    if plan["route"] != "lsh":
+        raise ValueError(
+            f"recall_floor={recall_floor} is not achievable by LSH here: "
+            f"{plan['reason']}"
+        )
+    return plan["n_planes"], plan["n_tables"]
+
+
 def knn_join_lsh(
     probe: DataFrame,
     build: DataFrame,

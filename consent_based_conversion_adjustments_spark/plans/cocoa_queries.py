@@ -148,6 +148,66 @@ def knn_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: recall floor for the planner-driven LSH query: at the measured
+#: ledger's per-table rate (r1 ≈ 0.017, concave-inverted) the plan
+#: resolves to the measured (p=10, t=8) configuration — the planner,
+#: not a hand-set constant, owns the amplification (VERDICT r11 §Next #6)
+PLANNED_RECALL_FLOOR = 0.12
+
+
+def knn_lsh_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cocoa_knn_lsh_pairs` with PLANNER-DERIVED amplification: the
+    (n_planes, n_tables) come from ``lsh_params_for`` — i.e. from
+    ``lsh_recall_plan`` over the measured recall ledger under a stated
+    ``PLANNED_RECALL_FLOOR`` — instead of hand-set constants. The
+    derivation is deterministic in the side counts, so the DuckDB twin
+    (`_knn_lsh_planned_sql`) replays it from a duckdb count and splices
+    the SAME (p, t) into the signature SQL: a drifted derivation shows
+    up as a hash mismatch, which is what makes the contract enforceable
+    rather than advisory."""
+    from ..operators.similarity_join import knn_join_lsh, lsh_params_for
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_planes, n_tables = lsh_params_for(n, n, PLANNED_RECALL_FLOOR)
+    probe = emb.select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+    )
+    build = emb.select(
+        F.col("vec_id").alias("consent_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+    )
+    out = knn_join_lsh(
+        probe, build, FLAGSHIP_K, 64,
+        metric="euclidean", probe_id="probe_id", build_id="consent_id",
+        n_planes=n_planes, n_tables=n_tables,
+    )
+    return out.filter(F.col("probe_id") != F.col("consent_id")).select(
+        "probe_id", "consent_id", stable_round("distance", 6).alias("distance")
+    )
+
+
+def _knn_lsh_planned_sql() -> str | None:
+    """Oracle twin of `knn_lsh_planned`: replays the planner derivation
+    from a duckdb row count of the pinned sf0.01 fixture (the scale the
+    driver's correctness gate runs at — the `_ann_ivf_sql` precedent for
+    data-dependent oracle constants), then emits the parameterized
+    signature replay. Returns None (rows-only fallback) off-fixture."""
+    import os
+
+    from ..operators.similarity_join import lsh_params_for
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb as _dd
+
+    n = _dd.sql(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+    n_planes, n_tables = lsh_params_for(n, n, PLANNED_RECALL_FLOOR)
+    return _knn_lsh_sql(n_planes, n_tables)
+
+
 def radius_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-broadcast RADIUS join (J3 scale ceiling): same bucketed
     co-group as the kNN variant but emitting every in-bucket pair within
@@ -754,14 +814,14 @@ _EUCLID = (
 )
 
 
-def _knn_lsh_sql() -> str:
+def _knn_lsh_sql(n_planes: int = 4, n_tables: int = 8) -> str:
     """Replay of `cocoa_knn_lsh_pairs`: candidates = pairs sharing any
     (table, signature) bucket; the operator's local-topk-per-bucket union
     provably contains the global top-k over the candidate union, so the
     oracle ranks the candidate set directly (distance, consent_id
     tie-break), keeps rank ≤ k INCLUDING the self pair (rank 1 at
     distance 0, exactly as the operator sees it), then drops self."""
-    sig_cols, s_list, t_list = _lsh_sig_sql(4, 8)
+    sig_cols, s_list, t_list = _lsh_sig_sql(n_planes, n_tables)
     prelude = _LSH_PAIRS_PRELUDE.format(
         sig_cols=sig_cols, s_list=s_list, t_list=t_list
     )
@@ -1006,6 +1066,7 @@ QUERIES: dict[str, tuple] = {
     "cocoa_knn_pairs": (knn_pairs, KNN_PAIRS_SQL),
     "cocoa_knn_minkowski": (knn_minkowski, KNN_MINKOWSKI_SQL),
     "cocoa_knn_lsh_pairs": (knn_lsh_pairs, _knn_lsh_sql),
+    "cocoa_knn_lsh_planned": (knn_lsh_planned, _knn_lsh_planned_sql),
     "cocoa_radius_lsh_pairs": (radius_lsh_pairs, _radius_lsh_sql),
     "cocoa_radius_lsh_adjust": (radius_lsh_adjust, _radius_lsh_adjust_sql),
     "cocoa_percentile_lsh_adjust": (

@@ -341,6 +341,34 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_neardup(docs, "text", "doc_id", threshold=JACCARD_THRESHOLD)
 
 
+#: banding contract of the planner-driven MinHash query: recall ≥ 0.9 at
+#: the Jaccard threshold with ≤ 5% candidacy at threshold/2 — a STRICTER
+#: contract than the engine constants honor (they price at 0.87/0.1), so
+#: the derived (n_perm=48, band_size=6) is genuinely planner-owned
+PLANNED_MINHASH_CONTRACT = {"recall_floor": 0.9, "max_candidate_rate": 0.05}
+
+
+def dedup_minhash_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_minhash` with PLANNER-DERIVED banding (VERDICT r11 §Next
+    #6): (n_perm, band_size) come from ``minhash_plan`` under the stated
+    ``PLANNED_MINHASH_CONTRACT`` instead of the hand-set constants. The
+    oracle splices the SAME derivation (one ``resolve_minhash_params``
+    call feeds both engines at module scope), so a drifted derivation is
+    a hash mismatch. Same output contract as dedup_minhash — near-dup
+    pairs at Jaccard ≥ threshold — but found through a 48-permutation /
+    6-row banding whose S-curve provably honors the 0.9-recall floor."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_neardup(
+        docs, "text", "doc_id", threshold=JACCARD_THRESHOLD,
+        **PLANNED_MINHASH_CONTRACT,
+    )
+
+
+_PLANNED_PERM, _PLANNED_BAND = D.resolve_minhash_params(
+    JACCARD_THRESHOLD, **PLANNED_MINHASH_CONTRACT
+)
+
+
 def dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The identity-class cascade route (operators.dedup
     ._minhash_neardup_collapsed): docs with equal token-hash sets collapse
@@ -399,18 +427,24 @@ WHERE {_SNM_JAC} >= {JACCARD_THRESHOLD}
 """
 
 
-def _minhash_sql(src: str = "documents") -> str:
+def _minhash_sql(
+    src: str = "documents",
+    n_perm: int | None = None,
+    band_size: int | None = None,
+) -> str:
+    n_perm = D.N_PERMUTATIONS if n_perm is None else n_perm
+    band_size = D.BAND_SIZE if band_size is None else band_size
     sig_exprs = ",\n           ".join(
         f"min((h0 * {D.perm_params(i)[0]} + {D.perm_params(i)[1]}) % 1000000007)"
         f" AS sig_{i}"
-        for i in range(D.N_PERMUTATIONS)
+        for i in range(n_perm)
     )
-    n_bands = D.N_PERMUTATIONS // D.BAND_SIZE
+    n_bands = n_perm // band_size
 
     def band_fold(b: int) -> str:
         # verbatim mirror of minhash_candidates' int64 band-key fold
         expr = None
-        for i in range(b * D.BAND_SIZE, (b + 1) * D.BAND_SIZE):
+        for i in range(b * band_size, (b + 1) * band_size):
             expr = (
                 f"CAST(sig_{i} AS BIGINT)"
                 if expr is None
@@ -4700,6 +4734,10 @@ QUERIES: dict[str, tuple] = {
     "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash": (dedup_minhash, _minhash_sql()),
+    "dedup_minhash_planned": (
+        dedup_minhash_planned,
+        _minhash_sql(n_perm=_PLANNED_PERM, band_size=_PLANNED_BAND),
+    ),
     "dedup_minhash_collapsed": (dedup_minhash_collapsed, _minhash_sql()),
     "dedup_sorted_neighborhood": (dedup_sorted_neighborhood, DEDUP_SNM_SQL),
     "incremental_dedup_admission": (

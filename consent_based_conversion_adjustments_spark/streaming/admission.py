@@ -226,15 +226,29 @@ class AdmissionStore:
         text_col: str = "text",
         id_col: str = "doc_id",
         threshold: float = 0.6,
-        n_perm: int = D.N_PERMUTATIONS,
-        band_size: int = D.BAND_SIZE,
+        n_perm: int | None = None,
+        band_size: int | None = None,
+        *,
+        recall_floor: float | None = None,
+        max_candidate_rate: float | None = None,
     ):
         self.store_dir = store_dir
         self.text_col = text_col
         self.id_col = id_col
         self.threshold = threshold
-        self.n_perm = n_perm
-        self.band_size = band_size
+        # contract-driven banding params (VERDICT r11 §Next #6): a stated
+        # (recall_floor, max_candidate_rate) derives (n_perm, band_size)
+        # via dedup.minhash_plan; explicit values pin them; neither keeps
+        # the engine constants. The derivation is FIXED at store creation
+        # — epochs already on disk were signed with it, so changing the
+        # contract requires a new store (signatures are not mixable).
+        self.n_perm, self.band_size = D.resolve_minhash_params(
+            threshold,
+            recall_floor=recall_floor,
+            max_candidate_rate=max_candidate_rate,
+            n_perm=n_perm,
+            band_size=band_size,
+        )
         self.sigs_path = os.path.join(store_dir, "signatures")
         self.hashes_path = os.path.join(store_dir, "token_hashes")
         self.relations_path = os.path.join(store_dir, "relations")

@@ -1062,3 +1062,54 @@ def test_minhash_plan_validates_inputs():
         minhash_plan(0.0)
     with pytest.raises(ValueError, match="reject_below"):
         minhash_plan(0.5, reject_below=0.6)
+
+
+def test_resolve_minhash_params_contract_threading():
+    """VERDICT r11 §Next #6: the planner drives the defaults. Explicit
+    params win; a stated contract derives via minhash_plan (the strict
+    0.9/0.05 contract at threshold 0.8 prices at (48, 6)); neither keeps
+    the engine constants; both at once is an error; an infeasible
+    contract raises instead of under-delivering."""
+    import pytest
+
+    from consent_based_conversion_adjustments_spark.operators.dedup import (
+        BAND_SIZE,
+        N_PERMUTATIONS,
+        resolve_minhash_params,
+    )
+
+    assert resolve_minhash_params(0.8) == (N_PERMUTATIONS, BAND_SIZE)
+    assert resolve_minhash_params(
+        0.8, recall_floor=0.9, max_candidate_rate=0.05
+    ) == (48, 6)
+    assert resolve_minhash_params(0.8, n_perm=32, band_size=8) == (32, 8)
+    with pytest.raises(ValueError, match="not both"):
+        resolve_minhash_params(0.8, recall_floor=0.9, n_perm=32)
+    with pytest.raises(ValueError, match="closest"):
+        resolve_minhash_params(0.6, recall_floor=0.95, max_candidate_rate=0.05)
+
+
+def test_admission_store_contract_derivation(tmp_path):
+    """AdmissionStore accepts the banding contract and derives the same
+    (n_perm, band_size) the planner prices for it."""
+    import pytest
+
+    from consent_based_conversion_adjustments_spark.streaming.admission import (
+        AdmissionStore,
+    )
+
+    s = AdmissionStore(
+        str(tmp_path / "s"), threshold=0.8,
+        recall_floor=0.9, max_candidate_rate=0.05,
+    )
+    assert (s.n_perm, s.band_size) == (48, 6)
+    default = AdmissionStore(str(tmp_path / "d"), threshold=0.8)
+    from consent_based_conversion_adjustments_spark.operators import dedup as D
+
+    assert (default.n_perm, default.band_size) == (
+        D.N_PERMUTATIONS, D.BAND_SIZE,
+    )
+    with pytest.raises(ValueError, match="not both"):
+        AdmissionStore(
+            str(tmp_path / "x"), threshold=0.8, n_perm=16, recall_floor=0.9
+        )

@@ -520,3 +520,20 @@ def test_lsh_recall_plan_validates_floor():
         lsh_recall_plan(1000, 1000, recall_floor=0.0)
     with pytest.raises(ValueError, match="recall_floor"):
         lsh_recall_plan(1000, 1000, recall_floor=1.5)
+
+
+def test_lsh_params_for_pins_planned_derivation():
+    """The registered cocoa_knn_lsh_planned derivation: at the sf0.01
+    side counts (500x500) a 0.12 recall floor prices at the measured
+    (p=10, t=8) ledger point; an unreachable floor raises with the
+    exact-BLAS recommendation instead of under-recalling."""
+    import pytest
+
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        lsh_params_for,
+    )
+
+    assert lsh_params_for(500, 500, 0.12) == (10, 8)
+    assert lsh_params_for(2_000, 2_000, 0.12) == (10, 8)  # sf0.1 sides
+    with pytest.raises(ValueError, match="cosine_neardup_blas"):
+        lsh_params_for(1_280_000, 1_280_000, 0.9)
