@@ -919,9 +919,17 @@ def _logreg_feats(docs: DataFrame) -> DataFrame:
             F.lit(1.0).alias("x0"),
             quality.alias("x1"),
             F.log(F.lit(1.0) + F.size(toks).cast("double")).alias("x2"),
-            # x3 rides along for the d=4 variant; the d=3 fits never
-            # reference it (5 doubles + id per cached row instead of 4)
+            # x3/x4 ride along for the d=4/d=5 variants; the d=3 fits
+            # never reference them (6 doubles + id per cached row)
             X.stopword_ratio_in(toks).alias("x3"),
+            # x4 = mean chars per token — length-scale information the
+            # ln(1+tokens) axis doesn't carry (not an affine function of
+            # any other feature; conditioning measured on the fixture:
+            # cond(A) ≈ 2e5, det/Π diag ≈ 1e-9 ≫ the 1e-12 guard)
+            (
+                F.length("text").cast("double")
+                / (F.lit(1.0) + F.size(toks).cast("double"))
+            ).alias("x4"),
             y.alias("y"),
         )
     )
@@ -1272,6 +1280,92 @@ ORDER BY f.doc_id
 
 
 LOGREG_QUALITY_D4_SQL = _logreg_quality_d4_sql()
+
+
+def doc_logreg_quality_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d=5 logistic fit — closes the "first d=5 user walks off the
+    oracle path" boundary (VERDICT r11 §Next #7): features (1, quality,
+    ln(1+n_tokens), stopword_ratio, chars-per-token), two Newton steps,
+    each ONE 20-cell normal-matrix aggregation plus a driver-side 5×5
+    adjugate solve whose formulas are GENERATED by the cofactor
+    generator (mlfit.adjugate_exprs — the same generator that reproduces
+    the handwritten d=4 strings byte-for-byte) and evaluated as the SAME
+    text the oracle splices into its CTEs (mlfit.logreg_sqln). x4 =
+    length/(1+n_tokens) carries length-scale information none of the
+    other axes is an affine function of; the Hadamard-relative
+    singularity guard admits the fit at det/Π diag ≈ 1e-9. Scale shape:
+    d(d+3)/2 = 20 doubles of state per step, rows never leave the
+    executors."""
+    from ..operators import mlfit as M
+
+    feats = _logreg_feats(read_table(spark, sf_dir, "documents"))
+    fx = [F.col(f"x{i}") for i in range(5)]
+    w = M.logreg_newton_fit(feats, fx, F.col("y"), iters=2)
+    return feats.select(
+        "doc_id",
+        stable_round(M.logreg_scores(feats, fx, w), 6).alias("lr_score"),
+    ).orderBy("doc_id")
+
+
+def _logreg_ctes5() -> str:
+    """d=5 oracle CTE body: feats (x4 = chars-per-token) + both Newton
+    steps via mlfit.logreg_sqln (ends at w2)."""
+    from ..operators.mlfit import logreg_sqln
+
+    toks = _TOKS.format(c="text")
+    feats_cte = """feats AS (
+    SELECT doc_id, 1.0 AS x0,
+           0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * (1.0 - least(praw * 5.0, 1.0))
+             + 0.3 * least(sraw * 5.0, 1.0) AS x1,
+           ln(1.0 + CAST(n_tokens AS DOUBLE)) AS x2,
+           sraw AS x3,
+           CAST(n_chars AS DOUBLE) / (1.0 + CAST(n_tokens AS DOUBLE)) AS x4,
+           CASE WHEN lang_pred = 'en' THEN 1.0 ELSE 0.0 END AS y
+    FROM (
+        SELECT doc_id,
+               len({toks}) AS n_tokens,
+               length(text) AS n_chars,
+               CASE WHEN length(text) > 0 THEN
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                        AS DOUBLE) / length(text) ELSE 0.0 END AS praw,
+               CASE WHEN len({toks}) > 0 THEN
+                   CAST({en_hits} AS DOUBLE) / len({toks}) ELSE 0.0 END AS sraw,
+               CASE
+                 WHEN {fr_hits} > greatest({es_hits}, {en_hits}, {de_hits}, 0) THEN 'fr'
+                 WHEN {es_hits} > greatest({en_hits}, {de_hits}, 0) THEN 'es'
+                 WHEN {en_hits} > greatest({de_hits}, 0) THEN 'en'
+                 WHEN {de_hits} > 0 THEN 'de'
+                 ELSE 'und'
+               END AS lang_pred
+        FROM documents
+    )
+)""".format(
+        toks=toks,
+        en_hits=_sql_stop_hits("en"),
+        de_hits=_sql_stop_hits("de"),
+        es_hits=_sql_stop_hits("es"),
+        fr_hits=_sql_stop_hits("fr"),
+    )
+    return logreg_sqln(feats_cte, 5, iters=2)
+
+
+_LOGREG_SCORE_EXPR_D5 = (
+    "1.0 / (1.0 + exp(-(((((w.w0 * f.x0 + w.w1 * f.x1)"
+    " + w.w2 * f.x2) + w.w3 * f.x3) + w.w4 * f.x4))))"
+)
+
+
+def _logreg_quality_d5_sql() -> str:
+    return f"""
+WITH {_logreg_ctes5()}
+SELECT f.doc_id, {sql_round(_LOGREG_SCORE_EXPR_D5, 6)} AS lr_score
+FROM feats f CROSS JOIN w2 w
+ORDER BY f.doc_id
+"""
+
+
+LOGREG_QUALITY_D5_SQL = _logreg_quality_d5_sql()
 
 
 _OLS_FEATS_CTE = """feats AS (
@@ -2379,6 +2473,7 @@ QUERIES: dict[str, tuple] = {
     "doc_gopher_rules": (doc_gopher_rules, GOPHER_RULES_SQL),
     "ccnet_perplexity_buckets": (ccnet_perplexity_buckets, CCNET_BUCKETS_SQL),
     "doc_logreg_quality_d4": (doc_logreg_quality_d4, LOGREG_QUALITY_D4_SQL),
+    "doc_logreg_quality_d5": (doc_logreg_quality_d5, LOGREG_QUALITY_D5_SQL),
     "doc_quality_ols_d4": (doc_quality_ols_d4, QUALITY_OLS_D4_SQL),
     "source_mixture_plan": (source_mixture_plan, MIXTURE_SQL),
     "split_leakage_pairs": (split_leakage_pairs, _split_leakage_sql()),

@@ -268,3 +268,84 @@ def test_sql4_and_solve4_share_expression_text():
     assert _DET4_EXPR in sql  # unqualified inside the det subquery
     for expr in _INV4_EXPRS.values():
         assert _sql4(expr) in sql
+
+
+def test_adjugate_generator_reproduces_handwritten_d4_exactly():
+    """The cofactor generator must emit the handwritten d=4 strings
+    BYTE-FOR-BYTE — that identity is what carries the one-string-drives-
+    both-engines float contract from d=4 to every generated d."""
+    from consent_based_conversion_adjustments_spark.operators.mlfit import (
+        _DET4_EXPR,
+        _INV4_EXPRS,
+        adjugate_exprs,
+    )
+
+    det, inv = adjugate_exprs(4)
+    assert det == _DET4_EXPR
+    assert inv == _INV4_EXPRS
+
+
+def test_adjugate_generator_bounds():
+    import pytest
+
+    from consent_based_conversion_adjustments_spark.operators.mlfit import (
+        MAX_ADJUGATE_D,
+        adjugate_exprs,
+    )
+
+    with pytest.raises(ValueError, match="outside"):
+        adjugate_exprs(1)
+    with pytest.raises(ValueError, match="outside"):
+        adjugate_exprs(MAX_ADJUGATE_D + 1)
+
+
+def test_solve_adjugate_d5_matches_numpy_on_random_spd_systems():
+    from consent_based_conversion_adjustments_spark.operators.mlfit import (
+        _solve_adjugate,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        Xm = rng.normal(size=(60, 5))
+        A = Xm.T @ Xm + np.eye(5)
+        g = rng.normal(size=5)
+        cells = {
+            f"a{i}{j}": float(A[i, j]) for i in range(5) for j in range(i, 5)
+        }
+        got = _solve_adjugate(cells, list(map(float, g)), 5)
+        want = np.linalg.solve(A, g)
+        assert got == pytest.approx(want.tolist(), rel=1e-9)
+
+
+def test_logreg_d5_fit_matches_numpy_irls(spark):
+    """Two Newton steps at d=5 through the generated adjugate solve must
+    match a numpy replay of the same fixed-iteration IRLS to float
+    precision (reduction order is the only accepted divergence)."""
+    from consent_based_conversion_adjustments_spark.operators.mlfit import (
+        logreg_newton_fit,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 300
+    X = np.column_stack(
+        [
+            np.ones(n),
+            rng.uniform(size=n),
+            rng.normal(loc=4.0, size=n),
+            rng.uniform(size=n) * 0.3,
+            rng.normal(loc=5.0, scale=0.5, size=n),
+        ]
+    )
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-(X @ [0.5, -1, 0.2, 2, -0.3])))).astype(float)
+    df = spark.createDataFrame(
+        [tuple(map(float, X[i])) + (float(y[i]),) for i in range(n)],
+        "x0 double, x1 double, x2 double, x3 double, x4 double, y double",
+    )
+    fx = [F.col(f"x{i}") for i in range(5)]
+    got = logreg_newton_fit(df, fx, F.col("y"), iters=2)
+    w = np.zeros(5)
+    for _ in range(2):
+        p = 1 / (1 + np.exp(-(X @ w)))
+        A = (X * (p * (1 - p))[:, None]).T @ X
+        w = w + np.linalg.solve(A, X.T @ (y - p))
+    assert got == pytest.approx(w.tolist(), rel=1e-7)
