@@ -133,6 +133,10 @@ HEADLINE = [
     ("doc_gopher_rules", corpus_queries.doc_gopher_rules),
     ("ccnet_perplexity_buckets", corpus_queries.ccnet_perplexity_buckets),
     ("doc_logreg_quality_d4", corpus_queries.doc_logreg_quality_d4),
+    # round-12 additions (planner-driven params + generated-adjugate d=5)
+    ("dedup_minhash_planned", data_queries.dedup_minhash_planned),
+    ("cocoa_knn_lsh_planned", cocoa_queries.knn_lsh_planned),
+    ("doc_logreg_quality_d5", corpus_queries.doc_logreg_quality_d5),
 ]
 
 
@@ -347,6 +351,33 @@ def adjudicate(timings: dict[str, float]) -> dict:
     return audit
 
 
+def host_fingerprint() -> dict:
+    """Spark-free single-core speed probe, recorded with every bench
+    payload so the NEXT round can tell host drift from real regressions
+    — round 12 measured byte-unchanged queries (q1, orders_benford) at
+    2-3x their committed baselines with only 8% hypervisor steal, i.e. a
+    genuinely slower host, and had no committed host-speed number to
+    prove it against. ~2s of overhead."""
+    import numpy as _np
+
+    t0 = time.time()
+    s = 0
+    for i in range(10**7):
+        s += i
+    loop_sec = round(time.time() - t0, 3)
+    A = _np.random.default_rng(0).random((1500, 1500))
+    t0 = time.time()
+    for _ in range(3):
+        A @ A
+    blas_sec = round(time.time() - t0, 3)
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {"py_loop_1e7_sec": loop_sec, "blas_3x1500_sec": blas_sec,
+            "loadavg_1m": load1}
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--solo":
         solo(sys.argv[2])
@@ -381,6 +412,7 @@ def main() -> None:
     }
     if band_audit:
         payload["band_audit"] = band_audit
+    payload["host"] = host_fingerprint()
     # Truncation-proof evidence: the one-line stdout summary is what the
     # driver records, but a tail-capture once clipped its head and lost 14
     # per-query entries (BENCH_r08). Persist the full results to a committed
