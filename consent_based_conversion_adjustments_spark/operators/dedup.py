@@ -894,7 +894,7 @@ def minhash_neardup(
     id_col: str,
     threshold: float = 0.6,
     est_prefilter: float | None = None,
-    collapse_identical: bool = False,
+    collapse_identical: bool | str = "auto",
     *,
     recall_floor: float | None = None,
     max_candidate_rate: float | None = None,
@@ -920,6 +920,19 @@ def minhash_neardup(
     difference between a crawl with 10% boilerplate grinding the band
     shuffle and not noticing it (measured: tools/scale/hot_band_ab_r9).
 
+    ``collapse_identical="auto"`` (the DEFAULT since round 12 — the
+    choose_impl precedent applied to dedup): tokenize once, then ONE
+    cheap aggregation over the persisted hash table decides the route —
+    any exact-token-set duplicate mass routes through the collapse
+    (where an identity class of s docs costs s through the banding
+    instead of s²), a clean corpus skips straight to the direct banding
+    on the already-built hashes. Measured on the round-12 organic sf1.0
+    rung (50k docs, ~10-member duplicate classes): direct 276.5 s vs
+    collapsed 16.6 s — 17× — while on the duplicate-free sf0.1 corpus
+    the only auto overhead is the routing agg (the full collapsed route
+    costs 1.5× there, which is exactly why this is a data-driven choice
+    and not a constant).
+
     ``recall_floor`` / ``max_candidate_rate`` state the banding contract
     and derive (n_perm, band_size) via ``minhash_plan``
     (``resolve_minhash_params``); explicit ``n_perm``/``band_size`` pin
@@ -932,21 +945,43 @@ def minhash_neardup(
         n_perm=n_perm,
         band_size=band_size,
     )
+    hashes = None
+    if collapse_identical == "auto":
+        hashes = _token_hash_set(df, text_col, id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        collapse_identical = _has_identity_dups(hashes)
     if collapse_identical:
         return _minhash_neardup_collapsed(
             df, text_col, id_col, threshold, est_prefilter,
-            n_perm=n_perm, band_size=band_size,
+            n_perm=n_perm, band_size=band_size, hashes=hashes,
         )
     # one tokenize pass feeds BOTH the signature explode and the verify
     # stage (it used to run twice, once per consumer); persisted because
     # the banded candidate step references signatures twice per band and
     # the verify joins read the token table on both pair sides
-    hashes = _token_hash_set(df, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if hashes is None:
+        hashes = _token_hash_set(df, text_col, id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     return _neardup_from_hashes(
         hashes, threshold, est_prefilter, n_perm=n_perm, band_size=band_size
     )
+
+
+def _has_identity_dups(hashes: DataFrame) -> bool:
+    """True iff any two docs share an exact token-hash SET — the mass
+    that makes the direct banding quadratic (an s-doc identity class
+    collides on EVERY band: s² rows through the widest shuffle). One
+    count-vs-distinct aggregation over the persisted hash table;
+    xxhash64 over the sorted hash array keys the distinct (64-bit
+    collisions would only flip the ROUTE, never the result — both routes
+    are byte-identical by the collapsed-route contract)."""
+    row = hashes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.xxhash64("tok_hashes")).alias("d"),
+    ).first()
+    return int(row["n"]) != int(row["d"])
 
 
 def _neardup_from_hashes(
@@ -997,6 +1032,7 @@ def _minhash_neardup_collapsed(
     est_prefilter: float | None,
     n_perm: int = N_PERMUTATIONS,
     band_size: int = BAND_SIZE,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Identity-class cascade: collapse docs with EQUAL token-hash sets to
     one representative, run the banded pipeline over representatives, then
@@ -1019,9 +1055,10 @@ def _minhash_neardup_collapsed(
     the direct banding finds for any member. ``est_prefilter`` semantics
     carry over: within-class signature agreement is identically 1.
     """
-    hashes = _token_hash_set(df, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if hashes is None:
+        hashes = _token_hash_set(df, text_col, id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     # exact identity classes: group on the sorted hash array itself (no
     # derived fingerprint — distinct classes can never merge)
     classes = (

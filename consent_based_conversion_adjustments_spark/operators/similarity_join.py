@@ -225,12 +225,18 @@ def percentile_radius(
     return float(row["radius"])
 
 
-#: measured broadcast→LSH crossover (PERF.md round 11, organic sf1.0
+#: measured broadcast→LSH crossover (PERF.md rounds 11-12, organic sf1.0
 #: rung): the broadcast kernels pay the full O(n_probe·n_build) distance
-#: grid — fastest below ~30k probe rows (6–10 s at 15k probe / sf0.1,
-#: fresh JVM) and 24–30× slower at 10× the data (189–299 s at 150k /
-#: sf1.0) while the LSH route stays ~flat (3–6 s at both scales)
-AUTO_MAX_PROBE_BROADCAST = 30_000
+#: GRID, so the crossover lives on the pair count, not on either side
+#: alone — round 12's first auto rung caught exactly that: the sf1.0
+#: shape (30k probe × 120k build = 3.6e9 pairs) slipped past a
+#: probe-rows-only rule and ran the 133 s grid where LSH runs ~6 s.
+#: Measured anchors: 3.6e7 pairs (sf0.1: 3k probe × 12k build) → 6-10 s
+#: grid, comfortably under LSH's ~3-6 s fixed bucketing overhead + JVM
+#: floor only because the grid IS those 6 s; 3.6e9 pairs → 133-299 s
+#: grid vs ~6 s LSH. Break-even ≈ grid-throughput (~1-3e7 pairs/s
+#: single-stage observed) × LSH floor (~4 s) ≈ 1e8 pairs.
+AUTO_MAX_PAIR_GRID = 100_000_000
 #: build-matrix size cap for the broadcast kernels: the driver and every
 #: executor core hold the collected n_build×width float64 matrix; 128 MB
 #: mirrors ``_auto_chunk``'s per-task arithmetic budget
@@ -242,24 +248,24 @@ def choose_impl(
     n_build: int,
     feature_width: int | None = None,
     *,
-    max_probe: int = AUTO_MAX_PROBE_BROADCAST,
+    max_pair_grid: int = AUTO_MAX_PAIR_GRID,
     matrix_budget_bytes: int = AUTO_BUILD_MATRIX_BYTES,
 ) -> str:
     """Physical-strategy selection for the similarity join — the Spark
     analogue of the reference's ``NearestNeighbors(algorithm='auto')``
     (nearest_consented_customers.py:67): pick the exact broadcast/BLAS
     kernel or the bucketed LSH route from the two numbers that decide the
-    crossover, both MEASURED (PERF.md round 11 organic sf1.0 rung):
+    crossover, both MEASURED (PERF.md rounds 11-12, organic sf1.0 rung):
 
-    - probe rows: the broadcast grid is O(n_probe·n_build) — below
-      ``max_probe`` (~30k, where sf0.1 runs 6–10 s) it beats LSH's fixed
-      bucketing overhead; past it the grid grows quadratically while LSH
-      stays ~flat (sf1.0: 189 s vs 3.4 s on the flagship);
+    - pair-grid size n_probe·n_build: the broadcast grid computes every
+      distance — under ``max_pair_grid`` (~1e8) it beats LSH's fixed
+      bucketing overhead (sf0.1's 3.6e7-pair grid: 6-10 s vs LSH ~3-6 s);
+      past it the grid grows as the pair product while LSH stays ~flat
+      (sf1.0's 3.6e9 pairs: 133-299 s vs ~6 s);
     - build matrix bytes: the exact kernels collect the build side to a
       dense n_build×width float64 matrix held per executor core — past
       ``matrix_budget_bytes`` the broadcast itself is the failure, so LSH
-      (neither side collected) is the only route regardless of probe
-      count.
+      (neither side collected) is the only route regardless of grid size.
 
     ``feature_width=None`` forces the exact route: the LSH signatures
     need the width, and a caller without it is in the small-dims regime
@@ -268,7 +274,7 @@ def choose_impl(
     if feature_width is None:
         return "numpy"
     if (
-        int(n_probe) <= int(max_probe)
+        int(n_probe) * int(n_build) <= int(max_pair_grid)
         and int(n_build) * int(feature_width) * 8 <= int(matrix_budget_bytes)
     ):
         return "numpy"

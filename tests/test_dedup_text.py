@@ -1113,3 +1113,52 @@ def test_admission_store_contract_derivation(tmp_path):
         AdmissionStore(
             str(tmp_path / "x"), threshold=0.8, n_perm=16, recall_floor=0.9
         )
+
+
+def test_minhash_auto_collapse_routing(spark):
+    """collapse_identical='auto' (round 12): the routing agg detects
+    exact-token-set duplicate mass; both routes stay byte-identical to
+    their explicit twins on both corpus shapes."""
+    from consent_based_conversion_adjustments_spark.operators.dedup import (
+        _has_identity_dups,
+        _token_hash_set,
+        minhash_neardup,
+    )
+
+    clean = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i} epsilon") for i in range(8)],
+        "doc_id long, text string",
+    )
+    dupy = spark.createDataFrame(
+        [(i, "same words every time here") for i in range(6)]
+        + [(10, "one fully different document text")],
+        "doc_id long, text string",
+    )
+    assert not _has_identity_dups(_token_hash_set(clean, "text", "doc_id"))
+    assert _has_identity_dups(_token_hash_set(dupy, "text", "doc_id"))
+
+    for frame in (clean, dupy):
+        auto = sorted(
+            map(tuple, minhash_neardup(frame, "text", "doc_id", 0.6).collect())
+        )
+        direct = sorted(
+            map(
+                tuple,
+                minhash_neardup(
+                    frame, "text", "doc_id", 0.6, collapse_identical=False
+                ).collect(),
+            )
+        )
+        collapsed = sorted(
+            map(
+                tuple,
+                minhash_neardup(
+                    frame, "text", "doc_id", 0.6, collapse_identical=True
+                ).collect(),
+            )
+        )
+        assert auto == direct == collapsed
+    # the dup frame's 6-doc identity class emits all C(6,2) pairs at 1.0
+    got = minhash_neardup(dupy, "text", "doc_id", 0.6).collect()
+    ones = [r for r in got if r["jaccard"] == 1.0]
+    assert len(ones) == 15

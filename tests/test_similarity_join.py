@@ -289,21 +289,23 @@ def test_similarity_join_lsh_dispatch(spark):
 
 def test_choose_impl_measured_crossover():
     """The auto-dispatch (VERDICT r11 §Next #1) pins the MEASURED sf1.0
-    rung: sf0.1-shaped inputs (15k probe) keep the exact broadcast
-    kernel; sf1.0-shaped inputs (150k probe — where the broadcast grid
-    measured 189 s vs LSH's 3.4 s) route to LSH; a build matrix past the
-    128 MB collect budget routes to LSH regardless of probe count; and
-    width-free callers stay on the width-free exact kernels."""
+    rung, on the PAIR GRID: the sf0.1 shape (3k probe x 12k build =
+    3.6e7 pairs, 6-10 s grid) keeps the exact broadcast kernel; the
+    sf1.0 shape (30k probe x 120k build = 3.6e9 pairs — the 133 s grid
+    the first r12 auto rung caught slipping past a probe-rows-only
+    rule) routes to LSH; a build matrix past the 128 MB collect budget
+    routes to LSH regardless of grid size; width-free callers stay on
+    the width-free exact kernels."""
     from consent_based_conversion_adjustments_spark.operators.similarity_join import (
         choose_impl,
     )
 
-    assert choose_impl(15_000, 3_000, 125) == "numpy"   # sf0.1 shape
-    assert choose_impl(150_000, 30_000, 125) == "lsh"   # sf1.0 shape
-    assert choose_impl(30_000, 130_000, 125) == "numpy"  # boundary in
-    assert choose_impl(30_001, 130_000, 125) == "lsh"    # boundary out
+    assert choose_impl(3_000, 12_000, 125) == "numpy"    # sf0.1 shape
+    assert choose_impl(30_000, 120_000, 125) == "lsh"    # sf1.0 shape
+    assert choose_impl(10_000, 10_000, 125) == "numpy"   # 1e8 boundary in
+    assert choose_impl(10_001, 10_000, 125) == "lsh"     # boundary out
     # 1M build rows x 64 dims x 8 B = 512 MB > 128 MB collect budget
-    assert choose_impl(1_000, 1_000_000, 64) == "lsh"
+    assert choose_impl(100, 1_000_000, 64) == "lsh"
     assert choose_impl(1_000_000, 1_000_000, None) == "numpy"
 
 
@@ -323,32 +325,27 @@ def test_similarity_join_auto_routes_by_scale(spark):
         conversion_column="conv", id_columns=["pid"],
         number_nearest_neighbors=3,
     )
-    build = spark.range(50).select(
-        F.col("id").alias("bid"),
-        F.array(
-            (F.col("id") % 5).cast("double"), (F.col("id") % 7).cast("double")
-        ).alias("features"),
-        F.lit(0.0).alias("conv"),
-    )
 
-    def probe_of(n):
+    def side_of(n, idcol, conv):
         return spark.range(n).select(
-            F.col("id").alias("pid"),
+            F.col("id").alias(idcol),
             F.array(
                 (F.col("id") % 5).cast("double"),
                 (F.col("id") % 3).cast("double"),
             ).alias("features"),
-            F.lit(1.0).alias("conv"),
+            F.lit(conv).alias("conv"),
         )
 
+    # 40k x 5k = 2e8 pairs > the 1e8 grid budget -> LSH co-group plan
     big = similarity_join(
-        probe_of(40_000), build, cfg,
+        side_of(40_000, "pid", 1.0), side_of(5_000, "bid", 0.0), cfg,
         probe_id="pid", build_id="bid", feature_width=2,
     )
     assert "FlatMapCoGroupsInPandas" in big._jdf.queryExecution().toString()
 
+    build = side_of(50, "bid", 0.0)
     small = similarity_join(
-        probe_of(100), build, cfg,
+        side_of(100, "pid", 1.0), build, cfg,
         probe_id="pid", build_id="bid", feature_width=2,
     )
     plan = small._jdf.queryExecution().toString()
