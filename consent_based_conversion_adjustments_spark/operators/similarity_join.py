@@ -92,6 +92,141 @@ def resolve_k(number_nearest_neighbors: float, n_build: int) -> int:
     return k
 
 
+# -- the grouped (dictionary) kernels: the scale plan for LOW-CARDINALITY
+# -- feature spaces. The cocoa one-hot space has ~125 distinct vectors at
+# -- ANY scale (segment × nation), so the m·n distance grid recomputes the
+# -- same 125×125 distances millions of times — and hyperplane LSH
+# -- degenerates to all-pairs (identical vectors share every bucket;
+# -- round-12 rung: 627 s where the grid took 133 s). The dictionary
+# -- kernel computes the distinct-class grid ONCE (d_p·d_b pairs), selects
+# -- per probe-CLASS, and expands to rows only at the output join —
+# -- O(d_p·d_b + output) instead of O(m·n), flat in the row counts.
+# -- Results are byte-identical to the sql/numpy kernels: distances come
+# -- from the same metric_distance expression over the same vectors, and
+# -- the (distance, build_id) tie-break is applied over build ROWS.
+
+
+def _class_grid(
+    probe: DataFrame,
+    build: DataFrame,
+    metric: str,
+    features: str,
+    feature_width: int | None,
+) -> DataFrame:
+    """One row per (distinct probe vector, distinct build vector) with the
+    metric distance — ``__pf`` / ``__bf`` are the class keys (the vectors
+    themselves: exact equality, no hash-collision risk)."""
+    pc = probe.select(F.col(features).alias("__pf")).distinct()
+    bc = build.select(F.col(features).alias("__bf")).distinct()
+    grid = pc.crossJoin(F.broadcast(bc))
+    return grid.withColumn(
+        DISTANCE,
+        metric_distance(
+            metric, F.col("__pf"), F.col("__bf"), width=feature_width
+        ),
+    )
+
+
+def _knn_join_grouped(
+    probe: DataFrame,
+    build: DataFrame,
+    k: int,
+    *,
+    metric: str = "manhattan",
+    build_id: str = "build_id",
+    features: str = "features",
+    feature_width: int | None = None,
+) -> DataFrame:
+    """Dictionary kNN: class grid → per-probe-class candidate classes
+    (cumulative build-row counts over ascending distance, whole distance
+    tie-groups kept) → exact top-k BUILD ROWS per class ((distance,
+    build_id) order — the sql/numpy tie-break) → broadcast the d_p·k
+    result onto probe rows. Candidate overshoot is bounded by the last
+    admitted distance group, the same boundary-tie set every exact
+    kernel must rank."""
+    grid = _class_grid(probe, build, metric, features, feature_width)
+    bcounts = build.groupBy(F.col(features).alias("__bf")).agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    g = grid.join(F.broadcast(bcounts), "__bf")
+    # rows strictly closer than this row's distance group; rangeBetween
+    #(orderBy distance) counts <= current, minus the at-distance total
+    w_cum = (
+        Window.partitionBy("__pf")
+        .orderBy(F.col(DISTANCE).asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_at = Window.partitionBy("__pf", DISTANCE)
+    g = g.withColumn(
+        "__before",
+        F.sum("__bn").over(w_cum) - F.sum("__bn").over(w_at),
+    )
+    cand_classes = g.filter(F.col("__before") < k).select(
+        "__pf", "__bf", DISTANCE
+    )
+    brows = build.select(
+        F.col(build_id).alias(build_id), F.col(features).alias("__bf")
+    )
+    cand = cand_classes.join(brows, "__bf").select("__pf", build_id, DISTANCE)
+    w_rank = Window.partitionBy("__pf").orderBy(
+        F.col(DISTANCE).asc(), F.col(build_id).asc()
+    )
+    topk = (
+        cand.withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    payload = probe.withColumn("__pf", F.col(features)).drop(features)
+    return payload.join(F.broadcast(topk), "__pf").drop("__pf")
+
+
+def _radius_join_grouped(
+    probe: DataFrame,
+    build: DataFrame,
+    radius: float,
+    *,
+    metric: str = "manhattan",
+    build_id: str = "build_id",
+    features: str = "features",
+    feature_width: int | None = None,
+) -> DataFrame:
+    """Dictionary radius join: in-radius class pairs → expand to build
+    rows → join onto probe rows. Output-bound: every materialized row
+    beyond the d_p·d_b grid is an output row or one of its two
+    expansion precursors."""
+    grid = _class_grid(probe, build, metric, features, feature_width).filter(
+        F.col(DISTANCE) <= radius
+    )
+    brows = build.select(
+        F.col(build_id).alias(build_id), F.col(features).alias("__bf")
+    )
+    cand = grid.join(brows, "__bf").select("__pf", build_id, DISTANCE)
+    payload = probe.withColumn("__pf", F.col(features)).drop(features)
+    return payload.join(cand, "__pf").drop("__pf")
+
+
+def _min_distance_grouped(
+    probe: DataFrame,
+    build: DataFrame,
+    *,
+    metric: str = "manhattan",
+    probe_id: str = "probe_id",
+    features: str = "features",
+    feature_width: int | None = None,
+) -> DataFrame:
+    """Dictionary nearest-distance: min over the class grid per probe
+    class, broadcast back onto probe rows (d_p rows of state)."""
+    grid = _class_grid(probe, build, metric, features, feature_width)
+    mins = grid.groupBy("__pf").agg(
+        F.min(DISTANCE).alias("distance_to_nearest_neighbor")
+    )
+    return (
+        probe.select(probe_id, F.col(features).alias("__pf"))
+        .join(F.broadcast(mins), "__pf")
+        .select(probe_id, "distance_to_nearest_neighbor")
+    )
+
+
 def knn_join(
     probe: DataFrame,
     build: DataFrame,
@@ -114,6 +249,11 @@ def knn_join(
         return _knn_join_numpy(
             probe, build, k, metric=metric, build_id=build_id,
             features=features, build_matrix=build_matrix,
+        )
+    if impl == "grouped":
+        return _knn_join_grouped(
+            probe, build, k, metric=metric, build_id=build_id,
+            features=features, feature_width=feature_width,
         )
     pairs = _pairs_with_distance(
         probe, build, metric, build_id, features, feature_width
@@ -149,6 +289,11 @@ def radius_join(
             probe, build, radius, metric=metric, build_id=build_id,
             features=features, build_matrix=build_matrix,
         )
+    if impl == "grouped":
+        return _radius_join_grouped(
+            probe, build, radius, metric=metric, build_id=build_id,
+            features=features, feature_width=feature_width,
+        )
     pairs = _pairs_with_distance(
         probe, build, metric, build_id, features, feature_width
     )
@@ -181,6 +326,11 @@ def min_distance_per_probe(
         )
         return pairs.select(
             probe_id, F.col(DISTANCE).alias("distance_to_nearest_neighbor")
+        )
+    if impl == "grouped":
+        return _min_distance_grouped(
+            probe, build, metric=metric, probe_id=probe_id,
+            features=features, feature_width=feature_width,
         )
     pairs = _pairs_with_distance(
         probe.select(probe_id, features), build, metric, build_id, features,
@@ -248,28 +398,45 @@ def choose_impl(
     n_build: int,
     feature_width: int | None = None,
     *,
+    d_probe: int | None = None,
+    d_build: int | None = None,
     max_pair_grid: int = AUTO_MAX_PAIR_GRID,
     matrix_budget_bytes: int = AUTO_BUILD_MATRIX_BYTES,
 ) -> str:
     """Physical-strategy selection for the similarity join — the Spark
     analogue of the reference's ``NearestNeighbors(algorithm='auto')``
-    (nearest_consented_customers.py:67): pick the exact broadcast/BLAS
-    kernel or the bucketed LSH route from the two numbers that decide the
-    crossover, both MEASURED (PERF.md rounds 11-12, organic sf1.0 rung):
+    (nearest_consented_customers.py:67): pick among the exact
+    broadcast/BLAS kernel, the exact dictionary ("grouped") kernel, and
+    the bucketed LSH route from numbers MEASURED on the organic sf1.0
+    rung (PERF.md rounds 11-12):
 
     - pair-grid size n_probe·n_build: the broadcast grid computes every
-      distance — under ``max_pair_grid`` (~1e8) it beats LSH's fixed
-      bucketing overhead (sf0.1's 3.6e7-pair grid: 6-10 s vs LSH ~3-6 s);
-      past it the grid grows as the pair product while LSH stays ~flat
-      (sf1.0's 3.6e9 pairs: 133-299 s vs ~6 s);
-    - build matrix bytes: the exact kernels collect the build side to a
-      dense n_build×width float64 matrix held per executor core — past
-      ``matrix_budget_bytes`` the broadcast itself is the failure, so LSH
-      (neither side collected) is the only route regardless of grid size.
+      distance — under ``max_pair_grid`` (~1e8) it beats every
+      alternative's fixed overhead (sf0.1's 3.6e7-pair grid: 6-10 s);
+      past it the grid grows as the pair product (sf1.0's 3.6e9 pairs:
+      133-299 s);
+    - distinct-vector counts d_probe·d_build: when the CLASS grid fits
+      the same pair budget, the dictionary kernel is exact at
+      O(d_p·d_b + output) and byte-identical — the cocoa one-hot space
+      has ~125 distinct vectors at ANY row count, so this is the route
+      that stays flat at 100×. It dominates LSH everywhere it applies:
+      on low-cardinality spaces hyperplane buckets DEGENERATE (identical
+      vectors share every bucket — measured 627 s at sf1.0 where the
+      dictionary kernel needs one 125×125 grid);
+    - build matrix bytes: the broadcast kernels hold the collected
+      n_build×width float64 matrix per executor core — past
+      ``matrix_budget_bytes`` the broadcast itself is the failure.
+
+    LSH is the route of last resort: both exact plans infeasible means
+    genuinely high-cardinality vectors on both sides at beyond-broadcast
+    scale — embeddings, not one-hots — which is LSH's actual regime.
 
     ``feature_width=None`` forces the exact route: the LSH signatures
     need the width, and a caller without it is in the small-dims regime
-    the width-free broadcast kernels serve.
+    the width-free broadcast kernels serve. ``d_probe``/``d_build``
+    unknown (None) skips the dictionary route — callers pay the two
+    count-distinct aggs only after the grid budget already failed
+    (``resolve_auto_impl``).
     """
     if feature_width is None:
         return "numpy"
@@ -278,7 +445,46 @@ def choose_impl(
         and int(n_build) * int(feature_width) * 8 <= int(matrix_budget_bytes)
     ):
         return "numpy"
+    if (
+        d_probe is not None
+        and d_build is not None
+        and int(d_probe) * int(d_build) <= int(max_pair_grid)
+    ):
+        return "grouped"
     return "lsh"
+
+
+def resolve_auto_impl(
+    probe: DataFrame,
+    build: DataFrame,
+    features: str,
+    feature_width: int | None,
+    n_probe: int | None = None,
+    n_build: int | None = None,
+) -> tuple[str, int, int]:
+    """The eager half of ``impl="auto"``: count both sides, and — only
+    when the row-level grid already failed the budget — count distinct
+    feature vectors to test the dictionary route. Returns
+    (impl, n_probe, n_build). Distinct counts go through xxhash64 (a
+    64-bit collision could only shrink the COUNT and flip the route,
+    never an answer — every route is exact)."""
+    if n_probe is None:
+        n_probe = probe.count()
+    if n_build is None:
+        n_build = build.count()
+    impl = choose_impl(n_probe, n_build, feature_width)
+    if impl == "lsh":
+        d_probe = probe.select(
+            F.countDistinct(F.xxhash64(features)).alias("d")
+        ).first()["d"]
+        d_build = build.select(
+            F.countDistinct(F.xxhash64(features)).alias("d")
+        ).first()["d"]
+        impl = choose_impl(
+            n_probe, n_build, feature_width,
+            d_probe=d_probe, d_build=d_build,
+        )
+    return impl, n_probe, n_build
 
 
 def similarity_join(
@@ -311,11 +517,9 @@ def similarity_join(
     amplification), intended for build sides past the broadcast limit.
     """
     if impl == "auto":
-        if n_probe is None:
-            n_probe = probe.count()
-        if n_build is None:
-            n_build = build.count()
-        impl = choose_impl(n_probe, n_build, feature_width)
+        impl, n_probe, n_build = resolve_auto_impl(
+            probe, build, features, feature_width, n_probe, n_build
+        )
     if impl == "lsh":
         if feature_width is None:
             raise ValueError("impl='lsh' requires feature_width")

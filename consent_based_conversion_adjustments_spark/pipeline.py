@@ -35,9 +35,9 @@ from .operators.preprocess import union_encode_split
 from .operators.similarity_join import (
     _collect_build_matrix,
     adjust_partials_numpy,
-    choose_impl,
     percentile_radius,
     percentile_radius_lsh,
+    resolve_auto_impl,
     similarity_join,
 )
 from .operators.summary import summary_statistics
@@ -133,8 +133,9 @@ def run_adjustment(
                 )
     n_probe = n_build = None
     if impl == "auto":
-        n_probe, n_build = probe.count(), build.count()
-        impl = choose_impl(n_probe, n_build, encoder.width)
+        impl, n_probe, n_build = resolve_auto_impl(
+            probe, build, "features", encoder.width
+        )
         logger.info(
             "run_adjustment: impl='auto' resolved to %r "
             "(n_probe=%d, n_build=%d, feature_width=%d)",

@@ -92,6 +92,20 @@ def knn_adjust(spark: SparkSession, sf_dir: str, impl: str = "auto") -> DataFram
     return _round_adjusted(result.data_adjusted)
 
 
+def knn_adjust_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship adjustment through the DICTIONARY kernel
+    (impl="grouped", round 12): the distinct-vector class grid replaces
+    the m·n row grid — the route `impl="auto"` picks past the pair-grid
+    budget whenever the feature space is low-cardinality (the cocoa
+    one-hot space: ~125 classes at ANY scale; r12 rung measured the
+    broadcast grid at 133 s and degenerate LSH at 627 s on sf1.0 —
+    PERF.md round 12 has the grouped-route legs).
+    Checked against the SAME oracle as cocoa_knn_adjust — the
+    byte-identical contract ((distance, build_id) tie-break over build
+    rows) as a driver-hash fact, not just a pytest."""
+    return knn_adjust(spark, sf_dir, impl="grouped")
+
+
 def knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     consent, noconsent = consent_split(spark, sf_dir)
     result = run_adjustment(
@@ -1057,6 +1071,7 @@ FROM scored WHERE dist_raw <= 1.2
 QUERIES: dict[str, tuple] = {
     "cocoa_daily_run": (daily_run, DAILY_RUN_SQL),
     "cocoa_knn_adjust": (knn_adjust, KNN_ADJUST_SQL),
+    "cocoa_knn_adjust_grouped": (knn_adjust_grouped, KNN_ADJUST_SQL),
     "cocoa_distance_stats": (distance_stats, DISTANCE_STATS_SQL),
     "cocoa_adjusted_describe": (adjusted_describe, ADJUSTED_DESCRIBE_SQL),
     "cocoa_nearest_distance_stats": (

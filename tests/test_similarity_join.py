@@ -301,12 +301,22 @@ def test_choose_impl_measured_crossover():
     )
 
     assert choose_impl(3_000, 12_000, 125) == "numpy"    # sf0.1 shape
-    assert choose_impl(30_000, 120_000, 125) == "lsh"    # sf1.0 shape
+    assert choose_impl(30_000, 120_000, 125) == "lsh"    # sf1.0, d unknown
     assert choose_impl(10_000, 10_000, 125) == "numpy"   # 1e8 boundary in
     assert choose_impl(10_001, 10_000, 125) == "lsh"     # boundary out
     # 1M build rows x 64 dims x 8 B = 512 MB > 128 MB collect budget
     assert choose_impl(100, 1_000_000, 64) == "lsh"
     assert choose_impl(1_000_000, 1_000_000, None) == "numpy"
+    # the sf1.0 cocoa shape WITH known distinct counts: ~125 one-hot
+    # classes per side -> the exact dictionary kernel, never LSH (which
+    # degenerates to all-pairs there: 627 s measured, r12 rung)
+    assert choose_impl(
+        30_000, 120_000, 125, d_probe=125, d_build=125
+    ) == "grouped"
+    # genuinely high-cardinality (embeddings): dictionary grid infeasible
+    assert choose_impl(
+        1_000_000, 1_000_000, 64, d_probe=1_000_000, d_build=1_000_000
+    ) == "lsh"
 
 
 def test_similarity_join_auto_routes_by_scale(spark):
@@ -326,22 +336,39 @@ def test_similarity_join_auto_routes_by_scale(spark):
         number_nearest_neighbors=3,
     )
 
-    def side_of(n, idcol, conv):
+    def side_of(n, idcol, conv, cardinality=None):
+        # cardinality=None -> every row a distinct vector (id-scaled);
+        # an int -> that many distinct vectors (id % cardinality)
+        x = (
+            F.col("id").cast("double")
+            if cardinality is None
+            else (F.col("id") % cardinality).cast("double")
+        )
         return spark.range(n).select(
             F.col("id").alias(idcol),
-            F.array(
-                (F.col("id") % 5).cast("double"),
-                (F.col("id") % 3).cast("double"),
-            ).alias("features"),
+            F.array(x, (x * 2)).alias("features"),
             F.lit(conv).alias("conv"),
         )
 
-    # 40k x 5k = 2e8 pairs > the 1e8 grid budget -> LSH co-group plan
+    # 40k x 5k = 2e8 pairs > the 1e8 grid budget, every vector distinct
+    # -> the dictionary grid is also infeasible -> LSH co-group plan
     big = similarity_join(
         side_of(40_000, "pid", 1.0), side_of(5_000, "bid", 0.0), cfg,
         probe_id="pid", build_id="bid", feature_width=2,
     )
     assert "FlatMapCoGroupsInPandas" in big._jdf.queryExecution().toString()
+
+    # same row counts but ~10 distinct vectors per side -> the exact
+    # dictionary kernel: pure Catalyst, no Python kernel of either kind
+    grouped = similarity_join(
+        side_of(40_000, "pid", 1.0, cardinality=10),
+        side_of(5_000, "bid", 0.0, cardinality=10), cfg,
+        probe_id="pid", build_id="bid", feature_width=2,
+    )
+    gplan = grouped._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInPandas" not in gplan
+    assert "MapInPandas" not in gplan
+    assert grouped.groupBy("pid").count().agg(F.min("count")).first()[0] == 3
 
     build = side_of(50, "bid", 0.0)
     small = similarity_join(
@@ -534,3 +561,129 @@ def test_lsh_params_for_pins_planned_derivation():
     assert lsh_params_for(2_000, 2_000, 0.12) == (10, 8)  # sf0.1 sides
     with pytest.raises(ValueError, match="cosine_neardup_blas"):
         lsh_params_for(1_280_000, 1_280_000, 0.9)
+
+
+def _dup_frames(spark, n_probe=40, n_build=60, width=3, seed=5):
+    """Low-cardinality fixture: randint(0,2) over width 3 -> 8 possible
+    vectors, so both sides carry heavy duplicate classes — the dictionary
+    kernel's regime."""
+    rng = np.random.RandomState(seed)
+    probe = spark.createDataFrame(
+        pd.DataFrame({
+            "pid": range(n_probe),
+            "features": [
+                [float(v) for v in rng.randint(0, 2, width)]
+                for _ in range(n_probe)
+            ],
+        })
+    )
+    build = spark.createDataFrame(
+        pd.DataFrame({
+            "bid": range(n_build),
+            "features": [
+                [float(v) for v in rng.randint(0, 2, width)]
+                for _ in range(n_build)
+            ],
+        })
+    )
+    return probe, build
+
+
+@pytest.mark.parametrize(
+    "metric", ["manhattan", "euclidean", "cosine", "minkowski:3"]
+)
+def test_grouped_kernel_byte_identical_to_sql(spark, metric):
+    """The dictionary kernel must reproduce the sql kernel exactly —
+    same pairs, same distances, same (distance, build_id) tie-break —
+    on a duplicate-heavy feature space (its production regime)."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        min_distance_per_probe as mindist,
+    )
+
+    probe, build = _dup_frames(spark)
+    for k in (1, 3, 7):
+        a = (
+            knn_join(probe, build, k, metric=metric, probe_id="pid",
+                     build_id="bid", impl="sql")
+            .orderBy("pid", "distance", "bid").toPandas()
+        )
+        b = (
+            knn_join(probe, build, k, metric=metric, probe_id="pid",
+                     build_id="bid", impl="grouped")
+            .orderBy("pid", "distance", "bid").toPandas()
+        )
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b[a.columns].reset_index(drop=True),
+            check_dtype=False,
+        )
+    for r in (0.0, 1.0, 2.5):
+        a = (
+            radius_join(probe, build, r, metric=metric, build_id="bid",
+                        impl="sql")
+            .orderBy("pid", "distance", "bid").toPandas()
+        )
+        b = (
+            radius_join(probe, build, r, metric=metric, build_id="bid",
+                        impl="grouped")
+            .orderBy("pid", "distance", "bid").toPandas()
+        )
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b[a.columns].reset_index(drop=True),
+            check_dtype=False,
+        )
+    a = mindist(probe, build, metric=metric, probe_id="pid", build_id="bid",
+                impl="sql").orderBy("pid").toPandas()
+    b = mindist(probe, build, metric=metric, probe_id="pid", build_id="bid",
+                impl="grouped").orderBy("pid").toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b[a.columns].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_run_adjustment_grouped_equals_sql(spark, tiled_fixture):
+    """End-to-end adjustment through the dictionary kernel (the tiled
+    fixture IS a duplicate-class corpus: 3 base rows x10/x5) matches the
+    sql route bit-for-bit in all three modes."""
+    from consent_based_conversion_adjustments_spark.config import (
+        AdjustmentConfig,
+    )
+    from consent_based_conversion_adjustments_spark.pipeline import (
+        run_adjustment,
+    )
+
+    consent, noconsent = tiled_fixture
+    for mode in (
+        {"number_nearest_neighbors": 2},
+        {"radius": 3.0},
+        {"percentile": 0.5},
+    ):
+        cfg = AdjustmentConfig(
+            conversion_column="conversion_column",
+            id_columns=["id_column"],
+            **mode,
+        )
+        g = run_adjustment(consent, noconsent, cfg, impl="grouped").data_adjusted
+        s = run_adjustment(consent, noconsent, cfg, impl="sql").data_adjusted
+        assert sorted(map(tuple, g.collect())) == sorted(map(tuple, s.collect()))
+
+
+def test_resolve_auto_impl_prefers_grouped_on_low_cardinality(spark):
+    """A beyond-grid-budget input whose distinct-vector grid is tiny must
+    resolve to the dictionary kernel, not LSH (the r12 rung's 627 s
+    lesson); the distinct counts are only computed past the grid check."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        resolve_auto_impl,
+    )
+
+    probe = spark.range(20_000).select(
+        F.col("id").alias("pid"),
+        F.array((F.col("id") % 5).cast("double")).alias("features"),
+    )
+    build = spark.range(20_000).select(
+        F.col("id").alias("bid"),
+        F.array((F.col("id") % 7).cast("double")).alias("features"),
+    )
+    impl, n_p, n_b = resolve_auto_impl(probe, build, "features", 1)
+    assert impl == "grouped"
+    assert (n_p, n_b) == (20_000, 20_000)
