@@ -127,7 +127,7 @@ def _class_grid(
     )
 
 
-def _knn_join_grouped(
+def knn_topk_classes(
     probe: DataFrame,
     build: DataFrame,
     k: int,
@@ -137,13 +137,14 @@ def _knn_join_grouped(
     features: str = "features",
     feature_width: int | None = None,
 ) -> DataFrame:
-    """Dictionary kNN: class grid → per-probe-class candidate classes
-    (cumulative build-row counts over ascending distance, whole distance
-    tie-groups kept) → exact top-k BUILD ROWS per class ((distance,
-    build_id) order — the sql/numpy tie-break) → broadcast the d_p·k
-    result onto probe rows. Candidate overshoot is bounded by the last
-    admitted distance group, the same boundary-tie set every exact
-    kernel must rank."""
+    """Per-probe-CLASS exact top-k build rows: class grid → candidate
+    classes (cumulative build-row counts over ascending distance, whole
+    distance tie-groups kept) → exact (distance, build_id)-ranked top-k
+    BUILD ROWS per class — the sql/numpy tie-break. Returns
+    (__pf, build_id, distance), ≤ d_p·k rows: every probe row of class
+    __pf matches exactly these build rows. Candidate overshoot is
+    bounded by the last admitted distance group, the same boundary-tie
+    set every exact kernel must rank."""
     grid = _class_grid(probe, build, metric, features, feature_width)
     bcounts = build.groupBy(F.col(features).alias("__bf")).agg(
         F.count(F.lit(1)).alias("__bn")
@@ -171,10 +172,49 @@ def _knn_join_grouped(
     w_rank = Window.partitionBy("__pf").orderBy(
         F.col(DISTANCE).asc(), F.col(build_id).asc()
     )
-    topk = (
+    return (
         cand.withColumn("__rn", F.row_number().over(w_rank))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def radius_classes(
+    probe: DataFrame,
+    build: DataFrame,
+    radius: float,
+    *,
+    metric: str = "manhattan",
+    build_id: str = "build_id",
+    features: str = "features",
+    feature_width: int | None = None,
+) -> DataFrame:
+    """Per-probe-CLASS in-radius build rows: (__pf, build_id, distance),
+    d_p × avg-in-radius-rows — the class-level contraction of the radius
+    join (every probe row of class __pf matches exactly these rows)."""
+    grid = _class_grid(probe, build, metric, features, feature_width).filter(
+        F.col(DISTANCE) <= radius
+    )
+    brows = build.select(
+        F.col(build_id).alias(build_id), F.col(features).alias("__bf")
+    )
+    return grid.join(brows, "__bf").select("__pf", build_id, DISTANCE)
+
+
+def _knn_join_grouped(
+    probe: DataFrame,
+    build: DataFrame,
+    k: int,
+    *,
+    metric: str = "manhattan",
+    build_id: str = "build_id",
+    features: str = "features",
+    feature_width: int | None = None,
+) -> DataFrame:
+    """Dictionary kNN: ``knn_topk_classes`` broadcast onto probe rows."""
+    topk = knn_topk_classes(
+        probe, build, k, metric=metric, build_id=build_id,
+        features=features, feature_width=feature_width,
     )
     payload = probe.withColumn("__pf", F.col(features)).drop(features)
     return payload.join(F.broadcast(topk), "__pf").drop("__pf")
@@ -190,17 +230,13 @@ def _radius_join_grouped(
     features: str = "features",
     feature_width: int | None = None,
 ) -> DataFrame:
-    """Dictionary radius join: in-radius class pairs → expand to build
-    rows → join onto probe rows. Output-bound: every materialized row
-    beyond the d_p·d_b grid is an output row or one of its two
-    expansion precursors."""
-    grid = _class_grid(probe, build, metric, features, feature_width).filter(
-        F.col(DISTANCE) <= radius
+    """Dictionary radius join: ``radius_classes`` expanded onto probe
+    rows. Output-bound: every materialized row beyond the d_p·d_b grid
+    is an output row or one of its two expansion precursors."""
+    cand = radius_classes(
+        probe, build, radius, metric=metric, build_id=build_id,
+        features=features, feature_width=feature_width,
     )
-    brows = build.select(
-        F.col(build_id).alias(build_id), F.col(features).alias("__bf")
-    )
-    cand = grid.join(brows, "__bf").select("__pf", build_id, DISTANCE)
     payload = probe.withColumn("__pf", F.col(features)).drop(features)
     return payload.join(cand, "__pf").drop("__pf")
 

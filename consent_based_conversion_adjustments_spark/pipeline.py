@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from .config import AdjustmentConfig
-from .operators.adjust import distribute_conversions, distribute_from_partials
+from .operators.adjust import (
+    distribute_conversions,
+    distribute_from_class_pairs,
+    distribute_from_partials,
+)
 from .operators.preprocess import union_encode_split
 from .operators.similarity_join import (
     _collect_build_matrix,
@@ -193,7 +197,50 @@ def run_adjustment(
     # scalar, summary) — persist so the join runs once; m·k rows, spillable
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     consent_keyed = build.drop("features")
-    if impl == "numpy":
+    cls_pairs = None
+    if impl == "grouped":
+        # class-fused scale path: every probe row of a feature class
+        # shares the same softmax distribution, so W1+W2 factor through
+        # (class, build-row) pairs — the row-level pair set is never
+        # materialized for the adjusted output OR the summary (r12 rung,
+        # sf1.0 radius flagship: 321 s row-level → 70 s fused, linear in
+        # the matched-build-rows frame, vs the numpy grid's 164 s
+        # quadratic). `pairs` above stays lazy unless matched_pairs is
+        # consumed.
+        from .operators.similarity_join import (
+            knn_topk_classes,
+            radius_classes,
+            resolve_k,
+        )
+
+        probe_classes = probe.groupBy(F.col("features").alias("__pf")).agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(F.col(cfg.conversion_column)).alias("__convsum"),
+        )
+        if cfg.number_nearest_neighbors is not None:
+            if n_build is None:
+                n_build = build.count()
+            k = resolve_k(cfg.number_nearest_neighbors, n_build)
+            cls_pairs = knn_topk_classes(
+                probe, build, k, metric=cfg.metric, build_id=CONSENT_ID,
+                features="features", feature_width=encoder.width,
+            )
+        else:
+            cls_pairs = radius_classes(
+                probe, build, cfg.radius, metric=cfg.metric,
+                build_id=CONSENT_ID, features="features",
+                feature_width=encoder.width,
+            )
+        cls_pairs = cls_pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        data_adjusted = distribute_from_class_pairs(
+            consent_keyed,
+            cls_pairs,
+            probe_classes,
+            build_id=CONSENT_ID,
+            consent_id=CONSENT_ID,
+            conversion_column=cfg.conversion_column,
+        )
+    elif impl == "numpy":
         # fused scale path: softmax + scatter-add run map-side inside the
         # kernel (adjust_partials_numpy) — the pair set is never
         # materialized for the adjusted output; `pairs` above stays lazy
@@ -225,14 +272,24 @@ def run_adjustment(
             conversion_column=cfg.conversion_column,
         )
     data_adjusted = data_adjusted.drop(CONSENT_ID)
+    if cls_pairs is not None:
+        # matched probes = probes whose CLASS matched — a broadcast join
+        # against the distinct matched classes, never the row-level pairs
+        matched_ids = (
+            probe.select(PROBE_ID, F.col("features").alias("__pf"))
+            .join(F.broadcast(cls_pairs.select("__pf").distinct()), "__pf")
+            .select(PROBE_ID)
+        )
+    else:
+        matched_ids = pairs.select(PROBE_ID)
     summary = summary_statistics(
         _row_id(noconsent_p, config.id_columns, PROBE_ID),
-        pairs.select(PROBE_ID),
+        matched_ids,
         probe_id=PROBE_ID,
         conversion_column=config.conversion_column,
     )
     unmatched = probe.drop("features").join(
-        pairs.select(PROBE_ID), on=PROBE_ID, how="left_anti"
+        matched_ids, on=PROBE_ID, how="left_anti"
     )
     return AdjustmentResult(
         data_adjusted=data_adjusted,

@@ -644,7 +644,11 @@ def test_grouped_kernel_byte_identical_to_sql(spark, metric):
 def test_run_adjustment_grouped_equals_sql(spark, tiled_fixture):
     """End-to-end adjustment through the dictionary kernel (the tiled
     fixture IS a duplicate-class corpus: 3 base rows x10/x5) matches the
-    sql route bit-for-bit in all three modes."""
+    sql route in all three modes. The fused class-level scatter-add sums
+    per CLASS instead of per probe row, so float fields may differ by
+    reduction order only (the accepted cross-engine class the fused
+    numpy kernel established) — compared at rel 1e-12; everything else
+    exact."""
     from consent_based_conversion_adjustments_spark.config import (
         AdjustmentConfig,
     )
@@ -663,9 +667,24 @@ def test_run_adjustment_grouped_equals_sql(spark, tiled_fixture):
             id_columns=["id_column"],
             **mode,
         )
-        g = run_adjustment(consent, noconsent, cfg, impl="grouped").data_adjusted
-        s = run_adjustment(consent, noconsent, cfg, impl="sql").data_adjusted
-        assert sorted(map(tuple, g.collect())) == sorted(map(tuple, s.collect()))
+        g = run_adjustment(consent, noconsent, cfg, impl="grouped")
+        s = run_adjustment(consent, noconsent, cfg, impl="sql")
+        grows = sorted(map(tuple, g.data_adjusted.collect()))
+        srows = sorted(map(tuple, s.data_adjusted.collect()))
+        assert len(grows) == len(srows)
+        for a, b in zip(grows, srows):
+            for x, y in zip(a, b):
+                if isinstance(x, float):
+                    assert x == pytest.approx(y, rel=1e-12, abs=1e-12), (a, b)
+                else:
+                    assert x == y, (a, b)
+        # summary + unmatched diagnostics agree exactly (set semantics)
+        assert sorted(map(tuple, g.summary.collect())) == sorted(
+            map(tuple, s.summary.collect())
+        )
+        assert sorted(
+            map(tuple, g.unmatched_probes.collect())
+        ) == sorted(map(tuple, s.unmatched_probes.collect()))
 
 
 def test_resolve_auto_impl_prefers_grouped_on_low_cardinality(spark):
