@@ -133,9 +133,19 @@ def _ordered_names(record_dir: str | None = None) -> list[str]:
     ordered = sorted(registered, key=key)
     urgent = [n for n in ordered if key(n)[0] != 3]
     tier3 = [n for n in ordered if key(n)[0] == 3]
-    head = urgent[:_URGENT_CAP]
+    # first-registration floor: a mass-edit round can make hundreds of
+    # queries HOT (every transitive fingerprint bumps), which would push
+    # the handful of NEVER-VERIFIED registrations past the urgent cap —
+    # new queries must get their first driver row the round they land,
+    # so up to _NEVER_FLOOR of the urgent slots go to tier 1 first
+    never = [n for n in urgent if key(n)[0] == 1][:_NEVER_FLOOR]
+    never_set = set(never)
+    rest_urgent = [n for n in urgent if n not in never_set]
+    head = (never + rest_urgent)[:_URGENT_CAP]
+    head_set = set(head)
     reserve = max(0, _DRIVER_WINDOW - len(head))
-    return head + tier3[:reserve] + urgent[_URGENT_CAP:] + tier3[reserve:]
+    tail_urgent = [n for n in urgent if n not in head_set]
+    return head + tier3[:reserve] + tail_urgent + tier3[reserve:]
 
 
 #: the driver records the first N registry entries per round (observed
@@ -144,6 +154,11 @@ _DRIVER_WINDOW = 50
 #: max window slots tiers 0-2 may consume; the other 15+ always go to the
 #: oldest-green unchanged cohort
 _URGENT_CAP = 35
+#: of the urgent slots, up to this many go to never-verified
+#: registrations FIRST — a mass-edit round floods tier 0 past the cap,
+#: and a new query missing its first-round row is worse than the 30th
+#: hot re-verification
+_NEVER_FLOOR = 8
 
 
 def _flat() -> dict[str, tuple]:

@@ -133,10 +133,12 @@ HEADLINE = [
     ("doc_gopher_rules", corpus_queries.doc_gopher_rules),
     ("ccnet_perplexity_buckets", corpus_queries.ccnet_perplexity_buckets),
     ("doc_logreg_quality_d4", corpus_queries.doc_logreg_quality_d4),
-    # round-12 additions (planner-driven params + generated-adjugate d=5)
+    # round-12 additions (planner-driven params + generated-adjugate d=5
+    # + the dictionary kernel)
     ("dedup_minhash_planned", data_queries.dedup_minhash_planned),
     ("cocoa_knn_lsh_planned", cocoa_queries.knn_lsh_planned),
     ("doc_logreg_quality_d5", corpus_queries.doc_logreg_quality_d5),
+    ("cocoa_knn_adjust_grouped", cocoa_queries.knn_adjust_grouped),
 ]
 
 

@@ -205,8 +205,17 @@ def test_ordering_puts_hot_before_stale_and_degrades_gracefully(tmp_path):
     json.dump(sidecar, open(os.path.join(record_dir, "tools", "verify_fp.json"), "w"))
     order = E._ordered_names(record_dir)
     pos = {n: order.index(n) for n in names}
-    assert pos[hot] < pos[never], "hot-changed must beat never-verified"
+    # hot is in the window; ~221 names here are never-verified (no
+    # record at all), so the first-registration floor admits the first
+    # _NEVER_FLOOR of them — not necessarily our probe name
+    assert pos[hot] < E._DRIVER_WINDOW, "hot-changed must be in the window"
+    seen_rounds = E._last_verified_round(record_dir)
+    window_never = sum(
+        1 for n in order[: E._DRIVER_WINDOW] if seen_rounds.get(n, 0) == 0
+    )
+    assert window_never >= E._NEVER_FLOOR
     assert pos[never] < pos[stale], "never-verified must beat stale-changed"
+    assert pos[hot] < pos[stale], "hot-changed must beat stale-changed"
     # `fresh` is the ONLY tier-3 (unchanged-green) query here, so the
     # r12 tier-3 window reserve must pull it into the driver window even
     # though ~220 never-verified names outrank it tier-wise
@@ -258,8 +267,15 @@ def test_tier3_window_reserve_survives_heavy_registration(tmp_path):
     assert n_old >= E._DRIVER_WINDOW - E._URGENT_CAP, (
         f"only {n_old} tier-3 queries in the window — the reserve failed"
     )
-    # the hot cohort still fills the urgent cap
-    assert sum(1 for n in window if n in set(hot_cohort)) == E._URGENT_CAP
+    # the remaining ~124 registered names have no record at all → tier 1;
+    # the first-registration floor grants them _NEVER_FLOOR urgent slots,
+    # the hot cohort fills the rest of the cap
+    n_hot = sum(1 for n in window if n in set(hot_cohort))
+    assert n_hot == E._URGENT_CAP - E._NEVER_FLOOR
+    n_never = sum(
+        1 for n in window if n not in set(hot_cohort) | set(old_cohort)
+    )
+    assert n_never == E._NEVER_FLOOR
 
 
 def test_fingerprints_computable_on_historical_git_tree(tmp_path):
