@@ -1856,6 +1856,78 @@ SELECT node AS doc_id, pr FROM r{iters} ORDER BY doc_id
 """
 
 
+def neardup_components(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    *,
+    n_perm: int | None = None,
+    band_size: int | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the MinHash near-dup graph WITHOUT ever
+    materializing the member-level pair set — answer-identical to
+    ``connected_components(minhash_neardup(df, ...))`` (pytest-pinned),
+    built on the identity-class isomorphism: every member of a class
+    shares the token SET, so member-level reachability ≡ rep-level
+    reachability, and the member-level component minimum equals the
+    rep-level component minimum because each rep IS its class's minimum
+    member.
+
+    Why it exists (r12 rung): the pair REPRESENTATION is quadratic in
+    duplicate-class size — the organic sf1.0 documents produce 240M
+    member pairs over 50k docs, and CC's checkpoint materializes all of
+    them (333 s for the CC alone). Rep-level the same graph is ~|classes
+    in each family|² — the only row-level frames here are the class
+    table and the final member expansion (output-bound).
+
+    Node/label contract of the pair route, preserved exactly:
+
+    - nodes = docs appearing in ≥1 pair = members of multi-member
+      classes (within-class pairs at J=1) ∪ members of classes with a
+      rep-level edge; empty-token-set docs never pair (no signature);
+    - component = min doc id reachable = the rep-level component min
+      (reps are class minima); a multi-member class with no cross edges
+      is its own component under its rep.
+    """
+    n_perm, band_size = resolve_minhash_params(
+        threshold, n_perm=n_perm, band_size=band_size
+    )
+    hashes = _token_hash_set(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    classes = (
+        hashes.filter(F.size("tok_hashes") > 0)
+        .groupBy("tok_hashes")
+        .agg(
+            F.min("doc_id").alias("__rep"),
+            F.collect_list("doc_id").alias("__members"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rep_hashes = classes.select(
+        F.col("__rep").alias("doc_id"), "tok_hashes"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rep_pairs = _neardup_from_hashes(
+        rep_hashes, threshold, None, n_perm=n_perm, band_size=band_size
+    )
+    rep_cc = connected_components(rep_pairs, max_iter=max_iter)
+    out = (
+        classes.select(
+            "__rep", F.size("__members").alias("__sz"), "__members"
+        )
+        .join(rep_cc, classes["__rep"] == rep_cc["node"], "left")
+        .withColumn("__comp", F.coalesce(F.col("component"), F.col("__rep")))
+        .filter((F.col("__sz") >= 2) | F.col("component").isNotNull())
+        .select(
+            F.explode("__members").alias("node"),
+            F.col("__comp").alias("component"),
+        )
+    )
+    return out
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -106,6 +106,22 @@ def knn_adjust_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_adjust(spark, sf_dir, impl="grouped")
 
 
+def radius_adjust_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius mode through the class-fused dictionary route (the r12 rung's
+    321 s → 70 s plan at sf1.0) — same oracle as cocoa_radius_adjust; the
+    only divergence class is class-wise summation order at 3-decimal
+    rounding (the fused-numpy precedent)."""
+    return radius_adjust(spark, sf_dir, impl="grouped")
+
+
+def percentile_adjust_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile mode through the dictionary route: the auto-radius
+    resolves via the grouped min-distance pass (d_p rows of state), then
+    the class-fused radius adjust — same oracle as
+    cocoa_percentile_adjust."""
+    return percentile_adjust(spark, sf_dir, impl="grouped")
+
+
 def knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     consent, noconsent = consent_split(spark, sf_dir)
     result = run_adjustment(
@@ -1090,8 +1106,13 @@ QUERIES: dict[str, tuple] = {
     ),
     "cocoa_knn_proportional": (knn_proportional, KNN_PROPORTIONAL_SQL),
     "cocoa_radius_adjust": (radius_adjust, RADIUS_ADJUST_SQL),
+    "cocoa_radius_adjust_grouped": (radius_adjust_grouped, RADIUS_ADJUST_SQL),
     "cocoa_radius_summary": (radius_summary, RADIUS_SUMMARY_SQL),
     "cocoa_percentile_adjust": (percentile_adjust, PERCENTILE_ADJUST_SQL),
+    "cocoa_percentile_adjust_grouped": (
+        percentile_adjust_grouped,
+        PERCENTILE_ADJUST_SQL,
+    ),
     "cocoa_nearest_distances": (nearest_distances, NEAREST_DISTANCES_SQL),
     "cocoa_clean_union": (clean_customers, CLEAN_SQL),
     "cocoa_max_event_date": (max_event_date, MAX_EVENT_DATE_SQL),

@@ -1476,8 +1476,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest. Oracle: recursive CTE computing min reachable label over the
     identical pair set."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.minhash_neardup(docs, "text", "doc_id", threshold=JACCARD_THRESHOLD)
-    cc = D.connected_components(pairs)
+    # rep-level CC (dedup.neardup_components, r12): answer-identical to
+    # connected_components(minhash_neardup(...)) without materializing
+    # the member-level pair graph — the organic sf1.0 rung measured 240M
+    # member pairs over 50k docs (near-dup families bootstrap into
+    # ~5000-doc components), 333 s of CC on a representation the class
+    # isomorphism collapses ~2000x
+    cc = D.neardup_components(docs, "text", "doc_id", threshold=JACCARD_THRESHOLD)
     return cc.select(
         F.col("node").alias("doc_id"), "component"
     ).orderBy("doc_id")
@@ -1675,8 +1680,9 @@ def corpus_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") >= 0.5)
         .persist()
     )
-    pairs = D.minhash_neardup(good, "text", "doc_id", threshold=JACCARD_THRESHOLD)
-    cc = D.connected_components(pairs)
+    # rep-level CC — see dedup_clusters (answer-identical, never the
+    # member-level pair graph)
+    cc = D.neardup_components(good, "text", "doc_id", threshold=JACCARD_THRESHOLD)
     dupes = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )

@@ -1162,3 +1162,50 @@ def test_minhash_auto_collapse_routing(spark):
     got = minhash_neardup(dupy, "text", "doc_id", 0.6).collect()
     ones = [r for r in got if r["jaccard"] == 1.0]
     assert len(ones) == 15
+
+
+def test_neardup_components_equals_pair_route(spark):
+    """neardup_components (rep-level CC, r12) must reproduce
+    connected_components(minhash_neardup(...)) EXACTLY — same node set,
+    same min-label components — on a corpus with exact-duplicate
+    classes, near-dup chains across classes, singletons, and an
+    empty-text doc (never a node)."""
+    from consent_based_conversion_adjustments_spark.operators.dedup import (
+        connected_components,
+        minhash_neardup,
+        neardup_components,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    # family A: 2 identity classes of 3, near-dup of each other
+    for i in range(3):
+        rows.append((10 + i, base))
+    for i in range(3):
+        rows.append((20 + i, base + " extra"))
+    # family B: a 4-doc identity class with no cross edges
+    for i in range(4):
+        rows.append((30 + i, "completely different words about spark physical plans and shuffles"))
+    # singleton + empty
+    rows.append((40, "a lonely unique document with its own vocabulary entirely"))
+    rows.append((41, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = sorted(
+        map(
+            tuple,
+            connected_components(
+                minhash_neardup(df, "text", "doc_id", 0.5)
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, neardup_components(df, "text", "doc_id", 0.5).collect())
+    )
+    assert got == want
+    # structure sanity: family A = one 6-doc component labeled 10,
+    # family B = one 4-doc component labeled 30, no 40/41 nodes
+    comp = dict(got)
+    assert {k for k in comp} == set(range(10, 13)) | set(range(20, 23)) | set(range(30, 34))
+    assert all(comp[k] == 10 for k in list(range(10, 13)) + list(range(20, 23)))
+    assert all(comp[k] == 30 for k in range(30, 34))
