@@ -139,6 +139,9 @@ HEADLINE = [
     ("cocoa_knn_lsh_planned", cocoa_queries.knn_lsh_planned),
     ("doc_logreg_quality_d5", corpus_queries.doc_logreg_quality_d5),
     ("cocoa_knn_adjust_grouped", cocoa_queries.knn_adjust_grouped),
+    ("cocoa_radius_adjust_grouped", cocoa_queries.radius_adjust_grouped),
+    ("cocoa_percentile_adjust_grouped",
+     cocoa_queries.percentile_adjust_grouped),
 ]
 
 
