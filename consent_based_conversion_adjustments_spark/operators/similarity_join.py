@@ -752,7 +752,13 @@ def lsh_recall_plan(
         m1 = sum(r["mass"] / r["n_tables"] for r in rows) / len(rows)
         if r1 <= 0.0:
             continue
-        if recall_floor >= 1.0:
+        if r1 >= 1.0:
+            # a measured recall of 1.0 inverts to a per-table rate of
+            # 1.0 — one table already meets ANY floor, and log(1-r1)
+            # would be log(0) (ADVICE r12: small corpora can measure
+            # perfect recall in a custom ledger)
+            t = 1
+        elif recall_floor >= 1.0:
             # 1-(1-r1)^t never reaches 1.0 for r1 < 1 — no finite t
             t = max_tables + 1
         else:

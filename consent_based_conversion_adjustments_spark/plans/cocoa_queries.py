@@ -220,15 +220,21 @@ def knn_lsh_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_lsh_planned_sql() -> str | None:
     """Oracle twin of `knn_lsh_planned`: replays the planner derivation
-    from a duckdb row count of the pinned sf0.01 fixture (the scale the
-    driver's correctness gate runs at — the `_ann_ivf_sql` precedent for
-    data-dependent oracle constants), then emits the parameterized
-    signature replay. Returns None (rows-only fallback) off-fixture."""
+    from a duckdb row count of the GATE's embeddings table (the driver's
+    correctness gate is pinned at sf0.01; a local gate at another scale
+    sets ``SPARK_GRAFT_ORACLE_SF_DIR`` — ADVICE r12: deriving from a
+    hardcoded sf0.01 path while the gate ran elsewhere would splice
+    mismatched parameters and report a spurious hash mismatch), then
+    emits the parameterized signature replay. Returns None (rows-only
+    fallback) when that table is not on disk."""
     import os
 
     from ..operators.similarity_join import lsh_params_for
 
-    path = "/root/testdata/sf0.01/embeddings.parquet"
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(path):
         return None
     import duckdb as _dd

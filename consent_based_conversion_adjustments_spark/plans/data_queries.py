@@ -364,9 +364,21 @@ def dedup_minhash_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PLANNED_PERM, _PLANNED_BAND = D.resolve_minhash_params(
-    JACCARD_THRESHOLD, **PLANNED_MINHASH_CONTRACT
-)
+def _minhash_planned_sql() -> str | None:
+    """Lazy oracle twin of `dedup_minhash_planned` (ADVICE r12): the
+    planner derivation used to run at module import, so a future tweak
+    making the 0.9/0.05 contract infeasible would raise at import and
+    break the ENTIRE registry. Deferred here, an infeasible contract
+    degrades only this query (None → rows-only fallback) while the
+    oracle still replays the SAME ``resolve_minhash_params`` call the
+    Spark query makes — a drifted derivation is still a hash mismatch."""
+    try:
+        n_perm, band_size = D.resolve_minhash_params(
+            JACCARD_THRESHOLD, **PLANNED_MINHASH_CONTRACT
+        )
+    except ValueError:
+        return None
+    return _minhash_sql(n_perm=n_perm, band_size=band_size)
 
 
 def dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4740,10 +4752,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_jaccard": (dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash": (dedup_minhash, _minhash_sql()),
-    "dedup_minhash_planned": (
-        dedup_minhash_planned,
-        _minhash_sql(n_perm=_PLANNED_PERM, band_size=_PLANNED_BAND),
-    ),
+    "dedup_minhash_planned": (dedup_minhash_planned, _minhash_planned_sql),
     "dedup_minhash_collapsed": (dedup_minhash_collapsed, _minhash_sql()),
     "dedup_sorted_neighborhood": (dedup_sorted_neighborhood, DEDUP_SNM_SQL),
     "incremental_dedup_admission": (

@@ -533,6 +533,32 @@ def test_lsh_recall_plan_concave_not_linear():
     )
 
 
+def test_lsh_recall_plan_perfect_recall_ledger_row():
+    """ADVICE r12: a ledger row with measured recall == 1.0 inverts to a
+    per-table rate of 1.0 — the concave inversion must special-case it
+    (one table meets any floor) instead of raising a math domain error
+    on log(1 - r1). Small corpora legitimately measure perfect recall."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        lsh_recall_plan,
+    )
+
+    ledger = ({"n_planes": 4, "n_tables": 8, "recall": 1.0, "mass": 100},)
+    plan = lsh_recall_plan(
+        1000, 1000, recall_floor=0.9, target_mass_per_row=64,
+        ledger=ledger, ledger_sides=(1000, 1000),
+    )
+    assert plan["route"] == "lsh"
+    assert plan["n_tables"] == 1
+    assert plan["predicted_recall"] == 1.0
+    # even floor=1.0 is now reachable: r1=1.0 delivers it with one table
+    plan = lsh_recall_plan(
+        1000, 1000, recall_floor=1.0, target_mass_per_row=64,
+        ledger=ledger, ledger_sides=(1000, 1000),
+    )
+    assert plan["route"] == "lsh"
+    assert plan["n_tables"] == 1
+
+
 def test_lsh_recall_plan_validates_floor():
     import pytest
 

@@ -14,11 +14,16 @@ import math
 import sys
 import time
 
+import os
+
 import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+# data-dependent oracles (e.g. cocoa_knn_lsh_planned) derive constants
+# from the gate's tables — tell them which scale this gate runs at
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
