@@ -142,6 +142,8 @@ HEADLINE = [
     ("cocoa_radius_adjust_grouped", cocoa_queries.radius_adjust_grouped),
     ("cocoa_percentile_adjust_grouped",
      cocoa_queries.percentile_adjust_grouped),
+    # round-13 addition (in-corpus recall governor)
+    ("cocoa_lsh_recall_audit", cocoa_queries.lsh_recall_audit),
 ]
 
 

@@ -663,11 +663,23 @@ def auto_n_planes(
 
 
 #: Measured recall-vs-mass ledger from the 64× embeddings rung
-#: (1.28M build × 1.28M query; tools/scale/run_lsh_recall_r10.py →
+#: (128k build × 128k query — run_scale_r9.build_tiles(64) of the
+#: 2000-row sf0.1 table; tools/scale/run_lsh_recall_r10.py →
 #: results_lsh_recall_r10.json, PERF.md round 10). Ground truth = exact
 #: top-5 for a 500-probe sample. The calibration corpus has WEAK angular
-#: gaps (near-uniform synthetic vectors) — the regime least favorable to
-#: angular LSH — so plans built on it are conservative for real corpora.
+#: gaps (rotation-tiled synthetic vectors) — a regime unfavorable to
+#: angular LSH. Round 13 measured two MORE corpus classes at the same
+#: (p, t) grid and falsified recall transfer in BOTH directions (PERF.md
+#: round 13): a duplicate-rich organic corpus saturates recall
+#: (RECALL_LEDGER_ORGANIC_64X below, ≥0.99 everywhere) while the sparse
+#: label-clustered driver corpora measure BELOW this ledger (0.047 at
+#: 500 rows / 0.067 at 2000 rows vs 0.127 predicted at p=10/t=8).
+#: Ledger predictions are calibration-corpus-relative; the recall
+#: CONTRACT must therefore be enforced by in-corpus measurement
+#: (``lsh_recall_measured`` + the registered ``cocoa_lsh_recall_audit``
+#: query), with ledgers seeding the initial (p, t) guess only. The
+#: candidate-MASS model, by contrast, transfers cleanly (within 1%
+#: across a 16× pair-product step on the organic rung).
 #:
 #:   p (planes)  n_tables   candidate mass   recall@5
 #:   10          4          85.1 M           0.070
@@ -681,8 +693,33 @@ RECALL_LEDGER_64X: tuple[dict, ...] = (
     {"n_planes": 12, "n_tables": 16, "mass": 99_908_734, "recall": 0.090},
 )
 
-#: the rung's corpus sides (mass scales as n_build·n_query relative to it)
-_LEDGER_SIDES = (1_280_000, 1_280_000)
+#: Round-13 organic ledger: bootstrap-resample of the sf0.1 embeddings
+#: ×64 (sigma=0.01 jitter + renorm — the run_sf1_corpus_r12 recipe), the
+#: duplicate-rich regime the engine's own dedup/near-dup workloads live
+#: in (tools/scale/run_lsh_recall_r13.py → results_lsh_recall_r13.json).
+#: Top-k neighbors are jittered near-copies, so they collide in nearly
+#: every table: recall saturates (the r1=1.0 rows invert to t=1 via the
+#: perfect-recall special case). A 512k validation leg reproduced the
+#: pair-product mass scaling within 1% (91.4M×16 predicted vs 1.448G
+#: measured at p=12/t=8).
+RECALL_LEDGER_ORGANIC_64X: tuple[dict, ...] = (
+    {"n_planes": 8, "n_tables": 8, "mass": 667_650_380, "recall": 1.0},
+    {"n_planes": 10, "n_tables": 4, "mass": 106_698_708, "recall": 0.9916},
+    {"n_planes": 10, "n_tables": 8, "mass": 214_666_944, "recall": 1.0},
+    {"n_planes": 10, "n_tables": 16, "mass": 431_370_330, "recall": 1.0},
+    {"n_planes": 12, "n_tables": 8, "mass": 91_371_896, "recall": 1.0},
+    {"n_planes": 12, "n_tables": 16, "mass": 183_604_536, "recall": 1.0},
+)
+
+#: the rungs' corpus sides (mass scales as n_build·n_query relative to
+#: them; both the r10 synthetic and r13 organic grids ran at 64× of the
+#: 2000-row sf0.1 table). NOTE: this constant shipped as 1_280_000
+#: through round 12 — a 10×-per-side recording error the round-13 rung's
+#: arithmetic exposed (the uniform-occupancy model t·n_b·n_q/2^p
+#: predicts the measured 170M mass at 128k sides and 12.8G at 1.28M
+#: sides); mass predictions were 100× under-estimated, making budget
+#: feasibility checks too permissive at large n.
+_LEDGER_SIDES = (128_000, 128_000)
 
 
 def lsh_recall_plan(
@@ -831,6 +868,71 @@ def lsh_params_for(
             f"{plan['reason']}"
         )
     return plan["n_planes"], plan["n_tables"]
+
+
+def lsh_recall_measured(
+    probe: DataFrame,
+    build: DataFrame,
+    k: int,
+    feature_width: int,
+    *,
+    metric: str = "euclidean",
+    probe_id: str = "probe_id",
+    build_id: str = "build_id",
+    features: str = "features",
+    n_planes: int,
+    n_tables: int,
+    sample_mod: int = 1,
+    self_join: bool = True,
+) -> DataFrame:
+    """In-corpus recall measurement — the enforcement half of the recall
+    contract (VERDICT r12 §Next #1). Round 13 measured the SAME (p, t)
+    grid on three corpus classes and recall@k did not transfer across
+    any pair of them (0.016 / 0.70 / 0.006 per-table rates at p=10 —
+    PERF.md round 13), so a ledger-predicted recall is only as good as
+    the calibration corpus's resemblance to the data. This operator
+    measures recall on the ACTUAL corpus: exact top-k (the
+    (distance, build_id)-tie-broken broadcast kernel) vs the
+    (n_planes, n_tables) LSH top-k over a deterministic probe sample
+    (``probe_id % sample_mod == 0`` — replayable in SQL), returning one
+    row ``(n_exact, hits)``. ``self_join=True`` (a corpus joined to
+    itself) ranks k+1 including the self pair and drops it, the
+    registered LSH queries' convention. Cost: sample_rows × n_build
+    exact distances + the sampled LSH legs — bounded by the sample, not
+    the corpus."""
+    if sample_mod > 1:
+        sample = probe.filter(
+            F.col(probe_id) % F.lit(int(sample_mod)) == 0
+        )
+    else:
+        sample = probe
+    sample = sample.select(probe_id, features)
+    fetch = k + 1 if self_join else k
+    # impl="numpy": the chunked-BLAS kernel shares the dot-product
+    # distance shape with knn_join_lsh's re-rank AND the oracle's
+    # _EUCLID replay — one distance formulation across all three legs
+    exact = knn_join(
+        sample, build, fetch, metric=metric, probe_id=probe_id,
+        build_id=build_id, features=features, impl="numpy",
+        feature_width=feature_width,
+    )
+    lsh = knn_join_lsh(
+        sample, build, fetch, feature_width, metric=metric,
+        probe_id=probe_id, build_id=build_id, features=features,
+        n_planes=n_planes, n_tables=n_tables,
+    )
+    if self_join:
+        exact = exact.filter(F.col(probe_id) != F.col(build_id))
+        lsh = lsh.filter(F.col(probe_id) != F.col(build_id))
+    exact = exact.select(probe_id, build_id)
+    hits = (
+        lsh.select(probe_id, build_id)
+        .join(exact, [probe_id, build_id])
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    # 1-row × 1-row scalar attach
+    return n_exact.crossJoin(hits)
 
 
 def knn_join_lsh(

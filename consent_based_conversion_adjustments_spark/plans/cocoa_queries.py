@@ -244,6 +244,162 @@ def _knn_lsh_planned_sql() -> str | None:
     return _knn_lsh_sql(n_planes, n_tables)
 
 
+#: probe-sample ceiling for the recall audit (sample_mod = n // this)
+_AUDIT_SAMPLE_TARGET = 500
+
+
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted-vs-measured recall audit of the LSH planner (VERDICT r12
+    §Next #1) — the enforcement half of the recall contract. Round 13
+    measured the same (p, t) grid on three corpus classes and recall did
+    NOT transfer across any pair (per-table rates 0.016 synthetic / 0.70
+    organic-duplicate-rich / 0.006 sparse-clustered at p=10 — PERF.md
+    round 13), so `lsh_recall_plan`'s prediction is only trustworthy on
+    corpora resembling its calibration ledger. This query measures
+    recall ON the actual corpus at the planner's chosen (p, t): exact
+    top-k vs LSH top-k over a deterministic probe sample
+    (operators.similarity_join.lsh_recall_measured), then inverts the
+    concave OR-amplification law on the MEASURED recall to report the
+    table count that would truly meet the floor
+    (``tables_for_floor``) — the self-calibration step that replaces
+    ledger trust with in-corpus evidence. One row:
+    (n_vectors, n_planes, n_tables, n_exact, hits, measured_recall,
+    predicted_recall, r1_measured, tables_for_floor). The oracle replays
+    the ENTIRE chain in SQL — planner derivation (spliced like
+    `_knn_lsh_planned_sql`), deterministic signatures, exact ranking,
+    sampling rule, and the calibration arithmetic."""
+    from ..operators.similarity_join import (
+        lsh_params_for,
+        lsh_recall_measured,
+        lsh_recall_plan,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_planes, n_tables = lsh_params_for(n, n, PLANNED_RECALL_FLOOR)
+    plan = lsh_recall_plan(n, n, recall_floor=PLANNED_RECALL_FLOOR)
+    mod = max(1, n // _AUDIT_SAMPLE_TARGET)
+    probe = emb.select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+    )
+    build = emb.select(
+        F.col("vec_id").alias("consent_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+    )
+    stats = lsh_recall_measured(
+        probe, build, FLAGSHIP_K, 64,
+        metric="euclidean", probe_id="probe_id", build_id="consent_id",
+        n_planes=n_planes, n_tables=n_tables, sample_mod=mod,
+    )
+    om = 1.0 - PLANNED_RECALL_FLOOR
+    mr_raw = F.col("hits") / F.col("n_exact")
+    r1 = stable_round(
+        F.lit(1.0) - F.pow(F.lit(1.0) - mr_raw, F.lit(1.0 / n_tables)), 6
+    )
+    tff = (
+        F.when(r1 >= 1.0, F.lit(1))
+        .when(r1 <= 0.0, F.lit(None))
+        .otherwise(F.ceil(F.log(F.lit(om)) / F.log(F.lit(1.0) - r1)))
+    ).cast("long")
+    return stats.select(
+        F.lit(int(n)).cast("long").alias("n_vectors"),
+        F.lit(int(n_planes)).cast("long").alias("n_planes"),
+        F.lit(int(n_tables)).cast("long").alias("n_tables"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("hits").cast("long").alias("hits"),
+        stable_round(mr_raw, 6).alias("measured_recall"),
+        F.lit(float(plan["predicted_recall"])).alias("predicted_recall"),
+        r1.alias("r1_measured"),
+        tff.alias("tables_for_floor"),
+    )
+
+
+def _lsh_recall_audit_sql() -> str | None:
+    """Oracle twin of `lsh_recall_audit`: replays the planner derivation
+    from the gate table's row count (the `_knn_lsh_planned_sql`
+    contract, including the SPARK_GRAFT_ORACLE_SF_DIR scale guard), the
+    deterministic hyperplane signatures, BOTH ranked top-k legs, and the
+    measured-r1 inversion — all in SQL. None (rows-only) off-fixture or
+    when the planner cannot route to LSH."""
+    import os
+
+    from ..operators.similarity_join import lsh_params_for, lsh_recall_plan
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb as _dd
+
+    n = _dd.sql(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+    try:
+        n_planes, n_tables = lsh_params_for(n, n, PLANNED_RECALL_FLOOR)
+    except ValueError:
+        return None
+    plan = lsh_recall_plan(n, n, recall_floor=PLANNED_RECALL_FLOOR)
+    mod = max(1, n // _AUDIT_SAMPLE_TARGET)
+    k1 = FLAGSHIP_K + 1
+    om = 1.0 - PLANNED_RECALL_FLOOR
+    sig_cols, s_list, t_list = _lsh_sig_sql(n_planes, n_tables)
+    prelude = _LSH_PAIRS_PRELUDE.format(
+        sig_cols=sig_cols, s_list=s_list, t_list=t_list
+    )
+    mr = "hits * 1.0 / n_exact"
+    r1 = sql_round(
+        f"1.0 - power(1.0 - {mr}, {1.0 / n_tables!r})", 6
+    )
+    return f"""{prelude}, exact_scored AS (
+    SELECT a.vec_id AS probe_id, b.vec_id AS consent_id,
+           {_EUCLID} AS dist_raw
+    FROM v a CROSS JOIN v b
+    WHERE a.vec_id % {mod} = 0
+), exact_ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY dist_raw, consent_id) AS rn
+    FROM exact_scored
+), exact AS (
+    SELECT probe_id, consent_id FROM exact_ranked
+    WHERE rn <= {k1} AND probe_id <> consent_id
+), pairs AS (
+    SELECT DISTINCT q.vec_id AS probe_id, c.vec_id AS consent_id
+    FROM lng q JOIN lng c ON q.table_id = c.table_id AND q.sig = c.sig
+    WHERE q.vec_id % {mod} = 0
+), lsh_scored AS (
+    SELECT probe_id, consent_id, {_EUCLID} AS dist_raw
+    FROM pairs
+    JOIN v a ON a.vec_id = probe_id
+    JOIN v b ON b.vec_id = consent_id
+), lsh_ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY dist_raw, consent_id) AS rn
+    FROM lsh_scored
+), lshk AS (
+    SELECT probe_id, consent_id FROM lsh_ranked
+    WHERE rn <= {k1} AND probe_id <> consent_id
+), stats AS (
+    SELECT (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*)
+            FROM lshk JOIN exact USING (probe_id, consent_id)) AS hits
+)
+SELECT CAST({n} AS BIGINT) AS n_vectors,
+       CAST({n_planes} AS BIGINT) AS n_planes,
+       CAST({n_tables} AS BIGINT) AS n_tables,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(hits AS BIGINT) AS hits,
+       {sql_round(mr, 6)} AS measured_recall,
+       {float(plan["predicted_recall"])!r} AS predicted_recall,
+       {r1} AS r1_measured,
+       CASE WHEN {r1} >= 1.0 THEN 1
+            WHEN {r1} <= 0.0 THEN NULL
+            ELSE CAST(ceil(ln({om!r}) / ln(1.0 - {r1})) AS BIGINT)
+       END AS tables_for_floor
+FROM stats
+"""
+
+
 def radius_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-broadcast RADIUS join (J3 scale ceiling): same bucketed
     co-group as the kNN variant but emitting every in-bucket pair within
@@ -1104,6 +1260,7 @@ QUERIES: dict[str, tuple] = {
     "cocoa_knn_minkowski": (knn_minkowski, KNN_MINKOWSKI_SQL),
     "cocoa_knn_lsh_pairs": (knn_lsh_pairs, _knn_lsh_sql),
     "cocoa_knn_lsh_planned": (knn_lsh_planned, _knn_lsh_planned_sql),
+    "cocoa_lsh_recall_audit": (lsh_recall_audit, _lsh_recall_audit_sql),
     "cocoa_radius_lsh_pairs": (radius_lsh_pairs, _radius_lsh_sql),
     "cocoa_radius_lsh_adjust": (radius_lsh_adjust, _radius_lsh_adjust_sql),
     "cocoa_percentile_lsh_adjust": (

@@ -436,11 +436,11 @@ def test_lsh_recall_plan_reproduces_ledger_points():
         lsh_recall_plan,
     )
 
-    n = 1_280_000
+    n = 128_000  # the rung's TRUE sides (r13 corrected the 1.28M record)
     # measured point: p=10, 8 tables -> recall 0.124 at 170.5M mass.
     # Budget: generous enough to admit it.
     plan = lsh_recall_plan(
-        n, n, recall_floor=0.12, target_mass_per_row=200
+        n, n, recall_floor=0.12, target_mass_per_row=2000
     )
     assert plan["route"] == "lsh"
     assert plan["n_planes"] == 10
@@ -473,18 +473,20 @@ def test_lsh_recall_plan_routes_high_floor_to_exact():
 
 
 def test_lsh_recall_plan_scales_mass_by_pair_product():
-    """Pair-sampling scaling: a 10x-smaller corpus (each side) predicts
-    100x less mass for the same (p, t), turning an infeasible floor
-    feasible."""
+    """Pair-sampling scaling: a 100x-smaller corpus (each side) predicts
+    10,000x less mass for the same (p, t) while the linear budget only
+    shrinks 100x — the pair-product asymmetry that turns an infeasible
+    floor feasible at small n. Sides are relative to the rung's TRUE
+    128k corpus (r13 corrected the 1.28M sides record)."""
     from consent_based_conversion_adjustments_spark.operators.similarity_join import (
         lsh_recall_plan,
     )
 
     big = lsh_recall_plan(
-        1_280_000, 1_280_000, recall_floor=0.5, target_mass_per_row=64
+        128_000, 128_000, recall_floor=0.5, target_mass_per_row=64
     )
     small = lsh_recall_plan(
-        128_000, 128_000, recall_floor=0.5, target_mass_per_row=64
+        1_280, 1_280, recall_floor=0.5, target_mass_per_row=64
     )
     assert big["route"] == "exact_blas"
     assert small["route"] == "lsh"
@@ -531,6 +533,27 @@ def test_lsh_recall_plan_concave_not_linear():
         ]
         == "exact_blas"
     )
+
+
+def test_lsh_recall_plan_organic_ledger():
+    """The r13 organic (duplicate-rich) ledger: near-copy neighbors
+    collide in nearly every table, so per-table rates are huge
+    (r1≈0.70 at p=10 from the one non-saturated row) and even a 0.9
+    floor needs only a couple of tables — the regime where LSH is
+    nearly free. Saturated rows (recall 1.0) invert via the
+    perfect-recall special case instead of crashing."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        RECALL_LEDGER_ORGANIC_64X,
+        lsh_recall_plan,
+    )
+
+    plan = lsh_recall_plan(
+        128_000, 128_000, recall_floor=0.9, target_mass_per_row=2000,
+        ledger=RECALL_LEDGER_ORGANIC_64X,
+    )
+    assert plan["route"] == "lsh"
+    assert plan["n_tables"] <= 4
+    assert plan["predicted_recall"] >= 0.9
 
 
 def test_lsh_recall_plan_perfect_recall_ledger_row():
@@ -587,6 +610,43 @@ def test_lsh_params_for_pins_planned_derivation():
     assert lsh_params_for(2_000, 2_000, 0.12) == (10, 8)  # sf0.1 sides
     with pytest.raises(ValueError, match="cosine_neardup_blas"):
         lsh_params_for(1_280_000, 1_280_000, 0.9)
+
+
+def test_lsh_recall_measured_bounds_and_saturation(spark):
+    """The in-corpus recall measurement (r13 self-calibration): n_exact
+    is exactly k non-self rows per sampled probe, hits is bounded by it,
+    and amplifying tables toward exhaustive bucketing drives measured
+    recall to 1.0 — the operator agrees with the exact kernel when the
+    candidate set saturates."""
+    import numpy as np
+
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        lsh_recall_measured,
+    )
+
+    rng = np.random.default_rng(13)
+    width, n, k = 8, 48, 3
+    M = rng.normal(size=(n, width))
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in M[i]]) for i in range(n)]
+    probe = spark.createDataFrame(rows, "probe_id long, features array<double>")
+    build = (
+        probe.withColumnRenamed("probe_id", "consent_id")
+    )
+    few = lsh_recall_measured(
+        probe, build, k, width, metric="euclidean",
+        probe_id="probe_id", build_id="consent_id",
+        n_planes=6, n_tables=1, sample_mod=2,
+    ).first()
+    assert few["n_exact"] == k * (n // 2)
+    assert 0 <= few["hits"] <= few["n_exact"]
+    many = lsh_recall_measured(
+        probe, build, k, width, metric="euclidean",
+        probe_id="probe_id", build_id="consent_id",
+        n_planes=1, n_tables=16, sample_mod=2,
+    ).first()
+    assert many["hits"] >= few["hits"]
+    assert many["hits"] == many["n_exact"]  # p=1, 16 tables: exhaustive
 
 
 def _dup_frames(spark, n_probe=40, n_build=60, width=3, seed=5):

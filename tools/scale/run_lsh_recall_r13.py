@@ -51,6 +51,11 @@ _spec = importlib.util.spec_from_file_location(
 r10 = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(r10)
 
+# executor workers unpickle package closures — they need the repo on
+# PYTHONPATH regardless of this process's cwd (sys.path fixes only the
+# driver side of each snippet subprocess)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
 K = r10.K
 SRC = "/root/testdata/sf0.1"
 BASE = "/tmp/scale_lsh_organic"
