@@ -2383,9 +2383,14 @@ def unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (operators.tokenizer.unigram_learn,
     SentencePiece family): substring-seeded vocabulary shrunk by hard-EM
     rounds — each round ONE Arrow Viterbi pass over the distinct-word
-    table with the bounded piece table in the closure. No SQL oracle (a
-    float EM with DP inside is not SQL-expressible) → rows-only; the
-    pytest suite pins a pure-Python EM replica exactly."""
+    table with the bounded piece table in the closure. The float EM's DP
+    is not SQL-expressible, but since round 13 the oracle is no longer
+    rows-only: `_unigram_vocab_sql` replays the ENTIRE derivation as an
+    independent single-node implementation (duckdb word counts → seed →
+    hard-EM rounds → final cut, sharing only `_viterbi`'s deterministic
+    tie-break spec) and emits the result as a VALUES table — the
+    distributed trainer must hash-match a from-scratch replica on the
+    gate corpus, the `adjugate_exprs` one-spec-two-engines contract."""
     from ..operators import tokenizer as TK
 
     docs = read_table(spark, sf_dir, "documents")
@@ -2398,7 +2403,11 @@ def unigram_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc subword counts under the learned unigram vocabulary
     (operators.tokenizer.unigram_encoded_lengths): the DP runs once per
     DISTINCT word; documents encode via an equi-join onto that map.
-    Rows-only for the same reason as unigram_vocab."""
+    Hash-checked since round 13: `_unigram_doclen_sql` splices the
+    replica's word → piece-count map as a VALUES table and re-derives
+    the per-doc totals from the documents VIEW in SQL (tokenize → join
+    → per-doc sum), so only the bounded DP dictionary comes from the
+    replica while the corpus-scale arithmetic is independent SQL."""
     from ..operators import tokenizer as TK
 
     docs = read_table(spark, sf_dir, "documents")
@@ -2409,6 +2418,144 @@ def unigram_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     ]
     return TK.unigram_encoded_lengths(docs, pieces)
+
+
+_UNIGRAM_CACHE: dict = {}
+
+
+def _unigram_replica() -> tuple[list, dict] | None:
+    """Pure-Python replay of the unigram hard-EM derivation on the GATE's
+    documents table (VERDICT r12 §Next #6 — the last rows-only pair gets
+    a hash-checked companion). A genuinely independent second
+    implementation of the documented spec — duckdb word counts → capped
+    substring seed → add-½ char-pinned normalize → `_UNIGRAM_ROUNDS`
+    hard-EM rounds → final cut — sharing only `_viterbi` (the
+    deterministic DP tie-break) with the distributed trainer, the
+    mlfit `adjugate_exprs` one-spec-two-engines precedent. Returns
+    (vocab_rows [(piece, prob_raw, rank)], word→n_pieces dict under the
+    ROUNDED final probs, exactly what `unigram_doc_lengths` encodes
+    with), or None off-fixture. Cached on (path, mtime): the driver
+    calls oracle_sql() once but both oracles share one derivation."""
+    import math
+    import os
+    from collections import Counter
+
+    from ..operators.tokenizer import UNIGRAM_MAX_PIECE_LEN, _viterbi
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    key = (path, os.path.getmtime(path))
+    if key in _UNIGRAM_CACHE:
+        return _UNIGRAM_CACHE[key]
+    import duckdb as _dd
+
+    toks = _TOKS.format(c="text")
+    words = dict(
+        _dd.sql(
+            f"SELECT t.w, count(*) FROM (SELECT unnest({toks}) AS w "
+            f"FROM read_parquet('{path}')) t GROUP BY 1"
+        ).fetchall()
+    )
+    vocab_size, max_len = _UNIGRAM_V, UNIGRAM_MAX_PIECE_LEN
+    subs: Counter = Counter()
+    for w, n in words.items():
+        for i in range(len(w)):
+            for ln in range(1, min(max_len, len(w) - i) + 1):
+                subs[w[i : i + ln]] += n
+    chars = {p: c for p, c in subs.items() if len(p) == 1}
+    n_seed = max(vocab_size * 4 - len(chars), 0)
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:n_seed]
+    weights = {**chars, **dict(multi)}
+
+    def normalize(usage: dict) -> dict:
+        kept = {
+            p: u + (0.5 if len(p) == 1 else 0.0)
+            for p, u in usage.items()
+            if u > 0 or len(p) == 1
+        }
+        for c in chars:
+            kept.setdefault(c, 0.5)
+        total = sum(kept.values())
+        return {p: math.log(u / total) for p, u in kept.items()}
+
+    logp = normalize(weights)
+    for _ in range(_UNIGRAM_ROUNDS):
+        usage: Counter = Counter()
+        for w, n in words.items():
+            for p in _viterbi(w, logp, max_len):
+                usage[p] += n
+        logp = normalize(usage)
+    ranked = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    final = [p for p, _ in ranked[: max(vocab_size, len(chars))]]
+    keep = set(final) | set(chars)
+    total = sum(math.exp(logp[p]) for p in keep)
+    rows = sorted(
+        ((p, math.exp(logp[p]) / total) for p in keep),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    vocab_rows = [(p, pr, i + 1) for i, (p, pr) in enumerate(rows)]
+    # unigram_doc_lengths encodes with the ROUNDED collected probs —
+    # replicate stable_round's shifted HALF-even-proof rounding exactly
+    logp_enc = {
+        p: math.log(round(pr - 1e-9, 8) + 0.0) for p, pr, _ in vocab_rows
+    }
+    word_pieces = {
+        w: len(_viterbi(w, logp_enc, max_len)) for w in words
+    }
+    out = (vocab_rows, word_pieces)
+    _UNIGRAM_CACHE[key] = out
+    return out
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _unigram_vocab_sql() -> str | None:
+    """Lazy oracle twin of `unigram_vocab` (see `_unigram_replica`)."""
+    rep = _unigram_replica()
+    if rep is None:
+        return None
+    vocab_rows, _ = rep
+    values = ",\n".join(
+        f"({_sql_str(p)}, {pr!r}, {rk})" for p, pr, rk in vocab_rows
+    )
+    r = sql_round("prob", 8)
+    return f"""
+SELECT piece, {r} AS prob, CAST(rank AS BIGINT) AS rank
+FROM (VALUES {values}) AS t(piece, prob, rank)
+ORDER BY rank
+"""
+
+
+def _unigram_doclen_sql() -> str | None:
+    """Lazy oracle twin of `unigram_doc_lengths`: the replica supplies
+    only the bounded word → piece-count DP dictionary; tokenization,
+    the join, and the per-doc totals run in SQL over the gate's
+    documents view."""
+    rep = _unigram_replica()
+    if rep is None:
+        return None
+    _, word_pieces = rep
+    values = ",\n".join(
+        f"({_sql_str(w)}, {n})" for w, n in sorted(word_pieces.items())
+    )
+    toks = _TOKS.format(c="text")
+    return f"""
+WITH wl(word, n_pieces) AS (VALUES {values}),
+tk AS (SELECT doc_id, unnest({toks}) AS word FROM documents)
+SELECT doc_id, CAST(sum(wl.n_pieces) AS BIGINT) AS n_pieces
+FROM tk JOIN wl USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
 
 
 def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2447,8 +2594,8 @@ ORDER BY checkpoint
 
 QUERIES: dict[str, tuple] = {
     "vocab_zipf_fit": (vocab_zipf_fit, VOCAB_ZIPF_SQL),
-    "unigram_vocab": (unigram_vocab, None),
-    "unigram_doc_lengths": (unigram_doc_lengths, None),
+    "unigram_vocab": (unigram_vocab, _unigram_vocab_sql),
+    "unigram_doc_lengths": (unigram_doc_lengths, _unigram_doclen_sql),
     "corpus_vocab_growth": (corpus_vocab_growth, VOCAB_GROWTH_SQL),
     "source_token_js": (source_token_js, SOURCE_TOKEN_JS_SQL),
     "token_source_chi2": (token_source_chi2, TOKEN_CHI2_SQL),
