@@ -197,15 +197,35 @@ def distribute_from_class_pairs(
     class-wise summation ORDER (the accepted cross-engine class the
     fused numpy kernel already established).
 
-    ``class_pairs``: (__pf, build_id, distance) from ``knn_topk_classes``
-    / ``radius_classes``. ``probe_classes``: (__pf, __cnt, __convsum).
+    ``class_pairs``: (class_key, build_id, distance) from
+    ``knn_topk_classes`` / ``radius_classes``. ``probe_classes``:
+    (class_key, __cnt, __convsum). ``class_key`` is ``__pcid`` (the
+    compact dense id, ``probe_class_ids``) on the pipeline path and
+    ``__pf`` (the raw vector) for ad-hoc callers.
+
+    The per-class softmax normalizers are computed with two map-side-
+    combining AGGREGATIONS broadcast back (d_p rows of state each), not
+    a window: a window over the pair frame shuffles the whole frame
+    into ≤ d_p partitions, and at sf1.0 that 3.17M-row shuffle (then
+    still carrying the array key) swung 5.6–88 s under memory pressure
+    (r13 profile). The aggs reduce map-side to d_p rows, the joins are
+    broadcasts, and the only remaining shuffle is the scatter-add's own
+    groupBy(build_id) — which IS the operator. Summation ORDER within a
+    class changes (agg combine vs window scan) — the accepted
+    class-wise divergence at 3-decimal rounding (the fused-numpy
+    precedent); the driver oracles are unchanged and stay hash-green.
     """
-    w = Window.partitionBy("__pf")
+    key = [c for c in class_pairs.columns if c in ("__pcid", "__pf")][0]
     neg = -F.col(DISTANCE)
-    shifted = F.exp(neg - F.max(neg).over(w))
-    weight = shifted / F.sum(shifted).over(w)
-    j = class_pairs.withColumn(WEIGHT, weight).join(
-        F.broadcast(probe_classes), "__pf"
+    mx = class_pairs.groupBy(key).agg(F.max(neg).alias("__mx"))
+    shifted = class_pairs.join(F.broadcast(mx), key).withColumn(
+        "__sh", F.exp(neg - F.col("__mx"))
+    )
+    den = shifted.groupBy(key).agg(F.sum("__sh").alias("__den"))
+    j = (
+        shifted.join(F.broadcast(den), key)
+        .withColumn(WEIGHT, F.col("__sh") / F.col("__den"))
+        .join(F.broadcast(probe_classes), key)
     )
     aggs = j.groupBy(F.col(build_id).alias(consent_id)).agg(
         F.sum(F.col("__convsum") * F.col(WEIGHT)).alias(
@@ -218,7 +238,7 @@ def distribute_from_class_pairs(
         ),
     )
     total_matched = (
-        probe_classes.join(class_pairs.select("__pf").distinct(), "__pf")
+        probe_classes.join(class_pairs.select(key).distinct(), key)
         .agg(
             F.coalesce(F.sum("__convsum"), F.lit(0.0)).alias(
                 "__total_matched"

@@ -106,17 +106,44 @@ def resolve_k(number_nearest_neighbors: float, n_build: int) -> int:
 # -- the (distance, build_id) tie-break is applied over build ROWS.
 
 
+def probe_class_ids(
+    probe: DataFrame, features: str = "features"
+) -> DataFrame:
+    """``(__pf, __pcid)``: a deterministic dense integer id per distinct
+    probe vector (row_number over the array's lexicographic order).
+
+    Why (r13 profile): carrying the raw feature ARRAY as the class key
+    through the d_p × matched-build-rows pair frame made every shuffle,
+    persist block, and distinct of the radius flagship ~10× wider than
+    needed (3.17M rows × a 30-wide double array at sf1.0) — run times
+    swung 5.6–88 s on identical plans under the resulting memory
+    pressure. The id join keeps arrays confined to the d_p-row
+    dictionary. The single-partition window is bounded by the
+    dictionary-route admission (d_p·d_b ≤ the pair-grid budget), the
+    same scale class as the collected build matrix; exact array
+    equality, so no hash-collision risk."""
+    pc = probe.select(F.col(features).alias("__pf")).distinct()
+    w = Window.orderBy(F.col("__pf").asc())
+    return pc.withColumn("__pcid", F.row_number().over(w))
+
+
 def _class_grid(
     probe: DataFrame,
     build: DataFrame,
     metric: str,
     features: str,
     feature_width: int | None,
+    class_ids: DataFrame | None = None,
 ) -> DataFrame:
     """One row per (distinct probe vector, distinct build vector) with the
     metric distance — ``__pf`` / ``__bf`` are the class keys (the vectors
-    themselves: exact equality, no hash-collision risk)."""
-    pc = probe.select(F.col(features).alias("__pf")).distinct()
+    themselves: exact equality, no hash-collision risk). With
+    ``class_ids`` (``probe_class_ids`` output) the grid additionally
+    carries the compact ``__pcid`` key."""
+    if class_ids is not None:
+        pc = class_ids
+    else:
+        pc = probe.select(F.col(features).alias("__pf")).distinct()
     bc = build.select(F.col(features).alias("__bf")).distinct()
     grid = pc.crossJoin(F.broadcast(bc))
     return grid.withColumn(
@@ -136,6 +163,7 @@ def knn_topk_classes(
     build_id: str = "build_id",
     features: str = "features",
     feature_width: int | None = None,
+    class_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Per-probe-CLASS exact top-k build rows: class grid → candidate
     classes (cumulative build-row counts over ascending distance, whole
@@ -144,8 +172,14 @@ def knn_topk_classes(
     (__pf, build_id, distance), ≤ d_p·k rows: every probe row of class
     __pf matches exactly these build rows. Candidate overshoot is
     bounded by the last admitted distance group, the same boundary-tie
-    set every exact kernel must rank."""
-    grid = _class_grid(probe, build, metric, features, feature_width)
+    set every exact kernel must rank. With ``class_ids`` the output is
+    keyed (__pcid, build_id, distance) instead — the compact frame the
+    pipeline's fused adjust consumes (r13: arrays stay in the d_p-row
+    dictionary, never in the expanded frames)."""
+    key = "__pcid" if class_ids is not None else "__pf"
+    grid = _class_grid(
+        probe, build, metric, features, feature_width, class_ids=class_ids
+    )
     bcounts = build.groupBy(F.col(features).alias("__bf")).agg(
         F.count(F.lit(1)).alias("__bn")
     )
@@ -153,23 +187,23 @@ def knn_topk_classes(
     # rows strictly closer than this row's distance group; rangeBetween
     #(orderBy distance) counts <= current, minus the at-distance total
     w_cum = (
-        Window.partitionBy("__pf")
+        Window.partitionBy(key)
         .orderBy(F.col(DISTANCE).asc())
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_at = Window.partitionBy("__pf", DISTANCE)
+    w_at = Window.partitionBy(key, DISTANCE)
     g = g.withColumn(
         "__before",
         F.sum("__bn").over(w_cum) - F.sum("__bn").over(w_at),
     )
     cand_classes = g.filter(F.col("__before") < k).select(
-        "__pf", "__bf", DISTANCE
+        key, "__bf", DISTANCE
     )
     brows = build.select(
         F.col(build_id).alias(build_id), F.col(features).alias("__bf")
     )
-    cand = cand_classes.join(brows, "__bf").select("__pf", build_id, DISTANCE)
-    w_rank = Window.partitionBy("__pf").orderBy(
+    cand = cand_classes.join(brows, "__bf").select(key, build_id, DISTANCE)
+    w_rank = Window.partitionBy(key).orderBy(
         F.col(DISTANCE).asc(), F.col(build_id).asc()
     )
     return (
@@ -188,17 +222,22 @@ def radius_classes(
     build_id: str = "build_id",
     features: str = "features",
     feature_width: int | None = None,
+    class_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Per-probe-CLASS in-radius build rows: (__pf, build_id, distance),
     d_p × avg-in-radius-rows — the class-level contraction of the radius
-    join (every probe row of class __pf matches exactly these rows)."""
-    grid = _class_grid(probe, build, metric, features, feature_width).filter(
-        F.col(DISTANCE) <= radius
-    )
+    join (every probe row of class __pf matches exactly these rows).
+    With ``class_ids``: keyed (__pcid, build_id, distance) — this is the
+    frame whose width dominates the radius flagship at scale (3.17M
+    rows at sf1.0), so the array key stays out of it (r13)."""
+    key = "__pcid" if class_ids is not None else "__pf"
+    grid = _class_grid(
+        probe, build, metric, features, feature_width, class_ids=class_ids
+    ).filter(F.col(DISTANCE) <= radius)
     brows = build.select(
         F.col(build_id).alias(build_id), F.col(features).alias("__bf")
     )
-    return grid.join(brows, "__bf").select("__pf", build_id, DISTANCE)
+    return grid.join(brows, "__bf").select(key, build_id, DISTANCE)
 
 
 def _knn_join_grouped(

@@ -198,6 +198,7 @@ def run_adjustment(
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     consent_keyed = build.drop("features")
     cls_pairs = None
+    pc_ids = None
     if impl == "grouped":
         # class-fused scale path: every probe row of a feature class
         # shares the same softmax distribution, so W1+W2 factor through
@@ -206,16 +207,28 @@ def run_adjustment(
         # sf1.0 radius flagship: 321 s row-level → 70 s fused, linear in
         # the matched-build-rows frame, vs the numpy grid's 164 s
         # quadratic). `pairs` above stays lazy unless matched_pairs is
-        # consumed.
+        # consumed. r13: the expanded frames are keyed by the compact
+        # dense class id (probe_class_ids), never the raw feature array
+        # — the array-keyed pair frame swung 5.6–88 s at sf1.0 under
+        # memory pressure; compact-keyed it runs ~6 s, stable.
         from .operators.similarity_join import (
             knn_topk_classes,
+            probe_class_ids,
             radius_classes,
             resolve_k,
         )
 
-        probe_classes = probe.groupBy(F.col("features").alias("__pf")).agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.sum(F.col(cfg.conversion_column)).alias("__convsum"),
+        pc_ids = probe_class_ids(probe, "features").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        probe_classes = (
+            probe.groupBy(F.col("features").alias("__pf"))
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.sum(F.col(cfg.conversion_column)).alias("__convsum"),
+            )
+            .join(F.broadcast(pc_ids), "__pf")
+            .select("__pcid", "__cnt", "__convsum")
         )
         if cfg.number_nearest_neighbors is not None:
             if n_build is None:
@@ -224,12 +237,13 @@ def run_adjustment(
             cls_pairs = knn_topk_classes(
                 probe, build, k, metric=cfg.metric, build_id=CONSENT_ID,
                 features="features", feature_width=encoder.width,
+                class_ids=pc_ids,
             )
         else:
             cls_pairs = radius_classes(
                 probe, build, cfg.radius, metric=cfg.metric,
                 build_id=CONSENT_ID, features="features",
-                feature_width=encoder.width,
+                feature_width=encoder.width, class_ids=pc_ids,
             )
         cls_pairs = cls_pairs.persist(StorageLevel.MEMORY_AND_DISK)
         data_adjusted = distribute_from_class_pairs(
@@ -274,10 +288,14 @@ def run_adjustment(
     data_adjusted = data_adjusted.drop(CONSENT_ID)
     if cls_pairs is not None:
         # matched probes = probes whose CLASS matched — a broadcast join
-        # against the distinct matched classes, never the row-level pairs
+        # against the distinct matched classes (resolved back to vectors
+        # through the d_p-row dictionary), never the row-level pairs
+        matched_pf = pc_ids.join(
+            cls_pairs.select("__pcid").distinct(), "__pcid"
+        ).select("__pf")
         matched_ids = (
             probe.select(PROBE_ID, F.col("features").alias("__pf"))
-            .join(F.broadcast(cls_pairs.select("__pf").distinct()), "__pf")
+            .join(F.broadcast(matched_pf), "__pf")
             .select(PROBE_ID)
         )
     else:
