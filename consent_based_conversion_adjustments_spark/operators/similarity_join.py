@@ -536,25 +536,31 @@ def resolve_auto_impl(
     feature_width: int | None,
     n_probe: int | None = None,
     n_build: int | None = None,
+    d_probe: int | None = None,
+    d_build: int | None = None,
 ) -> tuple[str, int, int]:
     """The eager half of ``impl="auto"``: count both sides, and — only
     when the row-level grid already failed the budget — count distinct
     feature vectors to test the dictionary route. Returns
     (impl, n_probe, n_build). Distinct counts go through xxhash64 (a
     64-bit collision could only shrink the COUNT and flip the route,
-    never an answer — every route is exact)."""
+    never an answer — every route is exact). All four stats are
+    overridable so a caller that already knows them (the per-date loop's
+    one-pass precount, VERDICT r12 §Next #7) pays zero extra jobs."""
     if n_probe is None:
         n_probe = probe.count()
     if n_build is None:
         n_build = build.count()
     impl = choose_impl(n_probe, n_build, feature_width)
     if impl == "lsh":
-        d_probe = probe.select(
-            F.countDistinct(F.xxhash64(features)).alias("d")
-        ).first()["d"]
-        d_build = build.select(
-            F.countDistinct(F.xxhash64(features)).alias("d")
-        ).first()["d"]
+        if d_probe is None:
+            d_probe = probe.select(
+                F.countDistinct(F.xxhash64(features)).alias("d")
+            ).first()["d"]
+        if d_build is None:
+            d_build = build.select(
+                F.countDistinct(F.xxhash64(features)).alias("d")
+            ).first()["d"]
         impl = choose_impl(
             n_probe, n_build, feature_width,
             d_probe=d_probe, d_build=d_build,

@@ -95,6 +95,7 @@ def run_adjustment(
     impl: str = "auto",
     feature_engineering=None,
     check_id_uniqueness: bool = False,
+    auto_stats: tuple[int, int, int, int] | None = None,
 ) -> AdjustmentResult:
     """The full per-date adjustment query. Returns lazy DataFrames.
 
@@ -112,6 +113,14 @@ def run_adjustment(
     ``check_id_uniqueness`` runs one eager count-vs-countDistinct pass per
     side and raises if the configured id columns do not key rows uniquely
     (see ``_row_id`` for why duplicates would silently double-count).
+
+    ``auto_stats``: precomputed ``(n_probe, n_build, d_probe, d_build)``
+    for the auto dispatch — the per-date loop supplies them from ONE
+    grouped pass over each table (``_per_date_auto_stats``) instead of
+    paying two count jobs (plus two count-distincts past the grid
+    budget) per date (VERDICT r12 §Next #7). Routing-only: every stat
+    feeds ``choose_impl``; answers do not depend on them on the exact
+    routes.
     """
     consent_p, noconsent_p, encoder = union_encode_split(
         consent, noconsent, config, feature_engineering=feature_engineering
@@ -137,8 +146,12 @@ def run_adjustment(
                 )
     n_probe = n_build = None
     if impl == "auto":
+        sp, sb, dp, db = auto_stats if auto_stats is not None else (
+            None, None, None, None
+        )
         impl, n_probe, n_build = resolve_auto_impl(
-            probe, build, "features", encoder.width
+            probe, build, "features", encoder.width,
+            n_probe=sp, n_build=sb, d_probe=dp, d_build=db,
         )
         logger.info(
             "run_adjustment: impl='auto' resolved to %r "
@@ -317,6 +330,64 @@ def run_adjustment(
     )
 
 
+def _per_date_auto_stats(
+    consent: DataFrame,
+    noconsent: DataFrame,
+    config: AdjustmentConfig,
+) -> dict[str, tuple[int, int, int, int]]:
+    """date → (n_probe, n_build, d_probe, d_build) in ONE grouped
+    aggregation per side (VERDICT r12 §Next #7): the auto dispatch used
+    to pay two count jobs — plus two count-distincts past the pair-grid
+    budget — PER DATE inside the loop; the same numbers fall out of one
+    pass over each cleaned table, grouped by day. Feature roles are
+    dtype-driven and date-independent (``infer_feature_columns``), so
+    the distinct-feature-vector count per date equals the distinct raw
+    feature-tuple count (one-hot is injective on values; numerics pass
+    through), hashed exactly as ``resolve_auto_impl`` hashes vectors.
+    Dates absent from a side simply have no entry — callers fall back to
+    in-loop resolution for them."""
+    from .operators.preprocess import (
+        add_consent_flag,
+        clean_data,
+        infer_feature_columns,
+    )
+
+    u = add_consent_flag(noconsent, 0).unionByName(add_consent_flag(consent, 1))
+    u = u.drop(*[c for c in config.drop_columns if c in u.columns])
+    categorical, numeric = infer_feature_columns(u, config)
+    feat_cols = categorical + numeric
+    per_side: list[dict[str, tuple[int, int]]] = []
+    for df in (noconsent, consent):  # probe side first
+        cleaned = clean_data(
+            df.drop(*[c for c in config.drop_columns if c in df.columns]),
+            config.conversion_column,
+        )
+        rows = (
+            cleaned.groupBy(
+                F.to_date(F.col(config.date_column))
+                .cast("string")
+                .alias("__d")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # no feature columns → every row is the same empty vector
+                (
+                    F.countDistinct(F.xxhash64(*feat_cols))
+                    if feat_cols
+                    else F.min(F.lit(1)).cast("long")
+                ).alias("d"),
+            )
+            .collect()
+        )
+        per_side.append({r["__d"]: (r["n"], r["d"]) for r in rows})
+    probe_stats, build_stats = per_side
+    out: dict[str, tuple[int, int, int, int]] = {}
+    for date in set(probe_stats) & set(build_stats):
+        (np_, dp), (nb, db) = probe_stats[date], build_stats[date]
+        out[date] = (np_, nb, dp, db)
+    return out
+
+
 def run_dates(
     spark: SparkSession,
     consent: DataFrame,
@@ -331,11 +402,17 @@ def run_dates(
     down to the scans (reference: pipeline.py:318-360)."""
     if config.date_column is None:
         raise ValueError("run_dates requires config.date_column")
+    stats = (
+        _per_date_auto_stats(consent, noconsent, config)
+        if impl == "auto"
+        else {}
+    )
     for date in dates:
         end = _next_day(date)
         c = scan_between_dates(consent, config.date_column, date, end)
         nc = scan_between_dates(noconsent, config.date_column, date, end)
-        result = run_adjustment(c, nc, config, impl=impl)
+        result = run_adjustment(c, nc, config, impl=impl,
+                                auto_stats=stats.get(date))
         write_adjustments_csv(
             result.data_adjusted, result.summary, output_path, date
         )
@@ -402,12 +479,18 @@ def run_dates_collected(
     lets callers pick their own sink or feed it to further queries."""
     if config.date_column is None:
         raise ValueError("run_dates_collected requires config.date_column")
+    stats = (
+        _per_date_auto_stats(consent, noconsent, config)
+        if impl == "auto"
+        else {}
+    )
     out = None
     for date in dates:
         end = _next_day(date)
         c = scan_between_dates(consent, config.date_column, date, end)
         nc = scan_between_dates(noconsent, config.date_column, date, end)
-        result = run_adjustment(c, nc, config, impl=impl)
+        result = run_adjustment(c, nc, config, impl=impl,
+                                auto_stats=stats.get(date))
         dated = result.data_adjusted.withColumn("date", F.lit(date))
         out = dated if out is None else out.unionByName(dated)
     return out

@@ -86,6 +86,50 @@ def test_run_dates_writes_per_date_csvs(spark, tmp_path):
         assert "percentage_matched_conversion_value" in summary
 
 
+def test_per_date_auto_stats_matches_in_loop_counts(spark):
+    """r13 (VERDICT r12 §Next #7): the one-pass per-date precount must
+    agree exactly with what the in-loop auto resolution would count —
+    cleaned rows (null/non-positive conversions dropped) and distinct
+    feature vectors per side per day — so the dispatch routes
+    identically with zero per-date count jobs."""
+    from consent_based_conversion_adjustments_spark.pipeline import (
+        _per_date_auto_stats,
+    )
+
+    rows = []
+    for d, day in [("2021-11-20", 1), ("2021-11-21", 2)]:
+        for i in range(6):
+            # one null + one zero conversion per day: must be excluded
+            val = None if i == 4 else (0.0 if i == 5 else 10.0 * (i + 1))
+            rows.append(
+                (f"g{day}{i}", d, val, "dress" if i % 2 else "shoe",
+                 i % 2 == 0)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "gclid string, conversion_date string, conversion_value double, "
+        "item string, consented boolean",
+    )
+    consent = df.filter("consented").drop("consented")
+    noconsent = df.filter("not consented").drop("consented")
+    cfg = AdjustmentConfig(
+        conversion_column="conversion_value",
+        id_columns=["gclid"],
+        date_column="conversion_date",
+        number_nearest_neighbors=1,
+    )
+    stats = _per_date_auto_stats(consent, noconsent, cfg)
+    assert set(stats) == {"2021-11-20", "2021-11-21"}
+    for date in stats:
+        np_, nb, dp, db = stats[date]
+        # per day: consented rows are i in {0,2,4} → i=4 null dropped →
+        # 2 rows; non-consented i in {1,3,5} → i=5 zero dropped → 2 rows
+        assert (np_, nb) == (2, 2)
+        # items among survivors: probe i∈{1,3} → dress,dress → 1 distinct;
+        # build i∈{0,2} → shoe,shoe → 1 distinct
+        assert (dp, db) == (1, 1)
+
+
 def test_run_dates_partitioned_layout(spark, tmp_path):
     from consent_based_conversion_adjustments_spark.pipeline import (
         run_dates_partitioned,
