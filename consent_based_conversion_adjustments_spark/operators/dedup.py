@@ -507,6 +507,61 @@ def minhash_store(
     return sigs, hashes
 
 
+def _band_keyed(
+    sigs: DataFrame, id_alias: str, prefix: str, n_bands: int, band_size: int
+) -> DataFrame:
+    """Band keys per doc from a signature table (the incremental
+    pipeline's keying, factored module-level so the r13 collapsed
+    admission path shares it verbatim)."""
+
+    def band_key(band: int):
+        acc = None
+        for i in range(band * band_size, (band + 1) * band_size):
+            c = F.col(f"sig_{i}")
+            acc = (
+                c.cast("long")
+                if acc is None
+                else (acc * F.lit(31) + c) % F.lit(BAND_KEY_MOD)
+            )
+        return acc
+
+    return sigs.select(
+        F.col("doc_id").alias(id_alias),
+        *[band_key(b).alias(f"{prefix}bk_{b}") for b in range(n_bands)],
+    )
+
+
+def _banded_cross_cands(
+    kn: DataFrame, left: DataFrame, n_bands: int, within_batch: bool
+) -> DataFrame:
+    """First-agreeing-band candidate pairs between a batch keying ``kn``
+    (``n_`` prefix) and a partner keying ``left`` (``s_`` prefix)."""
+    out = None
+    for band in range(n_bands):
+        l = left.select(
+            "dup_of", *[F.col(f"s_bk_{b}") for b in range(band + 1)]
+        ).withColumnRenamed(f"s_bk_{band}", "band_key")
+        r = kn.select(
+            "doc_id", *[F.col(f"n_bk_{b}") for b in range(band + 1)]
+        ).withColumnRenamed(f"n_bk_{band}", "band_key")
+        pairs = l.join(r, "band_key")
+        if within_batch:
+            pairs = pairs.filter(F.col("dup_of") < F.col("doc_id"))
+        else:
+            # re-ingestion guard: a doc_id present in BOTH the store and
+            # the arriving batch (replayed batch, at-least-once upstream)
+            # would otherwise collide with itself at jaccard 1.0 and the
+            # admission anti-join would permanently reject it
+            pairs = pairs.filter(F.col("dup_of") != F.col("doc_id"))
+        for prev in range(band):
+            pairs = pairs.filter(
+                F.col(f"s_bk_{prev}") != F.col(f"n_bk_{prev}")
+            )
+        pairs = pairs.select("doc_id", "dup_of")
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
+
+
 def incremental_minhash_neardup(
     new: DataFrame,
     store_sigs: DataFrame,
@@ -556,54 +611,12 @@ def incremental_minhash_neardup(
             new, text_col, id_col, n_perm, hashes=new_hashes
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    def band_key(band: int):
-        acc = None
-        for i in range(band * band_size, (band + 1) * band_size):
-            c = F.col(f"sig_{i}")
-            acc = (
-                c.cast("long")
-                if acc is None
-                else (acc * F.lit(31) + c) % F.lit(BAND_KEY_MOD)
-            )
-        return acc
-
-    def keyed(sigs: DataFrame, id_alias: str, prefix: str) -> DataFrame:
-        return sigs.select(
-            F.col("doc_id").alias(id_alias),
-            *[band_key(b).alias(f"{prefix}bk_{b}") for b in range(n_bands)],
-        )
-
-    kn = keyed(new_sigs, "doc_id", "n_")
-    k_store = keyed(store_sigs, "dup_of", "s_")
-    k_mates = keyed(new_sigs, "dup_of", "s_")
-
-    def cross_cands(left: DataFrame, within_batch: bool) -> DataFrame:
-        out = None
-        for band in range(n_bands):
-            l = left.select(
-                "dup_of", *[F.col(f"s_bk_{b}") for b in range(band + 1)]
-            ).withColumnRenamed(f"s_bk_{band}", "band_key")
-            r = kn.select(
-                "doc_id", *[F.col(f"n_bk_{b}") for b in range(band + 1)]
-            ).withColumnRenamed(f"n_bk_{band}", "band_key")
-            pairs = l.join(r, "band_key")
-            if within_batch:
-                pairs = pairs.filter(F.col("dup_of") < F.col("doc_id"))
-            else:
-                # re-ingestion guard: a doc_id present in BOTH the store and
-                # the arriving batch (replayed batch, at-least-once upstream)
-                # would otherwise collide with itself at jaccard 1.0 and the
-                # admission anti-join would permanently reject it
-                pairs = pairs.filter(F.col("dup_of") != F.col("doc_id"))
-            for prev in range(band):
-                pairs = pairs.filter(
-                    F.col(f"s_bk_{prev}") != F.col(f"n_bk_{prev}")
-                )
-            pairs = pairs.select("doc_id", "dup_of")
-            out = pairs if out is None else out.unionByName(pairs)
-        return out
-
-    cands = cross_cands(k_store, False).unionByName(cross_cands(k_mates, True))
+    kn = _band_keyed(new_sigs, "doc_id", "n_", n_bands, band_size)
+    k_store = _band_keyed(store_sigs, "dup_of", "s_", n_bands, band_size)
+    k_mates = _band_keyed(new_sigs, "dup_of", "s_", n_bands, band_size)
+    cands = _banded_cross_cands(kn, k_store, n_bands, False).unionByName(
+        _banded_cross_cands(kn, k_mates, n_bands, True)
+    )
     # one partner row per id: a doc_id present in both the store and the
     # batch (replay) must not contribute two verify rows per relation —
     # the store's accepted version wins (anti-join on ids only, equi-safe)
@@ -621,6 +634,193 @@ def incremental_minhash_neardup(
     ).select("doc_id", "dup_of", "jaccard")
 
 
+def _chunk_explode(frame: DataFrame, arr: str, out: str) -> DataFrame:
+    """Slice an id-array column into ≤ ``_EXPAND_CHUNK``-doc chunks and
+    explode — the skew-proof class-expansion step (a mega-class fans out
+    over (s/chunk)² tasks instead of one straggler; see
+    ``_minhash_neardup_collapsed``'s measured rationale)."""
+    col = F.col(arr)
+    n = F.ceil(F.size(col) / F.lit(_EXPAND_CHUNK)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.slice(col, i * _EXPAND_CHUNK + 1, _EXPAND_CHUNK),
+    )
+    return frame.withColumn(out, F.explode(chunks)).drop(arr)
+
+
+def _admit_relations_collapsed(
+    new_sigs: DataFrame,
+    new_hashes: DataFrame,
+    store_sigs: DataFrame,
+    store_hashes: DataFrame,
+    threshold: float,
+    n_perm: int,
+    band_size: int,
+) -> tuple[DataFrame, list]:
+    """Identity-class cascade for the incremental admission check (r13).
+
+    The organic streaming rung measured `admission_round` at 330 s on
+    the 10× duplicate-rich corpus: the direct route bands and verifies
+    member×member — 73.8M relation pairs in round 1 — although a
+    relation is determined entirely by the two token SETS (Jaccard and
+    the MinHash band keys are set functions). Both sides collapse to
+    exact identity classes (batch: one hash-agg; store: one O(store)
+    hash-agg per round, the same order as the store checkpoint
+    `admit_batch` already pays), class REPRESENTATIVES go through the
+    SAME banding + verify machinery (`_band_keyed` /
+    `_banded_cross_cands` / `_verify_pairs_jaccard`), and member-level
+    relations are emitted only by the final chunked-grid expansion —
+    output-bound, and any correct relation-emitting operator is
+    Ω(output). Byte-identical by the `_minhash_neardup_collapsed`
+    argument; within-class pairs are J=1.0 ≥ threshold by definition
+    (empty token sets excluded — no signature, never banded). A store
+    seeded by admission itself is clique-free (admitted docs are
+    pairwise non-related) so its class agg is an identity dictionary;
+    raw-seeded stores (benchmark fixtures, bulk imports) are where it
+    pays. PRECONDITION (enforced by the `admit_batch` router): no
+    doc_id appears in both the store and the batch — the direct route's
+    store-wins replay verify is per-member and cannot factor through
+    classes.
+
+    Returns ``(relations, rejected_new)``. The CLASS-LEVEL frames are
+    eagerly checkpointed (they are the small state: dictionaries + class
+    relations); ``relations`` is a LAZY expansion over them and
+    ``rejected_new`` is derived at class level WITHOUT expansion — on
+    the soup corpus the expanded frame is 73.8M rows, and
+    materializing/checkpointing it per round was the dominant cost left
+    after the banding collapse (r13 profile: 165 s/round with an eager
+    expanded checkpoint). Consumers that genuinely need the member-level
+    relations (the per-doc relation counts, the relations sink) scan the
+    lazy expansion — a map-side explode from checkpointed dictionaries —
+    and a count-shaped consumer gets map-side partial aggregation
+    instead of a 73.8M-row shuffle."""
+
+    def classes(hashes: DataFrame) -> DataFrame:
+        return (
+            hashes.groupBy("tok_hashes")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.sort_array(F.collect_list("doc_id")).alias("members"),
+            )
+            .localCheckpoint()
+        )
+
+    bc, sc = classes(new_hashes), classes(store_hashes)
+    b_rep_hashes = bc.select("doc_id", "tok_hashes")
+    s_rep_hashes = sc.select("doc_id", "tok_hashes")
+    b_rep_sigs = new_sigs.join(bc.select("doc_id"), "doc_id")
+    s_rep_sigs = store_sigs.join(sc.select("doc_id"), "doc_id")
+    n_bands = n_perm // band_size
+    kn = _band_keyed(b_rep_sigs, "doc_id", "n_", n_bands, band_size)
+    k_store = _band_keyed(s_rep_sigs, "dup_of", "s_", n_bands, band_size)
+    k_mates = _band_keyed(b_rep_sigs, "dup_of", "s_", n_bands, band_size)
+    # the rep vocabularies span the same distinct tokens as the member
+    # tables (class members share their rep's set), so the bitmap-vs-
+    # array verify decision matches the direct route's
+    rel_store = _verify_pairs_jaccard(
+        _banded_cross_cands(kn, k_store, n_bands, False),
+        s_rep_hashes, b_rep_hashes, "dup_of", "doc_id", threshold,
+        vocab_source=s_rep_hashes.unionByName(b_rep_hashes),
+    ).select("doc_id", "dup_of", "jaccard").localCheckpoint()
+    rel_mates = _verify_pairs_jaccard(
+        _banded_cross_cands(kn, k_mates, n_bands, True),
+        b_rep_hashes, b_rep_hashes, "dup_of", "doc_id", threshold,
+        vocab_source=b_rep_hashes,
+    ).select("doc_id", "dup_of", "jaccard").localCheckpoint()
+
+    ma = bc.select("doc_id", F.col("members").alias("__ma"))
+    # batch member × store members of each related store class
+    g1 = (
+        rel_store.join(ma, "doc_id")
+        .join(
+            sc.select(F.col("doc_id").alias("dup_of"),
+                      F.col("members").alias("__mb")),
+            "dup_of",
+        )
+        .select("jaccard", "__ma", "__mb")
+    )
+    g1 = _chunk_explode(_chunk_explode(g1, "__ma", "__ca"), "__mb", "__cb")
+    r_store = (
+        g1.repartition("__ca", "__cb")
+        .select("jaccard", F.explode("__ca").alias("doc_id"), "__cb")
+        .select("doc_id", F.explode("__cb").alias("dup_of"), "jaccard")
+    )
+    # cross-class within-batch: every member pair across the two classes,
+    # later id is the relation's doc_id (the direct route's dup_of <
+    # doc_id orientation)
+    g2 = (
+        rel_mates.join(ma, "doc_id")
+        .join(
+            bc.select(F.col("doc_id").alias("dup_of"),
+                      F.col("members").alias("__mb")),
+            "dup_of",
+        )
+        .select("jaccard", "__ma", "__mb")
+    )
+    g2 = _chunk_explode(_chunk_explode(g2, "__ma", "__ca"), "__mb", "__cb")
+    r_mates = (
+        g2.repartition("__ca", "__cb")
+        .select("jaccard", F.explode("__ca").alias("__da"), "__cb")
+        .select("jaccard", "__da", F.explode("__cb").alias("__db"))
+        .select(
+            F.greatest("__da", "__db").alias("doc_id"),
+            F.least("__da", "__db").alias("dup_of"),
+            "jaccard",
+        )
+    )
+    # within-class: all ordered pairs at J=1.0; sorted members let chunk
+    # pairs that cannot satisfy dup_of < doc_id prune before exploding
+    wgrid = bc.filter(
+        (F.size("members") >= 2) & (F.size("tok_hashes") > 0)
+    ).select(F.col("members").alias("__ma"), F.col("members").alias("__mb"))
+    wgrid = _chunk_explode(_chunk_explode(wgrid, "__ma", "__ca"), "__mb", "__cb")
+    r_within = (
+        wgrid.filter(F.element_at("__ca", -1) > F.element_at("__cb", 1))
+        .repartition("__ca", "__cb")
+        .select(F.explode("__ca").alias("doc_id"), "__cb")
+        .select("doc_id", F.explode("__cb").alias("dup_of"))
+        .filter(F.col("dup_of") < F.col("doc_id"))
+        .withColumn("jaccard", F.lit(1.0))
+    )
+    rel = r_store.unionByName(r_mates).unionByName(r_within)
+
+    # class-level rejection — NO expansion: a member m of class A is
+    # rejected iff A relates to the store, or m has an earlier-id related
+    # batch member. Class reps ARE their class minima (rep = min(doc_id)),
+    # so "earlier related member exists" ⟺ m > min(rep_A, min over
+    # related class reps) — with the intra-class leg (m > rep_A) applying
+    # only to non-empty token sets (empty docs have no signature, are
+    # never banded, and must stay admitted — the direct-route semantics).
+    store_related = rel_store.select(
+        F.col("doc_id").alias("__rep")
+    ).distinct().withColumn("__st", F.lit(1))
+    edges = rel_mates.select("doc_id", "dup_of")
+    sym = edges.select(
+        F.col("doc_id").alias("__rep"), F.col("dup_of").alias("__nb")
+    ).unionByName(
+        edges.select(
+            F.col("dup_of").alias("__rep"), F.col("doc_id").alias("__nb")
+        )
+    )
+    nbr_min = sym.groupBy("__rep").agg(F.min("__nb").alias("__nb_min"))
+    expl = bc.select(
+        F.col("doc_id").alias("__rep"),
+        (F.size("tok_hashes") > 0).alias("__ne"),
+        F.explode("members").alias("doc_id"),
+    )
+    rejected_new = (
+        expl.join(F.broadcast(store_related), "__rep", "left")
+        .join(F.broadcast(nbr_min), "__rep", "left")
+        .filter(
+            F.col("__st").isNotNull()
+            | (F.col("__ne") & (F.col("doc_id") > F.col("__rep")))
+            | (F.col("doc_id") > F.col("__nb_min"))
+        )
+        .select("doc_id")
+    )
+    return rel, rejected_new
+
+
 def admit_batch(
     new: DataFrame,
     store_sigs: DataFrame,
@@ -631,6 +831,7 @@ def admit_batch(
     n_perm: int = N_PERMUTATIONS,
     band_size: int = BAND_SIZE,
     checkpoint_store: bool = True,
+    collapse_identical: bool | str = "auto",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One full admission round of the incremental dedup store:
     ``(relations, updated_sigs, updated_hashes)``.
@@ -665,18 +866,49 @@ def admit_batch(
     should flush to tables instead (`streaming.admission`), where parquet
     appends give the O(batch) write AND compact scans. Pass False only
     when the caller immediately writes the returned frames out (the
-    production path — the table write itself is the checkpoint)."""
+    production path — the table write itself is the checkpoint).
+
+    ``collapse_identical`` ("auto" default, the minhash_neardup r12
+    precedent): when either side carries exact token-set duplicate mass
+    — one cheap count-vs-distinct agg per side decides — relations
+    route through the identity-class cascade
+    (`_admit_relations_collapsed`: class reps through the same banding
+    + verify, member pairs emitted only at the output). r13 organic
+    rung: 330 s → see PERF.md round 13. Batches that REPLAY store ids
+    always take the direct route (the store-wins replay verify is
+    per-member)."""
     new_sigs, new_hashes = minhash_store(new, text_col, id_col, n_perm)
-    relations = incremental_minhash_neardup(
-        new, store_sigs, store_hashes, text_col, id_col, threshold,
-        n_perm, band_size, new_tables=(new_sigs, new_hashes),
-    )
+    route_collapsed = collapse_identical
+    if route_collapsed == "auto":
+        route_collapsed = _has_identity_dups(new_hashes) or _has_identity_dups(
+            store_hashes
+        )
+    if route_collapsed:
+        # one-row existence probe; any replayed id diverts to the
+        # per-member direct route (see _admit_relations_collapsed)
+        replayed = (
+            new_hashes.select("doc_id")
+            .join(store_hashes.select("doc_id"), "doc_id")
+            .limit(1)
+            .count()
+        )
+        if replayed:
+            route_collapsed = False
+    if route_collapsed:
+        relations, rejected_new = _admit_relations_collapsed(
+            new_sigs, new_hashes, store_sigs, store_hashes,
+            threshold, n_perm, band_size,
+        )
+    else:
+        relations = incremental_minhash_neardup(
+            new, store_sigs, store_hashes, text_col, id_col, threshold,
+            n_perm, band_size, new_tables=(new_sigs, new_hashes),
+        )
+        rejected_new = relations.select("doc_id").distinct()
     # a rejected doc never enters the store; a REPLAYED id (already in the
     # store — tolerated by the verify's re-ingestion guard) must not gain
     # a second store row either, so the union is anti-joined on both
-    rejected = relations.select("doc_id").distinct().unionByName(
-        store_sigs.select("doc_id")
-    )
+    rejected = rejected_new.unionByName(store_sigs.select("doc_id"))
     updated_sigs = store_sigs.unionByName(
         new_sigs.join(rejected, "doc_id", "left_anti")
     )
@@ -684,10 +916,15 @@ def admit_batch(
         new_hashes.join(rejected, "doc_id", "left_anti")
     )
     if checkpoint_store:
-        # eager: relations must materialize BEFORE the batch caches are
-        # released (both store updates and relations read them); the
-        # checkpointed frames then carry no lineage into the next round
-        relations = relations.localCheckpoint()
+        # eager: the collapsed route already checkpointed its class-level
+        # state (relations stay a LAZY expansion over it — materializing
+        # the member-level frame per round was the dominant residual cost
+        # on duplicate-rich corpora); the direct route's member-level
+        # relations must materialize BEFORE the batch caches are released
+        # (both store updates and relations read them). The checkpointed
+        # frames carry no lineage into the next round either way.
+        if not route_collapsed:
+            relations = relations.localCheckpoint()
         updated_sigs = updated_sigs.localCheckpoint()
         updated_hashes = updated_hashes.localCheckpoint()
         new_sigs.unpersist()
