@@ -18,6 +18,8 @@ every stage has an exact DuckDB oracle twin.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -2165,6 +2167,47 @@ def neardup_components(
     return out
 
 
+#: half-edge ceiling for the driver-local union-find tail of
+#: ``connected_components`` — applies to the CONTRACTED graph only (the
+#: original edge set never touches the driver). 500k half edges is ~16 MB
+#: through Arrow and resolves in well under a second, the same budget
+#: class as a broadcast-join side; past it the distributed jump loop runs.
+#: Env-tunable for clusters where the driver is smaller or larger.
+CC_LOCAL_EDGE_BUDGET = int(os.environ.get("COCOA_CC_LOCAL_EDGES", "500000"))
+
+
+def _cc_union_find_local(spark, half_edges: DataFrame) -> DataFrame:
+    """``(label0, rep_label)`` component map of a bounded contracted graph
+    via driver-side union-find (min-id root invariant: a union always
+    attaches the larger root under the smaller, so every root is its
+    component's minimum — answer-identical to the min-label propagation
+    loop). ``half_edges`` must be the deduped src<dst half edge set."""
+    pdf = half_edges.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(int(n), int(find(n))) for n in nodes]
+    return spark.createDataFrame(
+        rows, schema="label0 long, rep_label long"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -2222,6 +2265,11 @@ def connected_components(
     fixed point — returning unconverged labels would silently mislabel
     components (with jumping, 25 rounds covers diameter ~2²⁵).
 
+    When the CONTRACTED graph fits ``CC_LOCAL_EDGE_BUDGET`` half edges
+    the label fixpoint is instead computed by a driver-side union-find
+    over the (already measured and bounded) residual — see
+    ``_cc_union_find_local``; the loop below is the beyond-budget path.
+
     The DuckDB oracle twin is a recursive CTE computing min reachable
     label — exact agreement on every node.
     """
@@ -2272,17 +2320,40 @@ def connected_components(
         )
         .distinct()
     )
-    cedges = cnorm.unionByName(
-        cnorm.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    chalf = cnorm.localCheckpoint()
+    n_half = chalf.count()
+    norm.unpersist()
+
+    # Driver-local tail for SMALL contracted graphs (r13): after star
+    # contraction a near-clique workload leaves a residual of roughly
+    # component count, not edge count — measured 3,234 symmetric edges /
+    # 450 nodes from the 580k-edge sf0.1 rep graph — and the distributed
+    # loop's cost there is pure per-job overhead (3 rounds × 3 jobs ≈
+    # 3.5 s for a graph union-find resolves in microseconds). Same
+    # auto-routing contract as choose_impl / collapse_identical="auto":
+    # a measured size gates a bounded driver-side step (≤ budget half
+    # edges ≈ 16 MB via Arrow, the same order as a broadcast side), and
+    # past the budget the jump-accelerated distributed loop below runs
+    # unchanged. Min-label union-find is answer-identical to min-label
+    # propagation (both compute min reachable node id per component).
+    if n_half <= CC_LOCAL_EDGE_BUDGET:
+        rep_label = _cc_union_find_local(chalf.sparkSession, chalf)
+        chalf.unpersist()
+        return l0.join(rep_label, "label0", "left").select(
+            F.col("node"),
+            F.coalesce("rep_label", "label0").alias("component"),
+        )
+
+    cedges = chalf.unionByName(
+        chalf.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
 
-    # after contracting near-clique components the residual graph is tiny;
     # size the loop's partitioning to the data so each round is a couple of
     # single-digit-task jobs instead of full-width shuffles (fixed per-task
     # overhead dominated the loop at small sizes). Falls back to the
     # inherited width when the contracted graph is genuinely large.
-    n_cedges = cedges.count()
-    norm.unpersist()
+    n_cedges = 2 * n_half
+    chalf.unpersist()
     loop_parts = max(1, min(cedges.rdd.getNumPartitions(), n_cedges // 2_000_000 + 1))
     if loop_parts < cedges.rdd.getNumPartitions():
         cedges = cedges.repartition(loop_parts).localCheckpoint()

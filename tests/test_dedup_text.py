@@ -330,6 +330,35 @@ def test_connected_components_dirty_edges(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_local_vs_distributed_identity(spark, monkeypatch):
+    """The r13 driver-local union-find tail (taken whenever the CONTRACTED
+    graph fits CC_LOCAL_EDGE_BUDGET half edges) must be answer-identical
+    to the distributed jump loop on the same input — same node set, same
+    min-id component labels. A chain forces real propagation depth and a
+    bridged clique exercises the contraction."""
+    from consent_based_conversion_adjustments_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),      # chain
+            (10, 11), (11, 12), (10, 12), (12, 30),       # clique + bridge
+            (40, 41),
+        ],
+        "doc_a long, doc_b long",
+    )
+    local = {
+        r["node"]: r["component"]
+        for r in D.connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(D, "CC_LOCAL_EDGE_BUDGET", 0)
+    dist = {
+        r["node"]: r["component"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert local == dist
+    assert local[6] == 1 and local[30] == 10 and local[41] == 40
+
+
 def test_dup_shingle_coverage_planted(spark):
     """Planted boilerplate: docs 1–3 share an identical 5-token prefix, doc
     4 is disjoint. Verified against a pure-Python recount of positional
