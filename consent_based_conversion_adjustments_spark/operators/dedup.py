@@ -697,17 +697,23 @@ def _admit_relations_collapsed(
     and a count-shaped consumer gets map-side partial aggregation
     instead of a 73.8M-row shuffle."""
 
-    def classes(hashes: DataFrame) -> DataFrame:
-        return (
-            hashes.groupBy("tok_hashes")
-            .agg(
-                F.min("doc_id").alias("doc_id"),
-                F.sort_array(F.collect_list("doc_id")).alias("members"),
-            )
-            .localCheckpoint()
+    # ONE class agg over the flagged union (r13 profile: two per-side
+    # checkpointed aggs were two separate jobs; a (side, tok_hashes) key
+    # computes both dictionaries in one shuffle and one checkpoint —
+    # sides are distinct classes by construction, and batch/store doc
+    # ids are disjoint by the router's precondition)
+    cls = (
+        new_hashes.withColumn("__side", F.lit(0))
+        .unionByName(store_hashes.withColumn("__side", F.lit(1)))
+        .groupBy("__side", "tok_hashes")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
         )
-
-    bc, sc = classes(new_hashes), classes(store_hashes)
+        .localCheckpoint()
+    )
+    bc = cls.filter(F.col("__side") == 0).drop("__side")
+    sc = cls.filter(F.col("__side") == 1).drop("__side")
     b_rep_hashes = bc.select("doc_id", "tok_hashes")
     s_rep_hashes = sc.select("doc_id", "tok_hashes")
     b_rep_sigs = new_sigs.join(bc.select("doc_id"), "doc_id")
@@ -716,19 +722,25 @@ def _admit_relations_collapsed(
     kn = _band_keyed(b_rep_sigs, "doc_id", "n_", n_bands, band_size)
     k_store = _band_keyed(s_rep_sigs, "dup_of", "s_", n_bands, band_size)
     k_mates = _band_keyed(b_rep_sigs, "dup_of", "s_", n_bands, band_size)
-    # the rep vocabularies span the same distinct tokens as the member
-    # tables (class members share their rep's set), so the bitmap-vs-
-    # array verify decision matches the direct route's
-    rel_store = _verify_pairs_jaccard(
-        _banded_cross_cands(kn, k_store, n_bands, False),
-        s_rep_hashes, b_rep_hashes, "dup_of", "doc_id", threshold,
-        vocab_source=s_rep_hashes.unionByName(b_rep_hashes),
+    # ONE banding + verify chain for both partner sides (r13; the
+    # incremental direct route's shape): the two separately-checkpointed
+    # verify legs were two full band-join + verify jobs per round. The
+    # candidate union verifies in one pass — the rep vocabularies span
+    # the same distinct tokens as the member tables (class members share
+    # their rep's set), exact jaccard either way — and the store/mates
+    # split is recovered by rep-id membership (ids disjoint across
+    # sides), a broadcast join against the checkpointed relation frame.
+    rep_hashes_all = s_rep_hashes.unionByName(b_rep_hashes)
+    cands = _banded_cross_cands(kn, k_store, n_bands, False).unionByName(
+        _banded_cross_cands(kn, k_mates, n_bands, True)
+    )
+    rel_all = _verify_pairs_jaccard(
+        cands, rep_hashes_all, b_rep_hashes, "dup_of", "doc_id", threshold,
+        vocab_source=rep_hashes_all,
     ).select("doc_id", "dup_of", "jaccard").localCheckpoint()
-    rel_mates = _verify_pairs_jaccard(
-        _banded_cross_cands(kn, k_mates, n_bands, True),
-        b_rep_hashes, b_rep_hashes, "dup_of", "doc_id", threshold,
-        vocab_source=b_rep_hashes,
-    ).select("doc_id", "dup_of", "jaccard").localCheckpoint()
+    sids = sc.select(F.col("doc_id").alias("dup_of"))
+    rel_store = rel_all.join(F.broadcast(sids), "dup_of")
+    rel_mates = rel_all.join(F.broadcast(sids), "dup_of", "left_anti")
 
     ma = bc.select("doc_id", F.col("members").alias("__ma"))
     # batch member × store members of each related store class
@@ -982,6 +994,16 @@ def _bitmap_vocab(
     if key in _VOCAB_OVERFLOW_SEEN:
         return None
     cap = 64 * max_words
+    # cheap overflow pre-probe (r13): any single doc with > cap distinct
+    # tokens overflows the dictionary by itself, and max(size) is a
+    # map-side agg over the persisted hash table — no explode, no
+    # distinct shuffle. Real corpora (every sf fixture) decide here, so
+    # the expensive exploded-distinct probe below runs only in the
+    # tiny-vocab regime where it is cheap anyway.
+    mx = hashes.agg(F.max(F.size("tok_hashes")).alias("mx")).first()["mx"]
+    if mx is not None and int(mx) > cap:
+        _VOCAB_OVERFLOW_SEEN.add(key)
+        return None
     distinct_h = hashes.select(F.explode("tok_hashes").alias("h")).distinct()
     vocab = [r["h"] for r in distinct_h.limit(cap + 1).collect()]
     if not vocab or len(vocab) > cap:
