@@ -33,6 +33,7 @@ from ..operators.similarity_search import (
 from ..operators.sketches import cms_heavy_hitters_sql
 from ..sources.io import read_table
 from .caching import make_pin
+from ..session import scratch_dir
 from ..streaming.events import (
     interval_bin_join,
     session_stats,
@@ -808,7 +809,7 @@ def streaming_admission_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.admission import AdmissionStore
 
     docs = read_table(spark, sf_dir, "documents")
-    store_dir = tempfile.mkdtemp(prefix="cocoa_admission_store_")
+    store_dir = scratch_dir("cocoa_admission_store_")
     store = AdmissionStore(store_dir, threshold=JACCARD_THRESHOLD)
     store.process_batch(docs.filter(F.col("doc_id") % 4 < 2), 0)
     store.process_batch(docs.filter(F.col("doc_id") % 4 == 2), 1)
@@ -2394,7 +2395,7 @@ def streaming_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stats import RunningStatsStore
 
     emb = read_table(spark, sf_dir, "embeddings")
-    store_dir = tempfile.mkdtemp(prefix="cocoa_gram_store_")
+    store_dir = scratch_dir("cocoa_gram_store_")
     store = RunningStatsStore(store_dir)
     for epoch in range(3):
         store.process_batch(emb.filter(F.col("vec_id") % 3 == epoch), epoch)
@@ -4060,7 +4061,7 @@ def streaming_sketch_cube_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stats import SketchCubeStore
 
     ev = read_table(spark, sf_dir, "events")
-    store_dir = tempfile.mkdtemp(prefix="cocoa_sketch_cube_")
+    store_dir = scratch_dir("cocoa_sketch_cube_")
     store = SketchCubeStore(store_dir)
     try:
         for epoch in range(3):
@@ -4422,7 +4423,7 @@ def streaming_attribution_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.attribution import AttributionStore
 
     ev = read_table(spark, sf_dir, "events")
-    store_dir = tempfile.mkdtemp(prefix="cocoa_attr_store_")
+    store_dir = scratch_dir("cocoa_attr_store_")
     store = AttributionStore(
         store_dir,
         lookback_seconds=_ATTR_LOOKBACK_S,
@@ -4644,7 +4645,7 @@ def streaming_cms_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stream_events_from_parquet
     from ..streaming.stats import CmsStore
 
-    work = tempfile.mkdtemp(prefix="cocoa_cms_store_")
+    work = scratch_dir("cocoa_cms_store_")
     try:
         store = CmsStore(os.path.join(work, "store"))
         stream = stream_events_from_parquet(spark, sf_dir, watermark=None)

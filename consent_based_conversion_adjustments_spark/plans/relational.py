@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import sql_round, stable_round
 from ..sources.io import read_table
+from ..session import scratch_dir
 
 
 # --- Q1-style pricing summary (scan + pushed filter + hash agg) -------------
@@ -2191,7 +2192,7 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type", "event_id"
     )
-    store_dir = tempfile.mkdtemp(prefix="cocoa_scd2_store_")
+    store_dir = scratch_dir("cocoa_scd2_store_")
     store = SCD2Store(store_dir, "user_id", "ts", "event_type", "event_id")
     t1, t2 = "2024-01-11", "2024-01-21"
     store.process_batch(ev.filter(F.col("ts") < t1), 0)

@@ -72,3 +72,32 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def scratch_dir(prefix: str) -> str:
+    """Create a THROWAWAY scratch directory (ephemeral streaming
+    checkpoints, per-run stores) under the same RAM-backed root policy —
+    and for the same measured reason — as ``spark.local.dir`` above: the
+    virtualized local disk intermittently stalls small writes for
+    seconds, and a state-store commit writes dozens of tiny delta files
+    per micro-batch (measured on the stream-stream join query: 18.4 s
+    with /tmp checkpoints vs 6.7 s RAM-backed, nothing else changed).
+
+    Only for state the caller deletes after the run — every in-repo call
+    site rmtree's the directory when done, so checkpoint durability is
+    moot by construction. Production streaming jobs pass an explicit
+    ``checkpoint_dir`` / store path on durable storage instead (the
+    restart contract needs it); ``COCOA_SCRATCH_DIR`` redirects the root
+    (e.g. to real disk when RAM is tight), and an unusable root falls
+    back to the system tempdir.
+    """
+    import tempfile
+
+    root = os.environ.get(
+        "COCOA_SCRATCH_DIR", "/dev/shm/cocoa-spark-local/scratch"
+    )
+    try:
+        os.makedirs(root, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=root)
+    except OSError:
+        return tempfile.mkdtemp(prefix=prefix)

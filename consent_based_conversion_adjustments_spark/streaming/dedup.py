@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .events import dedup_stream, stream_events_from_parquet
+from ..session import scratch_dir
 
 
 def dedup_events_streaming(
@@ -63,7 +64,7 @@ def dedup_events_streaming(
     )
     name = f"ss_dedup_{uuid.uuid4().hex[:12]}"
     owns_ckpt = checkpoint_dir is None
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="cocoa_ss_dedup_ckpt_")
+    ckpt = checkpoint_dir or scratch_dir("cocoa_ss_dedup_ckpt_")
     q = (
         deduped.writeStream.format("memory")
         .queryName(name)

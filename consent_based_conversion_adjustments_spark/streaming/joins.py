@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .events import stream_events_from_parquet
+from ..session import scratch_dir
 
 
 def time_bounded_stream_join(
@@ -112,7 +113,7 @@ def click_purchase_pairs_streaming(
     )
     name = f"ss_click_purchase_{uuid.uuid4().hex[:12]}"
     owns_ckpt = checkpoint_dir is None
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="cocoa_ss_join_ckpt_")
+    ckpt = checkpoint_dir or scratch_dir("cocoa_ss_join_ckpt_")
     q = (
         joined.select(
             F.col("purchase_user").alias("user_id"),
