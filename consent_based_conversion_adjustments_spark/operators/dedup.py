@@ -428,25 +428,32 @@ def minhash_candidates(
     sigs: DataFrame, n_perm: int = N_PERMUTATIONS, band_size: int = BAND_SIZE
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become candidate
-    pairs (doc_a < doc_b, exactly once). Each band is a plain equi-join on
-    its band key; a pair colliding in several bands is emitted only by its
-    FIRST matching band (both sides carry all band keys, and band b's join
-    filters out pairs that already agreed on any band < b) — exactly-once
-    by construction, so no global ``distinct`` shuffle over the candidate
-    set is needed.
+    pairs (doc_a < doc_b, exactly once). ONE self-equi-join on the exploded
+    ``(band_no, band_key)`` rows followed by a pair-level distinct — the
+    same candidate set as joining band-by-band, in one exchange instead of
+    ``n_bands`` (r13; guide §2.4): the per-band loop planned 2 shuffles (or
+    a broadcast build) per band and the loop's unioned legs each re-scanned
+    the signature table, while the exploded form shuffles the identical
+    n_bands rows/doc ONCE on (band_no, band_key) — the join key includes
+    band_no, so only same-band signatures meet, exactly as before — and
+    both join sides reuse the same exchange (ReusedExchange: identical
+    subplan). The distinct that replaces the old first-agreeing-band
+    bookkeeping is a map-side-combinable pair agg whose input is only the
+    collision set (identity-duplicate mass — the one case where collisions
+    explode — routes through the collapse cascade before ever reaching
+    this join).
 
     Band keys are int64 folds of the band's signature values, not
     concatenated strings: on a candidate-dense corpus the banding join
-    materializes O(collisions) rows each carrying up to 2·n_bands keys, and
-    8-byte longs vs ~40-char strings is a large cut in bytes shuffled
-    through the widest stage of the whole dedup pipeline (measured 64×
-    candidate volume at 8× scale — the join IS the cost). The fold
-    ``acc = (acc·31 + sig) mod 9007199254740881`` stays exactly
-    representable in int64 (acc < 9.01e15 → acc·31 + 1e9 < 2.8e17) and is
-    mirrored verbatim in the DuckDB oracle, so a key collision (~1.4e-6 at
-    10⁵ keys) produces the SAME spurious candidate in both engines and the
-    exact-Jaccard verify filters it identically — zero cross-engine
-    divergence."""
+    materializes O(collisions) rows, and 8-byte longs vs ~40-char strings
+    is a large cut in bytes shuffled through the widest stage of the whole
+    dedup pipeline (measured 64× candidate volume at 8× scale — the join
+    IS the cost). The fold ``acc = (acc·31 + sig) mod 9007199254740881``
+    stays exactly representable in int64 (acc < 9.01e15 → acc·31 + 1e9 <
+    2.8e17) and is mirrored verbatim in the DuckDB oracle, so a key
+    collision (~1.4e-6 at 10⁵ keys) produces the SAME spurious candidate
+    in both engines and the exact-Jaccard verify filters it identically —
+    zero cross-engine divergence."""
     n_bands = n_perm // band_size
 
     def band_key(band: int):
@@ -460,29 +467,24 @@ def minhash_candidates(
             )
         return acc
 
-    keyed = sigs.select(
-        "doc_id", *[band_key(b).alias(f"bk_{b}") for b in range(n_bands)]
+    rows = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band_key(b) for b in range(n_bands)])
+        ).alias("band_no", "band_key"),
     )
-    out = None
-    for band in range(n_bands):
-        left = keyed.select(
-            F.col("doc_id").alias("doc_a"),
-            *[F.col(f"bk_{b}").alias(f"a_bk_{b}") for b in range(band + 1)],
-        ).withColumnRenamed(f"a_bk_{band}", "band_key")
-        right = keyed.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(f"bk_{b}").alias(f"b_bk_{b}") for b in range(band + 1)],
-        ).withColumnRenamed(f"b_bk_{band}", "band_key")
-        pairs = left.join(right, "band_key").filter(
-            F.col("doc_a") < F.col("doc_b")
-        )
-        for prev in range(band):
-            pairs = pairs.filter(
-                F.col(f"a_bk_{prev}") != F.col(f"b_bk_{prev}")
-            )
-        pairs = pairs.select("doc_a", "doc_b")
-        out = pairs if out is None else out.unionByName(pairs)
-    return out
+    a = rows.select(
+        F.col("doc_id").alias("doc_a"), "band_no", "band_key"
+    )
+    b = rows.select(
+        F.col("doc_id").alias("doc_b"), "band_no", "band_key"
+    )
+    return (
+        a.join(b, ["band_no", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
 
 
 def minhash_store(
@@ -533,35 +535,66 @@ def _band_keyed(
     )
 
 
+def _band_rows(keyed: DataFrame, id_col: str, prefix: str, n_bands: int) -> DataFrame:
+    """Exploded ``(id, band_no, band_key)`` rows of a ``_band_keyed``
+    frame — the single-shuffle banding form (see ``minhash_candidates``)."""
+    return keyed.select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.col(f"{prefix}bk_{b}") for b in range(n_bands)])
+        ).alias("band_no", "band_key"),
+    )
+
+
 def _banded_cross_cands(
-    kn: DataFrame, left: DataFrame, n_bands: int, within_batch: bool
+    kn: DataFrame,
+    left: DataFrame,
+    n_bands: int,
+    within_batch: bool,
+    mates: DataFrame | None = None,
 ) -> DataFrame:
-    """First-agreeing-band candidate pairs between a batch keying ``kn``
-    (``n_`` prefix) and a partner keying ``left`` (``s_`` prefix)."""
-    out = None
-    for band in range(n_bands):
-        l = left.select(
-            "dup_of", *[F.col(f"s_bk_{b}") for b in range(band + 1)]
-        ).withColumnRenamed(f"s_bk_{band}", "band_key")
-        r = kn.select(
-            "doc_id", *[F.col(f"n_bk_{b}") for b in range(band + 1)]
-        ).withColumnRenamed(f"n_bk_{band}", "band_key")
-        pairs = l.join(r, "band_key")
-        if within_batch:
-            pairs = pairs.filter(F.col("dup_of") < F.col("doc_id"))
-        else:
-            # re-ingestion guard: a doc_id present in BOTH the store and
-            # the arriving batch (replayed batch, at-least-once upstream)
-            # would otherwise collide with itself at jaccard 1.0 and the
-            # admission anti-join would permanently reject it
-            pairs = pairs.filter(F.col("dup_of") != F.col("doc_id"))
-        for prev in range(band):
-            pairs = pairs.filter(
-                F.col(f"s_bk_{prev}") != F.col(f"n_bk_{prev}")
+    """Candidate ``(doc_id, dup_of)`` pairs between a batch keying ``kn``
+    (``n_`` prefix) and a partner keying ``left`` (``s_`` prefix): ONE
+    equi-join on the exploded (band_no, band_key) rows + a per-leg
+    distinct — the same pair set as the old first-agreeing-band per-band
+    loop (each leg emitted every agreeing pair exactly once; the distinct
+    reproduces that), in one exchange per side instead of ``n_bands``
+    (r13; guide §2.4).
+
+    ``mates``: optional second partner keying checked with the
+    within-batch orientation (``dup_of < doc_id``) — both partner legs
+    ride the SAME join through a flagged union, replacing the two
+    separately-planned leg joins the two in-repo call sites used to
+    union. Cross-leg duplicates (a replayed id related through both the
+    store and its batch copy) stay duplicated exactly as the old
+    two-leg union left them — the distinct keys include the leg flag.
+
+    When ``mates`` is given, ``within_batch`` applies to the FIRST
+    partner (False → the store leg's re-ingestion guard ``dup_of !=
+    doc_id``: a doc_id present in BOTH the store and the arriving batch
+    would otherwise collide with itself at jaccard 1.0 and the admission
+    anti-join would permanently reject it)."""
+    krows = _band_rows(kn, "doc_id", "n_", n_bands)
+    lrows = _band_rows(left, "dup_of", "s_", n_bands).withColumn(
+        "__mate", F.lit(within_batch)
+    )
+    if mates is not None:
+        lrows = lrows.unionByName(
+            _band_rows(mates, "dup_of", "s_", n_bands).withColumn(
+                "__mate", F.lit(True)
             )
-        pairs = pairs.select("doc_id", "dup_of")
-        out = pairs if out is None else out.unionByName(pairs)
-    return out
+        )
+    return (
+        lrows.join(krows, ["band_no", "band_key"])
+        .filter(
+            F.when(
+                F.col("__mate"), F.col("dup_of") < F.col("doc_id")
+            ).otherwise(F.col("dup_of") != F.col("doc_id"))
+        )
+        .select("doc_id", "dup_of", "__mate")
+        .dropDuplicates(["doc_id", "dup_of", "__mate"])
+        .select("doc_id", "dup_of")
+    )
 
 
 def incremental_minhash_neardup(
@@ -616,9 +649,7 @@ def incremental_minhash_neardup(
     kn = _band_keyed(new_sigs, "doc_id", "n_", n_bands, band_size)
     k_store = _band_keyed(store_sigs, "dup_of", "s_", n_bands, band_size)
     k_mates = _band_keyed(new_sigs, "dup_of", "s_", n_bands, band_size)
-    cands = _banded_cross_cands(kn, k_store, n_bands, False).unionByName(
-        _banded_cross_cands(kn, k_mates, n_bands, True)
-    )
+    cands = _banded_cross_cands(kn, k_store, n_bands, False, mates=k_mates)
     # one partner row per id: a doc_id present in both the store and the
     # batch (replay) must not contribute two verify rows per relation —
     # the store's accepted version wins (anti-join on ids only, equi-safe)
@@ -731,9 +762,7 @@ def _admit_relations_collapsed(
     # split is recovered by rep-id membership (ids disjoint across
     # sides), a broadcast join against the checkpointed relation frame.
     rep_hashes_all = s_rep_hashes.unionByName(b_rep_hashes)
-    cands = _banded_cross_cands(kn, k_store, n_bands, False).unionByName(
-        _banded_cross_cands(kn, k_mates, n_bands, True)
-    )
+    cands = _banded_cross_cands(kn, k_store, n_bands, False, mates=k_mates)
     rel_all = _verify_pairs_jaccard(
         cands, rep_hashes_all, b_rep_hashes, "dup_of", "doc_id", threshold,
         vocab_source=rep_hashes_all,
@@ -1730,38 +1759,40 @@ def simhash_neardup_pairs(
             F.lit(mask)
         )
 
-    keyed = sigs.select(
+    rows = sigs.select(
         "doc_id",
         "simhash",
-        *[block_val(b).alias(f"blk_{b}") for b in range(n_blocks)],
+        F.posexplode(
+            F.array(*[block_val(b) for b in range(n_blocks)])
+        ).alias("block_no", "block_key"),
     )
-    out = None
-    for block in range(n_blocks):
-        left = keyed.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("simhash").alias("sig_a"),
-            *[F.col(f"blk_{b}").alias(f"a_blk_{b}") for b in range(block + 1)],
-        ).withColumnRenamed(f"a_blk_{block}", "block_key")
-        right = keyed.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("simhash").alias("sig_b"),
-            *[F.col(f"blk_{b}").alias(f"b_blk_{b}") for b in range(block + 1)],
-        ).withColumnRenamed(f"b_blk_{block}", "block_key")
-        pairs = left.join(right, "block_key").filter(
-            F.col("doc_a") < F.col("doc_b")
-        )
-        for prev in range(block):
-            pairs = pairs.filter(
-                F.col(f"a_blk_{prev}") != F.col(f"b_blk_{prev}")
-            )
-        pairs = pairs.select("doc_a", "doc_b", "sig_a", "sig_b")
-        out = pairs if out is None else out.unionByName(pairs)
+    a = rows.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "block_no",
+        "block_key",
+    )
+    b = rows.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        "block_no",
+        "block_key",
+    )
+    # single-shuffle banding (r13, the minhash_candidates rewrite): one
+    # equi-join on the exploded (block_no, block_key) rows — both sides
+    # reuse the same exchange — and a full-row distinct over the
+    # (pair, hamming) output replaces the first-agreeing-block
+    # bookkeeping (every duplicate row of a pair is identical, hamming
+    # being a pair function, so the distinct is exact)
     return (
-        out.withColumn(
+        a.join(b, ["block_no", "block_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates()
     )
 
 
