@@ -279,7 +279,14 @@ def table_profile(
     cube.
     """
     from ..functions.rounding import stable_round
+    from ..sources.io import parallelize_scan
 
+    # the multi-distinct Expand multiplies every row k× INSIDE the scan
+    # stage's partial aggregate; over an unsplittable single-row-group
+    # file that is one task doing the whole profile (r13: 5.0 s of the
+    # 6.5 s orders profile in that task). No-op at scale (see
+    # parallelize_scan).
+    df = parallelize_scan(df)
     cols = cols or df.columns
     dtypes = dict(df.dtypes)
     numeric = {

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..sources.io import parallelize_scan
 from .text import HASH_MOD, string_hash, tokens
 
 N_PERMUTATIONS = 16
@@ -85,7 +86,14 @@ def _token_hash_set(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     The int form feeds both the MinHash signature explode and the exact
     Jaccard verify — int-set intersection is far cheaper than string sets at
     millions of candidate pairs, and the DuckDB oracle hashes identically so
-    the (negligible, shared) collision behavior is bit-equal."""
+    the (negligible, shared) collision behavior is bit-equal.
+
+    ``parallelize_scan``: tokenize+hash is the heaviest per-row projection
+    in the dedup pipeline and it runs in the SCAN stage — over an
+    unsplittable single-row-group file that is one task for the whole
+    corpus (r13 profile). The floor is a no-op whenever the scan already
+    carries ≥ default-parallelism partitions (any at-scale table)."""
+    df = parallelize_scan(df)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.array_sort(

@@ -47,6 +47,31 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Scale-adaptive floor on partition count for heavy per-row compute.
+
+    A single-row-group parquet file is unsplittable, so its scan is ONE
+    task no matter the cluster width — and when the stage above it does
+    real per-row work (tokenize + hash every document, the multi-distinct
+    Expand of a table profile), that one task serializes the whole stage
+    (guide §2.5's input-skew case: repartition immediately after the
+    read). Measured at sf0.1: the orders profile spent 5.0 s of its 6.5 s
+    in the one scan task.
+
+    The gate keeps this a no-op at scale: a frame whose scan already has
+    ≥ ``spark.default.parallelism`` partitions (any real-scale table —
+    100 TB at 128 MB splits is ~800k partitions) passes through
+    untouched, so the round-robin exchange exists only in the regime
+    where its input is by construction at most a few row groups. Callers
+    apply it where the downstream compute is heavy, never blanket — the
+    exchange would otherwise just tax scan-light queries."""
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_dates_text(spark: SparkSession, path: str) -> DataFrame:
     """S1 + P1: newline-separated ISO dates → DateType column ``date``.
 
