@@ -883,6 +883,7 @@ def admit_batch(
     band_size: int = BAND_SIZE,
     checkpoint_store: bool = True,
     collapse_identical: bool | str = "auto",
+    store_identity_dups: bool | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One full admission round of the incremental dedup store:
     ``(relations, updated_sigs, updated_hashes)``.
@@ -927,12 +928,31 @@ def admit_batch(
     + verify, member pairs emitted only at the output). r13 organic
     rung: 330 s → see PERF.md round 13. Batches that REPLAY store ids
     always take the direct route (the store-wins replay verify is
-    per-member)."""
+    per-member).
+
+    ``store_identity_dups``: the store side of the auto routing agg,
+    when the caller already knows it. It is INVARIANT under admission
+    itself: an identity duplicate is a J=1.0 relation (1.0 ≥ any valid
+    threshold), so a batch doc identical to a store doc — or to an
+    earlier batch mate — always has a relation and is always rejected;
+    admitted docs can therefore never create a new identity class, and
+    classes never leave the store. The one exception — EMPTY-token docs
+    (no signature, never banded, always admitted) can accumulate into an
+    identity class the flag misses — is routing-neutral: empty docs
+    contribute zero banding cost, both routes are byte-identical
+    regardless of the flag, and the collapsed route excludes empty sets
+    explicitly. A multi-round caller computes the
+    flag once for its seed store and threads it through every round
+    (``admission_round``, ``streaming.admission``) instead of paying a
+    full-store aggregation per round; None keeps the self-contained
+    per-call probe."""
     new_sigs, new_hashes = minhash_store(new, text_col, id_col, n_perm)
     route_collapsed = collapse_identical
     if route_collapsed == "auto":
-        route_collapsed = _has_identity_dups(new_hashes) or _has_identity_dups(
-            store_hashes
+        route_collapsed = _has_identity_dups(new_hashes) or (
+            _has_identity_dups(store_hashes)
+            if store_identity_dups is None
+            else store_identity_dups
         )
     if route_collapsed:
         # one-row existence probe; any replayed id diverts to the

@@ -702,11 +702,16 @@ def admission_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     store0 = docs.filter(F.col("doc_id") % 4 < 2)
     sigs, hashes = D.minhash_store(store0, "text", "doc_id")
     store0_frames = (sigs, hashes)
+    # the store-side routing flag is computed ONCE for the seed store and
+    # threaded through both rounds — invariant under admission (identity
+    # duplicates are always rejected; see admit_batch's contract)
+    store_dups = D._has_identity_dups(hashes)
     out = None
     for round_no, mod in ((1, 2), (2, 3)):
         batch = docs.filter(F.col("doc_id") % 4 == mod)
         rel, sigs, hashes = D.admit_batch(
-            batch, sigs, hashes, "text", "doc_id", JACCARD_THRESHOLD
+            batch, sigs, hashes, "text", "doc_id", JACCARD_THRESHOLD,
+            store_identity_dups=store_dups,
         )
         n_rel = rel.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_rel")

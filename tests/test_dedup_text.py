@@ -1238,3 +1238,61 @@ def test_neardup_components_equals_pair_route(spark):
     assert {k for k in comp} == set(range(10, 13)) | set(range(20, 23)) | set(range(30, 34))
     assert all(comp[k] == 10 for k in list(range(10, 13)) + list(range(20, 23)))
     assert all(comp[k] == 30 for k in range(30, 34))
+
+
+def test_minhash_candidates_exactly_once_and_reference_set(spark, docs_df):
+    """The single-shuffle exploded banding (r13) must emit each candidate
+    pair exactly once and reproduce the any-band-agrees pair set of the
+    per-band reference computed row-by-row from the same signatures."""
+    sigs = D.minhash_signatures(docs_df, "text", "doc_id", n_perm=16)
+    out = D.minhash_candidates(sigs, n_perm=16, band_size=4).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in out]
+    assert len(pairs) == len(set(pairs)), "duplicate candidate pair emitted"
+
+    # pure-Python reference: band keys via the same int64 fold
+    rows = {r["doc_id"]: [r[f"sig_{i}"] for i in range(16)]
+            for r in sigs.collect()}
+
+    def band_keys(sig):
+        keys = []
+        for b in range(4):
+            acc = sig[b * 4]
+            for v in sig[b * 4 + 1:b * 4 + 4]:
+                acc = (acc * 31 + v) % D.BAND_KEY_MOD
+            keys.append(acc)
+        return keys
+
+    keys = {d: band_keys(s) for d, s in rows.items()}
+    ids = sorted(keys)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if any(ka == kb for ka, kb in zip(keys[a], keys[b]))
+    }
+    assert set(pairs) == expected
+
+
+def test_banded_cross_cands_fused_legs_match_separate(spark, docs_df):
+    """The fused store+mates leg union (r13) must equal the two legs run
+    separately — including per-leg exactly-once multiplicity."""
+    store = docs_df.filter(F.col("doc_id") % 2 == 0)
+    batch = docs_df.filter(F.col("doc_id") % 2 == 1)
+    s_sigs = D.minhash_signatures(store, "text", "doc_id", n_perm=16)
+    b_sigs = D.minhash_signatures(batch, "text", "doc_id", n_perm=16)
+    kn = D._band_keyed(b_sigs, "doc_id", "n_", 4, 4)
+    k_store = D._band_keyed(s_sigs, "dup_of", "s_", 4, 4)
+    k_mates = D._band_keyed(b_sigs, "dup_of", "s_", 4, 4)
+    fused = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in D._banded_cross_cands(
+            kn, k_store, 4, False, mates=k_mates
+        ).collect()
+    )
+    separate = sorted(
+        [(r["doc_id"], r["dup_of"])
+         for r in D._banded_cross_cands(kn, k_store, 4, False).collect()]
+        + [(r["doc_id"], r["dup_of"])
+           for r in D._banded_cross_cands(kn, k_mates, 4, True).collect()]
+    )
+    assert fused == separate
