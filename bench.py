@@ -416,10 +416,20 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
+    # The full evidence payload (adjudication raw observations + host
+    # fingerprint) goes to the committed results FILE; the stdout line
+    # stays compact. Rationale (r14): the one-line JSON with the embedded
+    # band_audit exceeded whatever tail window the driver's parser reads —
+    # BENCH_r09..r12 all came back ``parsed: null`` and every
+    # round-over-round comparison was lost. The band audit still runs and
+    # still adjudicates the recorded timings (additions preserved, bands
+    # untouched); only its raw-observation detail moved off the line.
+    evidence = dict(payload)
     if band_audit:
-        payload["band_audit"] = band_audit
-    payload["host"] = host_fingerprint()
+        evidence["band_audit"] = band_audit
+    evidence["host"] = host_fingerprint()
     # Truncation-proof evidence: the one-line stdout summary is what the
     # driver records, but a tail-capture once clipped its head and lost 14
     # per-query entries (BENCH_r08). Persist the full results to a committed
@@ -432,7 +442,7 @@ def main() -> None:
     )
     try:
         with open(results_file, "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
+            json.dump(evidence, fh, indent=1, sort_keys=True)
             fh.write("\n")
         payload["results_file"] = os.path.relpath(
             results_file, os.path.dirname(os.path.abspath(__file__))

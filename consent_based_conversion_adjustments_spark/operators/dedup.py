@@ -582,6 +582,13 @@ def _banded_cross_cands(
     doc_id``: a doc_id present in BOTH the store and the arriving batch
     would otherwise collide with itself at jaccard 1.0 and the admission
     anti-join would permanently reject it)."""
+    # the __mate flag doubles as the leg-identity key of the distinct
+    # below; within_batch=True + mates would give both legs the same flag
+    # and silently collapse cross-leg duplicate pairs (ADVICE r13)
+    assert not (within_batch and mates is not None), (
+        "_banded_cross_cands: mates requires within_batch=False — "
+        "True would merge the two legs' identities in the pair distinct"
+    )
     krows = _band_rows(kn, "doc_id", "n_", n_bands)
     lrows = _band_rows(left, "dup_of", "s_", n_bands).withColumn(
         "__mate", F.lit(within_batch)
@@ -943,9 +950,10 @@ def admit_batch(
     regardless of the flag, and the collapsed route excludes empty sets
     explicitly. A multi-round caller computes the
     flag once for its seed store and threads it through every round
-    (``admission_round``, ``streaming.admission``) instead of paying a
-    full-store aggregation per round; None keeps the self-contained
-    per-call probe."""
+    (``admission_round`` does) instead of paying a full-store
+    aggregation per round; None keeps the self-contained per-call probe.
+    (``streaming.admission`` calls `incremental_minhash_neardup`
+    directly — the direct route has no routing agg to save.)"""
     new_sigs, new_hashes = minhash_store(new, text_col, id_col, n_perm)
     route_collapsed = collapse_identical
     if route_collapsed == "auto":

@@ -90,6 +90,15 @@ def scratch_dir(prefix: str) -> str:
     restart contract needs it); ``COCOA_SCRATCH_DIR`` redirects the root
     (e.g. to real disk when RAM is tight), and an unusable root falls
     back to the system tempdir.
+
+    Failure mode (ADVICE r13): the fallback fires only when the root is
+    unusable at mkdir time. A RAM-backed root that exists but FILLS
+    mid-run (tmpfs ENOSPC — state competing with the JVM heap for the
+    same RAM) fails the query with no automatic fallback;
+    ``COCOA_SCRATCH_DIR=/tmp`` (or any disk path) is the escape hatch.
+    The in-repo callers only put small per-run state here (streaming
+    checkpoints/stores, a few MB at bench scale), so probing free space
+    up front would mostly measure the JVM's heap headroom instead.
     """
     import tempfile
 

@@ -64,7 +64,17 @@ def parallelize_scan(df: DataFrame, min_parallelism: int | None = None) -> DataF
     untouched, so the round-robin exchange exists only in the regime
     where its input is by construction at most a few row groups. Callers
     apply it where the downstream compute is heavy, never blanket — the
-    exchange would otherwise just tax scan-light queries."""
+    exchange would otherwise just tax scan-light queries.
+
+    Caveats (ADVICE r13): ``df.rdd.getNumPartitions()`` forces physical
+    planning of ``df`` per call, and under AQE it reflects the
+    NON-adaptive plan, so the count can differ from what would actually
+    execute — acceptable here because call sites pass freshly-read scans
+    (planning is cheap, and a scan's partitioning is not
+    AQE-re-planned). The round-robin repartition also reorders rows, so
+    float aggregations above it see a different reduction order — every
+    current caller funnels results through ``stable_round`` before
+    comparison, which absorbs that."""
     sc = df.sparkSession.sparkContext
     target = min_parallelism or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

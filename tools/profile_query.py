@@ -73,6 +73,7 @@ def main() -> None:
     ap.add_argument("--tag", default="before")
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument("--plans-dir", default="r14", help="plans/<dir> output")
     ap.add_argument(
         "--jobs",
         action="store_true",
@@ -80,7 +81,7 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    plans_dir = os.path.join(HERE, "plans", "r13")
+    plans_dir = os.path.join(HERE, "plans", args.plans_dir)
     os.makedirs(plans_dir, exist_ok=True)
     fns = dict(HEADLINE)
 
