@@ -1059,12 +1059,37 @@ def _bitmap_vocab(
     if key in _VOCAB_OVERFLOW_SEEN:
         return None
     cap = 64 * max_words
-    # cheap overflow pre-probe (r13): any single doc with > cap distinct
+    # bounded-sample overflow pre-probe (r14): the distinct tokens of ANY
+    # doc subset lower-bound the corpus vocabulary, so a sample that
+    # already exceeds the dictionary cap decides the route in O(sample) —
+    # no pass over the full table at all. The r13 max-size probe and the
+    # exploded-distinct probe below are each a full O(corpus) scan PER
+    # VERIFY CALL (at 100 TB: per-round full-store aggregations; at sf0.1
+    # the fixtures' short docs never trip the max-size gate, so every
+    # call paid the exploded-distinct shuffle too — r14 profile: 2-3 such
+    # probe jobs per minhash query). Any real corpus overflows 64·4=256
+    # distinct hashes within a handful of docs; tiny-vocab corpora fall
+    # through to the exact probes below, where they are cheap by
+    # construction. The pull is bounded: ≤ 64 docs × ≤ cap+1 hashes
+    # (a single doc with > cap distinct tokens overflows by itself, so
+    # slicing its array at cap+1 loses nothing).
+    sample = hashes.select(
+        F.size("tok_hashes").alias("n"),
+        F.slice("tok_hashes", 1, cap + 1).alias("t"),
+    ).limit(64).collect()
+    seen: set[int] = set()
+    for r in sample:
+        if r["n"] > cap:
+            _VOCAB_OVERFLOW_SEEN.add(key)
+            return None
+        seen.update(r["t"])
+    if len(seen) > cap:
+        _VOCAB_OVERFLOW_SEEN.add(key)
+        return None
+    # cheap overflow probe (r13): any single doc with > cap distinct
     # tokens overflows the dictionary by itself, and max(size) is a
     # map-side agg over the persisted hash table — no explode, no
-    # distinct shuffle. Real corpora (every sf fixture) decide here, so
-    # the expensive exploded-distinct probe below runs only in the
-    # tiny-vocab regime where it is cheap anyway.
+    # distinct shuffle. Reached only when the 64-doc sample fit the cap.
     mx = hashes.agg(F.max(F.size("tok_hashes")).alias("mx")).first()["mx"]
     if mx is not None and int(mx) > cap:
         _VOCAB_OVERFLOW_SEEN.add(key)

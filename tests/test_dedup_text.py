@@ -575,6 +575,29 @@ def test_incremental_dedup_array_fallback_matches_batch(spark):
     assert got  # the fixture must actually exercise the path
 
 
+def test_bitmap_vocab_sample_probe_sound(spark):
+    """The r14 bounded-sample pre-probe is only a short-circuit, never
+    the decision: a corpus whose first 64 docs fit the dictionary cap
+    but that overflows later (one 300-distinct-token doc at the end)
+    must still return None — the exact probes behind the sample gate
+    catch it. And a tiny-vocab corpus LARGER than the sample must still
+    bitmap-encode with the full vocabulary (fall-through regime)."""
+    small = [(d, "a b c d") for d in range(100)]
+    big_doc = [(100, " ".join(f"z{i}" for i in range(300)))]
+    df = spark.createDataFrame(small + big_doc, ["doc_id", "text"])
+    hashes = D._token_hash_set(df, "text", "doc_id")
+    assert D._bitmap_vocab(hashes) is None  # the tail doc overflows alone
+
+    tiny = spark.createDataFrame(
+        [(d, f"w{d % 50} w{(d + 1) % 50} w{(d + 2) % 50}")
+         for d in range(200)],
+        ["doc_id", "text"],
+    )
+    th = D._token_hash_set(tiny, "text", "doc_id")
+    vocab = D._bitmap_vocab(th)
+    assert vocab is not None and len(vocab) == 50  # exact full vocabulary
+
+
 def test_bitmap_vocab_overflow_memoized(spark):
     """A frame whose vocabulary overflowed the bitmap cap is remembered
     (semantic hash): the second probe over the same frame short-circuits
