@@ -611,6 +611,7 @@ def similarity_join(
             matched = knn_join_lsh(
                 probe, build, k, feature_width, metric=config.metric,
                 probe_id=probe_id, build_id=build_id, features=features,
+                n_rows_hint=n_build,
             )
         else:
             radius = config.radius
@@ -929,6 +930,7 @@ def lsh_recall_measured(
     n_tables: int,
     sample_mod: int = 1,
     self_join: bool = True,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """In-corpus recall measurement — the enforcement half of the recall
     contract (VERDICT r12 §Next #1). Round 13 measured the SAME (p, t)
@@ -964,20 +966,50 @@ def lsh_recall_measured(
     lsh = knn_join_lsh(
         sample, build, fetch, feature_width, metric=metric,
         probe_id=probe_id, build_id=build_id, features=features,
-        n_planes=n_planes, n_tables=n_tables,
+        n_planes=n_planes, n_tables=n_tables, n_rows_hint=n_rows_hint,
     )
     if self_join:
         exact = exact.filter(F.col(probe_id) != F.col(build_id))
         lsh = lsh.filter(F.col(probe_id) != F.col(build_id))
+    # ONE aggregation over the exact leg left-joined to the LSH leg:
+    # n_exact counts every exact pair, hits counts the matched ones.
+    # Both legs emit UNIQUE (probe, build) pairs (row_number-ranked
+    # top-k), so the left join never duplicates an exact row and the
+    # counts equal the old inner-join + separate-count formulation —
+    # which planned the expensive exact kernel as TWO identical subtrees
+    # (one per count; r14 plan: MapInPandas twice, ~4.5 s each at sf0.1)
+    # and crossJoined the two 1-row aggregates (guide §2.4: duplicated
+    # subtrees are shuffles/scans to remove outright).
     exact = exact.select(probe_id, build_id)
-    hits = (
-        lsh.select(probe_id, build_id)
-        .join(exact, [probe_id, build_id])
-        .agg(F.count(F.lit(1)).alias("hits"))
+    matched = lsh.select(probe_id, build_id).withColumn("__hit", F.lit(1))
+    return (
+        exact.join(matched, [probe_id, build_id], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("hits"),
+        )
     )
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    # 1-row × 1-row scalar attach
-    return n_exact.crossJoin(hits)
+
+
+#: per-side row target for one coarse LSH co-group (r14): groups sized to
+#: ~64k feature rows keep the Arrow→pandas conversion and the Python
+#: function-call overhead amortized over real BLAS work (~32 MB of
+#: float64 features per group at width 64) while staying far inside
+#: per-task memory. Tunable for clusters with different task memory.
+LSH_GROUP_TARGET_ROWS = 1 << 16
+
+
+def _lsh_coarse_groups(n_rows_hint: int | None, n_planes: int) -> int | None:
+    """Coarse co-group count per table for the LSH bucket kernels, from a
+    caller-supplied row-count hint (most call sites already counted their
+    corpus for the LSH planner). None → per-signature grouping, the exact
+    pre-r14 shape. A hint sizes groups to ``LSH_GROUP_TARGET_ROWS`` rows
+    per side; at or past 2^n_planes coarse groups the coarsening would be
+    a no-op, so per-signature grouping is kept there too."""
+    if not n_rows_hint:
+        return None
+    g = max(1, -(-int(n_rows_hint) // LSH_GROUP_TARGET_ROWS))
+    return None if g >= (1 << n_planes) else g
 
 
 def knn_join_lsh(
@@ -992,6 +1024,7 @@ def knn_join_lsh(
     features: str = "features",
     n_planes: int = 4,
     n_tables: int = 8,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Approximate kNN join for build sides too large to broadcast.
 
@@ -1008,6 +1041,21 @@ def knn_join_lsh(
     Euclidean-style hyperplane buckets align with Manhattan ranking
     (L2² = L1 on binary vectors, SURVEY.md §4). Bucket skew at scale is
     controlled by ``n_planes`` (bucket count per table is 2^n_planes).
+
+    ``n_rows_hint`` (r14, guide §4): the per-signature co-group invokes
+    the Python kernel once per (table, signature) — at planner-scaled
+    plane counts that is thousands of near-empty pandas groups whose
+    per-group conversion/call overhead dwarfs the BLAS work (measured at
+    sf0.1: p=10 → 5.5 s where p=6, same compute, → 1.6 s). With a row
+    count hint (call sites already count n for ``lsh_params_for``), the
+    co-group key coarsens to ``(table, hash(sig) mod g)`` with g sized so
+    one group carries ~``LSH_GROUP_TARGET_ROWS`` rows, and the kernel
+    sub-buckets by the exact signature INSIDE one vectorized call — same
+    per-bucket candidate sets, same distance kernel, same stable
+    (distance, build_id) tie-break, so results are identical. Scale
+    shape: group size is bounded by the target independent of corpus
+    size (g grows with n until it reaches the 2^p per-signature
+    granularity, which is exactly the pre-hint shape).
     """
     from .similarity_search import _signature_array
 
@@ -1034,6 +1082,22 @@ def knn_join_lsh(
         ]
     )
 
+    def _topk_one_bucket(Q, C, pids, bids):
+        """Per-signature top-k — identical math on either grouping: the
+        same distance kernel, the same stable argsort whose tie-break is
+        (distance, build_id) because C rows arrive sorted by build id."""
+        D = _chunk_distances(Q, C, metric, _is_binary(C) and _is_binary(Q))
+        kk = min(k, D.shape[1])
+        idx = np.argsort(D, axis=1, kind="stable")[:, :kk]
+        dist = np.take_along_axis(D, idx, axis=1)
+        return pd.DataFrame(
+            {
+                probe_id: pids.repeat(kk),
+                build_id: bids[idx].ravel(),
+                DISTANCE: dist.ravel(),
+            }
+        )
+
     def bucket_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty or right.empty:
             return pd.DataFrame(
@@ -1044,24 +1108,53 @@ def knn_join_lsh(
         right = right.sort_values("__bid", kind="stable")
         Q = np.array(left["__f"].tolist(), dtype=np.float64)
         C = np.array(right["__f"].tolist(), dtype=np.float64)
-        D = _chunk_distances(Q, C, metric, _is_binary(C) and _is_binary(Q))
-        kk = min(k, D.shape[1])
-        idx = np.argsort(D, axis=1, kind="stable")[:, :kk]
-        dist = np.take_along_axis(D, idx, axis=1)
-        bids = right["__bid"].to_numpy()
-        return pd.DataFrame(
-            {
-                probe_id: left["__pid"].to_numpy().repeat(kk),
-                build_id: bids[idx].ravel(),
-                DISTANCE: dist.ravel(),
-            }
+        return _topk_one_bucket(
+            Q, C, left["__pid"].to_numpy(), right["__bid"].to_numpy()
         )
 
-    local = (
-        q.groupBy("table_id", "lsh_sig")
-        .cogroup(c.groupBy("table_id", "lsh_sig"))
-        .applyInPandas(bucket_topk, schema=out_schema)
-    )
+    def coarse_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({probe_id: [], build_id: [], DISTANCE: []})
+        if left.empty or right.empty:
+            return empty
+        # ONE conversion for the whole coarse group, then per-signature
+        # slices: stable sort keeps each signature's C rows ordered by
+        # build id (the tie-break) and Q rows in their group order
+        left = left.sort_values("lsh_sig", kind="stable")
+        right = right.sort_values(["lsh_sig", "__bid"], kind="stable")
+        Q_all = np.array(left["__f"].tolist(), dtype=np.float64)
+        C_all = np.array(right["__f"].tolist(), dtype=np.float64)
+        l_sig = left["lsh_sig"].to_numpy()
+        r_sig = right["lsh_sig"].to_numpy()
+        l_pid = left["__pid"].to_numpy()
+        r_bid = right["__bid"].to_numpy()
+        outs = []
+        for s in np.intersect1d(np.unique(l_sig), np.unique(r_sig)):
+            ql, qh = np.searchsorted(l_sig, [s, s + 1])
+            cl, ch = np.searchsorted(r_sig, [s, s + 1])
+            outs.append(
+                _topk_one_bucket(
+                    Q_all[ql:qh], C_all[cl:ch], l_pid[ql:qh], r_bid[cl:ch]
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    g = _lsh_coarse_groups(n_rows_hint, n_planes)
+    if g is None:
+        local = (
+            q.groupBy("table_id", "lsh_sig")
+            .cogroup(c.groupBy("table_id", "lsh_sig"))
+            .applyInPandas(bucket_topk, schema=out_schema)
+        )
+    else:
+        grp = F.pmod(F.xxhash64("lsh_sig"), F.lit(g))
+        local = (
+            q.withColumn("__grp", grp)
+            .groupBy("table_id", "__grp")
+            .cogroup(
+                c.withColumn("__grp", grp).groupBy("table_id", "__grp")
+            )
+            .applyInPandas(coarse_topk, schema=out_schema)
+        )
     # a pair surfaces once per agreeing table with an identical distance —
     # collapse before the global top-k (narrow rows only; the feature
     # arrays never left their buckets)
@@ -1090,6 +1183,7 @@ def radius_join_lsh(
     features: str = "features",
     n_planes: int = 4,
     n_tables: int = 8,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Approximate radius join for build sides too large to broadcast —
     the beyond-broadcast route for the reference's radius mode
@@ -1129,26 +1223,68 @@ def radius_join_lsh(
         ]
     )
 
+    def _radius_one_bucket(Q, C, pids, bids):
+        D = _chunk_distances(Q, C, metric, _is_binary(C) and _is_binary(Q))
+        rows, cols = np.nonzero(D <= radius)
+        return pd.DataFrame(
+            {
+                probe_id: pids[rows],
+                build_id: bids[cols],
+                DISTANCE: D[rows, cols],
+            }
+        )
+
     def bucket_radius(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty or right.empty:
             return pd.DataFrame({probe_id: [], build_id: [], DISTANCE: []})
         Q = np.array(left["__f"].tolist(), dtype=np.float64)
         C = np.array(right["__f"].tolist(), dtype=np.float64)
-        D = _chunk_distances(Q, C, metric, _is_binary(C) and _is_binary(Q))
-        rows, cols = np.nonzero(D <= radius)
-        return pd.DataFrame(
-            {
-                probe_id: left["__pid"].to_numpy()[rows],
-                build_id: right["__bid"].to_numpy()[cols],
-                DISTANCE: D[rows, cols],
-            }
+        return _radius_one_bucket(
+            Q, C, left["__pid"].to_numpy(), right["__bid"].to_numpy()
         )
 
-    local = (
-        q.groupBy("table_id", "lsh_sig")
-        .cogroup(c.groupBy("table_id", "lsh_sig"))
-        .applyInPandas(bucket_radius, schema=out_schema)
-    )
+    def coarse_radius(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({probe_id: [], build_id: [], DISTANCE: []})
+        if left.empty or right.empty:
+            return empty
+        # one conversion per coarse group, per-signature slices — see
+        # knn_join_lsh's coarse_topk for the grouping rationale
+        left = left.sort_values("lsh_sig", kind="stable")
+        right = right.sort_values("lsh_sig", kind="stable")
+        Q_all = np.array(left["__f"].tolist(), dtype=np.float64)
+        C_all = np.array(right["__f"].tolist(), dtype=np.float64)
+        l_sig = left["lsh_sig"].to_numpy()
+        r_sig = right["lsh_sig"].to_numpy()
+        l_pid = left["__pid"].to_numpy()
+        r_bid = right["__bid"].to_numpy()
+        outs = []
+        for s in np.intersect1d(np.unique(l_sig), np.unique(r_sig)):
+            ql, qh = np.searchsorted(l_sig, [s, s + 1])
+            cl, ch = np.searchsorted(r_sig, [s, s + 1])
+            outs.append(
+                _radius_one_bucket(
+                    Q_all[ql:qh], C_all[cl:ch], l_pid[ql:qh], r_bid[cl:ch]
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    g = _lsh_coarse_groups(n_rows_hint, n_planes)
+    if g is None:
+        local = (
+            q.groupBy("table_id", "lsh_sig")
+            .cogroup(c.groupBy("table_id", "lsh_sig"))
+            .applyInPandas(bucket_radius, schema=out_schema)
+        )
+    else:
+        grp = F.pmod(F.xxhash64("lsh_sig"), F.lit(g))
+        local = (
+            q.withColumn("__grp", grp)
+            .groupBy("table_id", "__grp")
+            .cogroup(
+                c.withColumn("__grp", grp).groupBy("table_id", "__grp")
+            )
+            .applyInPandas(coarse_radius, schema=out_schema)
+        )
     return local.groupBy(probe_id, build_id).agg(
         F.min(DISTANCE).alias(DISTANCE)
     )

@@ -211,7 +211,7 @@ def knn_lsh_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn_join_lsh(
         probe, build, FLAGSHIP_K, 64,
         metric="euclidean", probe_id="probe_id", build_id="consent_id",
-        n_planes=n_planes, n_tables=n_tables,
+        n_planes=n_planes, n_tables=n_tables, n_rows_hint=n,
     )
     return out.filter(F.col("probe_id") != F.col("consent_id")).select(
         "probe_id", "consent_id", stable_round("distance", 6).alias("distance")
@@ -291,6 +291,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, build, FLAGSHIP_K, 64,
         metric="euclidean", probe_id="probe_id", build_id="consent_id",
         n_planes=n_planes, n_tables=n_tables, sample_mod=mod,
+        n_rows_hint=n,
     )
     om = 1.0 - PLANNED_RECALL_FLOOR
     mr_raw = F.col("hits") / F.col("n_exact")

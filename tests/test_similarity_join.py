@@ -144,6 +144,49 @@ def test_knn_join_lsh_recall(spark):
     assert max(per_probe.values()) <= 3
 
 
+def test_lsh_coarse_grouping_identical(spark):
+    """The r14 coarse co-group (n_rows_hint) must be result-IDENTICAL to
+    the per-signature grouping, bit-for-bit on distances: same candidate
+    sets (signature equality is the join condition either way), same
+    per-bucket kernel, same (distance, build_id) tie-break. A small hint
+    forces g=1 (the coarsest grouping, one group per table)."""
+    from consent_based_conversion_adjustments_spark.operators.similarity_join import (
+        knn_join_lsh,
+        radius_join_lsh,
+    )
+
+    probe, build = _frames(spark, n_probe=30, n_build=40, width=8, seed=9)
+    fine = {
+        (r["pid"], r["bid"]): r["distance"]
+        for r in knn_join_lsh(
+            probe, build, 3, 8, probe_id="pid", build_id="bid"
+        ).collect()
+    }
+    coarse = {
+        (r["pid"], r["bid"]): r["distance"]
+        for r in knn_join_lsh(
+            probe, build, 3, 8, probe_id="pid", build_id="bid",
+            n_rows_hint=40,
+        ).collect()
+    }
+    assert fine == coarse  # exact equality, distances included
+
+    fine_r = {
+        (r["pid"], r["bid"]): r["distance"]
+        for r in radius_join_lsh(
+            probe, build, 6.0, 8, probe_id="pid", build_id="bid"
+        ).collect()
+    }
+    coarse_r = {
+        (r["pid"], r["bid"]): r["distance"]
+        for r in radius_join_lsh(
+            probe, build, 6.0, 8, probe_id="pid", build_id="bid",
+            n_rows_hint=40,
+        ).collect()
+    }
+    assert fine_r == coarse_r
+
+
 def test_min_distance_and_percentile_radius(spark):
     probe, build = _frames(spark, seed=7)
     nearest = min_distance_per_probe(probe, build, probe_id="pid", build_id="bid")
