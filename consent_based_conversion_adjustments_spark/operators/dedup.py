@@ -704,7 +704,8 @@ def _admit_relations_collapsed(
     threshold: float,
     n_perm: int,
     band_size: int,
-) -> tuple[DataFrame, list]:
+    store_classes: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Identity-class cascade for the incremental admission check (r13).
 
     The organic streaming rung measured `admission_round` at 330 s on
@@ -730,36 +731,65 @@ def _admit_relations_collapsed(
     store-wins replay verify is per-member and cannot factor through
     classes.
 
-    Returns ``(relations, rejected_new)``. The CLASS-LEVEL frames are
-    eagerly checkpointed (they are the small state: dictionaries + class
-    relations); ``relations`` is a LAZY expansion over them and
-    ``rejected_new`` is derived at class level WITHOUT expansion — on
-    the soup corpus the expanded frame is 73.8M rows, and
+    Returns ``(relations, rejected_new, store_cls)``. The CLASS-LEVEL
+    frames are eagerly checkpointed (they are the small state:
+    dictionaries + class relations); ``relations`` is a LAZY expansion
+    over them and ``rejected_new`` is derived at class level WITHOUT
+    expansion — on the soup corpus the expanded frame is 73.8M rows, and
     materializing/checkpointing it per round was the dominant cost left
     after the banding collapse (r13 profile: 165 s/round with an eager
     expanded checkpoint). Consumers that genuinely need the member-level
     relations (the per-doc relation counts, the relations sink) scan the
     lazy expansion — a map-side explode from checkpointed dictionaries —
     and a count-shaped consumer gets map-side partial aggregation
-    instead of a 73.8M-row shuffle."""
+    instead of a 73.8M-row shuffle.
 
-    # ONE class agg over the flagged union (r13 profile: two per-side
-    # checkpointed aggs were two separate jobs; a (side, tok_hashes) key
-    # computes both dictionaries in one shuffle and one checkpoint —
-    # sides are distinct classes by construction, and batch/store doc
-    # ids are disjoint by the router's precondition)
-    cls = (
-        new_hashes.withColumn("__side", F.lit(0))
-        .unionByName(store_hashes.withColumn("__side", F.lit(1)))
-        .groupBy("__side", "tok_hashes")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
+    ``store_classes`` (r14): the store-side class dictionary from the
+    caller's previous round, when it has one. The per-round class agg
+    over the FULL store (and its O(store) checkpoint — measured 1.6 GB
+    per round at the organic sf1.0 rung, the dominant write of the
+    whole round) is invariant-maintainable instead: admitted docs are
+    pairwise non-related and unrelated to every store doc, so no
+    admitted doc can share a token set with ANY store member — every
+    admitted doc is a SINGLETON class, and the store dictionary after a
+    round is exactly ``previous ∪ singletons(admitted)``. (Admitted
+    EMPTY-token docs all share the empty set; keeping them as
+    singletons instead of one merged class is output-neutral: an empty
+    class has no signature, is never banded, and so never appears in
+    any class relation — only its batch-side handling matters.) With
+    ``store_classes`` given, only the BATCH is aggregated (O(batch)
+    shuffle + checkpoint) and the returned ``store_cls`` echoes the
+    input; with None the union agg below computes both sides and
+    returns the store dictionary for the caller to maintain."""
+
+    if store_classes is None:
+        # ONE class agg over the flagged union (r13 profile: two per-side
+        # checkpointed aggs were two separate jobs; a (side, tok_hashes)
+        # key computes both dictionaries in one shuffle and one
+        # checkpoint — sides are distinct classes by construction, and
+        # batch/store doc ids are disjoint by the router's precondition)
+        cls = (
+            new_hashes.withColumn("__side", F.lit(0))
+            .unionByName(store_hashes.withColumn("__side", F.lit(1)))
+            .groupBy("__side", "tok_hashes")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.sort_array(F.collect_list("doc_id")).alias("members"),
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
-    bc = cls.filter(F.col("__side") == 0).drop("__side")
-    sc = cls.filter(F.col("__side") == 1).drop("__side")
+        bc = cls.filter(F.col("__side") == 0).drop("__side")
+        sc = cls.filter(F.col("__side") == 1).drop("__side")
+    else:
+        bc = (
+            new_hashes.groupBy("tok_hashes")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.sort_array(F.collect_list("doc_id")).alias("members"),
+            )
+            .localCheckpoint()
+        )
+        sc = store_classes
     b_rep_hashes = bc.select("doc_id", "tok_hashes")
     s_rep_hashes = sc.select("doc_id", "tok_hashes")
     b_rep_sigs = new_sigs.join(bc.select("doc_id"), "doc_id")
@@ -876,7 +906,15 @@ def _admit_relations_collapsed(
         )
         .select("doc_id")
     )
-    return rel, rejected_new
+    return rel, rejected_new, sc
+
+
+def _ADMIT_CKPT_STRATEGY() -> str:
+    """Per-round store-checkpoint strategy: "delta" (r14 default — one
+    O(batch) wide delta checkpoint) or "full" (pre-r14 full-union
+    rewrite, kept for reproducible A/Bs via ``COCOA_ADMIT_CKPT=full``).
+    Read per call so a harness can flip it without re-importing."""
+    return os.environ.get("COCOA_ADMIT_CKPT", "delta")
 
 
 def admit_batch(
@@ -891,6 +929,7 @@ def admit_batch(
     checkpoint_store: bool = True,
     collapse_identical: bool | str = "auto",
     store_identity_dups: bool | None = None,
+    class_state: dict | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One full admission round of the incremental dedup store:
     ``(relations, updated_sigs, updated_hashes)``.
@@ -908,24 +947,33 @@ def admit_batch(
     frames are appended to the persisted store tables — everything here
     is id-keyed equi-joins, so the store can be arbitrarily large.
 
-    ``checkpoint_store`` (default True) eagerly ``localCheckpoint``s all
-    three returned frames and releases the batch's transient sig/hash
-    caches. Without it, in-session chaining across rounds degrades
+    ``checkpoint_store`` (default True) eagerly cuts the returned
+    frames' lineage and releases the batch's transient sig/hash caches.
+    Without it, in-session chaining across rounds degrades
     superlinearly: each round's store is lazy union + anti-join lineage
     over the previous round's, so every one of the next round's band
-    joins would recompute the whole prior chain. Checkpointing the FULL
-    store union rather than only the admitted delta is a MEASURED choice:
-    the next round probes the store through ~19 joins (16 band joins, the
-    two verify attach joins, the vocab probe), and one compact
-    materialized copy beats re-scanning a union of the prior store's
-    cache legs that many times — ×64 disk-backed A/B on the two-round
-    admission query: full-union 882/867 s vs delta-checkpoint
-    1382/1127 s (PERF.md round 6). The O(store) checkpoint write per
-    round is the price of O(1) scan legs; callers chaining MANY rounds
-    should flush to tables instead (`streaming.admission`), where parquet
-    appends give the O(batch) write AND compact scans. Pass False only
-    when the caller immediately writes the returned frames out (the
-    production path — the table write itself is the checkpoint).
+    joins would recompute the whole prior chain. Since r14 the eager
+    write is the admitted DELTA only — ONE wide ``(doc_id, tok_hashes,
+    sig_*)`` localCheckpoint per round, O(batch) — and the returned
+    store frames are ``store ∪ delta_ckpt`` column views. The r6
+    measurement that justified checkpointing the FULL union (882/867 s
+    vs 1382/1127 s at the 64× rung, PERF.md round 6) predates the
+    exploded single-shuffle banding: the store was then re-scanned ~19×
+    per round (16 band joins + verify attaches + vocab probe), and one
+    compact copy beat re-reading the union's spilled cache legs that
+    many times. After r13's banding fusion the store is scanned ~4×
+    per round and the r14 re-measurement inverts the verdict (organic
+    sf1.0 admission rung + local A/B recorded in OPTIMIZATION_r14.md);
+    the O(store)-per-round checkpoint write was the admission
+    pipeline's only remaining superlinear-at-depth cost. Scan legs grow
+    by one per in-session round — callers chaining MANY rounds should
+    still flush to tables (`streaming.admission`), where parquet
+    appends give the O(batch) write AND compact scans.
+    ``COCOA_ADMIT_CKPT=full`` restores the full-union strategy (the
+    reproducible A/B lever; results are identical either way). Pass
+    False only when the caller immediately writes the returned frames
+    out (the production path — the table write itself is the
+    checkpoint).
 
     ``collapse_identical`` ("auto" default, the minhash_neardup r12
     precedent): when either side carries exact token-set duplicate mass
@@ -953,7 +1001,19 @@ def admit_batch(
     (``admission_round`` does) instead of paying a full-store
     aggregation per round; None keeps the self-contained per-call probe.
     (``streaming.admission`` calls `incremental_minhash_neardup`
-    directly — the direct route has no routing agg to save.)"""
+    directly — the direct route has no routing agg to save.)
+
+    ``class_state`` (r14): an empty dict a multi-round caller threads
+    through every round so the collapsed route's STORE-side class
+    dictionary is maintained incrementally (admitted docs are always
+    singleton classes — see `_admit_relations_collapsed`) instead of
+    re-aggregated and re-checkpointed from the full store each round
+    (the dominant per-round write at depth: 1.6 GB/round measured at
+    the organic sf1.0 rung). Managed entirely inside admit_batch; the
+    entry is dropped whenever a round leaves it unmaintainable (direct
+    route, checkpoint_store=False, or the "full" checkpoint strategy),
+    and the next collapsed round re-seeds it with one store agg.
+    Results are identical with or without it (pinned by pytest)."""
     new_sigs, new_hashes = minhash_store(new, text_col, id_col, n_perm)
     route_collapsed = collapse_identical
     if route_collapsed == "auto":
@@ -973,10 +1033,16 @@ def admit_batch(
         )
         if replayed:
             route_collapsed = False
+    store_cls = None
     if route_collapsed:
-        relations, rejected_new = _admit_relations_collapsed(
+        prior_cls = (
+            class_state.get("store_classes")
+            if class_state is not None
+            else None
+        )
+        relations, rejected_new, store_cls = _admit_relations_collapsed(
             new_sigs, new_hashes, store_sigs, store_hashes,
-            threshold, n_perm, band_size,
+            threshold, n_perm, band_size, store_classes=prior_cls,
         )
     else:
         relations = incremental_minhash_neardup(
@@ -988,26 +1054,66 @@ def admit_batch(
     # store — tolerated by the verify's re-ingestion guard) must not gain
     # a second store row either, so the union is anti-joined on both
     rejected = rejected_new.unionByName(store_sigs.select("doc_id"))
-    updated_sigs = store_sigs.unionByName(
-        new_sigs.join(rejected, "doc_id", "left_anti")
-    )
-    updated_hashes = store_hashes.unionByName(
-        new_hashes.join(rejected, "doc_id", "left_anti")
-    )
+    delta_sigs = new_sigs.join(rejected, "doc_id", "left_anti")
+    delta_hashes = new_hashes.join(rejected, "doc_id", "left_anti")
     if checkpoint_store:
         # eager: the collapsed route already checkpointed its class-level
         # state (relations stay a LAZY expansion over it — materializing
         # the member-level frame per round was the dominant residual cost
         # on duplicate-rich corpora); the direct route's member-level
         # relations must materialize BEFORE the batch caches are released
-        # (both store updates and relations read them). The checkpointed
-        # frames carry no lineage into the next round either way.
+        # (both store updates and relations read them).
         if not route_collapsed:
             relations = relations.localCheckpoint()
-        updated_sigs = updated_sigs.localCheckpoint()
-        updated_hashes = updated_hashes.localCheckpoint()
+        if _ADMIT_CKPT_STRATEGY() == "full":
+            # pre-r14 strategy, kept as the A/B lever (see docstring)
+            updated_sigs = store_sigs.unionByName(delta_sigs).localCheckpoint()
+            updated_hashes = store_hashes.unionByName(
+                delta_hashes
+            ).localCheckpoint()
+        else:
+            # ONE O(batch) eager write per round: the admitted delta's
+            # sig and hash rows share the doc_id key, so a single wide
+            # checkpoint replaces two store-sized ones; the returned
+            # frames are column views over (store ∪ delta) — the store
+            # legs are the caller's already-materialized state and are
+            # never rewritten.
+            delta = delta_hashes.join(delta_sigs, "doc_id").localCheckpoint()
+            sig_cols = [c for c in new_sigs.columns if c != "doc_id"]
+            updated_sigs = store_sigs.unionByName(
+                delta.select("doc_id", *sig_cols)
+            )
+            updated_hashes = store_hashes.unionByName(
+                delta.select("doc_id", "tok_hashes")
+            )
+            if class_state is not None and route_collapsed:
+                # invariant-maintained store class dictionary (see
+                # _admit_relations_collapsed): admitted docs are always
+                # singleton classes, so next round's store side is a
+                # lazy column view over this round's delta checkpoint —
+                # the per-round O(store) class agg + checkpoint never
+                # recurs once the seed round paid it
+                class_state["store_classes"] = store_cls.unionByName(
+                    delta.select(
+                        "tok_hashes",
+                        "doc_id",
+                        F.array("doc_id").alias("members"),
+                    )
+                )
         new_sigs.unpersist()
         new_hashes.unpersist()
+    else:
+        updated_sigs = store_sigs.unionByName(delta_sigs)
+        updated_hashes = store_hashes.unionByName(delta_hashes)
+    if class_state is not None and "store_classes" in class_state and (
+        not route_collapsed
+        or not checkpoint_store
+        or _ADMIT_CKPT_STRATEGY() == "full"
+    ):
+        # the maintained dictionary is only valid when this round both
+        # took the collapsed route AND checkpointed its delta — anything
+        # else leaves the state stale, so drop it (next round re-seeds)
+        del class_state["store_classes"]
     return relations, updated_sigs, updated_hashes
 
 
@@ -2290,13 +2396,14 @@ def neardup_components(
 CC_LOCAL_EDGE_BUDGET = int(os.environ.get("COCOA_CC_LOCAL_EDGES", "500000"))
 
 
-def _cc_union_find_local(spark, half_edges: DataFrame) -> DataFrame:
+def _cc_union_find_local(spark, pdf) -> DataFrame:
     """``(label0, rep_label)`` component map of a bounded contracted graph
     via driver-side union-find (min-id root invariant: a union always
     attaches the larger root under the smaller, so every root is its
     component's minimum — answer-identical to the min-label propagation
-    loop). ``half_edges`` must be the deduped src<dst half edge set."""
-    pdf = half_edges.toPandas()
+    loop). ``pdf`` is the already-pulled pandas frame of the deduped
+    src<dst half edge set (the caller's bounded ``limit().toPandas()``
+    doubles as the size gate — r14, one job instead of count+toPandas)."""
     parent: dict = {}
 
     def find(x):
@@ -2435,7 +2542,6 @@ def connected_components(
         .distinct()
     )
     chalf = cnorm.localCheckpoint()
-    n_half = chalf.count()
     norm.unpersist()
 
     # Driver-local tail for SMALL contracted graphs (r13): after star
@@ -2450,13 +2556,18 @@ def connected_components(
     # past the budget the jump-accelerated distributed loop below runs
     # unchanged. Min-label union-find is answer-identical to min-label
     # propagation (both compute min reachable node id per component).
-    if n_half <= CC_LOCAL_EDGE_BUDGET:
-        rep_label = _cc_union_find_local(chalf.sparkSession, chalf)
+    # r14: the bounded limit().toPandas() IS the size gate — one job off
+    # the checkpoint replaces the separate count + full toPandas pair;
+    # only the beyond-budget path pays a count (for loop sizing).
+    pdf = chalf.limit(CC_LOCAL_EDGE_BUDGET + 1).toPandas()
+    if len(pdf) <= CC_LOCAL_EDGE_BUDGET:
+        rep_label = _cc_union_find_local(chalf.sparkSession, pdf)
         chalf.unpersist()
         return l0.join(rep_label, "label0", "left").select(
             F.col("node"),
             F.coalesce("rep_label", "label0").alias("component"),
         )
+    n_half = chalf.count()
 
     cedges = chalf.unionByName(
         chalf.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

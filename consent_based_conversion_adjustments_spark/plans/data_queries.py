@@ -704,14 +704,17 @@ def admission_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     store0_frames = (sigs, hashes)
     # the store-side routing flag is computed ONCE for the seed store and
     # threaded through both rounds — invariant under admission (identity
-    # duplicates are always rejected; see admit_batch's contract)
+    # duplicates are always rejected; see admit_batch's contract).
+    # class_state (r14) likewise threads the collapsed route's store-side
+    # class dictionary so round 2 aggregates only its batch, not the store
     store_dups = D._has_identity_dups(hashes)
+    class_state: dict = {}
     out = None
     for round_no, mod in ((1, 2), (2, 3)):
         batch = docs.filter(F.col("doc_id") % 4 == mod)
         rel, sigs, hashes = D.admit_batch(
             batch, sigs, hashes, "text", "doc_id", JACCARD_THRESHOLD,
-            store_identity_dups=store_dups,
+            store_identity_dups=store_dups, class_state=class_state,
         )
         n_rel = rel.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_rel")

@@ -533,6 +533,46 @@ def test_admit_batch_sequential_rounds_greedy_oracle(spark):
     assert want_rel  # the final round must actually exercise rejection
 
 
+def test_admit_batch_class_state_parity(spark):
+    """The r14 invariant-maintained store class dictionary: chaining
+    rounds with class_state must produce byte-identical relations and
+    store membership to chaining without it, on a duplicate-rich fixture
+    that exercises multi-member seed classes, cross-round admissions,
+    and EMPTY-token docs (always admitted; singletons-vs-merged in the
+    maintained dictionary must be output-neutral)."""
+    rows = []
+    for d in range(30):
+        rows.append((4 * d, f"alpha beta gamma w{d % 7}"))
+        rows.append((4 * d + 1, f"alpha beta gamma w{d % 7}"))  # identity dup
+        rows.append((4 * d + 2, f"delta eps zeta eta w{d}"))
+        rows.append((4 * d + 3, ""))  # empty-token doc, every round
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    store_docs = df.filter(F.col("doc_id") % 4 < 2)
+    threshold = 0.8
+
+    def run(with_state):
+        sigs, hashes = D.minhash_store(store_docs, "text", "doc_id")
+        state: dict = {}
+        per_round = []
+        for mod in (2, 3):
+            batch = df.filter(F.col("doc_id") % 4 == mod)
+            rel, sigs, hashes = D.admit_batch(
+                batch, sigs, hashes, "text", "doc_id", threshold,
+                class_state=state if with_state else None,
+            )
+            per_round.append((
+                {(r["doc_id"], r["dup_of"], round(r["jaccard"], 9))
+                 for r in rel.collect()},
+                {r["doc_id"] for r in sigs.select("doc_id").collect()},
+                {r["doc_id"] for r in hashes.select("doc_id").collect()},
+            ))
+        if with_state:
+            assert "store_classes" in state  # the maintained path ran
+        return per_round
+
+    assert run(True) == run(False)
+
+
 def test_incremental_dedup_array_fallback_matches_batch(spark):
     """The incremental verify's general (sorted-array) route: with a
     vocabulary beyond the bitmap cap, incremental admission must still
