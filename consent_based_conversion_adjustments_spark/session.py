@@ -61,6 +61,18 @@ def get_spark(
         # the driver's events.parquet stores TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long and convert in sources.io
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # availableNow runs append a trailing NO-DATA micro-batch whose only
+        # effect is advancing the watermark and evicting state — a full
+        # state-store commit cycle across every partition that emits
+        # nothing for every sink shape this engine uses (eager-emit inner
+        # stream-stream joins, dropDuplicatesWithinWatermark, and
+        # foreachBatch stores whose results are batch-count-independent by
+        # each query's documented determinism bound). An append-mode
+        # WINDOWED AGGREGATION would need that batch to flush its final
+        # windows — none exists in-repo; re-enable this if one is added.
+        # Measured r14: the stream-stream join ran 2 micro-batch jobs of
+        # ~5 s each at sf0.1, one of them the no-data batch.
+        .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/cocoa-spark-warehouse"),
