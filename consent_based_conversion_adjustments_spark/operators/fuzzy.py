@@ -38,6 +38,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: prefix-row count past which a (gram, occ) join key is salted: an
+#: unsalted key enumerates C(rows, 2) candidate pairs in ONE task, so
+#: 256 caps the per-task burst at ~33k pairs; keys at or below it keep
+#: a single un-replicated b-side row (no blanket replication at scale)
+_SALT_HOT_KEY_ROWS = 256
+
 
 def edit_distance_pairs(
     df: DataFrame,
@@ -95,12 +101,60 @@ def edit_distance_pairs(
         .filter(F.col("__rk") <= prefix_len)
         .select("__id", "__gram", "__occ")
     )
+    # hot-key salting for the prefix self-join (r14, guide §2.5): when a
+    # corpus has fewer than prefix_len discriminating grams per string
+    # (serial-numbered names share all but ~3 grams), the remaining
+    # prefix slot falls to the SAME tie-broken ubiquitous gram on every
+    # row, and that one (gram, occ) key enumerates C(hot, 2) candidate
+    # pairs inside a single join task (measured at sf0.1: "#00" in all
+    # 1000 supplier prefixes → 500k of 564k candidates in one ~2 s
+    # task). AQE's skew split cannot fire — the key's INPUT is a few KB,
+    # only its join OUTPUT explodes. Exact fix: bucket the a-side id of
+    # hot keys into ``n_salt`` sub-keys and replicate the b-side across
+    # them, so each (ida < idb) pair still meets exactly once (at
+    # bucket(ida)) while a hot key's pair enumeration fans out over
+    # ``n_salt`` tasks. Gated per key on the measured prefix-row count —
+    # cold keys keep one un-replicated row each, so the replication
+    # NEVER multiplies the whole prefix table at scale.
+    key_cnt = prefix.groupBy("__gram", "__occ").agg(
+        F.count(F.lit(1)).alias("__kc")
+    )
+    n_salt = prefix.sparkSession.sparkContext.defaultParallelism
+    hot = F.col("__kc") > F.lit(_SALT_HOT_KEY_ROWS)
+    keyed = prefix.join(key_cnt, ["__gram", "__occ"])
+    a_side = keyed.select(
+        "__id",
+        "__gram",
+        "__occ",
+        F.when(hot, F.pmod(F.xxhash64("__id"), F.lit(n_salt)))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("__sb"),
+    )
+    b_side = keyed.select(
+        "__id",
+        "__gram",
+        "__occ",
+        F.explode(
+            F.when(
+                hot, F.sequence(F.lit(0), F.lit(n_salt - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("__sb"),
+    )
+    # explicit co-partitioning on the (salted) join key: AQE coalesces
+    # post-shuffle partitions by INPUT size and cannot see that this
+    # join's per-key OUTPUT is quadratic in key rows, so it would merge
+    # the salted buckets back into one task; an explicit partition count
+    # is respected by AQE and keeps the hot key's enumeration spread
+    a_side = a_side.repartition(n_salt, "__gram", "__occ", "__sb")
+    b_side = b_side.repartition(n_salt, "__gram", "__occ", "__sb")
     cands = (
-        prefix.alias("a")
+        a_side.alias("a")
         .join(
-            prefix.alias("b"),
+            b_side.alias("b"),
             (F.col("a.__gram") == F.col("b.__gram"))
             & (F.col("a.__occ") == F.col("b.__occ"))
+            & (F.col("a.__sb") == F.col("b.__sb"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(

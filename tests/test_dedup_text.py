@@ -980,6 +980,34 @@ def test_edit_distance_pairs_matches_python_reference(spark):
     assert (0, 1) in want and (0, 2) in want and (0, 3) in want
 
 
+def test_edit_distance_pairs_hot_key_salting_identical(spark, monkeypatch):
+    """The r14 hot-(gram, occ)-key salting must be result-identical to
+    the unsalted join. The fixture is the pathological shape: serial
+    names sharing every gram but the digit tail, so one ubiquitous gram
+    lands in every prefix; forcing the salt threshold to 0 salts every
+    key, and the pair set (with distances) must not change."""
+    from consent_based_conversion_adjustments_spark.operators import fuzzy
+
+    df = spark.createDataFrame(
+        [(i, f"serialname#{i:07d}") for i in range(1, 150)],
+        "id long, name string",
+    )
+
+    def pairs():
+        return {
+            (r.id_a, r.id_b, r.distance)
+            for r in fuzzy.edit_distance_pairs(
+                df, "name", "id", max_dist=1, q=3
+            ).collect()
+        }
+
+    monkeypatch.setattr(fuzzy, "_SALT_HOT_KEY_ROWS", 10**9)  # never salt
+    unsalted = pairs()
+    monkeypatch.setattr(fuzzy, "_SALT_HOT_KEY_ROWS", 0)  # salt every key
+    assert pairs() == unsalted
+    assert unsalted  # the fixture must produce near pairs
+
+
 def test_edit_distance_pairs_short_string_guard(spark):
     """Inputs below q*(max_dist+1) chars make the q-gram bound vacuous;
     the operator must refuse loudly instead of silently losing pairs."""
