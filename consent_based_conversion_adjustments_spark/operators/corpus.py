@@ -793,7 +793,13 @@ def spearman_correlation(
     double division over exact integers — deterministic across engines
     and partitionings, no floating co-moment accumulation.
     """
-    rx = global_rank(df, [col_x, tiebreak_col], rank_col="__rx")
+    # barrier between the two rank passes (r14): pass 2's range
+    # repartitioner SAMPLES its child to pick boundaries, and reservoir
+    # sampling executes the full child — without the checkpoint, pass 1's
+    # entire chain (range shuffle + sort + Arrow rank pass) runs once for
+    # the sampler and AGAIN for the real shuffle, a full duplicated pass
+    # at any scale (guide §2.4: don't compute things twice)
+    rx = global_rank(df, [col_x, tiebreak_col], rank_col="__rx").localCheckpoint()
     rxy = global_rank(rx, [col_y, tiebreak_col], rank_col="__ry")
     d = F.col("__rx") - F.col("__ry")
     stats = rxy.agg(
